@@ -1,0 +1,97 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Engine-owned symbol table: name -> view definition.
+  *
+  * The reference keeps named views in `__symtable` and defines every analytic
+  * result as a SQL VIEW over base tables (firepit/sqlstorage.py:176-178,
+  * 218-226; view DDL firepit/sqlitestorage.py:192-218). Views there are lazy
+  * and *replayed* against current base-table contents; dependent views see
+  * updates (pinned by reference tests/test_storage.py:394-428).
+  *
+  * Here a view is a recipe `resolve => DataFrame` re-run on each access, so
+  * laziness and update-visibility come from DataFrame immutability + replay.
+  * Self-redefinition ("view defined in terms of its own previous definition",
+  * firepit/sqlitestorage.py:199-211) is just closing over the previous recipe
+  * before rebinding — no dependency-cycle machinery needed.
+  */
+class Catalog(val spark: SparkSession, val dataDir: String) {
+
+  case class ViewDef(
+      recipe: (String => DataFrame) => DataFrame,
+      scoType: String = "",
+      var appData: String = null
+  )
+
+  private val views = mutable.LinkedHashMap[String, ViewDef]()
+  private val baseCache = mutable.HashMap[String, DataFrame]()
+
+  /** Resolve a relation name: registered view first, else a base parquet
+    * table under `dataDir`. Base reads are cached per catalog (one logical
+    * scan node reused across the session; Catalyst prunes columns/filters
+    * per consumer). */
+  def resolve(name: String): DataFrame =
+    views.get(name) match {
+      case Some(v) => v.recipe(resolve)
+      case None =>
+        baseCache.getOrElseUpdate(name, spark.read.parquet(s"$dataDir/$name.parquet"))
+    }
+
+  def register(name: String, q: graft.query.GQuery, scoType: String = ""): Unit = {
+    validateName(name)
+    views(name) = ViewDef(resolve => q.df(resolve), scoType)
+  }
+
+  /** Register from an arbitrary recipe (storage verbs that aren't pure Stage
+    * folds: merge/join-with-coalesce/extract). */
+  def registerRecipe(name: String, scoType: String = "")(
+      recipe: (String => DataFrame) => DataFrame): Unit = {
+    validateName(name)
+    views(name) = ViewDef(recipe, scoType)
+  }
+
+  /** Register a concrete DataFrame (materialized result, e.g. reassign). */
+  def registerDF(name: String, df: DataFrame, scoType: String = ""): Unit = {
+    validateName(name)
+    views(name) = ViewDef(_ => df, scoType)
+  }
+
+  /** Rebind a name to a new recipe that may reference the OLD definition —
+    * the reference's view self-shadowing (firepit/sqlitestorage.py:199-211). */
+  def redefine(name: String)(f: DataFrame => DataFrame): Unit = {
+    val old = views.get(name)
+    val oldRecipe: (String => DataFrame) => DataFrame =
+      old.map(_.recipe).getOrElse(r => r(name))
+    views(name) = ViewDef(resolve => f(oldRecipe(resolve)), old.map(_.scoType).getOrElse(""))
+  }
+
+  def viewNames: Seq[String] = views.keys.toSeq
+  def contains(name: String): Boolean = views.contains(name)
+  def viewType(name: String): Option[String] = views.get(name).map(_.scoType)
+
+  def removeView(name: String): Unit = views.remove(name)
+
+  /** Rename clobbers any existing target, preserving the definition
+    * (firepit/sqlstorage.py:795-822). */
+  def renameView(oldName: String, newName: String): Unit = {
+    validateName(newName)
+    views.get(oldName).foreach { v =>
+      views.remove(oldName)
+      views(newName) = v
+    }
+  }
+
+  def setAppData(name: String, data: String): Unit =
+    views.get(name).foreach(_.appData = data)
+  def getAppData(name: String): Option[String] =
+    views.get(name).flatMap(v => Option(v.appData))
+
+  /** Name validation kept for API/error parity with the reference
+    * (firepit/validate.py:8-16; raises InvalidViewname). */
+  private val namePattern = "^[A-Za-z_][A-Za-z0-9_-]*$".r
+  def validateName(name: String): Unit =
+    if (namePattern.findFirstIn(name).isEmpty)
+      throw new graft.api.InvalidViewname(name)
+}

@@ -1,0 +1,33 @@
+package graft.internal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, InSubquery, ListQuery, Not}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and Catalyst expressions.
+  *
+  * Spark 4.x hides `Column(expr)` behind the classic module; this is the one
+  * place we touch it. Used for (a) custom Catalyst `Expression`s and (b)
+  * IN-subquery predicates, which the reference engine (firepit) renders as
+  * `col IN (SELECT ...)` SQL text (firepit/query.py:198-199,230-235) and we
+  * express as a native Catalyst `InSubquery` so the optimizer rewrites it to
+  * a (semi/existence) join — including under OR, where a manual left-semi
+  * join could not be composed.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  private def logicalPlan(df: DataFrame) =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.logical
+
+  /** `c IN (SELECT single-col FROM subquery)` as a Catalyst expression.
+    * Catalyst's RewritePredicateSubquery turns this into a left-semi or
+    * existence join at planning time — distributed, no driver collect.
+    */
+  def inSubquery(c: Column, subquery: DataFrame): Column =
+    column(InSubquery(Seq(expression(c)), ListQuery(logicalPlan(subquery))))
+
+  def notInSubquery(c: Column, subquery: DataFrame): Column =
+    column(Not(InSubquery(Seq(expression(c)), ListQuery(logicalPlan(subquery)))))
+}

@@ -1,0 +1,357 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composable query stages — the relational algebra of the reference engine
+  * (firepit/query.py:518-594), re-expressed as a fold over DataFrames.
+  *
+  * Where the reference renders stages to parameterized SQL text and hands it
+  * to SQLite/PostgreSQL (firepit/query.py:596-671), here the stages assemble
+  * a Catalyst logical plan directly: clause slots are collected in stage
+  * order (mirroring the documented evaluation order, firepit/query.py:521-532)
+  * and applied in canonical SQL order — FROM, JOIN, WHERE, GROUP/AGG, HAVING,
+  * SELECT, DISTINCT, ORDER, OFFSET/LIMIT, COUNT. Catalyst then does the
+  * pushdown/pruning/join-selection the reference delegates to its host DB.
+  */
+sealed trait Stage
+
+/** Scan a named relation (base table or registered view). firepit/query.py:318-326 */
+case class Table(name: String) extends Stage
+
+/** Derived table: a nested query in FROM position. firepit/query.py:602-607 */
+case class SubqueryTable(q: GQuery, alias: String) extends Stage
+
+/** Column subset with aliases / rendered expressions. firepit/query.py:305-315 */
+case class Projection(cols: Seq[ColSpec]) extends Stage
+
+/** WHERE (or HAVING, when appended after aggregation — firepit/query.py:563-567). */
+case class Filter(preds: Seq[Pred], disjunction: Boolean = false) extends Stage
+
+/** GROUP BY key list. firepit/query.py:329-353 */
+case class Group(cols: Seq[ColSpec]) extends Stage
+
+/** Aggregate list over groups; group cols auto-prepend to the output
+  * (Spark's groupBy.agg does this natively). firepit/query.py:356-395 */
+case class Aggregation(aggs: Seq[AggLike]) extends Stage
+
+/** Multi-key sort. firepit/query.py:283-302 */
+case class Order(keys: Seq[OrderKey]) extends Stage
+
+case class Limit(n: Int) extends Stage
+case class Offset(n: Int) extends Stage
+
+/** COUNT(*) AS count over the whole result. firepit/query.py:418-425 */
+case class CountRows() extends Stage
+
+/** SELECT DISTINCT. firepit/query.py:428-435 */
+case class Unique() extends Stage
+
+/** COUNT(DISTINCT cols) AS count. firepit/query.py:438-450 */
+case class CountUnique(cols: Seq[String] = Nil) extends Stage
+
+/** Two-relation join; `lhs` defaults to the previous stage's relation
+  * (implicit chaining, firepit/query.py:609-612). Physical strategy
+  * (broadcast/shuffle-hash/sort-merge) is Catalyst's choice, exactly as the
+  * reference leaves it to the host DB (firepit/query.py:453-515). */
+case class Join(
+    name: String,
+    leftCol: String,
+    op: String,
+    rightCol: String,
+    how: String = "inner",
+    alias: Option[String] = None,
+    extraPreds: Seq[Pred] = Nil
+) extends Stage
+
+case class OrderKey(col: String, asc: Boolean = true)
+object OrderKey {
+  def desc(c: String): OrderKey = OrderKey(c, asc = false)
+}
+
+sealed trait AggLike { def toColumn: Column }
+
+/** Pre-built aggregate expression escape hatch (e.g. sum(price*(1-disc))). */
+case class ExprAgg(c: Column, alias: String) extends AggLike {
+  def toColumn: Column = c.as(alias)
+}
+
+/** Aggregate spec: func in COUNT/SUM/MIN/MAX/AVG/NUNIQUE (firepit/query.py:11),
+  * NUNIQUE = COUNT(DISTINCT) (firepit/query.py:382-384). `col=None` => '*'. */
+case class Agg(func: String, col: Option[String], alias: String) extends AggLike {
+  def toColumn: Column = {
+    val f = func.toUpperCase
+    val c = col.map(column => org.apache.spark.sql.functions.col(column))
+    val base = f match {
+      case "COUNT"   => c.map(count).getOrElse(count(lit(1)))
+      case "SUM"     => sum(c.get)
+      case "MIN"     => min(c.get)
+      case "MAX"     => max(c.get)
+      case "AVG"     => avg(c.get)
+      case "NUNIQUE" => count_distinct(c.get)
+      case other     => throw new IllegalArgumentException(s"Unknown aggregation: $other")
+    }
+    base.as(alias)
+  }
+}
+object Agg {
+  def apply(func: String, col: String, alias: String): Agg = Agg(func, Some(col), alias)
+  def countStar(alias: String = "count"): Agg = Agg("COUNT", None, alias)
+}
+
+/** Column specs renderable to Catalyst Columns (firepit/query.py:70-157). */
+sealed trait ColSpec {
+  def toColumn: Column
+  /** output name, for group-key bookkeeping */
+  def outName: String
+}
+
+/** Qualified / aliased plain column ref. firepit/query.py:70-93 */
+case class Col(name: String, table: Option[String] = None, alias: Option[String] = None)
+    extends ColSpec {
+  def toColumn: Column = {
+    val c = table.map(t => col(s"$t.$name")).getOrElse(col(name))
+    alias.map(c.as).getOrElse(c)
+  }
+  def outName: String = alias.getOrElse(name)
+}
+object Col {
+  def apply(name: String, alias: String): Col = Col(name, None, Some(alias))
+}
+
+/** First non-null across join branches (reference uses it to merge the
+  * ipv4/ipv6 sides of a deref join). firepit/query.py:96-109 */
+case class CoalescedCol(names: Seq[String], alias: String) extends ColSpec {
+  def toColumn: Column = coalesce(names.map(col): _*).as(alias)
+  def outName: String = alias
+}
+
+/** Bucket numeric or timestamp values for grouping. The reference renders
+  * timestamps to `floor(epoch/width)*width` then back to ISO text, numerics
+  * to integer-truncated `x/n*n` (firepit/query.py:112-157). We keep the same
+  * bucket arithmetic; timestamp buckets surface as epoch-second LONGs (the
+  * caller can re-render) so results are engine-independent.
+  */
+case class BinnedCol(
+    prop: String,
+    n: Int,
+    unit: String = "", // "" => numeric binning; s/m/h/d => timestamp binning
+    alias: Option[String] = None
+) extends ColSpec {
+  private val unitSeconds = Map("s" -> 1L, "m" -> 60L, "h" -> 3600L, "d" -> 86400L)
+  def toColumn: Column = {
+    val c =
+      if (unit.isEmpty) {
+        // truncating division, matching the reference's integer `x / n * n`
+        // (values are non-negative in practice; floor == truncation)
+        floor(col(prop) / n).cast("long") * n
+      } else {
+        val w = unitSeconds(unit) * n
+        (floor(unix_timestamp(col(prop)) / w) * w).cast("long")
+      }
+    c.as(alias.getOrElse(s"${prop}_bin"))
+  }
+  def outName: String = alias.getOrElse(s"${prop}_bin")
+}
+
+/** Pre-built Catalyst expression escape hatch (pattern compiler output etc.). */
+case class ExprCol(c: Column, alias: String) extends ColSpec {
+  def toColumn: Column = c.as(alias)
+  def outName: String = alias
+}
+
+// ---------------------------------------------------------------------------
+// Predicates
+// ---------------------------------------------------------------------------
+
+/** Predicate tree (firepit/query.py:160-253). Compiles to a Catalyst Column;
+  * IN-subqueries become native `InSubquery` expressions (optimizer rewrites
+  * them to semi/existence joins — the distributed analogue of the SQL text
+  * `col IN (SELECT ...)` the reference emits). */
+sealed trait Pred {
+  def toColumn(resolve: String => DataFrame): Column
+}
+
+case class Comparison(lhs: String, op: String, rhs: Rhs) extends Pred {
+  def toColumn(resolve: String => DataFrame): Column = {
+    val c = col(lhs)
+    val upper = op.toUpperCase
+    (upper, rhs) match {
+      // NULL normalization: `= null` => IS NULL (firepit/query.py:190-193,221-227)
+      case ("=", RNull) | ("IS", RNull)                     => c.isNull
+      case ("!=", RNull) | ("<>", RNull) | ("IS NOT", RNull) => c.isNotNull
+      case ("=", r)        => c === r.value
+      case ("!=", r)       => c =!= r.value
+      case ("<>", r)       => c =!= r.value
+      case ("<", r)        => c < r.value
+      case (">", r)        => c > r.value
+      case ("<=", r)       => c <= r.value
+      case (">=", r)       => c >= r.value
+      case ("LIKE", r)     => c.like(r.asString)
+      case ("NOT LIKE", r) => !c.like(r.asString)
+      // reference MATCHES = re.search (find), matching Spark's rlike
+      case ("MATCHES", r)     => c.rlike(r.asString)
+      case ("NOT MATCHES", r) => !c.rlike(r.asString)
+      case ("IN", RList(vs))     => c.isin(vs: _*)
+      case ("NOT IN", RList(vs)) => !c.isin(vs: _*)
+      case ("IN", RQuery(q, resolveCol)) =>
+        graft.internal.Bridge.inSubquery(c, q.df(resolve).select(resolveCol))
+      case ("NOT IN", RQuery(q, resolveCol)) =>
+        graft.internal.Bridge.notInSubquery(c, q.df(resolve).select(resolveCol))
+      case ("ISSUBSET", r) => graft.functions.Funcs.in_subnet(c, lit(r.value))
+      case (o, _) => throw new IllegalArgumentException(s"Unknown predicate op: $o")
+    }
+  }
+}
+
+case class AndPred(l: Pred, r: Pred) extends Pred {
+  def toColumn(resolve: String => DataFrame): Column = l.toColumn(resolve) && r.toColumn(resolve)
+}
+case class OrPred(l: Pred, r: Pred) extends Pred {
+  def toColumn(resolve: String => DataFrame): Column = l.toColumn(resolve) || r.toColumn(resolve)
+}
+case class NotPred(p: Pred) extends Pred {
+  def toColumn(resolve: String => DataFrame): Column = !p.toColumn(resolve)
+}
+/** Raw Catalyst escape hatch (used by the pattern compiler). */
+case class ExprPred(c: Column) extends Pred {
+  def toColumn(resolve: String => DataFrame): Column = c
+}
+
+/** Right-hand sides. */
+sealed trait Rhs {
+  def value: Any = this match {
+    case RLit(v)  => v
+    case RNull    => null
+    case RColRef(n) => col(n)
+    case _        => throw new IllegalArgumentException(s"No scalar value for $this")
+  }
+  def asString: String = this match {
+    case RLit(v: String) => v
+    case other           => throw new IllegalArgumentException(s"String rhs required, got $other")
+  }
+}
+case class RLit(v: Any) extends Rhs
+case object RNull extends Rhs
+case class RList(vs: Seq[Any]) extends Rhs
+case class RColRef(name: String) extends Rhs
+case class RQuery(q: GQuery, column: String) extends Rhs
+
+// ---------------------------------------------------------------------------
+// Query assembly + fold
+// ---------------------------------------------------------------------------
+
+/** Stage container + fold to DataFrame (the analogue of Query.render,
+  * firepit/query.py:596-671 — except the DataFrame *is* the query; there is
+  * no SQL-text IR). `resolve` maps relation names to DataFrames (engine
+  * catalog / parquet reader).
+  */
+case class GQuery(stages: Seq[Stage]) {
+  def append(s: Stage): GQuery = GQuery(stages :+ s)
+
+  def df(resolve: String => DataFrame): DataFrame = {
+    var base: Option[DataFrame] = None
+    var lastAlias: Option[String] = None
+    var wherePreds = Vector.empty[Column]
+    var havingPreds = Vector.empty[Column]
+    var groupCols = Vector.empty[ColSpec]
+    var aggCols = Vector.empty[Column]
+    var sawAgg = false
+    var proj: Option[Seq[ColSpec]] = None
+    var distinct = false
+    var orderKeys = Vector.empty[OrderKey]
+    var limitN: Option[Int] = None
+    var offsetN: Option[Int] = None
+    var countFinal = false
+    var countUnique: Option[Seq[String]] = None
+
+    stages.foreach {
+      case Table(name) =>
+        base = Some(resolve(name).alias(name))
+        lastAlias = Some(name)
+      case SubqueryTable(q, alias) =>
+        base = Some(q.df(resolve).alias(alias))
+        lastAlias = Some(alias)
+      case j @ Join(name, lcol, op, rcol, how, alias, extra) =>
+        val rightAlias = alias.getOrElse(name)
+        val right = resolve(name).alias(rightAlias)
+        val l = col(s"${lastAlias.get}.$lcol")
+        val r = col(s"$rightAlias.$rcol")
+        val eq = op match {
+          case "="          => l === r
+          case "!=" | "<>"  => l =!= r
+          case "<"          => l < r
+          case ">"          => l > r
+          case "<="         => l <= r
+          case ">="         => l >= r
+          case o            => throw new IllegalArgumentException(s"Join op $o")
+        }
+        val cond = extra.foldLeft(eq)((acc, p) => acc && p.toColumn(resolve))
+        val sparkHow = how.toUpperCase match {
+          case "INNER"                 => "inner"
+          case "LEFT OUTER" | "LEFT"   => "left_outer"
+          case "RIGHT OUTER" | "RIGHT" => "right_outer"
+          case "OUTER" | "FULL OUTER"  => "full_outer"
+          case "CROSS"                 => "cross"
+          case o                       => o.toLowerCase
+        }
+        base = Some(
+          if (sparkHow == "cross") base.get.crossJoin(right)
+          else base.get.join(right, cond, sparkHow)
+        )
+        lastAlias = Some(rightAlias)
+      case Filter(preds, disj) =>
+        val compiled = preds.map(_.toColumn(resolve))
+        val combined =
+          if (disj) compiled.reduce(_ || _) else compiled.reduce(_ && _)
+        // post-aggregation filter = HAVING (firepit/query.py:563-567)
+        if (sawAgg) havingPreds :+= combined else wherePreds :+= combined
+      case Group(cols) =>
+        groupCols = cols.toVector
+      case Aggregation(aggs) =>
+        aggCols ++= aggs.map(_.toColumn)
+        sawAgg = true
+      case Order(keys)   => orderKeys ++= keys
+      case Limit(n)      => limitN = Some(n)
+      case Offset(n)     => offsetN = Some(n)
+      case CountRows()   => countFinal = true
+      case Unique()      => distinct = true
+      case CountUnique(cols) => countUnique = Some(cols)
+      case Projection(cols)  => proj = Some(cols)
+    }
+
+    var df = base.getOrElse(throw new IllegalStateException("Query has no Table stage"))
+    if (wherePreds.nonEmpty) df = df.where(wherePreds.reduce(_ && _))
+
+    if (aggCols.nonEmpty) {
+      df =
+        if (groupCols.nonEmpty)
+          df.groupBy(groupCols.map(_.toColumn): _*).agg(aggCols.head, aggCols.tail: _*)
+        else df.agg(aggCols.head, aggCols.tail: _*)
+    } else if (groupCols.nonEmpty) {
+      // GROUP BY with no aggregate list = distinct key tuples (the reference's
+      // auto-aggregation layer fills aggs in before it gets here; see
+      // Storage.autoAggs)
+      df = df.select(groupCols.map(_.toColumn): _*).distinct()
+    }
+    if (havingPreds.nonEmpty) df = df.where(havingPreds.reduce(_ && _))
+    proj.foreach(cols => df = df.select(cols.map(_.toColumn): _*))
+    if (distinct && countUnique.isEmpty) df = df.distinct()
+    countUnique.foreach { cols =>
+      df =
+        if (cols.isEmpty) df.distinct().agg(count(lit(1)).as("count"))
+        else df.agg(count_distinct(col(cols.head), cols.tail.map(col): _*).as("count"))
+    }
+    if (orderKeys.nonEmpty)
+      df = df.orderBy(orderKeys.map(k => if (k.asc) col(k.col).asc else col(k.col).desc): _*)
+    offsetN.foreach(n => df = df.offset(n))
+    limitN.foreach(n => df = df.limit(n))
+    if (countFinal) df = df.agg(count(lit(1)).as("count"))
+    df
+  }
+}
+
+object GQuery {
+  def apply(stages: Stage*)(implicit d: DummyImplicit): GQuery = GQuery(stages.toSeq)
+  def table(name: String, stages: Stage*): GQuery = GQuery(Table(name) +: stages.toSeq)
+}
