@@ -62,8 +62,13 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
     * the reference's view self-shadowing (firepit/sqlitestorage.py:199-211). */
   def redefine(name: String)(f: DataFrame => DataFrame): Unit = {
     val old = views.get(name)
+    // Fallback must bypass the views map (reading `resolve(name)` would hit
+    // the view we are about to install → unbounded recursion) and replay the
+    // base parquet table, matching the reference's view self-shadowing over
+    // the base table (firepit/sqlitestorage.py:192-218).
     val oldRecipe: (String => DataFrame) => DataFrame =
-      old.map(_.recipe).getOrElse(r => r(name))
+      old.map(_.recipe).getOrElse(_ =>
+        baseCache.getOrElseUpdate(name, spark.read.parquet(s"$dataDir/$name.parquet")))
     views(name) = ViewDef(resolve => f(oldRecipe(resolve)), old.map(_.scoType).getOrElse(""))
   }
 

@@ -36,9 +36,12 @@ object Funcs {
     val valIp = ip_to_long(element_at(valParts, 1))
     val valPrefix =
       when(size(valParts) > 1, element_at(valParts, 2).cast("int")).otherwise(lit(32))
-    // 32-bit network mask for `prefix` leading ones
+    // 32-bit network mask for `prefix` leading ones; shiftleft's public
+    // overload takes a literal Int shift, so go through call_function to
+    // pass a Column shift amount (public API since Spark 3.5)
     val mask = when(prefix === 0, lit(0L))
-      .otherwise(shiftleft(lit(-1L), lit(32) - prefix).bitwiseAND(lit(0xFFFFFFFFL)))
+      .otherwise(
+        call_function("shiftleft", lit(-1L), lit(32) - prefix).bitwiseAND(lit(0xFFFFFFFFL)))
     val sameNet = valIp.bitwiseAND(mask) === netIp.bitwiseAND(mask)
     coalesce(sameNet && valPrefix >= prefix, lit(false))
   }

@@ -1,20 +1,20 @@
-package graft.internal
+package org.apache.spark.sql
 
-import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, InSubquery, ListQuery, Not}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge between the public Column API and Catalyst expressions.
   *
-  * Spark 4.x hides `Column(expr)` behind the classic module; this is the one
-  * place we touch it. Used for (a) custom Catalyst `Expression`s and (b)
-  * IN-subquery predicates, which the reference engine (firepit) renders as
-  * `col IN (SELECT ...)` SQL text (firepit/query.py:198-199,230-235) and we
-  * express as a native Catalyst `InSubquery` so the optimizer rewrites it to
-  * a (semi/existence) join — including under OR, where a manual left-semi
-  * join could not be composed.
+  * Spark 4.x hides `Column(expr)` behind the classic module's private[sql]
+  * ExpressionUtils; this object lives in package org.apache.spark.sql to gain
+  * that access — the one place we touch Spark internals. Used for (a) custom
+  * Catalyst `Expression`s and (b) IN-subquery predicates, which the reference
+  * engine (firepit) renders as `col IN (SELECT ...)` SQL text
+  * (firepit/query.py:198-199,230-235) and we express as a native Catalyst
+  * `InSubquery` so the optimizer rewrites it to a (semi/existence) join —
+  * including under OR, where a manual left-semi join could not be composed.
   */
-object Bridge {
+object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -195,9 +195,9 @@ case class Comparison(lhs: String, op: String, rhs: Rhs) extends Pred {
       case ("IN", RList(vs))     => c.isin(vs: _*)
       case ("NOT IN", RList(vs)) => !c.isin(vs: _*)
       case ("IN", RQuery(q, resolveCol)) =>
-        graft.internal.Bridge.inSubquery(c, q.df(resolve).select(resolveCol))
+        org.apache.spark.sql.GraftBridge.inSubquery(c, q.df(resolve).select(resolveCol))
       case ("NOT IN", RQuery(q, resolveCol)) =>
-        graft.internal.Bridge.notInSubquery(c, q.df(resolve).select(resolveCol))
+        org.apache.spark.sql.GraftBridge.notInSubquery(c, q.df(resolve).select(resolveCol))
       case ("ISSUBSET", r) => graft.functions.Funcs.in_subnet(c, lit(r.value))
       case (o, _) => throw new IllegalArgumentException(s"Unknown predicate op: $o")
     }
@@ -275,18 +275,6 @@ case class GQuery(stages: Seq[Stage]) {
       case j @ Join(name, lcol, op, rcol, how, alias, extra) =>
         val rightAlias = alias.getOrElse(name)
         val right = resolve(name).alias(rightAlias)
-        val l = col(s"${lastAlias.get}.$lcol")
-        val r = col(s"$rightAlias.$rcol")
-        val eq = op match {
-          case "="          => l === r
-          case "!=" | "<>"  => l =!= r
-          case "<"          => l < r
-          case ">"          => l > r
-          case "<="         => l <= r
-          case ">="         => l >= r
-          case o            => throw new IllegalArgumentException(s"Join op $o")
-        }
-        val cond = extra.foldLeft(eq)((acc, p) => acc && p.toColumn(resolve))
         val sparkHow = how.toUpperCase match {
           case "INNER"                 => "inner"
           case "LEFT OUTER" | "LEFT"   => "left_outer"
@@ -297,7 +285,21 @@ case class GQuery(stages: Seq[Stage]) {
         }
         base = Some(
           if (sparkHow == "cross") base.get.crossJoin(right)
-          else base.get.join(right, cond, sparkHow)
+          else {
+            val l = col(s"${lastAlias.get}.$lcol")
+            val r = col(s"$rightAlias.$rcol")
+            val eq = op match {
+              case "="          => l === r
+              case "!=" | "<>"  => l =!= r
+              case "<"          => l < r
+              case ">"          => l > r
+              case "<="         => l <= r
+              case ">="         => l >= r
+              case o            => throw new IllegalArgumentException(s"Join op $o")
+            }
+            val cond = extra.foldLeft(eq)((acc, p) => acc && p.toColumn(resolve))
+            base.get.join(right, cond, sparkHow)
+          }
         )
         lastAlias = Some(rightAlias)
       case Filter(preds, disj) =>
