@@ -1,0 +1,322 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Events, Similarity, TextOps}
+import Queries.{q, Q}
+
+/** Training-data-pipeline query inventory: text analysis, deduplication,
+  * similarity search, and event analytics — the large-scale corpus
+  * operations layered on top of the reference's relational surface.
+  *
+  * Every oracle mirrors the Spark computation with engine-portable
+  * primitives (md5 hex strings, integer arithmetic, explicit floor/round) so
+  * hash-parity holds:
+  *  - ints and strings wherever possible (minhash = lexicographic min of
+  *    md5 hex; simhash = integer bit arithmetic on md5 nibbles);
+  *  - float scores rounded inside the query on BOTH sides;
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    replace-all semantics;
+  *  - DuckDB CAST(double AS INT) rounds while Spark truncates — all
+  *    divisions that feed an int cast go through floor() in the oracle.
+  */
+object PipelineQueries {
+
+  // DuckDB-side shared fragments (mirrors of TextOps/Dedup column builders)
+  private val duckNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val duckToks = s"list_filter(string_split($duckNorm, ' '), x -> length(x) > 0)"
+  private val duckShingles =
+    """CASE WHEN length(toks) >= 3
+      | THEN list_transform(range(1, length(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  private val duckSig =
+    """list_transform(range(0, 16), i ->
+      | list_aggregate(list_transform(sh, x -> md5(concat(CAST(i AS VARCHAR), '|', x))), 'min'))""".stripMargin
+  private def duckStopHits(listSql: String) =
+    s"length(list_filter(toks, x -> list_contains($listSql, x)))"
+  private def sqlList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
+
+  private[graft] val all: Seq[Q] = Seq(
+
+    // ===== Text analysis ==================================================
+
+    q("q_text_tokens",
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
+         |SELECT doc_id, length(toks) AS n_tokens,
+         |  length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+         |FROM t ORDER BY doc_id""".stripMargin) { c =>
+      c.resolve("documents")
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeishTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    q("q_text_quality",
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id, text, toks,
+         |  CASE WHEN length(toks) > 0
+         |       THEN ${duckStopHits(sqlList(TextOps.enStop))}::DOUBLE / length(toks)
+         |       ELSE 0.0 END AS sr,
+         |  CASE WHEN length(text) > 0
+         |       THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))::DOUBLE / length(text)
+         |       ELSE 0.0 END AS pr
+         | FROM t)
+         |SELECT doc_id, round(sr, 6) AS stopword_ratio, round(pr, 6) AS punct_ratio,
+         |  round((least(length(toks) / 50.0, 1.0) + greatest(1.0 - pr * 5.0, 0.0)
+         |         + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin) { c =>
+      c.resolve("documents")
+        .select(
+          col("doc_id"),
+          round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    q("q_text_langid",
+      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  ${duckStopHits(sqlList(TextOps.enStop))} AS en,
+         |  ${duckStopHits(sqlList(TextOps.deStop))} AS de,
+         |  ${duckStopHits(sqlList(TextOps.frStop))} AS fr,
+         |  ${duckStopHits(sqlList(TextOps.esStop))} AS es
+         | FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+         |       WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |       WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin) { c =>
+      c.resolve("documents")
+        .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    q("q_text_fingerprint",
+      s"""SELECT doc_id, md5($duckNorm) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { c =>
+      c.resolve("documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ===== Deduplication ==================================================
+
+    q("q_dedup_exact",
+      s"""SELECT md5($duckNorm) AS fingerprint, min(doc_id) AS rep_doc_id,
+         |  count(*) AS group_size
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { c =>
+      Dedup.exact(c.resolve("documents")).orderBy("fingerprint")
+    },
+
+    q("q_dedup_minhash",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
+         |m AS (SELECT doc_id, $duckSig AS sig FROM s),
+         |b AS (SELECT doc_id, sig, j,
+         |        md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS h
+         |      FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |p AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
+         |        a.sig AS asig, b2.sig AS bsig
+         |      FROM b a JOIN b b2 ON a.j = b2.j AND a.h = b2.h
+         |        AND a.doc_id < b2.doc_id)
+         |SELECT a_id, b_id,
+         |  round(list_sum(list_transform(range(1, 17),
+         |    i -> CASE WHEN asig[i] = bsig[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS est_jaccard
+         |FROM p ORDER BY a_id, b_id""".stripMargin) { c =>
+      Dedup.minhashPairs(c.resolve("documents")).orderBy("a_id", "b_id")
+    },
+
+    q("q_dedup_ngram",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
+         |m AS (SELECT doc_id, sh, $duckSig AS sig FROM s),
+         |b AS (SELECT doc_id, j, md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS h
+         |      FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+         |      FROM b a JOIN b b2 ON a.j = b2.j AND a.h = b2.h
+         |        AND a.doc_id < b2.doc_id),
+         |d AS (SELECT doc_id, list_distinct(sh) AS dsh FROM m)
+         |SELECT c.a_id, c.b_id,
+         |  round(length(list_filter(da.dsh, x -> list_contains(db.dsh, x)))::DOUBLE
+         |    / (length(da.dsh) + length(db.dsh)
+         |       - length(list_filter(da.dsh, x -> list_contains(db.dsh, x)))), 6) AS jaccard
+         |FROM cand c JOIN d da ON c.a_id = da.doc_id JOIN d db ON c.b_id = db.doc_id
+         |ORDER BY a_id, b_id""".stripMargin) { c =>
+      Dedup.ngramJaccardPairs(c.resolve("documents")).orderBy("a_id", "b_id")
+    },
+
+    q("q_dedup_simhash",
+      s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents)
+         |SELECT doc_id,
+         |  list_sum(list_transform(range(0, 32), b ->
+         |    CASE WHEN list_sum(list_transform(toks, tk ->
+         |      2 * (CAST(floor(
+         |            (strpos('0123456789abcdef',
+         |               substring(md5(tk), 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
+         |            / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2) - 1)) > 0
+         |    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))::BIGINT AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin) { c =>
+      Dedup.simhashFrame(c.resolve("documents")).orderBy("doc_id")
+    },
+
+    q("q_dedup_simhash_pairs",
+      s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_sum(list_transform(range(0, 32), b ->
+         |    CASE WHEN list_sum(list_transform(toks, tk ->
+         |      2 * (CAST(floor(
+         |            (strpos('0123456789abcdef',
+         |               substring(md5(tk), 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
+         |            / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2) - 1)) > 0
+         |    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))::BIGINT AS simhash
+         | FROM t),
+         |bl AS (SELECT doc_id, simhash, k,
+         |        CAST(floor(simhash / pow(256, k)) AS BIGINT) % 256 AS block_val
+         |      FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks),
+         |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |      FROM bl a JOIN bl b ON a.k = b.k AND a.block_val = b.block_val
+         |        AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin) { c =>
+      Dedup.simhashPairs(c.resolve("documents")).orderBy("a_id", "b_id")
+    },
+
+    // ===== Similarity search =============================================
+
+    q("q_ann_bruteforce",
+      s"""WITH p AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS e FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |        round(list_dot_product(q::DOUBLE[], e::DOUBLE[])
+         |          / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) * sqrt(list_dot_product(e::DOUBLE[], e::DOUBLE[]))), 6) AS score
+         |      FROM p CROSS JOIN c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    q("q_ann_lsh",
+      s"""WITH wb AS (SELECT vec_id, embedding,
+         |        list_sum(list_transform(range(1, 5), i ->
+         |          CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+         |               ELSE CAST(0 AS BIGINT) END))::BIGINT AS bucket
+         |      FROM embeddings),
+         |p AS (SELECT vec_id AS query_id, embedding AS q, bucket FROM wb WHERE vec_id < 5),
+         |s AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |        round(list_dot_product(p.q::DOUBLE[], c.embedding::DOUBLE[])
+         |          / (sqrt(list_dot_product(p.q::DOUBLE[], p.q::DOUBLE[]))
+         |             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS score
+         |      FROM p JOIN wb c ON p.bucket = c.bucket
+         |      WHERE p.query_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      Similarity
+        .lshTopK(emb, emb.where(col("vec_id") < 5), k = 5, bits = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    q("q_embed_neardup",
+      s"""WITH wb AS (SELECT vec_id, embedding,
+         |        list_sum(list_transform(range(1, 5), i ->
+         |          CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+         |               ELSE CAST(0 AS BIGINT) END))::BIGINT AS bucket
+         |      FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS score
+         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin) { c =>
+      Similarity
+        .cosineNearDupPairs(c.resolve("embeddings"), threshold = 0.8, bits = 4)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ===== Event analytics (windows — beyond the reference, SURVEY §2.7) ==
+
+    q("q_events_window",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { c =>
+      Events
+        .windowedAgg(c.resolve("events"), "1 hour")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          col("n"),
+          col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    q("q_events_sessions",
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |sid AS (SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s),
+        |per AS (SELECT user_id, session_id, count(*) AS session_events
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(session_events) AS max_session_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { c =>
+      Events.sessionize(c.resolve("events"), 30).orderBy("user_id")
+    },
+
+    q("q_events_top_types",
+      """WITH counts AS (SELECT CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour_of_day, event_type, n,
+        |    row_number() OVER (PARTITION BY hour_of_day
+        |                       ORDER BY n DESC, event_type) AS rank
+        |  FROM counts)
+        |SELECT hour_of_day, rank, event_type, n FROM r WHERE rank <= 3
+        |ORDER BY hour_of_day, rank""".stripMargin) { c =>
+      Events.topTypesPerHour(c.resolve("events"), 3).orderBy("hour_of_day", "rank")
+    },
+
+    q("q_events_json",
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+        |  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { c =>
+      Events.jsonPropStats(c.resolve("events")).orderBy("event_type")
+    },
+
+    q("q_events_rising",
+      """WITH g AS (SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_rising FROM g
+        |WHERE prev_value IS NOT NULL AND value > prev_value
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { c =>
+      Events.risingValueCounts(c.resolve("events")).orderBy("user_id")
+    }
+  )
+}

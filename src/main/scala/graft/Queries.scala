@@ -20,15 +20,15 @@ object Queries {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  private case class Q(name: String, fn: QFn, oracle: Option[String])
+  private[graft] case class Q(name: String, fn: QFn, oracle: Option[String])
 
-  private def viaCatalog(build: Catalog => DataFrame): QFn =
+  private[graft] def viaCatalog(build: Catalog => DataFrame): QFn =
     (spark, dir) => build(new Catalog(spark, dir))
 
-  private def q(name: String, oracle: String)(build: Catalog => DataFrame): Q =
+  private[graft] def q(name: String, oracle: String)(build: Catalog => DataFrame): Q =
     Q(name, viaCatalog(build), Some(oracle))
 
-  private def qNoOracle(name: String)(build: Catalog => DataFrame): Q =
+  private[graft] def qNoOracle(name: String)(build: Catalog => DataFrame): Q =
     Q(name, viaCatalog(build), None)
 
   // Shared derived views (registered per-catalog on demand)
@@ -466,7 +466,10 @@ object Queries {
     }
   )
 
-  lazy val queries: Map[String, QFn] = all.map(x => x.name -> x.fn).toMap
+  lazy val queries: Map[String, QFn] =
+    (all ++ PipelineQueries.all).map(x => x.name -> x.fn).toMap
   lazy val oracle: Map[String, String] =
-    all.collect { case Q(n, _, Some(sql)) => n -> sql.replaceAll("\\s+", " ").trim }.toMap
+    (all ++ PipelineQueries.all).collect { case Q(n, _, Some(sql)) =>
+      n -> sql.replaceAll("\\s+", " ").trim
+    }.toMap
 }

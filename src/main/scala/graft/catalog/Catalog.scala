@@ -36,8 +36,21 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
     views.get(name) match {
       case Some(v) => v.recipe(resolve)
       case None =>
-        baseCache.getOrElseUpdate(name, spark.read.parquet(s"$dataDir/$name.parquet"))
+        baseCache.getOrElseUpdate(name, readBase(name))
     }
+
+  /** Parquet TIMESTAMP(NANOS) is read as raw long (nanosAsLong, set in the
+    * session builder — Spark has no nanosecond timestamp type); normalize to
+    * TimestampType at the scan by integer-dividing to micros, matching how
+    * nanos-aware engines truncate. Pure projection — stays in the scan's
+    * codegen stage, no extra pass. */
+  private def readBase(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dataDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
+  }
 
   def register(name: String, q: graft.query.GQuery, scoType: String = ""): Unit = {
     validateName(name)

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd built-in expressions (no UDFs) so
+  * whole-stage codegen covers the full pipeline; at 100 TB these run as pure
+  * map-side column work with no shuffle — the only shuffles in the consuming
+  * queries are the final aggregations.
+  *
+  * Determinism contract: every derived value is either integer, string, or a
+  * float rounded inside the query, so results hash-match a reference engine.
+  */
+object TextOps {
+
+  /** Whitespace-collapsed lowercase normalization — the canonical text key. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(normalized(text), " "), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-alnum marks
+    * counted separately — a cheap proxy for subword tokenizer load. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword list shared with the language-ID heuristic. */
+  val enStop: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  val deStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "nicht")
+  val frStop: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour")
+  val esStop: Seq[String] = Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Ratio of stopword tokens (English list) to all tokens, NULL-safe 0. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0, hitCount(t, enStop).cast("double") / size(t)).otherwise(lit(0.0))
+  }
+
+  /** Punctuation chars / total chars of the raw text. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    when(length(text) > 0, punct.cast("double") / length(text)).otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
+    * reasonable stopword density (the usual pre-training heuristics). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0)) // saturates at 50 tokens
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    (lenScore + punctScore + stopScore) / 3.0
+  }
+
+  /** n-gram-free language ID: argmax of per-language stopword hits, with a
+    * fixed priority tie-break (en > de > fr > es > unknown). Runs entirely in
+    * codegen'd array expressions — no shuffle, no UDF. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = hitCount(t, enStop)
+    val de = hitCount(t, deStop)
+    val fr = hitCount(t, frStop)
+    val es = hitCount(t, esStop)
+    val best = greatest(en, de, fr, es)
+    when(best === 0, lit("unknown"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text. Identical rendering in
+    * any engine with md5 — the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Per-document text-feature frame (the map-side feature extraction pass
+    * of a corpus pipeline). */
+  def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      bpeishTokenCount(t).as("n_bpe_tokens"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(qualityScore(t), 6).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint")
+    )
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Dedup, Events, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Semantic specs for the corpus-pipeline operators (the DuckDB oracle
+  * covers value parity; these pin the semantics on controlled inputs). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Int, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("tokens normalize whitespace and case") {
+    val t = docs((1, "  Hello   WORLD\t x "))
+      .select(TextOps.tokens(col("text")))
+      .head()
+      .getSeq[String](0)
+    assert(t == Seq("hello", "world", "x"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = docs((1, "a  b\tc"), (2, "A B C"), (3, "a b d"))
+      .select(TextOps.fingerprint(col("text")))
+      .collect()
+      .map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val preds = docs(
+      (1, "the cat and the dog of it"),
+      (2, "der hund und die katze ist"),
+      (3, "zqx wvu")) // no stopwords
+      .select(TextOps.langId(col("text")))
+      .collect()
+      .map(_.getString(0))
+    assert(preds.toSeq == Seq("en", "de", "unknown"))
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val g = Dedup
+      .exact(docs((1, "same text here"), (2, "Same  TEXT here"), (3, "other")))
+      .orderBy("rep_doc_id")
+      .collect()
+    assert(g.length == 2)
+    assert(g(0).getInt(1) == 1 && g(0).getLong(2) == 2) // rep=1, size=2
+  }
+
+  test("shingles: word 3-grams, whole text when short") {
+    val sh = docs((1, "a b c d"), (2, "a b"))
+      .orderBy("doc_id")
+      .select(Dedup.shingles(col("text")))
+      .collect()
+      .map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("a b"))
+  }
+
+  test("minhash: identical docs collide on every band; disjoint docs do not") {
+    val d = docs(
+      (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3, "z1 z2 z3 z4 z5 z6 z7 z8"))
+    val pairs = Dedup.minhashPairs(d).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getInt(0) == 1 && p.getInt(1) == 2 && p.getDouble(2) == 1.0)
+  }
+
+  test("ngram jaccard: exact overlap ratio on candidates") {
+    val d = docs(
+      (1, "w1 w2 w3 w4"), // shingles: {w1 w2 w3, w2 w3 w4}
+      (2, "w1 w2 w3 w4"),
+      (3, "unrelated totally different words"))
+    val j = Dedup.ngramJaccardPairs(d).collect()
+    assert(j.length == 1 && j.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical token sets -> identical hash; hamming 0 pair found") {
+    val d = docs((1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "delta eps zeta"))
+    val hs = Dedup.simhashFrame(d).orderBy("doc_id").collect().map(_.getLong(1))
+    assert(hs(0) == hs(1))
+    assert(hs(0) >= 0 && hs(0) < (1L << 32))
+    val pairs = Dedup.simhashPairs(d).collect()
+    assert(pairs.exists(r => r.getInt(0) == 1 && r.getInt(1) == 2 && r.getInt(2) == 0))
+  }
+
+  test("cosine: orthogonal=0, identical=1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0)
+    ).toDF("a", "b", "expect")
+    val bad = df
+      .filter(abs(Similarity.cosine(col("a"), col("b")) - col("expect")) > 1e-9)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors excluding self") {
+    val emb = (0 until 10)
+      .map(i => (i, Array.tabulate(4)(d => (i * 4 + d).toFloat / 40f + 0.1f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 0), k = 3).collect()
+    assert(r.length == 3)
+    assert(r.map(_.getInt(1)).toSeq == Seq(1, 2, 3)) // ranks
+    assert(!r.exists(_.getInt(2) == 0)) // self excluded
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val ev = Seq(
+      (1L, 100, "2024-01-01 00:00:00"),
+      (2L, 100, "2024-01-01 00:10:00"), // same session
+      (3L, 100, "2024-01-01 01:00:00"), // 50-min gap -> new session
+      (4L, 200, "2024-01-01 00:00:00")
+    ).toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val r = Events.sessionize(ev, 30).orderBy("user_id").collect()
+    assert(r(0).getInt(0) == 100 && r(0).getLong(1) == 2 && r(0).getLong(2) == 2)
+    assert(r(1).getInt(0) == 200 && r(1).getLong(1) == 1)
+  }
+
+  test("windowedAgg buckets to the hour") {
+    val ev = Seq(
+      (1L, "a", "2024-01-01 00:10:00", 1.0),
+      (2L, "a", "2024-01-01 00:50:00", 2.0),
+      (3L, "a", "2024-01-01 01:10:00", 4.0)
+    ).toDF("event_id", "event_type", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val r = Events.windowedAgg(ev).orderBy("window_start").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(2) == 2 && r(0).getDouble(3) == 3.0)
+  }
+}
