@@ -1,0 +1,396 @@
+package graft.api
+
+import graft.catalog.Catalog
+import graft.ingest.{Flatten, UpsertWriter}
+import graft.model.{StixId, StixMeta}
+import graft.model.StixMeta.{NodeLink, RelLink}
+import graft.pattern.Pattern
+import graft.query._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The storage verb surface — the public API Kestrel calls on the reference
+  * (firepit/sqlstorage.py, SURVEY §2.2), over Parquet + a recipe catalog.
+  *
+  * Every analytic verb registers a lazy view (a logical-plan recipe); data
+  * moves only on lookup/values/count actions — exactly the reference's
+  * lazy-VIEW architecture, with Catalyst in the role of the host DB planner.
+  */
+class Storage(val spark: SparkSession, val workDir: String) {
+
+  java.nio.file.Files.createDirectories(java.nio.file.Paths.get(workDir))
+  val catalog = new Catalog(spark, workDir)
+
+  private def resolve(name: String): DataFrame =
+    if (catalog.contains(name) || UpsertWriter.exists(workDir, name)) catalog.resolve(name)
+    else throw new UnknownViewname(name)
+
+  // ----- ingest (sqlstorage.py:410-502) -----------------------------------
+
+  /** Ingest STIX bundle(s): JSON text or file path. Flattens the graph,
+    * splits by type, infers/evolves schema, merge-upserts, and records
+    * provenance in __queries. */
+  def cache(queryId: String, bundles: Seq[String]): Unit = {
+    val objs = bundles.flatMap { b =>
+      val json =
+        if (b.trim.startsWith("{")) b
+        else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(b)), "UTF-8")
+      Flatten.flattenBundle(json)
+    }
+    writeObjects(objs, queryId)
+  }
+
+  def cache(queryId: String, bundle: String): Unit = cache(queryId, Seq(bundle))
+
+  /** Import plain SCO dicts (ids synthesized unless preserved), then make a
+    * view of them (sqlstorage.py:471-502). */
+  def load(
+      viewname: String,
+      objects: Seq[Map[String, Any]],
+      scoType: String = "",
+      queryId: String = null,
+      preserveIds: Boolean = true): Unit = {
+    val typed = objects.map { o =>
+      val t = o.getOrElse("type", scoType).toString
+      val withType = o + ("type" -> t)
+      if (preserveIds && o.contains("id")) withType
+      else withType + ("id" -> StixId.makeid(withType))
+    }
+    val qid = Option(queryId).getOrElse(java.util.UUID.randomUUID().toString)
+    writeObjects(typed.map(Flatten.jsonNormalize(_)), qid)
+    val t = typed.head("type").toString
+    val ids = typed.map(_("id").toString)
+    catalog.registerRecipe(viewname, t)(r => r(t).where(col("id").isin(ids: _*)))
+  }
+
+  private def writeObjects(objs: Seq[Map[String, Any]], queryId: String): Unit = {
+    val byType = objs.groupBy(_("type").toString)
+    byType.foreach { case (t, rows) =>
+      val df = UpsertWriter.rowsToDF(spark, rows.map(_ - "type"))
+      t match {
+        case "__contains" | "__reflist" =>
+          UpsertWriter.appendDistinct(spark, workDir, t, df)
+        case "observed-data" =>
+          UpsertWriter.insertIgnore(spark, workDir, t, df)
+        case _ =>
+          UpsertWriter.upsert(spark, workDir, t, df)
+      }
+      catalog.invalidateBase(t)
+    }
+    // provenance: every flattened SCO id came from this cache call
+    val scoIds = objs
+      .filter(o => !Seq("__contains", "__reflist").contains(o("type").toString))
+      .flatMap(_.get("id"))
+      .map(_.toString)
+      .distinct
+    if (scoIds.nonEmpty) {
+      val prov = UpsertWriter.rowsToDF(
+        spark,
+        scoIds.map(i => Map[String, Any]("sco_id" -> i, "query_id" -> queryId)))
+      UpsertWriter.appendDistinct(spark, workDir, "__queries", prov)
+      catalog.invalidateBase("__queries")
+    }
+  }
+
+  // ----- pattern verbs (sqlstorage.py:568-600) ----------------------------
+
+  /** view = rows of `scoType` from cache call `queryId` matching `pattern`. */
+  def extract(viewname: String, scoType: String, queryId: String, pattern: String): Unit = {
+    val pred = Option(pattern).filter(_.nonEmpty).flatMap(p => Pattern.compile(p, scoType, resolve))
+    catalog.registerRecipe(viewname, scoType) { r =>
+      val base = r(scoType)
+      val prov = r("__queries").where(col("query_id") === queryId).select(col("sco_id"))
+      val scoped = base.join(prov, base("id") === prov("sco_id"), "left_semi")
+      pred.map(scoped.where).getOrElse(scoped)
+    }
+  }
+
+  /** view = pattern filter over an existing view (sqlstorage.py:579-600). */
+  def filter(viewname: String, scoType: String, inputView: String, pattern: String): Unit = {
+    val pred = Pattern.compile(pattern, scoType, resolve)
+    val input = inputView
+    catalog.registerRecipe(viewname, scoType) { r =>
+      pred.map(r(input).where).getOrElse(r(input))
+    }
+  }
+
+  // ----- relational verbs (sqlstorage.py:446-469, 541-566, 777-852) -------
+
+  /** Deprecated sort/group assign (sqlstorage.py:446-469). */
+  def assign(
+      viewname: String,
+      on: String,
+      op: String,
+      by: String,
+      asc: Boolean = true,
+      limit: Option[Int] = None): Unit = {
+    val t = catalog.viewType(on).filter(_.nonEmpty).getOrElse(on)
+    op match {
+      case "sort" =>
+        catalog.registerRecipe(viewname, t) { r =>
+          val (df, byCol) = resolvePathColumn(r, on, t, by)
+          val sorted = df.orderBy(if (asc) Deref.bq(byCol).asc else Deref.bq(byCol).desc)
+          limit.map(sorted.limit).getOrElse(sorted)
+        }
+      case "group" => group(viewname, on, Seq(by))
+      case other   => throw new InvalidQuery(s"assign op $other")
+    }
+  }
+
+  /** Group-by with path joins and auto-aggregation (sqlstorage.py:1028-1077;
+    * agg synthesis props.py:405-433). */
+  def group(
+      newname: String,
+      viewname: String,
+      by: Seq[String],
+      aggs: Seq[(String, String, String)] = Nil): Unit = {
+    val t = catalog.viewType(viewname).filter(_.nonEmpty).getOrElse(viewname)
+    catalog.registerRecipe(newname, t) { r =>
+      var df = r(viewname)
+      val keys = by.map { b =>
+        val (df2, c) = resolvePathColumn(r, viewname, t, b, Some(df))
+        df = df2; c
+      }
+      val aggCols =
+        if (aggs.nonEmpty)
+          aggs.map { case (f, c, a) => Agg(f, Some(c).filter(_ != "*"), a).toColumn }
+        else autoAggs(df, keys)
+      if (aggCols.isEmpty)
+        // nothing aggregatable: grouped keys only (reference renders a bare
+        // GROUP BY, i.e. distinct key tuples)
+        df.select(keys.map(Deref.bq): _*).distinct().orderBy(keys.map(Deref.bq): _*)
+      else
+        df.groupBy(keys.map(Deref.bq): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .orderBy(keys.map(k => Deref.bq(StixMeta.getLast(k))): _*)
+    }
+  }
+
+  private def autoAggs(df: DataFrame, keys: Seq[String]): Seq[Column] =
+    df.schema.fields.toSeq
+      .filterNot(f => keys.contains(f.name))
+      .flatMap(f => StixMeta.autoAgg("", f.name, f.dataType.simpleString))
+      .map { case (func, c, alias) => Agg(func, Some(c), alias).toColumn }
+
+  /** Equi-join of two views; shared columns coalesced (sqlstorage.py:541-566). */
+  def join(viewname: String, lVar: String, lOn: String, rVar: String, rOn: String): Unit = {
+    val t = catalog.viewType(lVar).filter(_.nonEmpty).getOrElse("")
+    catalog.registerRecipe(viewname, t) { r =>
+      val l = r(lVar)
+      val rt = r(rVar)
+      val shared = l.columns.toSet.intersect(rt.columns.toSet)
+      val joined = l.alias("l").join(rt.alias("r"), col(s"l.$lOn") === col(s"r.$rOn"), "inner")
+      val outCols =
+        l.columns.map(c =>
+          if (shared.contains(c)) coalesce(col(s"l.$c"), col(s"r.$c")).as(c)
+          else col(s"l.$c")) ++
+          rt.columns.filterNot(shared.contains).map(c => col(s"r.$c"))
+      joined.select(outCols.toSeq: _*)
+    }
+  }
+
+  /** UNION (with dedup) of same-typed views (sqlstorage.py:777-793). */
+  def merge(viewname: String, inputViews: Seq[String]): Unit = {
+    val types = inputViews.map(v => catalog.viewType(v).filter(_.nonEmpty).getOrElse(v)).distinct
+    if (types.length > 1)
+      throw new IncompatibleType(s"cannot merge types: ${types.mkString(", ")}")
+    val inputs = inputViews
+    catalog.registerRecipe(viewname, types.head) { r =>
+      inputs.map(r).reduce(_.unionByName(_, allowMissingColumns = true)).distinct()
+    }
+  }
+
+  /** Register a view from an arbitrary Stage-ADT query; grouped queries with
+    * no aggregation get auto-aggs (sqlstorage.py:829-852). */
+  def assignQuery(viewname: String, query: GQuery, scoType: String = ""): Unit = {
+    val hasGroup = query.stages.exists(_.isInstanceOf[Group])
+    val hasAgg = query.stages.exists(_.isInstanceOf[Aggregation])
+    val q =
+      if (hasGroup && !hasAgg) {
+        val keys = query.stages.collectFirst { case Group(cols) => cols.map(_.outName) }.get
+        val base = query.stages.collectFirst { case Table(n) => n }.get
+        val aggCols = autoAggs(resolve(base), keys)
+        GQuery(query.stages.flatMap {
+          case g: Group => Seq(g, Aggregation(aggCols.map(RawAgg)))
+          case s        => Seq(s)
+        })
+      } else query
+    catalog.registerRecipe(viewname, scoType)(r => q.df(r))
+  }
+
+  def runQuery(q: GQuery): DataFrame = q.df(resolve)
+
+  /** Write analytic results back (sqlstorage.py:504-539): id-bearing rows
+    * merge-upsert into their type tables (with unresolve splitting of
+    * `x_ref.prop` columns); no-id aggregates become a materialized table. */
+  def reassign(viewname: String, objects: Seq[Map[String, Any]]): Unit = {
+    if (objects.forall(_.contains("id"))) {
+      val split = Deref.unresolve(objects)
+      val qid = java.util.UUID.randomUUID().toString
+      writeObjects(split.map(o => Flatten.jsonNormalize(o)), qid)
+      val ids = objects.map(_("id").toString)
+      val t = objects.head("id").toString.split("--").head
+      catalog.registerRecipe(viewname, t)(r => r(t).where(col("id").isin(ids: _*)))
+    } else {
+      val df = UpsertWriter.rowsToDF(spark, objects)
+      catalog.registerDF(viewname, df)
+    }
+  }
+
+  // ----- read verbs (sqlstorage.py:602-729) -------------------------------
+
+  /** Read a view with automatic reference dereferencing (SURVEY §2.3). */
+  def lookup(
+      viewname: String,
+      cols: Seq[String] = Nil,
+      limit: Option[Int] = None,
+      offset: Int = 0): Seq[Map[String, Any]] = {
+    val t = catalog.viewType(viewname).filter(_.nonEmpty).getOrElse(viewname)
+    var df = Deref.autoDeref(this, viewname, if (cols.isEmpty) None else Some(cols))
+    if (offset > 0) df = df.offset(offset)
+    limit.foreach(n => df = df.limit(n))
+    val typeVal = t
+    df.collect().toSeq.map { row =>
+      val m = row.schema.fieldNames.zip(row.toSeq).toMap
+      if (!m.contains("type")) m + ("type" -> typeVal) else m
+    }
+  }
+
+  /** Single column (STIX path, implicit joins) as values (sqlstorage.py:667-683). */
+  def values(path: String, viewname: String): Seq[Any] = {
+    val t = catalog.viewType(viewname).filter(_.nonEmpty).getOrElse(viewname)
+    val (df, c) = resolvePathColumn(resolve, viewname, t, path)
+    df.select(Deref.bq(c)).collect().toSeq.map(_.get(0))
+  }
+
+  def count(viewname: String): Long = resolve(viewname).count()
+
+  def tables(): Seq[String] = UpsertWriter.tables(workDir).filterNot(_.startsWith("__"))
+  def types(): Seq[String] =
+    UpsertWriter.tables(workDir).filterNot(t => t.startsWith("__") || t == "identity" || t == "observed-data")
+  def views(): Seq[String] = catalog.viewNames
+  def tableType(viewname: String): Option[String] = catalog.viewType(viewname)
+  def columns(name: String): Seq[String] = resolve(name).columns.toSeq
+  def schema(name: String): Seq[(String, String)] =
+    resolve(name).schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+
+  def removeView(name: String): Unit = catalog.removeView(name)
+  def renameView(o: String, n: String): Unit = catalog.renameView(o, n)
+  def setAppdata(view: String, data: String): Unit = catalog.setAppData(view, data)
+  def getAppdata(view: String): Option[String] = catalog.getAppData(view)
+
+  // ----- observation-weighted verbs (sqlstorage.py:854-1026) --------------
+
+  /** view ⋈ __contains ⋈ observed-data, grouped on `path` (value_counts). */
+  private def observationJoin(viewname: String): DataFrame = {
+    val v = resolve(viewname)
+    val contains = resolve("__contains")
+    val obs = resolve("observed-data")
+    v.join(contains, v("id") === contains("target_ref"))
+      .join(obs, contains("source_ref") === obs("id"))
+  }
+
+  def valueCounts(viewname: String, path: String): Seq[(Any, Long)] = {
+    val c = StixMeta.getLast(path)
+    observationJoin(viewname)
+      .groupBy(col(c))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+      .orderBy(col(c))
+      .collect().toSeq
+      .map(r => (r.get(0), r.getLong(1)))
+  }
+
+  /** SUM(number_observed), optionally filtered to one value
+    * (sqlstorage.py:891-911). */
+  def numberObserved(viewname: String, path: String, value: Any = null): Long = {
+    val c = StixMeta.getLast(path)
+    val base = observationJoin(viewname)
+    val filtered = Option(value).map(v => base.where(col(c) === lit(v))).getOrElse(base)
+    val r = filtered.agg(coalesce(sum("number_observed"), lit(0L))).head()
+    r.getLong(0)
+  }
+
+  /** Attach observation timestamps to each SCO row; obs id renamed
+    * observation_id; ordered by the attribute (sqlstorage.py:913-990). */
+  def timestamped(
+      viewname: String,
+      path: String = null,
+      value: Any = null,
+      timestamp: String = "first_observed"): DataFrame = {
+    val v = resolve(viewname)
+    val contains = resolve("__contains")
+    val obs = resolve("observed-data")
+      .withColumnRenamed("id", "observation_id")
+    var df = v
+      .join(contains, v("id") === contains("target_ref"))
+      .join(obs, contains("source_ref") === col("observation_id"))
+      .select(col("observation_id") +: col(timestamp) +: v.columns.map(v(_)): _*)
+    Option(path).foreach { p =>
+      Option(value).foreach(vl => df = df.where(col(StixMeta.getLast(p)) === lit(vl)))
+    }
+    df.orderBy(col(timestamp))
+  }
+
+  /** (MIN(first_observed), MAX(last_observed), SUM(number_observed))
+    * (sqlstorage.py:992-1026). */
+  def summary(viewname: String): (String, String, Long) = {
+    val r = observationJoin(viewname)
+      .agg(
+        min("first_observed").as("first_observed"),
+        max("last_observed").as("last_observed"),
+        coalesce(sum("number_observed"), lit(0L)).as("number_observed"))
+      .head()
+    (Option(r.get(0)).map(_.toString).orNull,
+      Option(r.get(1)).map(_.toString).orNull,
+      r.getLong(2))
+  }
+
+  // ----- path resolution (sqlstorage.py:107-140) --------------------------
+
+  /** Resolve a STIX path (possibly with implicit ref joins) to a usable
+    * column on a (possibly join-extended) frame. */
+  private[graft] def resolvePathColumn(
+      r: String => DataFrame,
+      viewname: String,
+      scoType: String,
+      path: String,
+      base: Option[DataFrame] = None): (DataFrame, String) = {
+    val links =
+      if (path.contains(":")) StixMeta.parsePath(path)
+      else StixMeta.parseProp(scoType, path)
+    val df0 = base.getOrElse(r(viewname))
+    if (links.isEmpty) throw new InvalidStixPath(path)
+    val hasRel = links.exists(_.isInstanceOf[RelLink])
+    if (!hasRel) {
+      val c = links.collect { case NodeLink(_, p) => p }.mkString(".")
+      (df0, c)
+    } else {
+      var df = df0
+      var lastPrefix = ""
+      links.foreach {
+        case RelLink(_, refName, toType) =>
+          val alias = refName.stripSuffix("_refs").stripSuffix("_ref")
+          val prefix = if (lastPrefix.isEmpty) refName else s"$lastPrefix.$refName"
+          if (refName.endsWith("_refs")) {
+            val rl = r("__reflist").where(col("ref_name") === refName)
+              .select(col("source_ref"), col("target_ref"))
+            val tgt = prefixed(r(toType), prefix)
+            df = df
+              .join(rl, Deref.bq(if (lastPrefix.isEmpty) "id" else s"$lastPrefix.id") === rl("source_ref"))
+              .join(tgt, rl("target_ref") === tgt.col(s"`$prefix.id`"))
+          } else {
+            val keyCol = if (lastPrefix.isEmpty) refName else s"$lastPrefix.$refName"
+            val tgt = prefixed(r(toType), prefix)
+            df = df.join(tgt, Deref.bq(keyCol) === tgt.col(s"`$prefix.id`"), "left_outer")
+          }
+          lastPrefix = prefix
+        case _ => ()
+      }
+      val leaf = links.last.asInstanceOf[NodeLink].prop
+      (df, s"$lastPrefix.$leaf")
+    }
+  }
+
+  private def prefixed(df: DataFrame, prefix: String): DataFrame =
+    df.select(df.columns.map(c => col(s"`$c`").as(s"$prefix.$c")).toSeq: _*)
+}

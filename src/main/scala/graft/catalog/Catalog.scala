@@ -85,6 +85,10 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
     views(name) = ViewDef(resolve => f(oldRecipe(resolve)), old.map(_.scoType).getOrElse(""))
   }
 
+  /** Drop a cached base-table read (call after upserting new data so the
+    * next resolve sees the new files). */
+  def invalidateBase(name: String): Unit = baseCache.remove(name)
+
   def viewNames: Seq[String] = views.keys.toSeq
   def contains(name: String): Boolean = views.contains(name)
   def viewType(name: String): Option[String] = views.get(name).map(_.scoType)

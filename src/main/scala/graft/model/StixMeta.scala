@@ -1,0 +1,127 @@
+package graft.model
+
+/** Static STIX metadata: ref-target tables, primary properties, path
+  * parsing, and auto-aggregation rules (firepit/props.py:325-530).
+  */
+object StixMeta {
+
+  /** Possible target SCO types for a reference property (props.py:437-490). */
+  def refType(scoType: String, part: String): Seq[String] = part match {
+    case "parent_ref"                                          => Seq("process")
+    case "dst_ref" | "dst_ip_ref" | "src_ref" | "src_ip_ref"   => Seq("ipv4-addr", "ipv6-addr")
+    case "resolves_to_refs" if scoType == "ipv4-addr" || scoType == "ipv6-addr" =>
+      Seq("mac-addr")
+    case "binary_ref" | "image_ref"                            => Seq("file")
+    case "parent_directory_ref"                                => Seq("directory")
+    case "creator_user_ref"                                    => Seq("user-account")
+    case "dst_os_ref" | "src_os_ref" | "dst_application_ref" | "src_application_ref" =>
+      Seq("software")
+    case "ip_refs"                                             => Seq("ipv4-addr", "ipv6-addr")
+    case "mac_refs"                                            => Seq("mac-addr")
+    case "opened_connection_refs"                              => Seq("network-traffic")
+    case "src_payload_ref" | "dst_payload_ref"                 => Seq("artifact")
+    case _ if scoType == "x-oca-event" =>
+      part match {
+        case "original_ref"           => Seq("artifact")
+        case "host_ref"               => Seq("x-oca-asset")
+        case "url_ref"                => Seq("url")
+        case "file_ref"               => Seq("file")
+        case p if p.contains("process") => Seq("process")
+        case "domain_ref"             => Seq("domain-name")
+        case "registry_ref"           => Seq("windows-registry-key")
+        case "network_ref"            => Seq("network-traffic")
+        case "user_ref"               => Seq("user-account")
+        case _                        => Nil
+      }
+    case p if scoType == "x-ibm-finding" && p.endsWith("_user_ref") => Seq("user-account")
+    case "from_ref" | "sender_ref" | "to_refs" | "cc_refs" | "bcc_refs"
+        if scoType == "email-message" =>
+      Seq("email-addr")
+    case _ => Nil
+  }
+
+  def isRef(name: String): Boolean = name.endsWith("_ref") || name.endsWith("_refs")
+
+  /** Last dotted/colon piece of a path (props.py:355-360). */
+  def getLast(prop: String): String = {
+    val i = prop.lastIndexWhere(c => c == '.' || c == ':')
+    if (i >= 0) prop.substring(i + 1) else prop
+  }
+
+  /** "Primary" property per SCO type, for scalar loads (props.py:362-383). */
+  def primaryProp(scoType: String): String = scoType match {
+    case "user-account"        => "user_id"
+    case "file" | "mutex" | "process" | "software" | "windows-registry-value-type" |
+        "x-ibm-finding"        => "name"
+    case "directory"           => "path"
+    case "autonomous-system"   => "number"
+    case "windows-registry-key" => "key"
+    case "x509-certificate"    => "serial_number"
+    case "x-oca-asset"         => "hostname"
+    case "x-oca-event"         => "action"
+    case _                     => "value"
+  }
+
+  /** A parsed path link: either a plain property on a type, or a reference
+    * hop from one type to another (props.py:498-530). */
+  sealed trait Link
+  case class NodeLink(scoType: String, prop: String) extends Link
+  case class RelLink(fromType: String, refName: String, toType: String) extends Link
+
+  /** Parse `type:prop` (with implicit-join ref hops) into links. */
+  def parsePath(path: String): Seq[Link] = {
+    val (scoType, prop) = splitPath(path)
+    parseProp(scoType, prop)
+  }
+
+  def splitPath(path: String): (String, String) = {
+    val i = path.lastIndexOf(':')
+    if (i >= 0) (path.substring(0, i), path.substring(i + 1)) else ("", path)
+  }
+
+  def parseProp(scoType: String, prop: String): Seq[Link] = {
+    if (!prop.contains("_ref.") && !prop.contains("_refs"))
+      return Seq(NodeLink(scoType, prop))
+    val parts = prop.split('.')
+    val out = Seq.newBuilder[Link]
+    var prevType = scoType
+    var curScoType = scoType
+    for (raw <- parts) {
+      val isList = raw.endsWith("[*]")
+      val part = if (isList) raw.dropRight(3) else raw
+      if (!isRef(part)) {
+        val p = if (isList) part + "[*]" else part
+        out += NodeLink(prevType, p)
+        prevType = part
+      } else {
+        val targets = refType(curScoType, part)
+        if (targets.isEmpty) return Nil // unknown ref target
+        val to = targets.head
+        out += RelLink(curScoType, part, to)
+        curScoType = to
+        prevType = to
+      }
+    }
+    out.result()
+  }
+
+  /** Auto-aggregation synthesis for grouped queries with no explicit aggs
+    * (props.py:405-433): number_observed -> SUM; first_observed/start -> MIN;
+    * last_observed/end -> MAX; ports/pids -> NUNIQUE unique_X; ints -> AVG
+    * mean_X; else NUNIQUE unique_X. Returns (func, col, alias) or None. */
+  def autoAgg(scoType: String, prop: String, colType: String): Option[(String, String, String)] = {
+    val last = getLast(prop)
+    if (Seq("x_root", "x_contained_by_ref", "type", "id").contains(last)) return None
+    if (prop == "number_observed") return Some(("SUM", prop, prop))
+    if (prop == "first_observed" || prop == "start") return Some(("MIN", prop, prop))
+    if (prop == "last_observed" || prop == "end") return Some(("MAX", prop, prop))
+    val (func, alias) =
+      if ((scoType == "network-traffic" && prop.endsWith("_port")) ||
+          (scoType == "process" && prop.endsWith("pid")))
+        ("NUNIQUE", s"unique_$prop")
+      else if (Seq("integer", "bigint", "long", "int").contains(colType.toLowerCase))
+        ("AVG", s"mean_$prop")
+      else ("NUNIQUE", s"unique_$prop")
+    if (alias.length > 63) None else Some((func, prop, alias))
+  }
+}

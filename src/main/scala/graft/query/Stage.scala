@@ -76,6 +76,11 @@ case class ExprAgg(c: Column, alias: String) extends AggLike {
   def toColumn: Column = c.as(alias)
 }
 
+/** Already-aliased aggregate expression (auto-agg synthesis output). */
+case class RawAgg(c: Column) extends AggLike {
+  def toColumn: Column = c
+}
+
 /** Aggregate spec: func in COUNT/SUM/MIN/MAX/AVG/NUNIQUE (firepit/query.py:11),
   * NUNIQUE = COUNT(DISTINCT) (firepit/query.py:382-384). `col=None` => '*'. */
 case class Agg(func: String, col: Option[String], alias: String) extends AggLike {

@@ -1,0 +1,318 @@
+package graft
+
+import graft.api.{Deref, IncompatibleType, Storage, StixPatternError}
+import graft.ingest.{Flatten, UpsertWriter}
+import graft.model.{StixId, StixMeta, Uuid5}
+import java.util.UUID
+import java.nio.file.Files
+
+/** Semantics pinned from the reference: deterministic ids, graph flatten,
+  * upsert merge rules, pattern compilation, verbs, auto-deref. */
+class StixCoreSpec extends SparkSpec {
+
+  private def tmpStore(): Storage =
+    new Storage(spark, Files.createTempDirectory("graft-store").toString)
+
+  // A hand-built STIX 2.0-style bundle (observation with indexed objects).
+  private val bundle20 =
+    """{"type":"bundle","id":"bundle--b1","objects":[
+      |{"type":"identity","id":"identity--i1","name":"unit-test"},
+      |{"type":"observed-data","id":"observed-data--o1",
+      | "created_by_ref":"identity--i1",
+      | "first_observed":"2024-01-01T00:00:00.000Z",
+      | "last_observed":"2024-01-01T01:00:00.000Z","number_observed":2,
+      | "objects":{
+      |   "0":{"type":"ipv4-addr","value":"10.0.0.1"},
+      |   "1":{"type":"ipv4-addr","value":"192.168.1.5"},
+      |   "2":{"type":"network-traffic","src_ref":"0","dst_ref":"1",
+      |        "src_port":4444,"dst_port":80,"protocols":["tcp","http"]},
+      |   "3":{"type":"url","value":"http://example.com/page/1"}
+      | }}]}""".stripMargin
+
+  private val bundle20b =
+    """{"type":"bundle","id":"bundle--b2","objects":[
+      |{"type":"observed-data","id":"observed-data--o2",
+      | "first_observed":"2024-01-02T00:00:00.000Z",
+      | "last_observed":"2024-01-02T01:00:00.000Z","number_observed":3,
+      | "objects":{
+      |   "0":{"type":"ipv4-addr","value":"10.0.0.1"},
+      |   "1":{"type":"url","value":"http://example.com/other"}
+      | }}]}""".stripMargin
+
+  test("Uuid5 matches the RFC 4122 python reference vector") {
+    // uuid.uuid5(uuid.NAMESPACE_DNS, 'python.org')
+    val dns = UUID.fromString("6ba7b810-9dad-11d1-80b4-00c04fd430c8")
+    assert(Uuid5(dns, "python.org").toString == "886313e1-3b8a-5372-9b90-0c9aee199e5d")
+  }
+
+  test("makeid is deterministic and value-sensitive") {
+    val a = StixId.makeid(Map("type" -> "ipv4-addr", "value" -> "10.0.0.1"))
+    val b = StixId.makeid(Map("type" -> "ipv4-addr", "value" -> "10.0.0.1"))
+    val c = StixId.makeid(Map("type" -> "ipv4-addr", "value" -> "10.0.0.2"))
+    assert(a == b && a != c && a.startsWith("ipv4-addr--"))
+  }
+
+  test("makeid picks hashes by preference order") {
+    val md5Only = StixId.makeid(Map("type" -> "file", "hashes" -> Map("MD5" -> "x")))
+    val both = StixId.makeid(
+      Map("type" -> "file", "hashes" -> Map("MD5" -> "x", "'SHA-256'" -> "y")))
+    assert(md5Only == both) // SHA-256 ignored when MD5 present
+  }
+
+  test("canonicalJson sorts keys and is compact") {
+    assert(StixId.canonicalJson(Map("b" -> 1L, "a" -> "x")) == """{"a":"x","b":1}""")
+  }
+
+  test("jsonNormalize flattens with the quote rule; skips x-* nested dicts") {
+    val flat = Flatten.jsonNormalize(Map(
+      "type" -> "file",
+      "hashes" -> Map("SHA-1" -> "abc"),
+      "name" -> "f.exe"))
+    assert(flat("hashes.'SHA-1'") == "abc")
+    val custom = Flatten.jsonNormalize(Map(
+      "type" -> "x-custom",
+      "nested" -> Map("a" -> 1L)))
+    assert(custom.contains("nested")) // not recursed for custom SCOs
+  }
+
+  test("flatten 2.0: edges, id resolution, rank marking") {
+    val objs = Flatten.flattenBundle(bundle20)
+    val contains = objs.filter(_("type") == "__contains")
+    assert(contains.length == 4)
+    // ranks: src ipv4, network-traffic, url -> 1; dst ipv4 unranked
+    val ranked = contains.filter(_.contains("x_firepit_rank"))
+    assert(ranked.length == 3)
+    val nt = objs.find(_("type") == "network-traffic").get
+    val srcId = nt("src_ref").toString
+    assert(srcId.startsWith("ipv4-addr--")) // index resolved to 2.1 id
+    val srcIp = objs.find(o => o("type") == "ipv4-addr" && o("value") == "10.0.0.1").get
+    assert(srcId == srcIp("id"))
+    assert(ranked.exists(_("target_ref") == srcIp("id")))
+  }
+
+  test("flatten 2.1: object_refs -> __contains, _refs -> __reflist") {
+    val b21 =
+      """{"type":"bundle","id":"bundle--x","objects":[
+        |{"type":"observed-data","id":"observed-data--z","spec_version":"2.1",
+        | "object_refs":["ipv4-addr--1","network-traffic--2"]},
+        |{"type":"network-traffic","spec_version":"2.1","id":"network-traffic--2",
+        | "opened_connection_refs":["network-traffic--7","network-traffic--8"]}
+        |]}""".stripMargin
+    val objs = Flatten.flattenBundle(b21)
+    assert(objs.count(_("type") == "__contains") == 2)
+    val rl = objs.filter(_("type") == "__reflist")
+    assert(rl.length == 2 && rl.forall(_("ref_name") == "opened_connection_refs"))
+  }
+
+  test("upsert merge: min/max/sum observed, newest-non-null, no null clobber") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    UpsertWriter.upsert(spark, dir, "t", UpsertWriter.rowsToDF(spark, Seq(
+      Map("id" -> "a", "first_observed" -> "2024-01-02", "last_observed" -> "2024-01-02",
+        "number_observed" -> 2L, "name" -> "orig", "extra" -> "keep"))))
+    UpsertWriter.upsert(spark, dir, "t", UpsertWriter.rowsToDF(spark, Seq(
+      Map("id" -> "a", "first_observed" -> "2024-01-01", "last_observed" -> "2024-01-03",
+        "number_observed" -> 3L, "name" -> "new", "extra" -> null, "added" -> "evolved"),
+      Map("id" -> "b", "name" -> "other"))))
+    val rows = spark.read.parquet(s"$dir/t.parquet").collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[String]("first_observed") == "2024-01-01")
+    assert(a.getAs[String]("last_observed") == "2024-01-03")
+    assert(a.getAs[Long]("number_observed") == 5L)
+    assert(a.getAs[String]("name") == "new")    // newest non-null wins
+    assert(a.getAs[String]("extra") == "keep")  // null does not clobber
+    assert(a.getAs[String]("added") == "evolved") // schema evolution
+    assert(rows("b").getAs[String]("added") == null)
+  }
+
+  test("cache + extract + values: end-to-end hunt flow") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("urls", "url", "q1", "[url:value LIKE '%page%']")
+    assert(s.count("urls") == 1)
+    assert(s.values("url:value", "urls") == Seq("http://example.com/page/1"))
+  }
+
+  test("ingest is idempotent/dedupable across bundles (deterministic ids)") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.cache("q2", bundle20b)
+    // 10.0.0.1 appears in both bundles -> single row
+    assert(s.count("ipv4-addr") == 2)
+    assert(s.count("url") == 2)
+    // provenance keeps both cache calls separate
+    s.extract("v1", "url", "q1", "")
+    s.extract("v2", "url", "q2", "")
+    assert(s.count("v1") == 1 && s.count("v2") == 1)
+  }
+
+  test("pattern: type scoping drops non-matching comparisons") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("ips", "ipv4-addr", "q1", "[url:value = 'nope']") // scoped out
+    assert(s.count("ips") == 2) // no predicate left -> all ipv4 rows
+  }
+
+  test("pattern: IN list, ISSUBSET, NOT LIKE, MATCHES, START/STOP") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("inlist", "ipv4-addr", "q1", "[ipv4-addr:value IN ('10.0.0.1', '1.2.3.4')]")
+    assert(s.values("ipv4-addr:value", "inlist") == Seq("10.0.0.1"))
+    s.extract("subnet", "ipv4-addr", "q1", "[ipv4-addr:value ISSUBSET '10.0.0.0/8']")
+    assert(s.values("ipv4-addr:value", "subnet") == Seq("10.0.0.1"))
+    s.extract("notlike", "url", "q1", "[url:value NOT LIKE '%page%']")
+    assert(s.count("notlike") == 0)
+    s.extract("rex", "url", "q1", "[url:value MATCHES 'page/[0-9]+']")
+    assert(s.count("rex") == 1)
+    s.extract("qual", "url", "q1",
+      "[url:value LIKE '%page%'] START t'2024-01-01T00:00:00Z' STOP t'2024-01-02T00:00:00Z'")
+    assert(s.count("qual") == 1)
+  }
+
+  test("pattern: ref path becomes a semi-join") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("conns", "network-traffic", "q1", "[network-traffic:src_ref.value = '10.0.0.1']")
+    assert(s.count("conns") == 1)
+    s.extract("nomatch", "network-traffic", "q1", "[network-traffic:src_ref.value = '9.9.9.9']")
+    assert(s.count("nomatch") == 0)
+  }
+
+  test("pattern: [*] list property matches array columns") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("tcp", "network-traffic", "q1", "[network-traffic:protocols[*] = 'tcp']")
+    assert(s.count("tcp") == 1)
+    s.extract("quic", "network-traffic", "q1", "[network-traffic:protocols[*] = 'quic']")
+    assert(s.count("quic") == 0)
+  }
+
+  test("pattern: parse errors raise StixPatternError") {
+    intercept[StixPatternError] { graft.pattern.Pattern.parse("[url:value LIKE") }
+    intercept[StixPatternError] { graft.pattern.Pattern.parse("url:value = 'x'") }
+  }
+
+  test("filter verb narrows an existing view") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("allips", "ipv4-addr", "q1", "")
+    s.filter("ten", "ipv4-addr", "allips", "[ipv4-addr:value LIKE '10.%']")
+    assert(s.count("ten") == 1)
+  }
+
+  test("lookup auto-derefs references with dotted aliases") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("conns", "network-traffic", "q1", "")
+    val rows = s.lookup("conns")
+    assert(rows.length == 1)
+    val row = rows.head
+    assert(row("src_ref.value") == "10.0.0.1")
+    assert(row("dst_ref.value") == "192.168.1.5")
+    assert(row("type") == "network-traffic")
+  }
+
+  test("group with auto-aggregation") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.cache("q2", bundle20b)
+    s.extract("ips", "ipv4-addr", "q1", "")
+    s.group("byval", "ips", Seq("value"))
+    val df = s.catalog.resolve("byval")
+    assert(df.columns.contains("value"))
+    assert(df.count() == 2)
+  }
+
+  test("merge rejects incompatible types; unions compatible ones") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("a", "url", "q1", "")
+    s.extract("b", "ipv4-addr", "q1", "")
+    intercept[IncompatibleType] { s.merge("m", Seq("a", "b")) }
+    s.cache("q2", bundle20b)
+    s.extract("c", "url", "q2", "")
+    s.merge("m2", Seq("a", "c"))
+    assert(s.count("m2") == 2)
+  }
+
+  test("value_counts / number_observed / summary over observations") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.cache("q2", bundle20b)
+    s.extract("ips", "ipv4-addr", "q1", "")
+    val vc = s.valueCounts("ips", "ipv4-addr:value").toMap
+    assert(vc("10.0.0.1") == 2L) // seen in two observations
+    assert(vc("192.168.1.5") == 1L)
+    assert(s.numberObserved("ips", "value", "10.0.0.1") == 5L) // 2 + 3
+    val (first, last, n) = s.summary("ips")
+    assert(first == "2024-01-01T00:00:00.000Z" && last == "2024-01-02T01:00:00.000Z" && n == 7L)
+  }
+
+  test("timestamped attaches observation attributes") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("urls", "url", "q1", "")
+    val df = s.timestamped("urls")
+    assert(df.columns.contains("observation_id") && df.columns.contains("first_observed"))
+    assert(df.count() == 1)
+  }
+
+  test("reassign + unresolve write enrichments back") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.extract("conns", "network-traffic", "q1", "")
+    val row = s.lookup("conns").head
+    val enriched = Map(
+      "id" -> row("id"),
+      "type" -> "network-traffic",
+      "x_verdict" -> "malicious",
+      "src_ref.id" -> row("src_ref.id"),
+      "src_ref.value" -> row("src_ref.value"),
+      "src_ref.x_geo" -> "US")
+    s.reassign("enriched", Seq(enriched))
+    assert(s.count("enriched") == 1)
+    // the split-out ipv4 enrichment landed on the referenced row
+    val ip = s.catalog.resolve("ipv4-addr")
+      .where(org.apache.spark.sql.functions.col("value") === "10.0.0.1")
+      .head()
+    assert(ip.getAs[String]("x_geo") == "US")
+    // and the view row carries the verdict
+    val nt = s.catalog.resolve("network-traffic").head()
+    assert(nt.getAs[String]("x_verdict") == "malicious")
+  }
+
+  test("unresolve splits dotted ref columns into typed objects") {
+    val objs = Deref.unresolve(Seq(Map(
+      "id" -> "network-traffic--1", "src_port" -> 80L,
+      "src_ref.id" -> "ipv4-addr--9", "src_ref.value" -> "1.2.3.4")))
+    assert(objs.length == 2)
+    val ip = objs.find(_.get("type").contains("ipv4-addr")).get
+    assert(ip("value") == "1.2.3.4" && ip("id") == "ipv4-addr--9")
+    val nt = objs.find(_.contains("src_port")).get
+    assert(nt("src_ref") == "ipv4-addr--9" && !nt.contains("src_ref.value"))
+  }
+
+  test("load synthesizes ids and registers a view") {
+    val s = tmpStore()
+    s.load("loaded", Seq(
+      Map("type" -> "url", "value" -> "http://x.test/1"),
+      Map("type" -> "url", "value" -> "http://x.test/2")))
+    assert(s.count("loaded") == 2)
+    assert(s.tableType("loaded").contains("url"))
+  }
+
+  test("catalog verbs: tables/types/views/rename/remove/appdata") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    assert(s.tables().contains("url") && !s.tables().exists(_.startsWith("__")))
+    assert(s.types().contains("network-traffic") && !s.types().contains("identity"))
+    s.extract("v", "url", "q1", "")
+    assert(s.views().contains("v"))
+    s.setAppdata("v", """{"note":1}""")
+    assert(s.getAppdata("v").contains("""{"note":1}"""))
+    s.renameView("v", "w")
+    assert(!s.views().contains("v") && s.count("w") == 1)
+    s.removeView("w")
+    assert(!s.views().contains("w"))
+  }
+}
