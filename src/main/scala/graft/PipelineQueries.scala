@@ -28,9 +28,14 @@ object PipelineQueries {
     """CASE WHEN length(toks) >= 3
       | THEN list_transform(range(1, length(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
       | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  // mirrors Dedup.minhashFromHashes: one md5 per shingle parsed to a 60-bit
+  // int, then k affine hashes ((a_i * (h mod p)) mod p + b_i) mod p
   private val duckSig =
     """list_transform(range(0, 16), i ->
-      | list_aggregate(list_transform(sh, x -> md5(concat(CAST(i AS VARCHAR), '|', x))), 'min'))""".stripMargin
+      | list_aggregate(list_transform(sh, s ->
+      |   (((((i+1) * 1103515245::BIGINT) % 2147483647)
+      |      * ((('0x' || substring(md5(s),1,15))::BIGINT) % 2147483647)) % 2147483647
+      |    + (i * 12345::BIGINT + 1)) % 2147483647), 'min'))""".stripMargin
   private def duckStopHits(listSql: String) =
     s"length(list_filter(toks, x -> list_contains($listSql, x)))"
   private def sqlList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
@@ -150,13 +155,13 @@ object PipelineQueries {
     },
 
     q("q_dedup_simhash",
-      s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents)
+      s"""WITH t AS (SELECT doc_id, list_transform(list_distinct($duckToks), t -> md5(t)) AS toks FROM documents)
          |SELECT doc_id,
          |  list_sum(list_transform(range(0, 32), b ->
          |    CASE WHEN list_sum(list_transform(toks, tk ->
          |      2 * (CAST(floor(
          |            (strpos('0123456789abcdef',
-         |               substring(md5(tk), 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
+         |               substring(tk, 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
          |            / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2) - 1)) > 0
          |    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))::BIGINT AS simhash
          |FROM t ORDER BY doc_id""".stripMargin) { c =>
@@ -164,13 +169,13 @@ object PipelineQueries {
     },
 
     q("q_dedup_simhash_pairs",
-      s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, list_transform(list_distinct($duckToks), t -> md5(t)) AS toks FROM documents),
          |sh AS (SELECT doc_id,
          |  list_sum(list_transform(range(0, 32), b ->
          |    CASE WHEN list_sum(list_transform(toks, tk ->
          |      2 * (CAST(floor(
          |            (strpos('0123456789abcdef',
-         |               substring(md5(tk), 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
+         |               substring(tk, 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
          |            / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2) - 1)) > 0
          |    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))::BIGINT AS simhash
          | FROM t),

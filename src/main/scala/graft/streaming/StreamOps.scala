@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event operators.
+  *
+  * The transforms are expressed on DataFrames so the SAME code serves batch
+  * (`spark.read`) and streaming (`spark.readStream`) inputs — swap the
+  * source, keep the plan. Watermarks bound state; aggregations are
+  * partial-aggregated map-side before the state-store shuffle, so a
+  * 1000-executor cluster shards state by (window, key) with no hot spots.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts per event_type with bounded state. */
+  def windowedCounts(
+      events: DataFrame,
+      width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Exact streaming deduplication by key columns within the watermark
+    * horizon (the streaming face of Dedup.exact). */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(keyCols :+ "ts")
+
+  /** Per-user running event counter via mapGroupsWithState — the custom-state
+    * escape hatch (reference has no streaming; SURVEY §2.7). Emits one
+    * updated (user_id, count) row per user per micro-batch. */
+  def runningCounts(events: Dataset[Row]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates a stream with watermarked state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = StreamOps
+      .windowedCounts(events, "1 hour", "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("update")
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "click"),
+        (ts("2024-01-01 00:20:00"), "click"),
+        (ts("2024-01-01 01:10:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 01:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "event_id")
+    val q = StreamOps
+      .dedupStream(events, Seq("event_id"), "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:05:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("runningCounts keeps per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("user_id", "event_id")
+    val q = StreamOps
+      .runningCounts(events)
+      .toDF("user_id", "n")
+      .writeStream
+      .format("memory")
+      .queryName("run_counts")
+      .outputMode("update")
+      .start()
+    try {
+      input.addData((7L, 1L), (7L, 2L))
+      q.processAllAvailable()
+      input.addData((7L, 3L))
+      q.processAllAvailable()
+      val last = spark.table("run_counts").collect().map(r => r.getLong(1)).max
+      assert(last == 3L)
+    } finally q.stop()
+  }
+}
