@@ -92,23 +92,7 @@ object Dedup {
     sig
   }
 
-  // .asNondeterministic() is an optimizer fence, not a semantic statement:
-  // the kernels ARE deterministic, but without the fence Catalyst inlines
-  // them into inferred Generate filters and pushes those below the
-  // repartition exchange — re-evaluating the whole signature per row on the
-  // scan's (single) input partition (measured: a 10.5 s one-task stage for
-  // a 0.3 s computation).
-  private def minhashUdf(k: Int) =
-    udf((text: String) => minhashSig(text, k)).asNondeterministic()
-
-  /** LSH band hashes: `bands` hashes, each over `k/bands` signature rows. */
-  def bandHashes(sig: Column, k: Int = 16, bands: Int = 4): Column = {
-    val rows = k / bands
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      j =>
-        md5(concat_ws(",", transform(slice(sig, j * rows + 1, lit(rows)), x => x.cast("string")))))
-  }
+  private def minhashUdf(k: Int) = udf((text: String) => minhashSig(text, k))
 
   /** Exact duplicate groups by content fingerprint. Returns one row per
     * fingerprint with the representative (min doc_id) and group size.
@@ -127,11 +111,10 @@ object Dedup {
     * scale. (Interpreted higher-order expressions were the opposite: 50x
     * slower and worth a boundary. Measure before materializing.) At 100 TB
     * a pipeline persists this frame as a signature table and reuses it. */
-  def minhashFrame(docs: DataFrame, textCol: String = "text", k: Int = 16, bands: Int = 4)
+  def minhashFrame(docs: DataFrame, textCol: String = "text", k: Int = 16)
       : DataFrame =
     spread(docs)
       .select(col("doc_id"), minhashUdf(k)(col(textCol)).as("sig"))
-      .withColumn("bands", bandHashes(col("sig"), k, bands))
 
   /** Candidate near-duplicate pairs via LSH banding, scored by signature
     * agreement (estimated Jaccard). Join key = (band_idx, band_hash): two
@@ -139,9 +122,21 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, textCol: String = "text", k: Int = 16, bands: Int = 4)
       : DataFrame = {
-    val mh = minhashFrame(docs, textCol, k, bands)
+    val mh = minhashFrame(docs, textCol, k)
+    // Explode a LITERAL band-index sequence and derive the band hash above
+    // the Generate: an explode over a derived array makes the optimizer
+    // infer a size()>0 filter and push the array expression (signature
+    // included) below the exchange, re-evaluating it per input row; a
+    // literal sequence folds that filter away and the signature attribute
+    // flows through untouched.
+    val rows = k / bands
     val exploded = mh
-      .select(col("doc_id"), col("sig"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
+      .withColumn(
+        "band_hash",
+        md5(concat_ws(
+          ",",
+          transform(slice(col("sig"), col("band_idx") * rows + 1, lit(rows)), x => x.cast("string")))))
     val a = exploded.select(
       col("doc_id").as("a_id"),
       col("sig").as("a_sig"),
@@ -174,8 +169,7 @@ object Dedup {
     val cand = minhashPairs(docs, textCol).select("a_id", "b_id")
     // compiled kernel, same semantics as the `shingles` expression +
     // array_distinct; lazy (see minhashFrame note)
-    val shingleSetUdf =
-      udf((text: String) => shingleStrings(text).distinct).asNondeterministic()
+    val shingleSetUdf = udf((text: String) => shingleStrings(text).distinct)
     val sh = spread(docs).select(
       col("doc_id"),
       shingleSetUdf(col(textCol)).as("sh"))
@@ -189,56 +183,26 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** 32-bit SimHash over the document's distinct tokens. Bit b is set iff
-    * the sum over tokens of (2*bit_b(md5(token)) - 1) is positive, where
-    * bit_b(h) = bit (3 - b%4) of hex digit (b/4) — engine-portable
-    * arithmetic any SQL oracle reproduces. Compiled kernel (see the note on
-    * the minhash kernels). */
-  private[operators] def simhash32(text: String): Long = {
-    val counts = new Array[Int](32)
-    normTokens(text).distinct.foreach { t =>
-      val hex = md5Hex(t)
-      var b = 0
-      while (b < 32) {
-        val nibble = Character.digit(hex.charAt(b / 4), 16)
-        counts(b) += 2 * ((nibble >> (3 - b % 4)) & 1) - 1
-        b += 1
-      }
-    }
-    var sh = 0L
-    var b = 0
-    while (b < 32) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
-    sh
-  }
-
-  private val simhashUdf =
-    udf((text: String) => simhash32(text)).asNondeterministic() // optimizer fence
-
-  /** Per-document 32-bit simhash frame (map-side pass). */
+  /** Per-document 32-bit simhash frame (map-side pass), via the native
+    * codegen expression graft.functions.SimHash32. */
   def simhashFrame(docs: DataFrame, textCol: String = "text"): DataFrame =
     spread(docs)
-      .select(col("doc_id"), simhashUdf(col(textCol)).as("simhash"))
+      .select(col("doc_id"), graft.functions.SimHash32(col(textCol)).as("simhash"))
 
   /** Near-duplicate pairs with hamming(simhash) <= maxDist, candidates from
     * 8-bit block equality (pigeonhole blocking: hamming <= 3 over 4 blocks
     * implies at least one identical block — an equi-join, linear scale). */
   def simhashPairs(docs: DataFrame, textCol: String = "text", maxDist: Int = 3): DataFrame = {
     val sf = simhashFrame(docs, textCol)
-    // block value k = byte k of the simhash, via arithmetic (engine-portable)
+    // literal-sequence explode (see minhashPairs note), block value derived
+    // above the Generate: byte k of the simhash via portable arithmetic
     val ex = sf
-      .select(
-        col("doc_id"),
-        col("simhash"),
-        explode(transform(
-          sequence(lit(0), lit(3)),
-          k =>
-            struct(
-              k.as("block_idx"),
-              floor(col("simhash") / pow(lit(256.0), k.cast("double")))
-                .cast("long")
-                .mod(256)
-                .as("block_val")))).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.block_idx"), col("b.block_val"))
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .withColumn(
+        "block_val",
+        floor(col("simhash") / pow(lit(256.0), col("block_idx").cast("double")))
+          .cast("long")
+          .mod(256))
     val a = ex.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"), col("block_idx"), col("block_val"))
     val b = ex.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"), col("block_idx"), col("block_val"))
     // hamming filter BEFORE the distinct: on near-uniform corpora block
