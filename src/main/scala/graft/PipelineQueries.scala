@@ -237,6 +237,38 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    q("q_ann_ivf",
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |      FROM embeddings ORDER BY vec_id LIMIT 8),
+         |ca AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |        round(list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[])
+         |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         |             * sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))), 6) AS cscore
+         |      FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) z WHERE rk = 1),
+         |probed AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca WHERE vec_id < 5) z
+         |      WHERE rk <= 2),
+         |s AS (SELECT p.query_id, a.neighbor_id,
+         |        round(list_dot_product(p.q_emb::DOUBLE[], a.c_emb::DOUBLE[])
+         |          / (sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[]))
+         |             * sqrt(list_dot_product(a.c_emb::DOUBLE[], a.c_emb::DOUBLE[]))), 6) AS score
+         |      FROM probed p JOIN assigned a ON p.centroid_id = a.centroid_id
+         |      WHERE p.query_id <> a.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      Similarity
+        .ivfTopK(emb, emb.where(col("vec_id") < 5), k = 5, nlist = 8, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     q("q_embed_neardup",
       s"""WITH wb AS (SELECT vec_id, embedding,
          |        list_sum(list_transform(range(1, 5), i ->
