@@ -21,17 +21,17 @@ object BundleUtil {
     bundle + ("objects" -> objs)
 
   /** Fresh random ids for every SDO, preserving internal references
-    * (splint.py `randomize_ids`). */
+    * (splint.py `randomize_ids`): collect the bundle's object ids, then
+    * rewrite every occurrence of each collected id consistently. */
   def randomizeIds(bundle: Obj): Obj = {
-    val mapping = mutable.Map.empty[String, String]
-    def newId(old: String): String = mapping.getOrElseUpdate(
-      old, {
-        val t = old.split("--").head
-        s"$t--${java.util.UUID.randomUUID()}"
-      })
+    val mapping = objects(bundle)
+      .flatMap(_.get("id"))
+      .map(_.toString)
+      .distinct
+      .map(old => old -> s"${old.split("--").head}--${java.util.UUID.randomUUID()}")
+      .toMap
     def rewrite(v: Any): Any = v match {
-      case s: String if s.contains("--") && mapping.contains(s) => mapping(s)
-      case s: String if s.matches("[a-z0-9-]+--[0-9a-fA-F-]{36}") => newId(s)
+      case s: String if mapping.contains(s) => mapping(s)
       case m: Map[_, _] => m.asInstanceOf[Obj].map { case (k, x) => k -> rewrite(x) }
       case xs: Seq[_]   => xs.map(rewrite)
       case other        => other
