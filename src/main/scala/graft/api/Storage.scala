@@ -42,6 +42,39 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   def cache(queryId: String, bundle: String): Unit = cache(queryId, Seq(bundle))
 
+  /** Distributed ingest: a Dataset of bundle JSON documents is flattened
+    * INSIDE executors (Flatten is pure/serializable), re-encoded as
+    * canonical JSON rows, and schema-inferred per type by spark.read.json —
+    * the 100 TB path: no bundle ever passes through the driver. The driver
+    * only sees the (small) distinct type list and coordinates the per-type
+    * merge-upserts. */
+  def cacheBundles(queryId: String, bundles: org.apache.spark.sql.Dataset[String]): Unit = {
+    import bundles.sparkSession.implicits._
+    val flat = bundles
+      .flatMap(b =>
+        Flatten.flattenBundle(b).map(o => (o("type").toString, StixId.canonicalJson(o - "type"))))
+      .toDF("otype", "obj")
+      .localCheckpoint() // parse bundles once, not once per discovered type
+    val types = flat.select("otype").distinct().collect().map(_.getString(0))
+    types.foreach { t =>
+      val df = spark.read.json(flat.where(col("otype") === t).select("obj").as[String])
+      t match {
+        case "__contains" | "__reflist" => UpsertWriter.appendDistinct(spark, workDir, t, df)
+        case "observed-data"            => UpsertWriter.insertIgnore(spark, workDir, t, df)
+        case _                          => UpsertWriter.upsert(spark, workDir, t, df)
+      }
+      catalog.invalidateBase(t)
+    }
+    val prov = flat
+      .where(!col("otype").isin("__contains", "__reflist"))
+      .select(get_json_object(col("obj"), "$.id").as("sco_id"))
+      .where(col("sco_id").isNotNull)
+      .distinct()
+      .withColumn("query_id", lit(queryId))
+    UpsertWriter.appendDistinct(spark, workDir, "__queries", prov)
+    catalog.invalidateBase("__queries")
+  }
+
   /** Import plain SCO dicts (ids synthesized unless preserved), then make a
     * view of them (sqlstorage.py:471-502). */
   def load(
