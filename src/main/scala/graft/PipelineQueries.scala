@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Events, Similarity, TextOps}
-import Queries.{q, Q}
+import Queries.{q, qNoOracle, Q}
 
 /** Training-data-pipeline query inventory: text analysis, deduplication,
   * similarity search, and event analytics — the large-scale corpus
@@ -287,6 +287,23 @@ object PipelineQueries {
       Similarity
         .cosineNearDupPairs(c.resolve("embeddings"), threshold = 0.8, bits = 4)
         .orderBy("a_id", "b_id")
+    },
+
+    // ===== Multimodal plumbing (binary columns + batched stub decode) =====
+    // no SQL oracle: mapPartitions feature extraction is not expressible in
+    // DuckDB; the driver records a rows-only check, and MultimodalSpec pins
+    // determinism + batch-shape invariance
+    qNoOracle("q_multimodal") { c =>
+      import graft.operators.Multimodal
+      Multimodal
+        .extractFeatures(
+          Multimodal.repartitionForDecode(Multimodal.fromDocuments(c.resolve("documents")), 8))
+        .select(
+          col("media_id"),
+          col("modality"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          size(col("features")).as("dim"))
+        .orderBy("media_id")
     },
 
     // ===== Event analytics (windows — beyond the reference, SURVEY §2.7) ==

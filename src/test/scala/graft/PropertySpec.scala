@@ -1,0 +1,84 @@
+package graft
+
+import graft.ingest.Flatten
+import graft.model.StixId
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests the reference lacks (SURVEY §5 port strategy): id
+  * determinism, canonical-JSON stability, normalize/flatten invariants.
+  * Plain scalacheck generators driven from a fixed seed (the
+  * scalatest-scalacheck bridge isn't among the pinned deps). */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 50): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val valueGen: Gen[Any] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(20): Any),
+    Gen.chooseNum(0L, 1000000L).map(x => x: Any),
+    Gen.oneOf(true: Any, false: Any))
+
+  private val propsGen: Gen[Map[String, Any]] =
+    Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(12)).suchThat(_.nonEmpty), valueGen))
+      .map(_.take(8))
+
+  test("makeid is deterministic and independent of property insertion order") {
+    samples(propsGen).foreach { props =>
+      val sco = props ++ Map("type" -> "url", "value" -> "http://x.test/1")
+      val shuffled = scala.util.Random.shuffle(sco.toSeq).toMap
+      assert(StixId.makeid(sco) == StixId.makeid(shuffled))
+    }
+  }
+
+  test("makeid depends only on ID-contributing properties") {
+    samples(propsGen).foreach { noise0 =>
+      val noise = noise0 - "value"
+      val a = StixId.makeid(Map("type" -> "ipv4-addr", "value" -> "9.9.9.9"))
+      val b = StixId.makeid(noise ++ Map("type" -> "ipv4-addr", "value" -> "9.9.9.9"))
+      assert(a == b)
+    }
+  }
+
+  test("canonicalJson is stable under map reordering and parses back") {
+    samples(propsGen).foreach { props =>
+      val j1 = StixId.canonicalJson(props)
+      val j2 = StixId.canonicalJson(scala.util.Random.shuffle(props.toSeq).toMap)
+      assert(j1 == j2)
+      if (props.nonEmpty) {
+        val parsed = Flatten.parseJson(j1).asInstanceOf[Map[String, Any]]
+        assert(parsed.keySet == props.keySet)
+      }
+    }
+  }
+
+  test("jsonNormalize never emits nested maps (non-custom types)") {
+    val nestedGen: Gen[Map[String, Any]] = Gen.mapOf(Gen.zip(
+      Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty),
+      Gen.oneOf(
+        valueGen,
+        Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty), valueGen))
+          .map(m => m.take(3): Any)
+      ))).map(_.take(6))
+    samples(nestedGen).foreach { m =>
+      val flat = Flatten.jsonNormalize(m ++ Map("type" -> "file"))
+      assert(flat.values.forall(v => !v.isInstanceOf[collection.Map[_, _]]))
+    }
+  }
+
+  test("flatten 2.0 emits one __contains per SCO and resolves every ref") {
+    samples(Gen.chooseNum(1, 6), 20).foreach { n =>
+      val objects = (0 until n).map(i =>
+        i.toString -> (Map("type" -> "ipv4-addr", "value" -> s"10.0.0.$i"): Any)).toMap
+      val obs = Map[String, Any](
+        "id" -> "observed-data--p", "type" -> "observed-data",
+        "first_observed" -> "2024-01-01T00:00:00.000Z",
+        "last_observed" -> "2024-01-01T00:00:00.000Z",
+        "number_observed" -> 1L, "objects" -> objects)
+      val out = Flatten.flatten(obs)
+      assert(out.count(_("type") == "__contains") == n)
+      assert(out.filter(_("type") == "ipv4-addr").map(_("id")).distinct.size == n)
+    }
+  }
+}
