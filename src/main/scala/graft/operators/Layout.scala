@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout tools for 100 TB operation: skew-salted joins and
+  * bucketed co-located joins. Neither changes results — only where rows
+  * live and how many shuffles a plan needs.
+  */
+object Layout {
+
+  /** Equi-join where `left`'s key distribution is heavily skewed (a handful
+    * of hot keys own most rows): salt the skewed side with a random factor
+    * and explode the build side once per salt, so one hot key spreads over
+    * `saltFactor` reducers instead of stalling a single task.
+    *
+    * AQE's skewedJoin handles moderate skew automatically; explicit salting
+    * is for the pathological case (one key = half the table) or for
+    * pre-AQE plan shaping. `right` grows by saltFactor — use for
+    * moderate-size build sides. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltFactor: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    val salted = left.withColumn("__salt", (rand(seed = 42) * saltFactor).cast("int"))
+    val exploded = right.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted
+      .join(exploded, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Persist a DataFrame bucketed+sorted by `key` as a managed table:
+    * subsequent equi-joins between tables bucketed the same way need NO
+    * shuffle (Catalyst sees the matching output partitioning). This is the
+    * reference's edge-table index policy (firepit/sqlstorage.py:298-301)
+    * translated to Spark's layout primitive. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables; with matching bucket specs the plan is
+    * shuffle-free (assert via hasShuffle below). */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** True if the executed plan contains a shuffle exchange (plan audit
+    * helper; used by specs to pin layout behavior). */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}
