@@ -301,6 +301,23 @@ class StixCoreSpec extends SparkSpec {
     assert(s.tableType("loaded").contains("url"))
   }
 
+  test("assign sort/limit and assignQuery with auto-agg synthesis") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    s.cache("q2", bundle20b)
+    s.extract("urls", "url", "q1", "")
+    s.assign("sorted", "urls", "sort", "value", asc = false, limit = Some(1))
+    assert(s.values("value", "sorted") == Seq("http://example.com/page/1"))
+    // assignQuery: grouped with no aggs -> auto-agg synthesized from schema
+    import graft.query._
+    s.extract("ips", "ipv4-addr", "q1", "")
+    s.assignQuery("byip", GQuery.table("ips", Group(Seq(Col("value")))), "ipv4-addr")
+    assert(s.count("byip") == 2)
+    // runQuery executes a raw Stage query against views
+    val n = s.runQuery(GQuery.table("ips", CountRows())).head().getLong(0)
+    assert(n == 2)
+  }
+
   test("catalog verbs: tables/types/views/rename/remove/appdata") {
     val s = tmpStore()
     s.cache("q1", bundle20)
