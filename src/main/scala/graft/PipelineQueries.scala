@@ -363,6 +363,30 @@ object PipelineQueries {
       Events.jsonPropStats(c.resolve("events")).orderBy("event_type")
     },
 
+    q("q_events_asof",
+      """SELECT p.event_id, p.user_id, round(p.value, 4) AS purchase_value,
+        |  round(c.value, 4) AS asof_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin) { c =>
+      val ev = c.resolve("events")
+      Events
+        .asOfJoin(
+          ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value"),
+          ev.where(col("event_type") === "click").select("user_id", "ts", "value"),
+          on = Seq("user_id"),
+          timeCol = "ts",
+          rightCols = Seq("value"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          round(col("value"), 4).as("purchase_value"),
+          round(col("asof_value"), 4).as("asof_click_value"))
+        .orderBy("event_id")
+    },
+
     q("q_events_rising",
       """WITH g AS (SELECT user_id, value,
         |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value

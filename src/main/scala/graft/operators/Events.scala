@@ -73,6 +73,48 @@ object Events {
         min("k").as("min_k"),
         max("k").as("max_k"))
 
+  /** As-of join: for every left row, attach the most recent right row with
+    * right.time <= left.time within the same `on` partition (left outer:
+    * nulls when no prior right row exists).
+    *
+    * Composed, not custom (SURVEY §7.4 preference: built-ins first): tag
+    * both sides, union, and carry the right payload forward with
+    * last(ignoreNulls) over a (time, side) ordered window — right rows sort
+    * before left rows at equal time, giving `<=` semantics. ONE shuffle on
+    * the partition keys, no range explosion, no custom SparkPlan; the
+    * sort-merge as-of any native engine does is exactly what this window
+    * executes per partition. */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      timeCol: String,
+      rightCols: Seq[String],
+      outPrefix: String = "asof_"): DataFrame = {
+    val keyCols = on :+ timeCol
+    val leftPayload = left.columns.filterNot(keyCols.contains)
+    val lAligned = left
+      .select(
+        keyCols.map(col) ++ Seq(lit(1).as("__is_left")) ++
+          leftPayload.map(col) ++
+          rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rAligned = right
+      .select(
+        keyCols.map(col) ++ Seq(lit(0).as("__is_left")) ++
+          leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
+      df.withColumn(s"$outPrefix$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .where(col("__is_left") === 1)
+      .select(left.columns.map(col) ++ rightCols.map(c => col(s"$outPrefix$c")): _*)
+  }
+
   /** Change-detection with lag: count of events whose value strictly rose
     * versus the user's previous event (deterministic (ts, event_id) order). */
   def risingValueCounts(events: DataFrame): DataFrame = {

@@ -121,6 +121,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(1).getInt(0) == 200 && r(1).getLong(1) == 1)
   }
 
+  test("asOfJoin carries the latest right row at or before each left time") {
+    val left = Seq((1, 10L, "a1"), (1, 20L, "a2"), (2, 15L, "a3"))
+      .toDF("u", "t", "av")
+    val right = Seq((1, 5L, "b1"), (1, 18L, "b2"), (1, 20L, "b3"), (2, 99L, "b4"))
+      .toDF("u", "t", "bv")
+    val out = Events.asOfJoin(left, right, Seq("u"), "t", Seq("bv"))
+      .orderBy("u", "t").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1, 10L, "a1", "b1"),
+      (1, 20L, "a2", "b3"), // equal time counts (<= semantics)
+      (2, 15L, "a3", null)  // no prior right row
+    ))
+  }
+
   test("windowedAgg buckets to the hour") {
     val ev = Seq(
       (1L, "a", "2024-01-01 00:10:00", 1.0),
