@@ -289,6 +289,29 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ===== Data profiling (corpus QA pass) ================================
+
+    q("q_profile",
+      """SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+        |  round(min(doc_id), 4) AS min_val, round(max(doc_id), 4) AS max_val,
+        |  round(avg(doc_id), 4) AS avg_val
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+        |  round(min(n_chars), 4), round(max(n_chars), 4), round(avg(n_chars), 4)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+        |  min(length(text))::DOUBLE, max(length(text))::DOUBLE, round(avg(length(text)), 4)
+        |FROM documents
+        |ORDER BY "column"""".stripMargin) { c =>
+      graft.operators.Profile
+        .profile(c.resolve("documents"), Seq("doc_id", "n_chars", "text"))
+        .drop("dtype")
+        .orderBy("column")
+    },
+
     // ===== Multimodal plumbing (binary columns + batched stub decode) =====
     // no SQL oracle: mapPartitions feature extraction is not expressible in
     // DuckDB; the driver records a rows-only check, and MultimodalSpec pins
