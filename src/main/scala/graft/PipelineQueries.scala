@@ -36,6 +36,16 @@ object PipelineQueries {
       |   (((((i+1) * 1103515245::BIGINT) % 2147483647)
       |      * ((('0x' || substring(md5(s),1,15))::BIGINT) % 2147483647)) % 2147483647
       |    + (i * 12345::BIGINT + 1)) % 2147483647), 'min'))""".stripMargin
+  // 64 bits of simhash as a 1/0 list: bv[b+1] = bit b of the fingerprint
+  // (bit b set iff the signed per-token vote for bit b is positive)
+  private val duckSimBits =
+    """list_transform(range(0, 64), b ->
+      | CASE WHEN list_sum(list_transform(toks, tk ->
+      |   2 * (CAST(floor(
+      |         (strpos('0123456789abcdef',
+      |            substring(tk, 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
+      |         / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2) - 1)) > 0
+      | THEN 1 ELSE 0 END)""".stripMargin
   private def duckStopHits(listSql: String) =
     s"length(list_filter(toks, x -> list_contains($listSql, x)))"
   private def sqlList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
@@ -154,36 +164,34 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(c.resolve("documents")).orderBy("a_id", "b_id")
     },
 
+    // 64-bit simhash: the oracle keeps everything in per-bit lists (bv[i] =
+    // bit i-1) and renders a 16-nibble hex string — bit 63 can be set, and
+    // DuckDB's checked BIGINT arithmetic would overflow summing 2^63 terms,
+    // while a hex string needs no 64-bit arithmetic at all. Spark renders
+    // the same with format_string('%016x', simhash).
     q("q_dedup_simhash",
-      s"""WITH t AS (SELECT doc_id, list_transform(list_distinct($duckToks), t -> md5(t)) AS toks FROM documents)
+      s"""WITH t AS (SELECT doc_id, list_transform(list_distinct($duckToks), t -> md5(t)) AS toks FROM documents),
+         |bits AS (SELECT doc_id, $duckSimBits AS bv FROM t)
          |SELECT doc_id,
-         |  list_sum(list_transform(range(0, 32), b ->
-         |    CASE WHEN list_sum(list_transform(toks, tk ->
-         |      2 * (CAST(floor(
-         |            (strpos('0123456789abcdef',
-         |               substring(tk, 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
-         |            / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2) - 1)) > 0
-         |    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))::BIGINT AS simhash
-         |FROM t ORDER BY doc_id""".stripMargin) { c =>
-      Dedup.simhashFrame(c.resolve("documents")).orderBy("doc_id")
+         |  array_to_string(list_transform(range(0, 16), j ->
+         |    substring('0123456789abcdef',
+         |      1 + 8*bv[64-4*j] + 4*bv[63-4*j] + 2*bv[62-4*j] + bv[61-4*j], 1)), '') AS simhash_hex
+         |FROM bits ORDER BY doc_id""".stripMargin) { c =>
+      Dedup
+        .simhashFrame(c.resolve("documents"))
+        .select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash_hex"))
+        .orderBy("doc_id")
     },
 
     q("q_dedup_simhash_pairs",
       s"""WITH t AS (SELECT doc_id, list_transform(list_distinct($duckToks), t -> md5(t)) AS toks FROM documents),
-         |sh AS (SELECT doc_id,
-         |  list_sum(list_transform(range(0, 32), b ->
-         |    CASE WHEN list_sum(list_transform(toks, tk ->
-         |      2 * (CAST(floor(
-         |            (strpos('0123456789abcdef',
-         |               substring(tk, 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
-         |            / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2) - 1)) > 0
-         |    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))::BIGINT AS simhash
-         | FROM t),
-         |bl AS (SELECT doc_id, simhash, k,
-         |        CAST(floor(simhash / pow(256, k)) AS BIGINT) % 256 AS block_val
-         |      FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks),
+         |bits AS (SELECT doc_id, $duckSimBits AS bv FROM t),
+         |bl AS (SELECT doc_id, bv, k,
+         |        list_sum(list_transform(range(0, 16), i -> bv[16*k + i + 1] * (1 << i))) AS block_val
+         |      FROM bits CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks),
          |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |        bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |        CAST(list_sum(list_transform(range(0, 64), i ->
+         |          CASE WHEN a.bv[i+1] <> b.bv[i+1] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
          |      FROM bl a JOIN bl b ON a.k = b.k AND a.block_val = b.block_val
          |        AND a.doc_id < b.doc_id)
          |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3
@@ -269,23 +277,27 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // multi-band sign-LSH near-dup: candidates collide iff all 6 sign bits
+    // agree in some of the 4 bands; threshold 0.4 is tuned so the sf0.01
+    // oracle answer is non-empty (max pairwise cosine in the corpus ~0.51)
     q("q_embed_neardup",
-      s"""WITH wb AS (SELECT vec_id, embedding,
-         |        list_sum(list_transform(range(1, 5), i ->
-         |          CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
-         |               ELSE CAST(0 AS BIGINT) END))::BIGINT AS bucket
-         |      FROM embeddings)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      s"""WITH ex AS (SELECT vec_id, embedding, j AS band_idx,
+         |        list_sum(list_transform(range(1, 7), i ->
+         |          CASE WHEN embedding[j*6 + i] > 0 THEN (1::BIGINT << (i - 1))
+         |               ELSE 0::BIGINT END)) AS bucket
+         |      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js)
+         |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
          |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS score
-         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         |  AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
          |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
+         |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin) { c =>
       Similarity
-        .cosineNearDupPairs(c.resolve("embeddings"), threshold = 0.8, bits = 4)
+        .cosineNearDupPairs(c.resolve("embeddings"), threshold = 0.4, bands = 4, bits = 6)
         .orderBy("a_id", "b_id")
     },
 

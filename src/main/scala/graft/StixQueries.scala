@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Deref, Storage}
+import Queries.Q
+
+/** Oracle-checked STIX hunting queries — the reference's core use case
+  * (cache -> extract-by-pattern -> deref lookup -> observation analytics;
+  * reference tests/test_storage.py:24-147, test_lookup.py:7-70,
+  * test_deref.py:60-90, test_value_counts.py, test_summary.py).
+  *
+  * Each query drives the Storage verb surface over the deterministic
+  * StixCorpus workdir; each oracle recomputes the expected answer in plain
+  * DuckDB SQL over the engine's own written base tables (url.parquet,
+  * network-traffic.parquet, __contains.parquet, __queries.parquet, ...) —
+  * so the pattern compiler, provenance semi-join, auto-deref join tree and
+  * observation joins are all checked by the driver's hard signal, not just
+  * by ScalaTest.
+  */
+object StixQueries {
+
+  private val WD = StixCorpus.dir
+  private def t(name: String) = s"read_parquet('$WD/$name.parquet/*.parquet')"
+  private def prov(qid: String) =
+    s"(SELECT sco_id FROM ${t("__queries")} WHERE query_id = '$qid')"
+
+  private def q(name: String, oracle: String)(build: Storage => org.apache.spark.sql.DataFrame): Q =
+    Q(name, (spark, _) => build(StixCorpus.ensure(spark)), Some(oracle))
+
+  private[graft] val all: Seq[Q] = Seq(
+
+    // ----- extract by pattern: LIKE on a local column (test_storage.py:24-41)
+    q("q_stix_extract_like",
+      s"""SELECT id, value FROM ${t("url")}
+         |WHERE value LIKE '%page/1%' AND id IN ${prov("q1")}
+         |ORDER BY id""".stripMargin) { st =>
+      st.extract("urls_like", "url", "q1", "[url:value LIKE '%page/1%']")
+      st.catalog.resolve("urls_like").select(col("id"), col("value")).orderBy("id")
+    },
+
+    // ----- extract by pattern: ISSUBSET through a ref path (the pattern
+    //       compiles to in_subnet over an IN-subquery semi-join on ipv4-addr)
+    q("q_stix_extract_subnet",
+      s"""SELECT id, src_ref, dst_port FROM ${t("network-traffic")}
+         |WHERE src_ref IN (SELECT id FROM ${t("ipv4-addr")} WHERE value LIKE '192.168.%')
+         |  AND id IN ${prov("q1")}
+         |ORDER BY id""".stripMargin) { st =>
+      st.extract(
+        "intranet_conns", "network-traffic", "q1",
+        "[network-traffic:src_ref.value ISSUBSET '192.168.0.0/16']")
+      st.catalog.resolve("intranet_conns")
+        .select(col("id"), col("src_ref"), col("dst_port"))
+        .orderBy("id")
+    },
+
+    // ----- extract by pattern: numeric comparison (dst_port < 1024,
+    //       test_storage.py:117-127's shape)
+    q("q_stix_extract_ports",
+      s"""SELECT id, src_port, dst_port FROM ${t("network-traffic")}
+         |WHERE dst_port < 1024 AND id IN ${prov("q2")}
+         |ORDER BY id""".stripMargin) { st =>
+      st.extract("lowports", "network-traffic", "q2", "[network-traffic:dst_port < 1024]")
+      st.catalog.resolve("lowports")
+        .select(col("id"), col("src_port"), col("dst_port"))
+        .orderBy("id")
+    },
+
+    // ----- filter verb over an existing view with OR pattern
+    //       (sqlstorage.py:579-600)
+    q("q_stix_filter_or",
+      s"""SELECT id, dst_port FROM ${t("network-traffic")}
+         |WHERE dst_port < 1024 AND (dst_port = 443 OR dst_port = 80)
+         |  AND id IN ${prov("q2")}
+         |ORDER BY id""".stripMargin) { st =>
+      st.extract("lowports2", "network-traffic", "q2", "[network-traffic:dst_port < 1024]")
+      st.filter(
+        "web_conns", "network-traffic", "lowports2",
+        "[network-traffic:dst_port = 443 OR network-traffic:dst_port = 80]")
+      st.catalog.resolve("web_conns").select(col("id"), col("dst_port")).orderBy("id")
+    },
+
+    // ----- lookup auto-deref: dual ipv4/ipv6 join with COALESCE on value
+    //       (deref.py:28-59; pinned upstream by test_deref.py:60-90)
+    q("q_stix_lookup_deref",
+      s"""SELECT n.id, coalesce(s4.value, s6.value) AS "src_ref.value",
+         |  coalesce(d4.value, d6.value) AS "dst_ref.value", n.dst_port
+         |FROM ${t("network-traffic")} n
+         |LEFT JOIN ${t("ipv4-addr")} s4 ON n.src_ref = s4.id
+         |LEFT JOIN ${t("ipv6-addr")} s6 ON n.src_ref = s6.id
+         |LEFT JOIN ${t("ipv4-addr")} d4 ON n.dst_ref = d4.id
+         |LEFT JOIN ${t("ipv6-addr")} d6 ON n.dst_ref = d6.id
+         |WHERE n.id IN ${prov("q1")}
+         |ORDER BY n.id""".stripMargin) { st =>
+      st.extract("conns_q1", "network-traffic", "q1", null)
+      Deref.autoDeref(st, "conns_q1")
+        .select(
+          col("id"),
+          col("`src_ref.value`"),
+          col("`dst_ref.value`"),
+          col("dst_port"))
+        .orderBy("id")
+    },
+
+    // ----- assign(sort, limit) verb (sqlstorage.py:446-469)
+    q("q_stix_assign_sort",
+      s"""SELECT id, value FROM ${t("url")}
+         |WHERE id IN ${prov("q1")}
+         |ORDER BY value DESC LIMIT 10""".stripMargin) { st =>
+      st.extract("urls_q1", "url", "q1", null)
+      st.assign("top_urls", "urls_q1", "sort", "value", asc = false, limit = Some(10))
+      st.catalog.resolve("top_urls").select(col("id"), col("value"))
+    },
+
+    // ----- value_counts: observation-weighted frequency through the
+    //       view ⋈ __contains ⋈ observed-data join (sqlstorage.py:854-874)
+    q("q_stix_value_counts",
+      s"""SELECT u.value, count(*) AS count
+         |FROM ${t("url")} u
+         |JOIN ${t("__contains")} c ON u.id = c.target_ref
+         |JOIN ${t("observed-data")} o ON c.source_ref = o.id
+         |WHERE u.id IN ${prov("q1")}
+         |GROUP BY u.value ORDER BY u.value""".stripMargin) { st =>
+      st.extract("urls_vc", "url", "q1", null)
+      st.valueCountsDF("urls_vc", "url:value")
+    },
+
+    // ----- number_observed: SUM(number_observed) over the same join
+    //       (sqlstorage.py:891-911)
+    q("q_stix_number_observed",
+      s"""SELECT CAST(sum(o.number_observed) AS BIGINT) AS number_observed
+         |FROM ${t("url")} u
+         |JOIN ${t("__contains")} c ON u.id = c.target_ref
+         |JOIN ${t("observed-data")} o ON c.source_ref = o.id
+         |WHERE u.id IN ${prov("q1")}""".stripMargin) { st =>
+      st.extract("urls_no", "url", "q1", null)
+      st.numberObservedDF("urls_no", "url:value")
+    },
+
+    // ----- summary: (MIN first, MAX last, SUM n) — RFC-3339 text min/max
+    //       (sqlstorage.py:992-1026)
+    q("q_stix_summary",
+      s"""SELECT min(o.first_observed) AS first_observed,
+         |  max(o.last_observed) AS last_observed,
+         |  CAST(sum(o.number_observed) AS BIGINT) AS number_observed
+         |FROM ${t("network-traffic")} n
+         |JOIN ${t("__contains")} c ON n.id = c.target_ref
+         |JOIN ${t("observed-data")} o ON c.source_ref = o.id
+         |WHERE n.id IN ${prov("q1")}""".stripMargin) { st =>
+      st.extract("conns_sum", "network-traffic", "q1", null)
+      st.summaryDF("conns_sum")
+    },
+
+    // ----- timestamped: attach observation timestamps to each SCO row,
+    //       observation id renamed observation_id (sqlstorage.py:913-990)
+    q("q_stix_timestamped",
+      s"""SELECT o.id AS observation_id, o.first_observed, u.id, u.value
+         |FROM ${t("url")} u
+         |JOIN ${t("__contains")} c ON u.id = c.target_ref
+         |JOIN ${t("observed-data")} o ON c.source_ref = o.id
+         |WHERE u.id IN ${prov("q1")}
+         |ORDER BY o.first_observed, u.id""".stripMargin) { st =>
+      st.extract("urls_ts", "url", "q1", null)
+      st.timestamped("urls_ts")
+        .select(col("observation_id"), col("first_observed"), col("id"), col("value"))
+        .orderBy("first_observed", "id")
+    }
+  )
+}

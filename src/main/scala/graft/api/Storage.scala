@@ -323,25 +323,30 @@ class Storage(val spark: SparkSession, val workDir: String) {
       .join(obs, contains("source_ref") === obs("id"))
   }
 
-  def valueCounts(viewname: String, path: String): Seq[(Any, Long)] = {
+  /** Observation-weighted frequency as a (lazy) DataFrame; the collecting
+    * verb below matches the reference's rows-out contract. */
+  def valueCountsDF(viewname: String, path: String): DataFrame = {
     val c = StixMeta.getLast(path)
     observationJoin(viewname)
       .groupBy(col(c))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
       .orderBy(col(c))
-      .collect().toSeq
-      .map(r => (r.get(0), r.getLong(1)))
   }
 
-  /** SUM(number_observed), optionally filtered to one value
-    * (sqlstorage.py:891-911). */
-  def numberObserved(viewname: String, path: String, value: Any = null): Long = {
+  def valueCounts(viewname: String, path: String): Seq[(Any, Long)] =
+    valueCountsDF(viewname, path).collect().toSeq.map(r => (r.get(0), r.getLong(1)))
+
+  /** SUM(number_observed), optionally filtered to one value, as a one-row
+    * DataFrame (sqlstorage.py:891-911). */
+  def numberObservedDF(viewname: String, path: String, value: Any = null): DataFrame = {
     val c = StixMeta.getLast(path)
     val base = observationJoin(viewname)
     val filtered = Option(value).map(v => base.where(col(c) === lit(v))).getOrElse(base)
-    val r = filtered.agg(coalesce(sum("number_observed"), lit(0L))).head()
-    r.getLong(0)
+    filtered.agg(coalesce(sum("number_observed"), lit(0L)).as("number_observed"))
   }
+
+  def numberObserved(viewname: String, path: String, value: Any = null): Long =
+    numberObservedDF(viewname, path, value).head().getLong(0)
 
   /** Attach observation timestamps to each SCO row; obs id renamed
     * observation_id; ordered by the attribute (sqlstorage.py:913-990). */
@@ -364,15 +369,19 @@ class Storage(val spark: SparkSession, val workDir: String) {
     df.orderBy(col(timestamp))
   }
 
-  /** (MIN(first_observed), MAX(last_observed), SUM(number_observed))
-    * (sqlstorage.py:992-1026). */
-  def summary(viewname: String): (String, String, Long) = {
-    val r = observationJoin(viewname)
+  /** (MIN(first_observed), MAX(last_observed), SUM(number_observed)) as a
+    * one-row DataFrame (sqlstorage.py:992-1026). Timestamps are RFC-3339
+    * text at rest, so text MIN/MAX == temporal MIN/MAX (reference
+    * text_min/text_max, sqlstorage.py:149-152). */
+  def summaryDF(viewname: String): DataFrame =
+    observationJoin(viewname)
       .agg(
         min("first_observed").as("first_observed"),
         max("last_observed").as("last_observed"),
         coalesce(sum("number_observed"), lit(0L)).as("number_observed"))
-      .head()
+
+  def summary(viewname: String): (String, String, Long) = {
+    val r = summaryDF(viewname).head()
     (Option(r.get(0)).map(_.toString).orNull,
       Option(r.get(1)).map(_.toString).orNull,
       r.getLong(2))

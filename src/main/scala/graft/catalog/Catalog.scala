@@ -52,17 +52,35 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
     }
   }
 
-  def register(name: String, q: graft.query.GQuery, scoType: String = ""): Unit = {
-    validateName(name)
-    views(name) = ViewDef(resolve => q.df(resolve), scoType)
-  }
+  def register(name: String, q: graft.query.GQuery, scoType: String = ""): Unit =
+    registerRecipe(name, scoType)(resolve => q.df(resolve))
 
   /** Register from an arbitrary recipe (storage verbs that aren't pure Stage
-    * folds: merge/join-with-coalesce/extract). */
+    * folds: merge/join-with-coalesce/extract).
+    *
+    * Self-shadowing: if the recipe resolves its own name — `filter(v, t, v,
+    * pat)`, `extract("url", "url", …)`, the Kestrel re-assignment pattern —
+    * the reference inlines the *previous* definition of that name into the
+    * new view DDL (firepit/sqlitestorage.py:192-218, pgstorage.py:290-333).
+    * We do the same: the recipe's resolver routes a direct self-reference to
+    * the definition captured at registration time (previous view recipe, or
+    * the base parquet table when none), so replay can never recurse into the
+    * view being defined. Other views still resolve live — dependent views
+    * observe updates (tests/test_storage.py:394-428). */
   def registerRecipe(name: String, scoType: String = "")(
       recipe: (String => DataFrame) => DataFrame): Unit = {
     validateName(name)
-    views(name) = ViewDef(recipe, scoType)
+    val previous = views.get(name).map(_.recipe)
+    val wrapped: (String => DataFrame) => DataFrame = { resolve =>
+      val selfSafe: String => DataFrame = n =>
+        if (n == name)
+          previous
+            .map(_(resolve))
+            .getOrElse(baseCache.getOrElseUpdate(n, readBase(n)))
+        else resolve(n)
+      recipe(selfSafe)
+    }
+    views(name) = ViewDef(wrapped, scoType)
   }
 
   /** Register a concrete DataFrame (materialized result, e.g. reassign). */
@@ -80,8 +98,7 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
     // base parquet table, matching the reference's view self-shadowing over
     // the base table (firepit/sqlitestorage.py:192-218).
     val oldRecipe: (String => DataFrame) => DataFrame =
-      old.map(_.recipe).getOrElse(_ =>
-        baseCache.getOrElseUpdate(name, spark.read.parquet(s"$dataDir/$name.parquet")))
+      old.map(_.recipe).getOrElse(_ => baseCache.getOrElseUpdate(name, readBase(name)))
     views(name) = ViewDef(resolve => f(oldRecipe(resolve)), old.map(_.scoType).getOrElse(""))
   }
 

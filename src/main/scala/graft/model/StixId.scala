@@ -102,16 +102,19 @@ object StixId {
 
     props.foreach { prop =>
       if (prop == "hashes") {
-        sco.get("hashes").collect { case hashes: collection.Map[_, _] =>
-          val h = hashes.asInstanceOf[collection.Map[String, Any]]
-          val chosen = hashPref.collectFirst {
-            case ht if h.get(ht).exists(_ != null) => (ht.stripPrefix("'").stripSuffix("'"), h(ht))
-          }
-          val (k, v) = chosen.getOrElse {
-            val first = h.keys.toSeq.sorted.head
-            (first.stripPrefix("'").stripSuffix("'"), h(first))
-          }
-          contrib += ("hashes" -> Map(k -> v))
+        // empty hashes maps contribute nothing (reference's `if hashes:`
+        // falsy-dict skip, stix21.py:60)
+        sco.get("hashes").collect {
+          case hashes: collection.Map[_, _] if hashes.nonEmpty =>
+            val h = hashes.asInstanceOf[collection.Map[String, Any]]
+            val chosen = hashPref.collectFirst {
+              case ht if h.get(ht).exists(_ != null) => (ht.stripPrefix("'").stripSuffix("'"), h(ht))
+            }
+            val (k, v) = chosen.getOrElse {
+              val first = h.keys.toSeq.sorted.head
+              (first.stripPrefix("'").stripSuffix("'"), h(first))
+            }
+            contrib += ("hashes" -> Map(k -> v))
         }
       } else {
         sco.get(prop).foreach { value =>
@@ -131,11 +134,14 @@ object StixId {
     if (scoType == "process" && !contrib.contains("x_unique_id")) {
       val exts = sco.getOrElse("extensions", Map.empty)
         .asInstanceOf[collection.Map[String, Any]]
-      val fromExt = exts.values.collectFirst {
-        case ext: collection.Map[_, _] =>
-          val e = ext.asInstanceOf[collection.Map[String, Any]]
-          processUniqueIdProps.collectFirst { case p if e.get(p).exists(_ != null) => e(p) }
-      }.flatten
+      // scan ALL extension maps for the first non-null unique-id prop — the
+      // reference iterates every extension dict (stix21.py:84-90); stopping
+      // at the first Map would miss a uid carried by a later extension
+      val fromExt = exts.values.iterator
+        .collect { case ext: collection.Map[_, _] => ext.asInstanceOf[collection.Map[String, Any]] }
+        .flatMap(e =>
+          processUniqueIdProps.collectFirst { case p if e.get(p).exists(_ != null) => e(p) })
+        .nextOption()
       fromExt match {
         case Some(uid) => contrib += ("x_unique_id" -> uid)
         case None if obs != null =>

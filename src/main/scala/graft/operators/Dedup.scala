@@ -183,26 +183,28 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Per-document 32-bit simhash frame (map-side pass), via the native
-    * codegen expression graft.functions.SimHash32. */
+  /** Per-document 64-bit simhash frame (map-side pass), via the native
+    * codegen expression graft.functions.SimHash64. */
   def simhashFrame(docs: DataFrame, textCol: String = "text"): DataFrame =
     spread(docs)
-      .select(col("doc_id"), graft.functions.SimHash32(col(textCol)).as("simhash"))
+      .select(col("doc_id"), graft.functions.SimHash64(col(textCol)).as("simhash"))
 
   /** Near-duplicate pairs with hamming(simhash) <= maxDist, candidates from
-    * 8-bit block equality (pigeonhole blocking: hamming <= 3 over 4 blocks
-    * implies at least one identical block — an equi-join, linear scale). */
+    * 16-bit block equality (pigeonhole blocking: hamming <= 3 over 4 blocks
+    * implies at least one identical block — an equi-join, linear scale).
+    * 16-bit blocks give 65,536 join-key values per block, which keeps the
+    * candidate join linear-ish at corpus scale (8-bit blocks cap at 256 keys
+    * and degenerate toward O(N^2/256)). */
   def simhashPairs(docs: DataFrame, textCol: String = "text", maxDist: Int = 3): DataFrame = {
     val sf = simhashFrame(docs, textCol)
     // literal-sequence explode (see minhashPairs note), block value derived
-    // above the Generate: byte k of the simhash via portable arithmetic
+    // above the Generate: 16-bit block k via unsigned shift (the simhash is
+    // a full 64-bit pattern — sign-oblivious bit ops, not division)
     val ex = sf
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("block_idx"))
       .withColumn(
         "block_val",
-        floor(col("simhash") / pow(lit(256.0), col("block_idx").cast("double")))
-          .cast("long")
-          .mod(256))
+        expr("shiftrightunsigned(simhash, cast(block_idx * 16 as int)) & 65535"))
     val a = ex.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"), col("block_idx"), col("block_val"))
     val b = ex.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"), col("block_idx"), col("block_val"))
     // hamming filter BEFORE the distinct: on near-uniform corpora block

@@ -192,6 +192,17 @@ case class Comparison(lhs: String, op: String, rhs: Rhs) extends Pred {
       case (">", r)        => c > r.value
       case ("<=", r)       => c <= r.value
       case (">=", r)       => c >= r.value
+      // payload_bin comparisons route to the base64-decoding functions
+      // (firepit/query.py:216-220) — without this a Stage-level LIKE against
+      // `artifact` would silently match over base64 text
+      case ("LIKE", r) if lhs == "payload_bin" =>
+        graft.functions.Funcs.like_bin(r.asString, c)
+      case ("NOT LIKE", r) if lhs == "payload_bin" =>
+        !graft.functions.Funcs.like_bin(r.asString, c)
+      case ("MATCHES", r) if lhs == "payload_bin" =>
+        graft.functions.Funcs.match_bin(r.asString, c)
+      case ("NOT MATCHES", r) if lhs == "payload_bin" =>
+        !graft.functions.Funcs.match_bin(r.asString, c)
       case ("LIKE", r)     => c.like(r.asString)
       case ("NOT LIKE", r) => !c.like(r.asString)
       // reference MATCHES = re.search (find), matching Spark's rlike

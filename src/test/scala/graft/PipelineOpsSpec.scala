@@ -81,9 +81,34 @@ class PipelineOpsSpec extends SparkSpec {
     val d = docs((1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "delta eps zeta"))
     val hs = Dedup.simhashFrame(d).orderBy("doc_id").collect().map(_.getLong(1))
     assert(hs(0) == hs(1))
-    assert(hs(0) >= 0 && hs(0) < (1L << 32))
+    // 64-bit fingerprint: order-insensitive over token sets, full Long range
+    assert(hs(0) == graft.functions.SimHash64.compute("alpha beta gamma"))
     val pairs = Dedup.simhashPairs(d).collect()
     assert(pairs.exists(r => r.getInt(0) == 1 && r.getInt(1) == 2 && r.getInt(2) == 0))
+  }
+
+  test("banded LSH near-dup: planted dups found; candidates stay far below N^2 on a skewed corpus") {
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val n = 400
+    def vec(): Array[Float] = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val centroid = vec()
+    // skew: every 10th vector clusters near one centroid (a hot LSH bucket)
+    val base = (0 until n).map { i =>
+      if (i % 10 == 0) centroid.map(v => v + 0.3f * (rnd.nextFloat() - 0.5f)) else vec()
+    }
+    // planted near-dups: positive scaling preserves every sign bit and cosine=1
+    val planted = (0 until 5).map(i => base(i).map(_ * 1.001f))
+    val df = (base ++ planted).zipWithIndex.map { case (v, i) => (i, v) }.toDF("vec_id", "embedding")
+    // bits ≈ log2(N): 2^9 = 512 buckets per band for 405 vectors
+    val bands = 3
+    val bits = 9
+    val candidates = Similarity.bandedCandidatePairs(df, bands, bits).count()
+    assert(candidates < n.toLong * n / 20, s"candidate volume $candidates is quadratic-ish")
+    val pairs = Similarity.cosineNearDupPairs(df, 0.99, bands, bits).collect()
+    (0 until 5).foreach { i =>
+      assert(pairs.exists(r => r.getInt(0) == i && r.getInt(1) == n + i), s"planted pair $i missing")
+    }
   }
 
   test("cosine: orthogonal=0, identical=1") {
