@@ -51,22 +51,44 @@ class Storage(val spark: SparkSession, val workDir: String) {
   def cacheBundles(queryId: String, bundles: org.apache.spark.sql.Dataset[String]): Unit = {
     import bundles.sparkSession.implicits._
     val flat = bundles
-      .flatMap(b =>
-        Flatten.flattenBundle(b).map(o => (o("type").toString, StixId.canonicalJson(o - "type"))))
+      .flatMap { b =>
+        val objs = Flatten.flattenBundle(b)
+        // per-bundle dedup of column metadata: objects of a bundle share
+        // schema, so this collapses the __columns stream ~|objects|-fold
+        // before the appendDistinct shuffle
+        val seenCols = scala.collection.mutable.Set.empty[(String, String)]
+        objs.flatMap { o =>
+          val t = o("type").toString
+          val rest = o - "type"
+          val main = (t, StixId.canonicalJson(rest.map { case (k, v) => StixMeta.shortenKey(k) -> v }))
+          val meta =
+            if (t.startsWith("__")) Nil
+            else rest.toSeq.collect {
+              case (k, v) if v != null && seenCols.add((t, k)) =>
+                ("__columns", StixId.canonicalJson(Map(
+                  "otype" -> t, "path" -> k,
+                  "shortname" -> StixMeta.shortenKey(k),
+                  "dtype" -> StixMeta.pyDtype(v))))
+            }
+          main +: meta
+        }
+      }
       .toDF("otype", "obj")
       .localCheckpoint() // parse bundles once, not once per discovered type
     val types = flat.select("otype").distinct().collect().map(_.getString(0))
     types.foreach { t =>
       val df = spark.read.json(flat.where(col("otype") === t).select("obj").as[String])
       t match {
-        case "__contains" | "__reflist" => UpsertWriter.appendDistinct(spark, workDir, t, df)
-        case "observed-data"            => UpsertWriter.insertIgnore(spark, workDir, t, df)
-        case _                          => UpsertWriter.upsert(spark, workDir, t, df)
+        case "__contains" | "__reflist" | "__columns" =>
+          UpsertWriter.appendDistinct(spark, workDir, t, df)
+        case "observed-data" => UpsertWriter.insertIgnore(spark, workDir, t, df)
+        case _               => UpsertWriter.upsert(spark, workDir, t, df)
       }
       catalog.invalidateBase(t)
+      dropFinish(t)
     }
     val prov = flat
-      .where(!col("otype").isin("__contains", "__reflist"))
+      .where(!col("otype").isin("__contains", "__reflist", "__columns"))
       .select(get_json_object(col("obj"), "$.id").as("sco_id"))
       .where(col("sco_id").isNotNull)
       .distinct()
@@ -74,6 +96,41 @@ class Storage(val spark: SparkSession, val workDir: String) {
     UpsertWriter.appendDistinct(spark, workDir, "__queries", prov)
     catalog.invalidateBase("__queries")
   }
+
+  // ----- finish: post-ingest layout (sqlstorage.py:824-827) ---------------
+
+  private val finishViews = scala.collection.mutable.Map.empty[String, AnyRef]
+
+  /** Post-ingest layout hook. The reference builds its deferred B-tree
+    * indexes on the edge tables here (sqlstorage.py:824-827,
+    * pgstorage.py:487-501); the Spark layout primitive in the index's role
+    * is bucketing: re-write each table bucketed+sorted by its join key so
+    * subsequent observation joins are co-located — the bucketed sides join
+    * with NO shuffle exchange. __contains buckets on target_ref (the
+    * SCO-side join key), __reflist on source_ref, observed-data and every
+    * SCO table on id. Later ingest into a table drops its bucketed layout
+    * (copy-on-write, like every other table rewrite here). */
+  def finish(buckets: Int = 8): Unit = {
+    val keyed =
+      Seq("__contains" -> "target_ref", "__reflist" -> "source_ref", "observed-data" -> "id") ++
+        types().map(_ -> "id")
+    keyed.foreach { case (t, key) =>
+      if (UpsertWriter.exists(workDir, t) && !catalog.contains(t)) {
+        val tbl = s"graft_f${Integer.toHexString(workDir.hashCode)}_${t.replaceAll("[^A-Za-z0-9_]", "_")}"
+        graft.operators.Layout.writeBucketed(catalog.resolve(t), tbl, key, buckets)
+        catalog.registerDF(t, spark.table(tbl), if (t.startsWith("__")) "" else t)
+        finishViews(t) = catalog.viewDefRef(t).get
+      }
+    }
+  }
+
+  /** Invalidate a finish() layout registration after new data lands in `t`
+    * (only if the name still holds OUR registration, not a user view). */
+  private def dropFinish(t: String): Unit =
+    if (finishViews.get(t).exists(ref => catalog.viewDefRef(t).exists(_ eq ref))) {
+      catalog.removeView(t)
+      finishViews.remove(t)
+    }
 
   /** Import plain SCO dicts (ids synthesized unless preserved), then make a
     * view of them (sqlstorage.py:471-502). */
@@ -98,8 +155,24 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   private def writeObjects(objs: Seq[Map[String, Any]], queryId: String): Unit = {
     val byType = objs.groupBy(_("type").toString)
+    val colMeta = Seq.newBuilder[Map[String, Any]]
     byType.foreach { case (t, rows) =>
-      val df = UpsertWriter.rowsToDF(spark, rows.map(_ - "type"))
+      // shorten long/extension column names at ingest (splitter.py:240-256)
+      // and record (otype, path, shortname, dtype) rows for __columns —
+      // first non-null sighting wins, like the reference's new-column hook
+      if (!t.startsWith("__")) {
+        val seen = scala.collection.mutable.Set.empty[String]
+        rows.foreach(_.foreach { case (k, v) =>
+          if (k != "type" && v != null && seen.add(k))
+            colMeta += Map(
+              "otype" -> t, "path" -> k,
+              "shortname" -> StixMeta.shortenKey(k),
+              "dtype" -> StixMeta.pyDtype(v))
+        })
+      }
+      val df = UpsertWriter.rowsToDF(
+        spark,
+        rows.map(r => (r - "type").map { case (k, v) => StixMeta.shortenKey(k) -> v }))
       t match {
         case "__contains" | "__reflist" =>
           UpsertWriter.appendDistinct(spark, workDir, t, df)
@@ -109,6 +182,12 @@ class Storage(val spark: SparkSession, val workDir: String) {
           UpsertWriter.upsert(spark, workDir, t, df)
       }
       catalog.invalidateBase(t)
+      dropFinish(t)
+    }
+    val meta = colMeta.result()
+    if (meta.nonEmpty) {
+      UpsertWriter.appendDistinct(spark, workDir, "__columns", UpsertWriter.rowsToDF(spark, meta))
+      catalog.invalidateBase("__columns")
     }
     // provenance: every flattened SCO id came from this cache call
     val scoIds = objs
@@ -165,8 +244,26 @@ class Storage(val spark: SparkSession, val workDir: String) {
           val sorted = df.orderBy(if (asc) Deref.bq(byCol).asc else Deref.bq(byCol).desc)
           limit.map(sorted.limit).getOrElse(sorted)
         }
+        // record the sort spec so lookup can re-apply it after deref joins
+        // (reference ORDER BY sniff, sqlstorage.py:608-621)
+        catalog.setSortKeys(viewname, Seq((pathColName(t, by), asc)))
       case "group" => group(viewname, on, Seq(by))
       case other   => throw new InvalidQuery(s"assign op $other")
+    }
+  }
+
+  /** Output column name a path resolves to (the pure-naming mirror of
+    * resolvePathColumn). */
+  private def pathColName(scoType: String, path: String): String = {
+    val links =
+      if (path.contains(":")) StixMeta.parsePath(path)
+      else StixMeta.parseProp(scoType, path)
+    if (!links.exists(_.isInstanceOf[RelLink]))
+      links.collect { case NodeLink(_, p) => p }.mkString(".")
+    else {
+      val prefix = links.collect { case RelLink(_, refName, _) => refName }.mkString(".")
+      val leaf = links.last.asInstanceOf[NodeLink].prop
+      s"$prefix.$leaf"
     }
   }
 
@@ -249,6 +346,10 @@ class Storage(val spark: SparkSession, val workDir: String) {
         })
       } else query
     catalog.registerRecipe(viewname, scoType)(r => q.df(r))
+    // record the query's final sort so lookup re-applies it after deref
+    query.stages.collect { case o: graft.query.Order => o.keys }.lastOption.foreach { ks =>
+      catalog.setSortKeys(viewname, ks.map(k => (k.col, k.asc)))
+    }
   }
 
   def runQuery(q: GQuery): DataFrame = q.df(resolve)
@@ -280,6 +381,13 @@ class Storage(val spark: SparkSession, val workDir: String) {
       offset: Int = 0): Seq[Map[String, Any]] = {
     val t = catalog.viewType(viewname).filter(_.nonEmpty).getOrElse(viewname)
     var df = Deref.autoDeref(this, viewname, if (cols.isEmpty) None else Some(cols))
+    // deref joins reorder rows; re-apply the view's recorded sort
+    // (reference sort-preservation sniff, sqlstorage.py:608-621)
+    val applicable = catalog.sortKeys(viewname).filter { case (c, _) => df.columns.contains(c) }
+    if (applicable.nonEmpty)
+      df = df.orderBy(applicable.map { case (c, asc) =>
+        if (asc) Deref.bq(c).asc else Deref.bq(c).desc
+      }: _*)
     if (offset > 0) df = df.offset(offset)
     limit.foreach(n => df = df.limit(n))
     val typeVal = t
@@ -306,6 +414,23 @@ class Storage(val spark: SparkSession, val workDir: String) {
   def columns(name: String): Seq[String] = resolve(name).columns.toSeq
   def schema(name: String): Seq[(String, String)] =
     resolve(name).schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+
+  /** Column metadata recorded at ingest: full STIX path -> shortened column
+    * name + dtype per object type (__columns table; reference
+    * sqlstorage.py:187-189, consumed by aio/asyncstorage.py:199-224). */
+  def columnsMetadata(otype: String): Seq[Map[String, Any]] =
+    if (!UpsertWriter.exists(workDir, "__columns")) Nil
+    else
+      resolve("__columns")
+        .where(col("otype") === otype)
+        .orderBy("path")
+        .collect().toSeq
+        .map(r => r.schema.fieldNames.zip(r.toSeq).toMap)
+
+  /** Resolve a full STIX property path to its stored column name. */
+  def columnShortname(otype: String, path: String): Option[String] =
+    columnsMetadata(otype)
+      .collectFirst { case m if m.get("path").contains(path) => m("shortname").toString }
 
   def removeView(name: String): Unit = catalog.removeView(name)
   def renameView(o: String, n: String): Unit = catalog.renameView(o, n)

@@ -22,7 +22,10 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
   case class ViewDef(
       recipe: (String => DataFrame) => DataFrame,
       scoType: String = "",
-      var appData: String = null
+      var appData: String = null,
+      /** (column, ascending) sort spec recorded by sorting verbs so lookup
+        * can re-apply view order after deref joins (sqlstorage.py:608-621). */
+      var sortKeys: Seq[(String, Boolean)] = Nil
   )
 
   private val views = mutable.LinkedHashMap[String, ViewDef]()
@@ -106,6 +109,10 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
     * next resolve sees the new files). */
   def invalidateBase(name: String): Unit = baseCache.remove(name)
 
+  /** Identity of the current definition of a name (Storage.finish uses it
+    * to tell its own layout registrations from user views). */
+  private[graft] def viewDefRef(name: String): Option[AnyRef] = views.get(name)
+
   def viewNames: Seq[String] = views.keys.toSeq
   def contains(name: String): Boolean = views.contains(name)
   def viewType(name: String): Option[String] = views.get(name).map(_.scoType)
@@ -121,6 +128,11 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
       views(newName) = v
     }
   }
+
+  def setSortKeys(name: String, keys: Seq[(String, Boolean)]): Unit =
+    views.get(name).foreach(_.sortKeys = keys)
+  def sortKeys(name: String): Seq[(String, Boolean)] =
+    views.get(name).map(_.sortKeys).getOrElse(Nil)
 
   def setAppData(name: String, data: String): Unit =
     views.get(name).foreach(_.appData = data)

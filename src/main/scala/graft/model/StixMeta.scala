@@ -42,6 +42,36 @@ object StixMeta {
 
   def isRef(name: String): Boolean = name.endsWith("_ref") || name.endsWith("_refs")
 
+  /** Namespace for shortened-column uuid5 fallbacks (pgcommon.py:164). */
+  val ColumnsNs: java.util.UUID = java.util.UUID.fromString("c55c83a6-06d3-4680-b1e0-1cfd1deb332d")
+
+  private val extensionPrefix = "^extensions\\.'(x-)?[\\w\\d_-]+'\\.".r
+
+  /** Column-name shortening applied at ingest (splitter.py:19-20, 242-244;
+    * pgcommon.py:167-172): `extensions.'x-foo'.bar` -> `x_bar`; names still
+    * longer than 48 chars become the uuid5 hex of the full path (the
+    * 63-char identifier limit of the reference's pg backend — kept for
+    * column-name parity). The full path -> shortname mapping is recorded in
+    * the __columns metadata table. */
+  def shortenKey(key: String): String = {
+    if (key.length <= 48 && !key.contains("extensions.")) return key
+    val k = extensionPrefix.replaceFirstIn(key, "x_")
+    if (k.length > 48) Uuid5(ColumnsNs, key).toString.replace("-", "") else k
+  }
+
+  /** Value-class dtype names for __columns metadata, matching the
+    * reference's `value.__class__.__name__` vocabulary (splitter.py:255). */
+  def pyDtype(v: Any): String = v match {
+    case _: String               => "str"
+    case _: Long | _: Int        => "int"
+    case _: Double | _: Float    => "float"
+    case _: Boolean              => "bool"
+    case _: Seq[_]               => "list"
+    case _: collection.Map[_, _] => "dict"
+    case null                    => "NoneType"
+    case _                       => "str"
+  }
+
   /** Last dotted/colon piece of a path (props.py:355-360). */
   def getLast(prop: String): String = {
     val i = prop.lastIndexWhere(c => c == '.' || c == ':')

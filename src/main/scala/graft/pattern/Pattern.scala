@@ -28,10 +28,17 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
 object Pattern {
 
   // ----- AST ---------------------------------------------------------------
+  // Observation-level connectives ([A] AND [B]) are distinct nodes from
+  // comparison-level ones (inside one bracket): compilation treats them
+  // identically, but summarize() needs the distinction — the reference
+  // intersects path sets across observation AND and unions everything else
+  // (stix20.py:173-178).
   sealed trait Node
   case class Comp(path: String, op: String, value: Value) extends Node
   case class And(l: Node, r: Node) extends Node
   case class Or(l: Node, r: Node) extends Node
+  case class ObsAnd(l: Node, r: Node) extends Node
+  case class ObsOr(l: Node, r: Node) extends Node
 
   sealed trait Value
   case class SVal(s: String) extends Value
@@ -74,12 +81,12 @@ object Pattern {
 
     private def obsDisj(): Node = {
       var l = obsConj()
-      while (tryWord("OR")) l = Or(l, obsConj())
+      while (tryWord("OR")) l = ObsOr(l, obsConj())
       l
     }
     private def obsConj(): Node = {
       var l = obsExp()
-      while (tryWord("AND")) l = And(l, obsExp())
+      while (tryWord("AND")) l = ObsAnd(l, obsExp())
       l
     }
     private def obsExp(): Node = {
@@ -218,11 +225,30 @@ object Pattern {
           case (Some(a), Some(b)) => Some(a || b)
           case (a, b)             => a.orElse(b)
         }
+      case ObsAnd(l, r) => compileNode(And(l, r), scoType, resolve)
+      case ObsOr(l, r)  => compileNode(Or(l, r), scoType, resolve)
       case Comp(p, op, v) =>
         val (pType, prop) = StixMeta.splitPath(p)
         if (pType != scoType) None // type scoping: comparison vanishes
         else Some(compileComp(scoType, prop, op, v, resolve))
     }
+
+  /** Referenced object paths per SCO type (reference summarize_pattern,
+    * stix20.py:162-208): consumers use it to pre-plan which tables/columns a
+    * pattern touches. Observation-level AND intersects the operand path
+    * sets; every other connective unions them. */
+  def summarize(pattern: String): Map[String, Set[String]] = {
+    def paths(n: Node): Set[String] = n match {
+      case Comp(p, _, _) => Set(p)
+      case And(l, r)     => paths(l) | paths(r)
+      case Or(l, r)      => paths(l) | paths(r)
+      case ObsOr(l, r)   => paths(l) | paths(r)
+      case ObsAnd(l, r)  => paths(l) & paths(r)
+    }
+    paths(parse(pattern))
+      .groupBy(p => StixMeta.splitPath(p)._1)
+      .map { case (t, ps) => t -> ps.map(p => StixMeta.splitPath(p)._2) }
+  }
 
   private def compileComp(
       scoType: String,

@@ -16,6 +16,45 @@ class LayoutSpec extends SparkSpec {
     assert(salted.count(_.getInt(0) == 1) == 900)
   }
 
+  test("finish() buckets edge tables: observation join loses its shuffle exchanges") {
+    def countExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString)
+        .length
+    val s = new graft.api.Storage(
+      spark, java.nio.file.Files.createTempDirectory("graft-finish").toString)
+    val bundle =
+      """{"type":"bundle","id":"bundle--bf","objects":[
+        |{"type":"observed-data","id":"observed-data--of",
+        | "first_observed":"2024-01-01T00:00:00.000Z",
+        | "last_observed":"2024-01-01T00:00:00.000Z","number_observed":1,
+        | "objects":{
+        |   "0":{"type":"ipv4-addr","value":"10.0.0.1"},
+        |   "1":{"type":"ipv4-addr","value":"10.0.0.2"}
+        | }}]}""".stripMargin
+    s.cache("qf", bundle)
+    // force shuffles visible (tiny tables would otherwise broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val before = countExchanges(s.timestamped("ipv4-addr"))
+      s.finish(buckets = 4)
+      val after = countExchanges(s.timestamped("ipv4-addr"))
+      assert(before >= 2, s"expected shuffling plan before finish, got $before exchanges")
+      assert(after < before, s"finish should remove exchanges: before=$before after=$after")
+      // SCO-side join (bucketed id = bucketed target_ref) is fully co-located
+      val v = s.catalog.resolve("ipv4-addr")
+      val c = s.catalog.resolve("__contains")
+      assert(countExchanges(v.join(c, v("id") === c("target_ref"))) == 0)
+      // new ingest drops the stale bucketed layout
+      s.cache("qf2", bundle.replace("10.0.0.2", "10.0.0.9").replace("observed-data--of", "observed-data--of2").replace("bundle--bf", "bundle--bf2"))
+      assert(s.count("ipv4-addr") == 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("SHOW TABLES").collect().map(_.getString(1)).filter(_.startsWith("graft_f"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("id", "av")

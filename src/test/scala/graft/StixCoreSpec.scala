@@ -318,6 +318,82 @@ class StixCoreSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("self-shadowing: view recipes resolving their own name replay the previous definition") {
+    val s = tmpStore()
+    s.cache("q1", bundle20)
+    // view named after its base table (the extract("url","url",...) shape)
+    s.extract("url", "url", "q1", "[url:value LIKE '%page%']")
+    assert(s.count("url") == 1)
+    // Kestrel re-assignment: filter a view into itself, twice
+    s.extract("allips", "ipv4-addr", "q1", "")
+    s.filter("allips", "ipv4-addr", "allips", "[ipv4-addr:value LIKE '10.%']")
+    assert(s.count("allips") == 1)
+    s.filter("allips", "ipv4-addr", "allips", "[ipv4-addr:value LIKE '10.0.%']")
+    assert(s.count("allips") == 1)
+  }
+
+  test("__columns metadata: extension props shortened with uuid5 fallback") {
+    val s = tmpStore()
+    val longProp = "a" * 50
+    val b =
+      s"""{"type":"bundle","id":"bundle--bc","objects":[
+         |{"type":"observed-data","id":"observed-data--oc",
+         | "first_observed":"2024-01-01T00:00:00.000Z",
+         | "last_observed":"2024-01-01T00:00:00.000Z","number_observed":1,
+         | "objects":{
+         |   "0":{"type":"file","name":"f.exe",
+         |        "extensions":{"x-acme-ext":{"score":5,"$longProp":"v"}}}
+         | }}]}""".stripMargin
+    s.cache("qc", b)
+    assert(s.columns("file").contains("x_score"))
+    val meta = s.columnsMetadata("file")
+    assert(meta.exists(m =>
+      m("path") == "extensions.'x-acme-ext'.score" && m("shortname") == "x_score" && m("dtype") == "int"))
+    // still >48 chars after the x_ rewrite -> uuid5 hex of the full path
+    val recorded = meta.find(m => m("path").toString.contains(longProp)).get
+    val expected = Uuid5(StixMeta.ColumnsNs, recorded("path").toString).toString.replace("-", "")
+    assert(recorded("shortname") == expected)
+    assert(s.columnShortname("file", recorded("path").toString).contains(expected))
+  }
+
+  test("lookup re-applies assign(sort) order after deref joins") {
+    val s = tmpStore()
+    val b =
+      """{"type":"bundle","id":"bundle--bs","objects":[
+        |{"type":"observed-data","id":"observed-data--os",
+        | "first_observed":"2024-01-01T00:00:00.000Z",
+        | "last_observed":"2024-01-01T00:00:00.000Z","number_observed":1,
+        | "objects":{
+        |   "0":{"type":"ipv4-addr","value":"10.0.0.1"},
+        |   "1":{"type":"ipv4-addr","value":"10.0.0.2"},
+        |   "2":{"type":"ipv4-addr","value":"10.0.0.3"},
+        |   "3":{"type":"network-traffic","src_ref":"0","dst_ref":"1","src_port":1111,"dst_port":80},
+        |   "4":{"type":"network-traffic","src_ref":"1","dst_ref":"2","src_port":3333,"dst_port":443},
+        |   "5":{"type":"network-traffic","src_ref":"2","dst_ref":"0","src_port":2222,"dst_port":22}
+        | }}]}""".stripMargin
+    s.cache("qs", b)
+    s.extract("conns", "network-traffic", "qs", "")
+    s.assign("by_port", "conns", "sort", "src_port", asc = false)
+    val rows = s.lookup("by_port")
+    assert(rows.map(_("src_port")) == Seq(3333L, 2222L, 1111L))
+    assert(rows.head("src_ref.value") == "10.0.0.2") // deref columns attached
+  }
+
+  test("summarize_pattern: referenced paths per type; obs-AND intersects") {
+    import graft.pattern.Pattern
+    assert(Pattern.summarize("[url:value LIKE '%x%']") == Map("url" -> Set("value")))
+    assert(
+      Pattern.summarize("[ipv4-addr:value = '1.2.3.4' OR network-traffic:dst_port < 1024]") ==
+        Map("ipv4-addr" -> Set("value"), "network-traffic" -> Set("dst_port")))
+    // comparison-level AND unions; observation-level AND intersects
+    assert(
+      Pattern.summarize("[url:value = 'a' AND network-traffic:dst_port = 80]") ==
+        Map("url" -> Set("value"), "network-traffic" -> Set("dst_port")))
+    assert(
+      Pattern.summarize("[url:value = 'a' AND url:x_p = 'b'] AND [url:value = 'c']") ==
+        Map("url" -> Set("value")))
+  }
+
   test("catalog verbs: tables/types/views/rename/remove/appdata") {
     val s = tmpStore()
     s.cache("q1", bundle20)
