@@ -27,17 +27,30 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   // ----- ingest (sqlstorage.py:410-502) -----------------------------------
 
-  /** Ingest STIX bundle(s): JSON text or file path. Flattens the graph,
-    * splits by type, infers/evolves schema, merge-upserts, and records
-    * provenance in __queries. */
+  /** Ingest STIX bundle(s): JSON text, file path, or http(s) URL (the
+    * reference streams URL bundles via ijson-over-HTTP, raft.py:59-62).
+    * Flattens the graph, splits by type, infers/evolves schema,
+    * merge-upserts, and records provenance in __queries. */
   def cache(queryId: String, bundles: Seq[String]): Unit = {
     val objs = bundles.flatMap { b =>
       val json =
         if (b.trim.startsWith("{")) b
+        else if (b.startsWith("http://") || b.startsWith("https://")) readUrl(b)
         else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(b)), "UTF-8")
       Flatten.flattenBundle(json)
     }
     writeObjects(objs, queryId)
+  }
+
+  private def readUrl(url: String): String = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    conn.setRequestProperty("Accept", "application/json")
+    val in = conn.getInputStream
+    try new String(in.readAllBytes(), "UTF-8")
+    finally { in.close(); conn.disconnect() }
   }
 
   def cache(queryId: String, bundle: String): Unit = cache(queryId, Seq(bundle))
@@ -437,6 +450,17 @@ class Storage(val spark: SparkSession, val workDir: String) {
   def setAppdata(view: String, data: String): Unit = catalog.setAppData(view, data)
   def getAppdata(view: String): Option[String] = catalog.getAppData(view)
 
+  /** Bulk view metadata: one row per view with (name, type, appdata) — the
+    * reference's __symtable dump (get_view_data, sqlstorage.py:761-771). */
+  def getViewData(viewnames: Seq[String] = Nil): Seq[Map[String, Any]] = {
+    val names = if (viewnames.nonEmpty) viewnames.filter(catalog.contains) else catalog.viewNames
+    names.map(n =>
+      Map[String, Any](
+        "name" -> n,
+        "type" -> catalog.viewType(n).getOrElse(""),
+        "appdata" -> catalog.getAppData(n).orNull))
+  }
+
   // ----- observation-weighted verbs (sqlstorage.py:854-1026) --------------
 
   /** view ⋈ __contains ⋈ observed-data, grouped on `path` (value_counts). */
@@ -522,6 +546,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
       scoType: String,
       path: String,
       base: Option[DataFrame] = None): (DataFrame, String) = {
+    Validate.validatePath(path)
     val links =
       if (path.contains(":")) StixMeta.parsePath(path)
       else StixMeta.parseProp(scoType, path)

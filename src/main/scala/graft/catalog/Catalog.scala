@@ -141,8 +141,5 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
 
   /** Name validation kept for API/error parity with the reference
     * (firepit/validate.py:8-16; raises InvalidViewname). */
-  private val namePattern = "^[A-Za-z_][A-Za-z0-9_-]*$".r
-  def validateName(name: String): Unit =
-    if (namePattern.findFirstIn(name).isEmpty)
-      throw new graft.api.InvalidViewname(name)
+  def validateName(name: String): Unit = graft.api.Validate.validateName(name)
 }

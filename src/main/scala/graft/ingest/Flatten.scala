@@ -57,7 +57,10 @@ object Flatten {
     val otype = d.get("type").map(_.toString).getOrElse("")
     val out = mutable.LinkedHashMap.empty[String, Any]
     d.foreach { case (k, v) =>
-      val key0 = if (k.contains("-")) s"'$k'" else k
+      // idempotent quoting: keys already carrying quotes (assembled path
+      // dicts) are not double-wrapped
+      val key0 =
+        if (k.contains("-") && !(k.startsWith("'") && k.endsWith("'"))) s"'$k'" else k
       val key = if (prefix.nonEmpty) s"$prefix.$key0" else key0
       v match {
         case m: collection.Map[_, _]

@@ -88,4 +88,263 @@ object LogMapper {
   /** Bundle JSON text (feeds Storage.cache / cacheBundles). */
   def toBundleJson(records: Seq[Rec], mapper: Mapper = FlatJsonMapper): String =
     StixId.canonicalJson(toBundle(records, mapper))
+
+  // =========================================================================
+  // Path-dict mappers — the reference's per-source mapping architecture
+  // (woodchipper.py:530-569): a mapping table turns one log record into an
+  // intermediate dict keyed by STIX object paths ("process:pid",
+  // "process:opened_connection_refs[0].dst_ref.value", "first_observed"),
+  // and an assembler builds the indexed-objects observation from those
+  // paths (dict2observation, woodchipper.py:185-283). Mapping values are a
+  // target path, a list of paths, or a function producing (path, value)
+  // tuples (process_mapping, woodchipper.py:530-550).
+  // =========================================================================
+
+  trait PathMapper {
+    def detect(rec: Rec): Boolean
+    def pathDict(rec: Rec): Map[String, Any]
+  }
+
+  type PathFn = Any => Seq[(String, Any)]
+
+  def processMapping(rec: Rec, mapping: Seq[(String, Any)]): Map[String, Any] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    mapping.foreach { case (k, mv) =>
+      rec.get(k).filter(v => v != null && v != "") .foreach { v =>
+        mv match {
+          case s: String   => out(s) = v
+          case ss: Seq[_]  => ss.foreach(s => out(s.toString) = v)
+          case f: Function1[_, _] =>
+            f.asInstanceOf[PathFn](v).foreach { case (p, pv) => out(p) = pv }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  // ----- shared path-tuple helpers (woodchipper.py:289-398) ----------------
+
+  private def baseName(p: String): String = p.substring(math.max(p.lastIndexOf('\\'), p.lastIndexOf('/')) + 1)
+  private def dirName(p: String): String = {
+    val i = math.max(p.lastIndexOf('\\'), p.lastIndexOf('/'))
+    if (i <= 0) "" else p.substring(0, i)
+  }
+
+  def splitImage(prefix: String = "process:"): PathFn = v => {
+    val s = v.toString
+    Seq(
+      s"${prefix}name" -> baseName(s),
+      s"${prefix}binary_ref.name" -> baseName(s),
+      s"${prefix}binary_ref.parent_directory_ref.path" -> dirName(s))
+  }
+
+  def splitFilePath: PathFn = v => {
+    val s = v.toString
+    Seq("file:name" -> baseName(s), "file:parent_directory_ref.path" -> dirName(s))
+  }
+
+  /** "SHA1=..,MD5=.." -> hash path tuples (split_hash, woodchipper.py:337-349). */
+  def splitHash(prefix: String): PathFn = v => {
+    val tokens = Seq("SHA1=" -> s"${prefix}hashes.'SHA-1'", "MD5=" -> s"${prefix}hashes.MD5",
+      "SHA256=" -> s"${prefix}hashes.'SHA-256'")
+    v.toString.split(',').toSeq.flatMap { h =>
+      tokens.collect { case (tok, path) if h.contains(tok) => path -> h.substring(h.indexOf(tok) + tok.length) }
+    }
+  }
+
+  /** "HKLM\\..\\Key\\Value" -> registry key + values list (woodchipper.py:393-398). */
+  def splitRegKeyValue: PathFn = v => {
+    val s = v.toString
+    val i = s.lastIndexOf('\\')
+    val (key, value) = if (i >= 0) (s.substring(0, i), s.substring(i + 1)) else (s, "")
+    Seq(
+      "windows-registry-key:key" -> key,
+      "windows-registry-key:values" -> Seq(Map("name" -> value)))
+  }
+
+  /** Unix epoch (seconds) -> RFC-3339 UTC (from_unix_time, woodchipper.py:291-296). */
+  def fromUnixTime: PathFn = v => {
+    val secs = v match { case n: Long => n.toDouble; case d: Double => d; case s => s.toString.toDouble }
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(math.round(secs * 1000)))
+    Seq("first_observed" -> iso, "last_observed" -> iso)
+  }
+
+  /** Windows event id -> x-oca-event code + action (woodchipper.py:299-305). */
+  val windowsEvents: Map[Int, String] = Map(
+    1 -> "Process Creation", 3 -> "Network Connection", 5 -> "Process Terminated",
+    7 -> "Image Loaded", 11 -> "File Create", 12 -> "Registry Create and Delete",
+    13 -> "Registry Value Set", 17 -> "Pipe Event Created", 18 -> "Pipe Event Connected",
+    22 -> "DNS Query", 4688 -> "Process Creation", 5156 -> "Network Connection")
+
+  def toActionCode: PathFn = v => {
+    val id = v.toString.toDouble.toInt
+    Seq("x-oca-event:code" -> id.toLong) ++
+      windowsEvents.get(id).map(a => "x-oca-event:action" -> (a: Any))
+  }
+
+  // ----- Sysmon / Windows events (woodchipper.py:429-521) ------------------
+
+  object SysmonMapper extends PathMapper {
+    private val common: Seq[(String, Any)] = Seq(
+      "UtcTime" -> Seq("first_observed", "last_observed"),
+      "TimeCreated" -> Seq("first_observed", "last_observed"),
+      "@timestamp" -> Seq("first_observed", "last_observed"),
+      "Hostname" -> "x-oca-asset:hostname",
+      "Channel" -> "x-oca-event:module",
+      "SourceName" -> "x-oca-event:provider",
+      "EventID" -> toActionCode,
+      "ProcessId" -> "process:pid",
+      "ProcessGuid" -> "process:x_unique_id")
+
+    private val perEvent: Map[Int, Seq[(String, Any)]] = Map(
+      1 -> Seq(
+        "Image" -> splitImage(),
+        "CommandLine" -> "process:command_line",
+        "ParentImage" -> splitImage("process:parent_ref."),
+        "ParentProcessId" -> "process:parent_ref.pid",
+        "ParentProcessGuid" -> "process:parent_ref.x_unique_id",
+        "ParentCommandLine" -> "process:parent_ref.command_line",
+        "User" -> "process:creator_user_ref.user_id",
+        "Hashes" -> splitHash("process:binary_ref.")),
+      3 -> Seq(
+        "Image" -> splitImage(),
+        "SourceIp" -> "process:opened_connection_refs[0].src_ref.value",
+        "SourcePort" -> "process:opened_connection_refs[0].src_port",
+        "DestinationIp" -> "process:opened_connection_refs[0].dst_ref.value",
+        "DestinationPort" -> "process:opened_connection_refs[0].dst_port",
+        "Protocol" -> "process:opened_connection_refs[0].protocols"),
+      5 -> Seq("Image" -> splitImage()),
+      11 -> Seq("Image" -> splitImage(), "TargetFilename" -> splitFilePath),
+      13 -> Seq("Image" -> splitImage(), "TargetObject" -> splitRegKeyValue),
+      4688 -> Seq(
+        "NewProcessName" -> splitImage(),
+        "NewProcessId" -> "process:pid",
+        "CommandLine" -> "process:command_line",
+        "ParentProcessName" -> splitImage("process:parent_ref."),
+        "SubjectUserName" -> "process:creator_user_ref.user_id"),
+      5156 -> Seq(
+        "Application" -> splitImage(),
+        "SourceAddress" -> "process:opened_connection_refs[0].src_ref.value",
+        "SourcePort" -> "process:opened_connection_refs[0].src_port",
+        "DestAddress" -> "process:opened_connection_refs[0].dst_ref.value",
+        "DestPort" -> "process:opened_connection_refs[0].dst_port"))
+
+    def detect(rec: Rec): Boolean =
+      rec.contains("EventID") &&
+        (rec.contains("UtcTime") || rec.contains("TimeCreated") || rec.contains("@timestamp"))
+
+    def pathDict(rec: Rec): Map[String, Any] = {
+      val id = rec("EventID").toString.toDouble.toInt
+      val paths = processMapping(rec, common ++ perEvent.getOrElse(id, Nil))
+      // fall back to the subject user when no process user mapped
+      // (SdsMapper.convert, woodchipper.py:631-639)
+      if (!paths.contains("process:creator_user_ref.user_id")) {
+        rec.get("TargetUserName").orElse(rec.get("SubjectUserName"))
+          .map(_.toString).filter(u => u.nonEmpty && u != "-")
+          .map(u => paths + ("user-account:user_id" -> u))
+          .getOrElse(paths)
+      } else paths
+    }
+  }
+
+  // ----- Zeek conn/dns logs (woodchipper.py:647-718) -----------------------
+
+  object ZeekCsvMapper extends PathMapper {
+    private val mapping: Seq[(String, Any)] = Seq(
+      "ts" -> fromUnixTime,
+      "id.orig_h" -> "network-traffic:src_ref.value",
+      "id.orig_p" -> "network-traffic:src_port",
+      "orig_ip_bytes" -> "network-traffic:src_byte_count",
+      "orig_pkts" -> "network-traffic:src_packets",
+      "id.resp_h" -> "network-traffic:dst_ref.value",
+      "id.resp_p" -> "network-traffic:dst_port",
+      "resp_ip_bytes" -> "network-traffic:dst_byte_count",
+      "resp_pkts" -> "network-traffic:dst_packets",
+      "proto" -> "network-traffic:protocols")
+    def detect(rec: Rec): Boolean = rec.contains("id.orig_h")
+    def pathDict(rec: Rec): Map[String, Any] = processMapping(rec, mapping)
+  }
+
+  object ZeekJsonMapper extends PathMapper {
+    private val common: Seq[(String, Any)] = Seq(
+      "ts" -> fromUnixTime,
+      "id_orig_h" -> "network-traffic:src_ref.value",
+      "id_orig_p" -> "network-traffic:src_port",
+      "id_resp_h" -> "network-traffic:dst_ref.value",
+      "id_resp_p" -> "network-traffic:dst_port",
+      "proto" -> "network-traffic:protocols")
+
+    private val conn: Seq[(String, Any)] = Seq(
+      "orig_ip_bytes" -> "network-traffic:src_byte_count",
+      "resp_ip_bytes" -> "network-traffic:dst_byte_count",
+      "orig_pkts" -> "network-traffic:src_packets",
+      "resp_pkts" -> "network-traffic:dst_packets",
+      "orig_l2_addr" -> "network-traffic:src_ref.resolves_to_refs[0].value",
+      "resp_l2_addr" -> "network-traffic:dst_ref.resolves_to_refs[0].value")
+
+    /** dns answers: IP-shaped entries -> domain-name resolves_to_refs
+      * (process_answers, woodchipper.py:692-703). */
+    private val dns: Seq[(String, Any)] = Seq(
+      "query" -> "domain-name:value",
+      "answers" -> (((v: Any) => {
+        val ip = "^([0-9.]+|[0-9a-fA-F:]+)$".r
+        val vals = v match { case s: Seq[_] => s.map(_.toString); case x => Seq(x.toString) }
+        vals.filter(a => ip.findFirstIn(a).isDefined && (a.contains('.') || a.contains(':')))
+          .zipWithIndex
+          .map { case (a, i) => s"domain-name:resolves_to_refs[$i].value" -> (a: Any) }
+      }): PathFn))
+
+    def detect(rec: Rec): Boolean = rec.contains("@stream")
+    def pathDict(rec: Rec): Map[String, Any] = {
+      val extra = rec("@stream").toString match {
+        case "conn" => conn
+        case "dns"  => dns
+        case _      => Nil
+      }
+      processMapping(rec, common ++ extra)
+    }
+  }
+
+  // ----- ISC honeypot web logs (woodchipper.py:723-745) --------------------
+
+  object IscHoneypotJsonMapper extends PathMapper {
+    private val mapping: Seq[(String, Any)] = Seq(
+      "url" -> "url:value",
+      "user_agent" -> "network-traffic:extensions.'http-request-ext'.request_header.'User-Agent'",
+      "source" -> "network-traffic:src_ref.value",
+      "ts" -> Seq("first_observed", "last_observed"),
+      "sport" -> "network-traffic:src_port",
+      "dport" -> "network-traffic:dst_port",
+      "dest" -> "network-traffic:dst_ref.value",
+      "proto" -> "network-traffic:protocols")
+    def detect(rec: Rec): Boolean =
+      rec.contains("url") && rec.contains("user_agent") && rec.contains("source")
+    def pathDict(rec: Rec): Map[String, Any] = {
+      // honeypot records carry no port/dest/proto; synthesize the reference's
+      // fixed values (woodchipper.py:738-744)
+      val enriched = rec ++ Map(
+        "sport" -> 0L, "dport" -> 80L, "dest" -> "127.0.0.1", "proto" -> "tcp",
+        "ts" -> s"${rec.getOrElse("date", "1970-01-01")}T${rec.getOrElse("time", "00:00:00")}.000Z")
+      processMapping(enriched, mapping)
+    }
+  }
+
+  /** Pick the first mapper whose detect() matches (process_events,
+    * woodchipper.py:788-801). */
+  val pathMappers: Seq[PathMapper] =
+    Seq(SysmonMapper, ZeekJsonMapper, ZeekCsvMapper, IscHoneypotJsonMapper)
+
+  def detectPathMapper(rec: Rec): Option[PathMapper] = pathMappers.find(_.detect(rec))
+
+  def toBundle(records: Seq[Rec], mapper: PathMapper): Map[String, Any] =
+    Map(
+      "type" -> "bundle",
+      "id" -> s"bundle--${java.util.UUID.randomUUID()}",
+      "objects" -> records.filter(mapper.detect).map(r => PathAssembler.assemble(mapper.pathDict(r))))
+
+  def toBundleJson(records: Seq[Rec], mapper: PathMapper): String =
+    StixId.canonicalJson(toBundle(records, mapper))
 }

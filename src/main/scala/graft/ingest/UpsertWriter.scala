@@ -110,14 +110,17 @@ object UpsertWriter {
 
   private def mergeById(df: DataFrame): DataFrame = {
     val dataCols = df.columns.filterNot(c => c == "id" || c == "__seq")
+    // backtick-quoted refs: flattened STIX columns contain literal dots and
+    // quotes (hashes.'SHA-1')
+    def bq(c: String) = col(s"`$c`")
     val aggs = dataCols.map { c =>
       c match {
-        case "first_observed"  => min(col(c)).as(c)
-        case "last_observed"   => max(col(c)).as(c)
-        case "number_observed" => sum(col(c)).as(c)
+        case "first_observed"  => min(bq(c)).as(c)
+        case "last_observed"   => max(bq(c)).as(c)
+        case "number_observed" => sum(bq(c)).as(c)
         case _ =>
           // newest non-null: max over (seq, value) structs of non-null rows
-          max(when(col(c).isNotNull, struct(col("__seq").as("s"), col(c).as("v"))))
+          max(when(bq(c).isNotNull, struct(col("__seq").as("s"), bq(c).as("v"))))
             .getField("v").as(c)
       }
     }
