@@ -135,6 +135,94 @@ object StixMeta {
     out.result()
   }
 
+  /** Curated STIX property metadata — (dtype, ftype) per type:prop, the
+    * reference's KNOWN_PROPS feature-type table (props.py:15-313). ftype is
+    * the ML-feature kind: timestamp | numerical | categorical. "" = derive
+    * by heuristic in propMetadata. */
+  val knownProps: Map[String, Map[String, (String, String)]] = {
+    val ts = ("str", "timestamp")
+    Map(
+      "artifact" -> Map("payload_bin" -> ("str", "")),
+      "autonomous-system" -> Map(
+        "number" -> ("int", "categorical"), "name" -> ("str", ""), "rir" -> ("str", "")),
+      "directory" -> Map(
+        "accessed" -> ts, "created" -> ts, "modified" -> ts,
+        "atime" -> ts, "ctime" -> ts, "mtime" -> ts, "path" -> ("str", "")),
+      "domain-name" -> Map("value" -> ("str", "")),
+      "email-addr" -> Map("value" -> ("str", "")),
+      "email-message" -> Map(
+        "is_multipart" -> ("bool", ""), "date" -> ts, "message_id" -> ("str", "")),
+      "file" -> Map(
+        "accessed" -> ts, "created" -> ts, "modified" -> ts,
+        "atime" -> ts, "ctime" -> ts, "mtime" -> ts, "name" -> ("str", "")),
+      "ipv4-addr" -> Map("value" -> ("str", "")),
+      "ipv6-addr" -> Map("value" -> ("str", "")),
+      "mac-addr" -> Map("value" -> ("str", "")),
+      "mutex" -> Map("value" -> ("str", "")),
+      "network-traffic" -> Map(
+        "protocols" -> ("list", ""),
+        "dst_port" -> ("int", "categorical"), "src_port" -> ("int", "categorical"),
+        "dst_byte_count" -> ("int", "numerical"), "src_byte_count" -> ("int", "numerical"),
+        "src_packets" -> ("int", "numerical"), "dst_packets" -> ("int", "numerical"),
+        "ipfix.flowId" -> ("str", ""),
+        "ipfix.maximumIpTotalLength" -> ("int", "numerical"),
+        "ipfix.minimumIpTotalLength" -> ("int", "numerical"),
+        "start" -> ts, "end" -> ts),
+      "process" -> Map("created" -> ts, "created_time" -> ts),
+      "software" -> Map.empty,
+      "url" -> Map("value" -> ("str", "")),
+      "user-account" -> Map(
+        "user_id" -> ("str", ""), "account_login" -> ("str", ""),
+        "account_created" -> ts, "account_expires" -> ts,
+        "credential_last_changed" -> ts, "account_first_login" -> ts,
+        "account_last_login" -> ts),
+      "windows-registry-key" -> Map("modified" -> ts, "modified_time" -> ts),
+      "x509-certificate" -> Map("validity_not_after" -> ts, "validity_not_before" -> ts),
+      "x-ibm-finding" -> Map(
+        "time_observed" -> ts, "start" -> ts, "end" -> ts,
+        "rule_trigger_count" -> ("int", "numerical"), "severity" -> ("int", "numerical"),
+        "event_count" -> ("int", "numerical")),
+      "x-oca-asset" -> Map.empty,
+      "x-oca-event" -> Map(
+        "created" -> ts, "start" -> ts, "end" -> ts,
+        "code" -> ("int", "categorical"), "duration" -> ("int", "numerical")),
+      "observed-data" -> Map(
+        "first_observed" -> ts, "last_observed" -> ts,
+        "number_observed" -> ("int", "numerical"))
+    )
+  }
+
+  private val likelyTimestamps: Set[String] =
+    knownProps.values.flatMap(_.collect { case (p, (_, "timestamp")) => p }).toSet
+
+  /** (dtype, ftype) for a property, resolving ref paths to their target
+    * type and falling back to name heuristics (prop_metadata,
+    * props.py:330-351). */
+  def propMetadata(scoType: String, prop: String): (String, String) = {
+    val direct = knownProps.getOrElse(scoType, Map.empty).get(prop)
+    val meta = direct.orElse {
+      parseProp(scoType, prop).lastOption match {
+        case Some(NodeLink(t, p)) if t != scoType || p != prop =>
+          knownProps.getOrElse(t, Map.empty).get(p)
+        case _ => None
+      }
+    }.getOrElse(("str", ""))
+    val dtype = if (meta._1.isEmpty) "str" else meta._1
+    val ftype =
+      if (meta._2.nonEmpty) meta._2
+      else if (prop.endsWith("time") || prop.startsWith("time") || likelyTimestamps.contains(prop))
+        "timestamp"
+      else if (prop.endsWith("count") || prop.startsWith("count")) "numerical"
+      else "categorical"
+    (dtype, ftype)
+  }
+
+  /** propMetadata over a full `type:prop` path (props.py:318-322). */
+  def pathMetadata(path: String): (String, String) = {
+    val (t, p) = splitPath(path)
+    propMetadata(t, p)
+  }
+
   /** Auto-aggregation synthesis for grouped queries with no explicit aggs
     * (props.py:405-433): number_observed -> SUM; first_observed/start -> MIN;
     * last_observed/end -> MAX; ports/pids -> NUNIQUE unique_X; ints -> AVG

@@ -379,6 +379,19 @@ class StixCoreSpec extends SparkSpec {
     assert(rows.head("src_ref.value") == "10.0.0.2") // deref columns attached
   }
 
+  test("prop_metadata: known table, ref-path resolution, name heuristics") {
+    assert(StixMeta.propMetadata("network-traffic", "dst_port") == ("int", "categorical"))
+    assert(StixMeta.propMetadata("network-traffic", "src_byte_count") == ("int", "numerical"))
+    assert(StixMeta.propMetadata("file", "mtime") == ("str", "timestamp"))
+    assert(StixMeta.propMetadata("url", "value") == ("str", "categorical"))
+    // ref path resolves to the target type's entry
+    assert(StixMeta.pathMetadata("network-traffic:src_ref.value") == ("str", "categorical"))
+    // heuristics for unknown props
+    assert(StixMeta.propMetadata("x-custom", "created_time") == ("str", "timestamp"))
+    assert(StixMeta.propMetadata("x-custom", "event_count") == ("str", "numerical"))
+    assert(StixMeta.propMetadata("x-custom", "whatever") == ("str", "categorical"))
+  }
+
   test("summarize_pattern: referenced paths per type; obs-AND intersects") {
     import graft.pattern.Pattern
     assert(Pattern.summarize("[url:value LIKE '%x%']") == Map("url" -> Set("value")))
