@@ -164,6 +164,38 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(c.resolve("documents")).orderBy("a_id", "b_id")
     },
 
+    // duplicate groups = connected components over the >=0.5-jaccard pair
+    // graph; the oracle walks reachability with a recursive CTE and takes
+    // the min reachable id per doc — identical group labeling
+    q("q_dedup_groups",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
+         |m AS (SELECT doc_id, sh, $duckSig AS sig FROM s),
+         |b AS (SELECT doc_id, j, md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS h
+         |      FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+         |      FROM b a JOIN b b2 ON a.j = b2.j AND a.h = b2.h
+         |        AND a.doc_id < b2.doc_id),
+         |d AS (SELECT doc_id, list_distinct(sh) AS dsh FROM m),
+         |pj AS (SELECT c.a_id, c.b_id,
+         |  length(list_filter(da.dsh, x -> list_contains(db.dsh, x)))::DOUBLE
+         |    / (length(da.dsh) + length(db.dsh)
+         |       - length(list_filter(da.dsh, x -> list_contains(db.dsh, x)))) AS jaccard
+         |  FROM cand c JOIN d da ON c.a_id = da.doc_id JOIN d db ON c.b_id = db.doc_id),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM pj WHERE round(jaccard, 6) >= 0.5
+         |      UNION SELECT b_id, a_id FROM pj WHERE round(jaccard, 6) >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      Dedup
+        .dupGroups(docs, Dedup.ngramJaccardPairs(docs, minJaccard = 0.5))
+        .orderBy("doc_id")
+    },
+
     // 64-bit simhash: the oracle keeps everything in per-bit lists (bv[i] =
     // bit i-1) and renders a 16-nibble hex string — bit 63 can be set, and
     // DuckDB's checked BIGINT arithmetic would overflow summing 2^63 terms,

@@ -183,6 +183,50 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Duplicate GROUPS from near-dup pairs: connected components over the
+    * pair graph by iterative min-label propagation. Every doc gets a
+    * group_id = the smallest doc_id reachable through near-dup edges
+    * (singletons keep their own id), which is the canonical corpus-cleaning
+    * shape: keep rows where doc_id == group_id.
+    *
+    * Each iteration is one equi-join + one min-aggregate keyed on the
+    * vertex id — partial-aggregable shuffles, no windows; localCheckpoint
+    * cuts the growing lineage. Converges in O(component diameter)
+    * iterations, and near-dup components are shallow by construction; the
+    * per-iteration changed-count action is the convergence check. */
+  def dupGroups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id", maxIters: Int = 20)
+      : DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = docs
+      .select(col(idCol).as("vid"))
+      .distinct()
+      .withColumn("label", col("vid"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("vid"))
+        .select(col("dst").as("vid"), col("label"))
+      val updated = labels
+        .union(neighborMin)
+        .groupBy("vid")
+        .agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "vid")
+        .where(col("label") =!= col("old"))
+        .count()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("vid").as(idCol), col("label").as("group_id"))
+  }
+
   /** Per-document 64-bit simhash frame (map-side pass), via the native
     * codegen expression graft.functions.SimHash64. */
   def simhashFrame(docs: DataFrame, textCol: String = "text"): DataFrame =

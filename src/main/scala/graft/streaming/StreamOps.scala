@@ -25,6 +25,26 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Gap-based session windows per user (the streaming face of
+    * Events.sessionize): Spark's native session_window merges events closer
+    * than `gap` into one growing window per key; the watermark closes and
+    * emits sessions once no earlier event can arrive. State is sharded by
+    * (key, session), merged incrementally — no per-key sort, no custom
+    * state code. */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(
+        col("user_id"),
+        col("s.start").as("session_start"),
+        col("s.end").as("session_end"),
+        col("session_events"))
+
   /** Exact streaming deduplication by key columns within the watermark
     * horizon (the streaming face of Dedup.exact). */
   def dedupStream(

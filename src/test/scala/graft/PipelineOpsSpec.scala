@@ -111,6 +111,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids recovers planted clusters; ivfTopK accepts learned lists") {
+    val rnd = new scala.util.Random(11)
+    // two well-separated clusters around orthogonal-ish anchors
+    val anchorA = Array.fill(16)(rnd.nextFloat() + 1.0f)  // all-positive region
+    val anchorB = Array.fill(16)(-(rnd.nextFloat() + 1.0f)) // all-negative region
+    val vecs = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) anchorA else anchorB
+      (i, base.map(v => v + 0.05f * (rnd.nextFloat() - 0.5f)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, k = 2, iters = 4).collect()
+    assert(cents.length == 2)
+    // each learned centroid sits inside one cluster: all coords same sign
+    val signs = cents.map(_.getSeq[Double](1).forall(_ > 0))
+    assert(signs.toSet == Set(true, false), "centroids should split the two clusters")
+    // learned lists drive IVF end-to-end
+    val learned = Similarity.kmeansCentroids(df, k = 2, iters = 4)
+    val res = Similarity
+      .ivfTopK(df, df.where(col("vec_id") < 2), k = 3, nprobe = 1, learnedCentroids = learned)
+      .collect()
+    assert(res.length == 6) // 2 probes x top-3
+    // neighbors of an A-cluster probe are A-cluster members (even ids)
+    assert(res.filter(_.getInt(0) == 0).forall(_.getInt(2) % 2 == 0))
+  }
+
   test("cosine: orthogonal=0, identical=1") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f), 0.0),

@@ -35,6 +35,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCounts merges gap-close events into one session window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps
+      .sessionCounts(events, "30 minutes", "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("sess_counts")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L), // session 1 of user 1
+        (ts("2024-01-01 00:10:00"), 1L),
+        (ts("2024-01-01 02:00:00"), 1L), // gap > 30m -> session 2
+        (ts("2024-01-01 00:05:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_counts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+        .toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 00:00:00.0", 2L),
+        (1L, "2024-01-01 02:00:00.0", 1L),
+        (2L, "2024-01-01 00:05:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops in-horizon duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
