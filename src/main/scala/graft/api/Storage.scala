@@ -25,6 +25,71 @@ class Storage(val spark: SparkSession, val workDir: String) {
     if (catalog.contains(name) || UpsertWriter.exists(workDir, name)) catalog.resolve(name)
     else throw new UnknownViewname(name)
 
+  // ----- view persistence (the reference's __symtable survives
+  //       reconnects, sqlstorage.py:176-178) ------------------------------
+  //
+  // Views here are plan recipes, not SQL DDL, so persistence is a verb
+  // REPLAY journal: every catalog-mutating verb with serializable args
+  // appends one JSON line to __symtable.jsonl, and a new Storage over the
+  // same workDir replays the journal to rebuild its views against the
+  // current base tables (exactly the replay semantics views already have
+  // in-session). Verbs closing over arbitrary plans (assignQuery, aggregate
+  // reassign) are session-transient, like the reference's temp tables.
+
+  private val journalPath = java.nio.file.Paths.get(workDir, "__symtable.jsonl")
+  private var replaying = false
+
+  private def journal(verb: String, args: Any*): Unit =
+    if (!replaying) {
+      val line = StixId.canonicalJson(Map("verb" -> verb, "args" -> args.toSeq)) + "\n"
+      java.nio.file.Files.write(
+        journalPath,
+        line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
+  private def replayJournal(): Unit =
+    if (java.nio.file.Files.exists(journalPath)) {
+      replaying = true
+      try {
+        val lines = java.nio.file.Files.readAllLines(journalPath)
+        lines.forEach { line =>
+          if (line.nonEmpty) {
+            val m = Flatten.parseJson(line).asInstanceOf[Map[String, Any]]
+            val a = m("args").asInstanceOf[Seq[Any]]
+            def s(i: Int): String = Option(a(i)).map(_.toString).orNull
+            m("verb") match {
+              case "extract" => extract(s(0), s(1), s(2), s(3))
+              case "filter"  => filter(s(0), s(1), s(2), s(3))
+              case "assign" =>
+                assign(s(0), s(1), s(2), s(3), a(4).asInstanceOf[Boolean],
+                  Option(a(5)).map(_.toString.toDouble.toInt))
+              case "group" =>
+                group(s(0), s(1),
+                  a(2).asInstanceOf[Seq[Any]].map(_.toString),
+                  a(3).asInstanceOf[Seq[Any]].map { t =>
+                    val x = t.asInstanceOf[Seq[Any]]
+                    (x(0).toString, x(1).toString, x(2).toString)
+                  })
+              case "join"  => join(s(0), s(1), s(2), s(3), s(4))
+              case "merge" => merge(s(0), a(1).asInstanceOf[Seq[Any]].map(_.toString))
+              case "id_view" =>
+                val ids = a(2).asInstanceOf[Seq[Any]].map(_.toString)
+                val t = s(1)
+                catalog.registerRecipe(s(0), t)(r => r(t).where(col("id").isin(ids: _*)))
+              case "rename"  => renameView(s(0), s(1))
+              case "remove"  => removeView(s(0))
+              case "appdata" => setAppdata(s(0), s(1))
+              case _         => ()
+            }
+          }
+        }
+      } finally replaying = false
+    }
+
+  replayJournal()
+
   // ----- ingest (sqlstorage.py:410-502) -----------------------------------
 
   /** Ingest STIX bundle(s): JSON text, file path, or http(s) URL (the
@@ -164,6 +229,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
     val t = typed.head("type").toString
     val ids = typed.map(_("id").toString)
     catalog.registerRecipe(viewname, t)(r => r(t).where(col("id").isin(ids: _*)))
+    journal("id_view", viewname, t, ids)
   }
 
   private def writeObjects(objs: Seq[Map[String, Any]], queryId: String): Unit = {
@@ -228,6 +294,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
       val scoped = base.join(prov, base("id") === prov("sco_id"), "left_semi")
       pred.map(scoped.where).getOrElse(scoped)
     }
+    journal("extract", viewname, scoType, queryId, pattern)
   }
 
   /** view = pattern filter over an existing view (sqlstorage.py:579-600). */
@@ -237,6 +304,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
     catalog.registerRecipe(viewname, scoType) { r =>
       pred.map(r(input).where).getOrElse(r(input))
     }
+    journal("filter", viewname, scoType, inputView, pattern)
   }
 
   // ----- relational verbs (sqlstorage.py:446-469, 541-566, 777-852) -------
@@ -260,6 +328,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
         // record the sort spec so lookup can re-apply it after deref joins
         // (reference ORDER BY sniff, sqlstorage.py:608-621)
         catalog.setSortKeys(viewname, Seq((pathColName(t, by), asc)))
+        journal("assign", viewname, on, op, by, asc, limit.map(_.toLong).orNull)
       case "group" => group(viewname, on, Seq(by))
       case other   => throw new InvalidQuery(s"assign op $other")
     }
@@ -307,6 +376,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
           .agg(aggCols.head, aggCols.tail: _*)
           .orderBy(keys.map(k => Deref.bq(StixMeta.getLast(k))): _*)
     }
+    journal("group", newname, viewname, by, aggs.map(t => Seq(t._1, t._2, t._3)))
   }
 
   private def autoAggs(df: DataFrame, keys: Seq[String]): Seq[Column] =
@@ -330,6 +400,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
           rt.columns.filterNot(shared.contains).map(c => col(s"r.$c"))
       joined.select(outCols.toSeq: _*)
     }
+    journal("join", viewname, lVar, lOn, rVar, rOn)
   }
 
   /** UNION (with dedup) of same-typed views (sqlstorage.py:777-793). */
@@ -341,6 +412,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
     catalog.registerRecipe(viewname, types.head) { r =>
       inputs.map(r).reduce(_.unionByName(_, allowMissingColumns = true)).distinct()
     }
+    journal("merge", viewname, inputViews)
   }
 
   /** Register a view from an arbitrary Stage-ADT query; grouped queries with
@@ -378,6 +450,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
       val ids = objects.map(_("id").toString)
       val t = objects.head("id").toString.split("--").head
       catalog.registerRecipe(viewname, t)(r => r(t).where(col("id").isin(ids: _*)))
+      journal("id_view", viewname, t, ids)
     } else {
       val df = UpsertWriter.rowsToDF(spark, objects)
       catalog.registerDF(viewname, df)
@@ -445,9 +518,12 @@ class Storage(val spark: SparkSession, val workDir: String) {
     columnsMetadata(otype)
       .collectFirst { case m if m.get("path").contains(path) => m("shortname").toString }
 
-  def removeView(name: String): Unit = catalog.removeView(name)
-  def renameView(o: String, n: String): Unit = catalog.renameView(o, n)
-  def setAppdata(view: String, data: String): Unit = catalog.setAppData(view, data)
+  def removeView(name: String): Unit = { catalog.removeView(name); journal("remove", name) }
+  def renameView(o: String, n: String): Unit = { catalog.renameView(o, n); journal("rename", o, n) }
+  def setAppdata(view: String, data: String): Unit = {
+    catalog.setAppData(view, data)
+    journal("appdata", view, data)
+  }
   def getAppdata(view: String): Option[String] = catalog.getAppData(view)
 
   /** Bulk view metadata: one row per view with (name, type, appdata) — the

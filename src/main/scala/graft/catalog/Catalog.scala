@@ -30,13 +30,25 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
 
   private val views = mutable.LinkedHashMap[String, ViewDef]()
   private val baseCache = mutable.HashMap[String, DataFrame]()
+  // old name -> new name after renameView: dependent recipes that captured
+  // the old name keep resolving, matching the reference's pg backend where
+  // dependent views follow a renamed view (they track the object, not the
+  // text). Re-registering the old name clears its alias.
+  private val aliases = mutable.HashMap[String, String]()
 
-  /** Resolve a relation name: registered view first, else a base parquet
-    * table under `dataDir`. Base reads are cached per catalog (one logical
-    * scan node reused across the session; Catalyst prunes columns/filters
-    * per consumer). */
+  private def canonical(name: String): String = {
+    var n = name
+    var guard = 0
+    while (!views.contains(n) && aliases.contains(n) && guard < 16) { n = aliases(n); guard += 1 }
+    n
+  }
+
+  /** Resolve a relation name: registered view first (following rename
+    * aliases), else a base parquet table under `dataDir`. Base reads are
+    * cached per catalog (one logical scan node reused across the session;
+    * Catalyst prunes columns/filters per consumer). */
   def resolve(name: String): DataFrame =
-    views.get(name) match {
+    views.get(canonical(name)) match {
       case Some(v) => v.recipe(resolve)
       case None =>
         baseCache.getOrElseUpdate(name, readBase(name))
@@ -73,6 +85,7 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
   def registerRecipe(name: String, scoType: String = "")(
       recipe: (String => DataFrame) => DataFrame): Unit = {
     validateName(name)
+    aliases.remove(name)
     val previous = views.get(name).map(_.recipe)
     val wrapped: (String => DataFrame) => DataFrame = { resolve =>
       val selfSafe: String => DataFrame = n =>
@@ -89,6 +102,7 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
   /** Register a concrete DataFrame (materialized result, e.g. reassign). */
   def registerDF(name: String, df: DataFrame, scoType: String = ""): Unit = {
     validateName(name)
+    aliases.remove(name)
     views(name) = ViewDef(_ => df, scoType)
   }
 
@@ -114,30 +128,35 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
   private[graft] def viewDefRef(name: String): Option[AnyRef] = views.get(name)
 
   def viewNames: Seq[String] = views.keys.toSeq
+  // NOTE: contains does NOT follow rename aliases — a renamed-away name is
+  // no longer a view in the symbol table (only captured recipes follow it)
   def contains(name: String): Boolean = views.contains(name)
-  def viewType(name: String): Option[String] = views.get(name).map(_.scoType)
+  def viewType(name: String): Option[String] = views.get(canonical(name)).map(_.scoType)
 
-  def removeView(name: String): Unit = views.remove(name)
+  def removeView(name: String): Unit = { views.remove(name); aliases.remove(name) }
 
   /** Rename clobbers any existing target, preserving the definition
-    * (firepit/sqlstorage.py:795-822). */
+    * (firepit/sqlstorage.py:795-822); recipes that captured the old name
+    * follow it via the alias table. */
   def renameView(oldName: String, newName: String): Unit = {
     validateName(newName)
     views.get(oldName).foreach { v =>
       views.remove(oldName)
       views(newName) = v
+      aliases.remove(newName)
+      aliases(oldName) = newName
     }
   }
 
   def setSortKeys(name: String, keys: Seq[(String, Boolean)]): Unit =
-    views.get(name).foreach(_.sortKeys = keys)
+    views.get(canonical(name)).foreach(_.sortKeys = keys)
   def sortKeys(name: String): Seq[(String, Boolean)] =
-    views.get(name).map(_.sortKeys).getOrElse(Nil)
+    views.get(canonical(name)).map(_.sortKeys).getOrElse(Nil)
 
   def setAppData(name: String, data: String): Unit =
-    views.get(name).foreach(_.appData = data)
+    views.get(canonical(name)).foreach(_.appData = data)
   def getAppData(name: String): Option[String] =
-    views.get(name).flatMap(v => Option(v.appData))
+    views.get(canonical(name)).flatMap(v => Option(v.appData))
 
   /** Name validation kept for API/error parity with the reference
     * (firepit/validate.py:8-16; raises InvalidViewname). */

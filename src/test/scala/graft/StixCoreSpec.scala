@@ -379,6 +379,34 @@ class StixCoreSpec extends SparkSpec {
     assert(rows.head("src_ref.value") == "10.0.0.2") // deref columns attached
   }
 
+  test("views persist across Storage instances via the __symtable journal") {
+    val dir = Files.createTempDirectory("graft-persist").toString
+    val s1 = new Storage(spark, dir)
+    s1.cache("q1", bundle20)
+    s1.cache("q2", bundle20b)
+    s1.extract("urls", "url", "q1", "[url:value LIKE '%page%']")
+    s1.extract("u2", "url", "q2", "")
+    s1.merge("all_urls", Seq("urls", "u2"))
+    s1.assign("sorted", "all_urls", "sort", "value", asc = false)
+    s1.setAppdata("urls", """{"note":"kept"}""")
+    s1.renameView("u2", "u2r")
+
+    // a brand-new Storage over the same workdir rebuilds the views
+    val s2 = new Storage(spark, dir)
+    assert(s2.views().toSet == Set("urls", "u2r", "all_urls", "sorted"))
+    assert(s2.count("urls") == 1 && s2.count("all_urls") == 2)
+    assert(s2.values("value", "sorted") ==
+      Seq("http://example.com/page/1", "http://example.com/other"))
+    assert(s2.getAppdata("urls").contains("""{"note":"kept"}"""))
+    assert(s2.tableType("urls").contains("url"))
+    // replayed views see data cached AFTER the journal entry was written
+    // (same q1 provenance so the extract's semi-join admits the new row)
+    s2.cache("q1",
+      bundle20.replace("page/1", "page/9").replace("observed-data--o1", "observed-data--o3")
+        .replace("bundle--b1", "bundle--b3"))
+    assert(s2.count("urls") == 2) // lazy replay over current base tables
+  }
+
   test("prop_metadata: known table, ref-path resolution, name heuristics") {
     assert(StixMeta.propMetadata("network-traffic", "dst_port") == ("int", "categorical"))
     assert(StixMeta.propMetadata("network-traffic", "src_byte_count") == ("int", "numerical"))
