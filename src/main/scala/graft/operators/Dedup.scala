@@ -166,13 +166,37 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       minJaccard: Double = 0.0): DataFrame = {
-    val cand = minhashPairs(docs, textCol).select("a_id", "b_id")
-    // compiled kernel, same semantics as the `shingles` expression +
-    // array_distinct; lazy (see minhashFrame note)
+    val k = 16
+    val bands = 4
+    val rows = k / bands
+    // ONE map-side pass computes both the minhash signature (candidate
+    // generation) and the distinct shingle set (verification) — the
+    // tokenize/md5 work is shared, and the frame is materialized once (the
+    // "signature table" pattern) so neither self-join side recomputes it.
     val shingleSetUdf = udf((text: String) => shingleStrings(text).distinct)
-    val sh = spread(docs).select(
-      col("doc_id"),
-      shingleSetUdf(col(textCol)).as("sh"))
+    val base = spread(docs)
+      .select(
+        col("doc_id"),
+        minhashUdf(k)(col(textCol)).as("sig"),
+        shingleSetUdf(col(textCol)).as("sh"))
+      .localCheckpoint()
+    val exploded = base
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
+      .withColumn(
+        "band_hash",
+        md5(concat_ws(
+          ",",
+          transform(slice(col("sig"), col("band_idx") * rows + 1, lit(rows)), x => x.cast("string")))))
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val cand = exploded
+      .select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
+      .join(
+        exploded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val sh = base.select(col("doc_id"), col("sh"))
     val joined = cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -189,11 +213,15 @@ object Dedup {
     * (singletons keep their own id), which is the canonical corpus-cleaning
     * shape: keep rows where doc_id == group_id.
     *
-    * Each iteration is one equi-join + one min-aggregate keyed on the
-    * vertex id — partial-aggregable shuffles, no windows; localCheckpoint
-    * cuts the growing lineage. Converges in O(component diameter)
-    * iterations, and near-dup components are shallow by construction; the
-    * per-iteration changed-count action is the convergence check. */
+    * The iteration runs ONLY over pair-connected vertices — a set the size
+    * of the near-dup pair list, orders of magnitude smaller than the
+    * corpus — and singletons are attached at the end with one left join
+    * (labels side is small → broadcast). Each iteration is one equi-join +
+    * one min-aggregate keyed on the vertex id — partial-aggregable
+    * shuffles, no windows; localCheckpoint cuts the growing lineage.
+    * Converges in O(component diameter) iterations, and near-dup
+    * components are shallow by construction; the per-iteration
+    * changed-count action is the convergence check. */
   def dupGroups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id", maxIters: Int = 20)
       : DataFrame = {
     val edges = pairs
@@ -201,8 +229,8 @@ object Dedup {
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = docs
-      .select(col(idCol).as("vid"))
+    var labels = edges
+      .select(col("src").as("vid")) // both directions present: src covers all
       .distinct()
       .withColumn("label", col("vid"))
       .localCheckpoint()
@@ -224,7 +252,9 @@ object Dedup {
       labels = updated
       iter += 1
     }
-    labels.select(col("vid").as(idCol), col("label").as("group_id"))
+    val d = docs.select(col(idCol)).distinct()
+    d.join(labels, d(idCol) === labels("vid"), "left_outer")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))
   }
 
   /** Per-document 64-bit simhash frame (map-side pass), via the native

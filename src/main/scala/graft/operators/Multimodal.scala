@@ -83,6 +83,26 @@ object Multimodal {
     }(encoder)
   }
 
+  /** STUB resize: stride-sample the payload down to at most `targetBytes`
+    * (the byte-level stand-in for image downscaling — a real deployment
+    * swaps the kernel for the codec resize; schema, metadata update, and
+    * partition-local shape are the contract). Deterministic: byte i of the
+    * output is byte floor(i*len/outLen) of the input. */
+  private val resizeKernel = udf((bytes: Array[Byte], target: Int) => {
+    if (bytes == null || bytes.length <= target) bytes
+    else Array.tabulate(target)(i => bytes((i.toLong * bytes.length / target).toInt))
+  })
+
+  def resize(media: DataFrame, targetBytes: Int = 64): DataFrame =
+    media
+      .withColumn("content", resizeKernel(col("content"), lit(targetBytes)))
+      .withColumn(
+        "meta",
+        struct(
+          col("meta.mime").as("mime"),
+          length(col("content")).cast("long").as("n_bytes"),
+          col("meta.source").as("source")))
+
   /** "Frame sampling" for video-like payloads: split the binary into
     * `frames` evenly-spaced fixed-width slices (stub of keyframe extract;
     * slicing and row-explosion shape are the real contract). */

@@ -36,6 +36,18 @@ class MultimodalSpec extends SparkSpec {
     assert(parts == 4)
   }
 
+  test("resize stride-samples content and updates metadata") {
+    val r = Multimodal.resize(media, targetBytes = 4).orderBy("media_id").collect()
+    val c1 = r(0).getAs[Array[Byte]]("content")
+    assert(c1.length == 4)
+    // deterministic stride: byte i = input(floor(i*11/4)) -> indices 0,2,5,8
+    assert(new String(c1, "UTF-8") == "hl r")
+    assert(r(0).getStruct(r(0).fieldIndex("meta")).getAs[Long]("n_bytes") == 4L)
+    // short payloads pass through untouched
+    val small = Multimodal.resize(media, targetBytes = 1024).orderBy("media_id").collect()
+    assert(small(0).getAs[Array[Byte]]("content").length == 11)
+  }
+
   test("sampleFrames explodes evenly-spaced slices") {
     val frames = Multimodal.sampleFrames(media, frames = 2, frameBytes = 4)
       .where(col("media_id") === 1L)
