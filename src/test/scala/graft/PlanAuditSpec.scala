@@ -1,0 +1,83 @@
+package graft
+
+import graft.query._
+import graft.catalog.Catalog
+import org.apache.spark.sql.functions._
+
+/** Plan audits: pin the physical properties the engine's scale story relies
+  * on (filters reach the parquet scan, projections prune the read schema,
+  * dimension joins broadcast, pattern ref-paths become join rewrites — not
+  * driver collects). These are the Catalyst behaviors the reference
+  * delegates to its host DB planner (SURVEY §4). */
+class PlanAuditSpec extends SparkSpec {
+
+  private def cat = new Catalog(spark, sfDir)
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown: Stage filters reach the parquet scan") {
+    val df = GQuery
+      .table(
+        "orders",
+        Filter(Seq(Comparison("o_totalprice", ">", RLit(100000.0)))),
+        Projection(Seq(Col("o_orderkey"), Col("o_totalprice"))))
+      .df(cat.resolve)
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: ["), "expected pushed filters in scan")
+    assert(
+      plan.contains("GreaterThan(o_totalprice,100000.0)"),
+      s"filter not pushed to scan:\n$plan")
+  }
+
+  test("column pruning: projection narrows ReadSchema to selected columns") {
+    val df = GQuery
+      .table("lineitem", Projection(Seq(Col("l_orderkey"), Col("l_quantity"))))
+      .df(cat.resolve)
+    val plan = physical(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment"), s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("dimension joins broadcast (no shuffle on the small side)") {
+    val df = GQuery
+      .table(
+        "customer",
+        Join("nation", "c_nationkey", "=", "n_nationkey"),
+        Projection(Seq(Col("c_custkey"), Col("n_name"))))
+      .df(cat.resolve)
+    assert(physical(df).contains("BroadcastHashJoin"), "dim join should broadcast")
+  }
+
+  test("IN-subquery compiles to a join rewrite, not a driver collect") {
+    val sub = GQuery.table(
+      "orders",
+      Filter(Seq(Comparison("o_orderpriority", "=", RLit("1-URGENT")))),
+      Projection(Seq(Col("o_orderkey"))))
+    val df = GQuery
+      .table(
+        "lineitem",
+        Filter(Seq(Comparison("l_orderkey", "IN", RQuery(sub, "o_orderkey")))),
+        Projection(Seq(Col("l_orderkey"))))
+      .df(cat.resolve)
+    val plan = physical(df)
+    // the optimizer rewrites InSubquery to a semi/existence join
+    assert(
+      plan.contains("LeftSemi") || plan.contains("ExistenceJoin"),
+      s"IN-subquery did not become a join:\n$plan")
+  }
+
+  test("IVF corpus assignment is a partial-aggregable min_by, not a window") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.operators.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 2), k = 2)
+    val plan = physical(df)
+    // map-side combine: the argmax runs as partial_min_by before the
+    // exchange, so the shuffle carries corpus rows, not corpus x nlist
+    assert(plan.contains("partial_min_by"), s"assignment lost map-side combine:\n$plan")
+    // exactly two windows remain: probe-side top-nprobe and the final
+    // per-query top-k rank — none over the corpus x centroid cross product
+    val windows = "(?m)^\\s*[+:]?[- ]*Window ".r.findAllIn(plan).length
+    assert(windows == 2, s"expected 2 windows (probe + topk), found $windows")
+  }
+}
