@@ -118,6 +118,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // winnowing (rolling-hash) fingerprints: min of each 4-window of word
+    // 3-gram hashes — position-robust shared-passage detection
+    q("q_text_winnow",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, s ->
+         |        (('0x' || substring(md5(s),1,15))::BIGINT) % 2147483647) AS hs FROM s),
+         |w AS (SELECT doc_id,
+         |        CASE WHEN length(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+         |             ELSE list_transform(range(1, length(hs) - 2),
+         |                    i -> list_aggregate(hs[i:i+3], 'min')) END AS mins
+         |      FROM h)
+         |SELECT DISTINCT doc_id, unnest(mins) AS fingerprint FROM w
+         |ORDER BY doc_id, fingerprint""".stripMargin) { c =>
+      Dedup.winnowFingerprints(c.resolve("documents")).orderBy("doc_id", "fingerprint")
+    },
+
     // ===== Deduplication ==================================================
 
     q("q_dedup_exact",

@@ -94,6 +94,31 @@ object Dedup {
 
   private def minhashUdf(k: Int) = udf((text: String) => minhashSig(text, k))
 
+  /** Winnowing document fingerprints (the rolling-hash scheme of MOSS):
+    * hash every word 3-gram, slide a window of `w` consecutive gram hashes,
+    * keep each window's minimum — a deterministic, position-robust
+    * fingerprint SET whose density is ~2/(w+1) of the grams. Texts sharing
+    * a long-enough passage share fingerprints regardless of where the
+    * passage sits. Same engine-portable hash family as minhash (md5 60-bit
+    * -> mod 2^31-1). */
+  private[operators] def winnowKernel(text: String, w: Int): Array[Long] = {
+    val hs = shingleStrings(text)
+      .map(s => java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16) % HashP)
+    if (hs.isEmpty) Array.empty
+    else if (hs.length <= w) Array(hs.min)
+    else (0 to hs.length - w).map(i => {
+      var m = Long.MaxValue
+      var j = i
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      m
+    }).distinct.sorted.toArray
+  }
+
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text", w: Int = 4): DataFrame = {
+    val kernel = udf((text: String) => winnowKernel(text, w))
+    spread(docs).select(col("doc_id"), explode(kernel(col(textCol))).as("fingerprint"))
+  }
+
   /** Exact duplicate groups by content fingerprint. Returns one row per
     * fingerprint with the representative (min doc_id) and group size.
     * Single hash-aggregation shuffle on the fingerprint — optimal. */

@@ -77,6 +77,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(j.length == 1 && j.head.getDouble(2) == 1.0)
   }
 
+  test("winnowing fingerprints: shared passage detected at any position") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val a = s"AAA BBB CCC DDD EEE $passage"
+    val b = s"$passage XXX YYY ZZZ WWW VVV"
+    val fps = Dedup.winnowFingerprints(docs((1, a), (2, b), (3, "totally unrelated words here")))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val shared = fps(1) intersect fps(2)
+    assert(shared.nonEmpty, "shared passage should share fingerprints")
+    assert((fps(1) intersect fps(3)).isEmpty)
+    // deterministic: same text -> same set
+    val again = Dedup.winnowFingerprints(docs((9, a))).collect().map(_.getLong(1)).toSet
+    assert(again == fps(1))
+  }
+
   test("simhash: identical token sets -> identical hash; hamming 0 pair found") {
     val d = docs((1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "delta eps zeta"))
     val hs = Dedup.simhashFrame(d).orderBy("doc_id").collect().map(_.getLong(1))
