@@ -110,6 +110,9 @@ object UpsertWriter {
 
   private def mergeById(df: DataFrame): DataFrame = {
     val dataCols = df.columns.filterNot(c => c == "id" || c == "__seq")
+    // an SCO can be ALL reference lists (e.g. x-oca-asset with only
+    // ip_refs/mac_refs): after reflist extraction its table is just ids
+    if (dataCols.isEmpty) return df.select("id").distinct()
     // backtick-quoted refs: flattened STIX columns contain literal dots and
     // quotes (hashes.'SHA-1')
     def bq(c: String) = col(s"`$c`")
