@@ -50,9 +50,10 @@ object Funcs {
   def match_bin(pattern: String, b64: Column): Column =
     decode(unbase64(b64), "UTF-8").rlike(pattern)
 
-  /** SQL LIKE over base64 payloads. */
+  /** SQL LIKE over base64 payloads. Backslashes are literal, as in the
+    * reference's escaped-regex implementation (sqlitestorage.py:78-87). */
   def like_bin(pattern: String, b64: Column): Column =
-    decode(unbase64(b64), "UTF-8").like(pattern)
+    decode(unbase64(b64), "UTF-8").like(pattern.replace("\\", "\\\\"))
 
   /** RFC-3339 text rendering of a timestamp column — the reference stores
     * timestamps as ISO text with millisecond precision + 'Z'

@@ -343,7 +343,10 @@ object Pattern {
       case "LIKE" =>
         if (prop.endsWith("payload_bin"))
           maybeNeg(graft.functions.Funcs.like_bin(valueAsString(v), c))
-        else maybeNeg(c.like(valueAsString(v)))
+        else
+          // backslashes are literal in reference LIKE semantics (sqlite, no
+          // ESCAPE clause); Spark's escape char is \, so double it
+          maybeNeg(c.like(valueAsString(v).replace("\\", "\\\\")))
       case "IN" =>
         v match {
           case LVal(vs) => maybeNeg(c.isin(vs.map(valueAsAny): _*))

@@ -152,7 +152,11 @@ case class BinnedCol(
         floor(col(prop) / n).cast("long") * n
       } else {
         val w = unitSeconds(unit) * n
-        (floor(unix_timestamp(col(prop)) / w) * w).cast("long")
+        // cast-to-timestamp first: STIX tables keep timestamps as RFC-3339
+        // TEXT ('2020-06-30T19:28:22.357434Z'), which unix_timestamp's
+        // default format rejects; the ISO-8601-lenient cast handles both
+        // text and native timestamp columns
+        (floor(unix_timestamp(col(prop).cast("timestamp")) / w) * w).cast("long")
       }
     c.as(alias.getOrElse(s"${prop}_bin"))
   }
@@ -203,8 +207,10 @@ case class Comparison(lhs: String, op: String, rhs: Rhs) extends Pred {
         graft.functions.Funcs.match_bin(r.asString, c)
       case ("NOT MATCHES", r) if lhs == "payload_bin" =>
         !graft.functions.Funcs.match_bin(r.asString, c)
-      case ("LIKE", r)     => c.like(r.asString)
-      case ("NOT LIKE", r) => !c.like(r.asString)
+      // backslashes in LIKE values are literal in the reference (sqlite has
+      // no default ESCAPE); Spark treats \ as the escape char, so double it
+      case ("LIKE", r)     => c.like(r.asString.replace("\\", "\\\\"))
+      case ("NOT LIKE", r) => !c.like(r.asString.replace("\\", "\\\\"))
       // reference MATCHES = re.search (find), matching Spark's rlike
       case ("MATCHES", r)     => c.rlike(r.asString)
       case ("NOT MATCHES", r) => !c.rlike(r.asString)
