@@ -121,7 +121,7 @@ object StixQueries {
          |WHERE u.id IN ${prov("q1")}
          |GROUP BY u.value ORDER BY u.value""".stripMargin) { st =>
       st.extract("urls_vc", "url", "q1", null)
-      st.valueCountsDF("urls_vc", "url:value")
+      st.valueCountsDF("urls_vc", "value")
     },
 
     // ----- number_observed: SUM(number_observed) over the same join

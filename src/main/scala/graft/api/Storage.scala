@@ -539,34 +539,47 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   // ----- observation-weighted verbs (sqlstorage.py:854-1026) --------------
 
-  /** view ⋈ __contains ⋈ observed-data, grouped on `path` (value_counts). */
-  private def observationJoin(viewname: String): DataFrame = {
-    val v = resolve(viewname)
+  /** view ⋈ __contains ⋈ observed-data (the observation join every
+    * weighted verb shares). `v` may already carry path-join extensions. */
+  private def observationJoinDF(v: DataFrame): DataFrame = {
     val contains = resolve("__contains")
     val obs = resolve("observed-data")
     v.join(contains, v("id") === contains("target_ref"))
       .join(obs, contains("source_ref") === obs("id"))
   }
 
-  /** Observation-weighted frequency as a (lazy) DataFrame; the collecting
-    * verb below matches the reference's rows-out contract. */
+  private def observationJoin(viewname: String): DataFrame =
+    observationJoinDF(resolve(viewname))
+
+  /** Resolve a (possibly ref) path on a view: returns the join-extended
+    * frame and the column to read. `ipv4-addr:value` anchors on the view's
+    * own type; `src_ref.value` adds the deref join (path_joins,
+    * sqlstorage.py:107-140). */
+  private def pathOn(viewname: String, path: String): (DataFrame, String) = {
+    val t = catalog.viewType(viewname).filter(_.nonEmpty).getOrElse(viewname)
+    resolvePathColumn(resolve, viewname, t, path)
+  }
+
+  /** Observation-weighted frequency as a (lazy) DataFrame; the key column
+    * is named after the path as passed, matching the reference's rows-out
+    * keys (value_counts, sqlstorage.py:854-874). */
   def valueCountsDF(viewname: String, path: String): DataFrame = {
-    val c = StixMeta.getLast(path)
-    observationJoin(viewname)
-      .groupBy(col(c))
+    val (v, c) = pathOn(viewname, path)
+    observationJoinDF(v)
+      .groupBy(Deref.bq(c).as(path))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
-      .orderBy(col(c))
+      .orderBy(Deref.bq(path))
   }
 
   def valueCounts(viewname: String, path: String): Seq[(Any, Long)] =
     valueCountsDF(viewname, path).collect().toSeq.map(r => (r.get(0), r.getLong(1)))
 
-  /** SUM(number_observed), optionally filtered to one value, as a one-row
-    * DataFrame (sqlstorage.py:891-911). */
+  /** SUM(number_observed) over the observation join, optionally restricted
+    * to rows whose resolved `path` equals `value` (sqlstorage.py:891-911). */
   def numberObservedDF(viewname: String, path: String, value: Any = null): DataFrame = {
-    val c = StixMeta.getLast(path)
-    val base = observationJoin(viewname)
-    val filtered = Option(value).map(v => base.where(col(c) === lit(v))).getOrElse(base)
+    val (v, c) = pathOn(viewname, path)
+    val base = observationJoinDF(v)
+    val filtered = Option(value).map(x => base.where(Deref.bq(c) === lit(x))).getOrElse(base)
     filtered.agg(coalesce(sum("number_observed"), lit(0L)).as("number_observed"))
   }
 
@@ -574,39 +587,50 @@ class Storage(val spark: SparkSession, val workDir: String) {
     numberObservedDF(viewname, path, value).head().getLong(0)
 
   /** Attach observation timestamps to each SCO row; obs id renamed
-    * observation_id; ordered by the attribute (sqlstorage.py:913-990). */
+    * observation_id; ordered by the attribute; optional path=value
+    * restriction with ref-path resolution (sqlstorage.py:913-990). */
   def timestamped(
       viewname: String,
       path: String = null,
       value: Any = null,
       timestamp: String = "first_observed"): DataFrame = {
-    val v = resolve(viewname)
+    val (v, filterCol) = Option(path) match {
+      case Some(p) => pathOn(viewname, p)
+      case None    => (resolve(viewname), null)
+    }
+    val baseCols = resolve(viewname).columns
     val contains = resolve("__contains")
     val obs = resolve("observed-data")
       .withColumnRenamed("id", "observation_id")
     var df = v
       .join(contains, v("id") === contains("target_ref"))
       .join(obs, contains("source_ref") === col("observation_id"))
-      .select(col("observation_id") +: col(timestamp) +: v.columns.map(v(_)): _*)
-    Option(path).foreach { p =>
-      Option(value).foreach(vl => df = df.where(col(StixMeta.getLast(p)) === lit(vl)))
-    }
-    df.orderBy(col(timestamp))
+    if (filterCol != null && value != null) df = df.where(Deref.bq(filterCol) === lit(value))
+    df.select(col("observation_id") +: col(timestamp) +: baseCols.map(c => v(s"`$c`")): _*)
+      .orderBy(col(timestamp))
   }
 
   /** (MIN(first_observed), MAX(last_observed), SUM(number_observed)) as a
-    * one-row DataFrame (sqlstorage.py:992-1026). Timestamps are RFC-3339
-    * text at rest, so text MIN/MAX == temporal MIN/MAX (reference
-    * text_min/text_max, sqlstorage.py:149-152). */
-  def summaryDF(viewname: String): DataFrame =
-    observationJoin(viewname)
-      .agg(
-        min("first_observed").as("first_observed"),
-        max("last_observed").as("last_observed"),
-        coalesce(sum("number_observed"), lit(0L)).as("number_observed"))
+    * one-row DataFrame, optionally restricted to resolved `path` = `value`
+    * (sqlstorage.py:992-1026). Timestamps are RFC-3339 text at rest, so
+    * text MIN/MAX == temporal MIN/MAX (reference text_min/text_max,
+    * sqlstorage.py:149-152). */
+  def summaryDF(viewname: String, path: String = null, value: Any = null): DataFrame = {
+    val base = Option(path) match {
+      case Some(p) =>
+        val (v, c) = pathOn(viewname, p)
+        val joined = observationJoinDF(v)
+        Option(value).map(x => joined.where(Deref.bq(c) === lit(x))).getOrElse(joined)
+      case None => observationJoin(viewname)
+    }
+    base.agg(
+      min("first_observed").as("first_observed"),
+      max("last_observed").as("last_observed"),
+      coalesce(sum("number_observed"), lit(0L)).as("number_observed"))
+  }
 
-  def summary(viewname: String): (String, String, Long) = {
-    val r = summaryDF(viewname).head()
+  def summary(viewname: String, path: String = null, value: Any = null): (String, String, Long) = {
+    val r = summaryDF(viewname, path, value).head()
     (Option(r.get(0)).map(_.toString).orNull,
       Option(r.get(1)).map(_.toString).orNull,
       r.getLong(2))

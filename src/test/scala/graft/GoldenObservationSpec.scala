@@ -1,0 +1,67 @@
+package graft
+
+import graft.api.Storage
+import java.nio.file.Files
+
+/** Golden observation-verb tests replayed from the reference suite
+  * (tests/test_value_counts.py, test_number_observed.py, test_summary.py)
+  * on test_bundle.json — observation-weighted counts and time summaries,
+  * including ref-path resolution ('src_ref.value') and value filters. */
+class GoldenObservationSpec extends SparkSpec {
+
+  private def bundle =
+    new java.io.File("src/test/resources/fixtures/test_bundle.json").getAbsolutePath
+
+  private def store(): Storage = {
+    val s = new Storage(spark, Files.createTempDirectory("graft-obs").toString)
+    s.cache("q1", Seq(bundle))
+    s
+  }
+
+  test("value_counts goldens (test_value_counts.py)") {
+    val s = store()
+    assert(s.valueCounts("url", "value").length == 31)
+    val ipv4 = s.valueCounts("ipv4-addr", "value")
+    assert(ipv4.length == 70)
+    assert(ipv4.toMap.apply("192.168.203.101") == 3L)
+    s.extract("tens", "ipv4-addr", "q1", "[ipv4-addr:value ISSUBSET '10.0.0.0/8']")
+    val tens = s.valueCounts("tens", "ipv4-addr:value")
+    assert(tens.length == 10)
+    assert(tens.toMap.apply("10.0.0.73") == 14L)
+    // ref path: value_counts over network-traffic's src address
+    val srcs = s.valueCounts("network-traffic", "src_ref.value")
+    assert(srcs.length == 60)
+    assert(srcs.toMap.apply("192.168.203.101") == 3L)
+  }
+
+  test("number_observed goldens incl. ref paths and value filters (test_number_observed.py)") {
+    val s = store()
+    assert(s.numberObserved("url", "value") == 31L)
+    assert(s.numberObserved("ipv4-addr", "value") == 200L)
+    assert(s.numberObserved("ipv4-addr", "value", "192.168.203.101") == 3L)
+    assert(s.numberObserved("ipv4-addr", "value", "9.9.9.9") == 0L)
+    s.extract("tens", "ipv4-addr", "q1", "[ipv4-addr:value ISSUBSET '10.0.0.0/8']")
+    assert(s.numberObserved("tens", "ipv4-addr:value") == 100L)
+    assert(s.numberObserved("tens", "value", "10.0.0.73") == 14L)
+    assert(s.numberObserved("network-traffic", "src_ref.value") == 100L)
+    assert(s.numberObserved("network-traffic", "src_ref.value", "192.168.203.101") == 3L)
+    s.extract("tconns", "network-traffic", "q1",
+      "[network-traffic:dst_ref.value ISSUBSET '10.0.0.0/8']")
+    assert(s.numberObserved("tconns", "network-traffic:dst_ref.value") == 100L)
+    assert(s.numberObserved("tconns", "dst_ref.value", "10.0.0.73") == 14L)
+  }
+
+  test("summary goldens with exact text timestamps (test_summary.py)") {
+    val s = store()
+    val (uf, ul, un) = s.summary("url", "value")
+    assert(uf == "2020-06-30T19:25:10.723267Z")
+    assert(ul == "2020-06-30T19:29:59.916295Z")
+    assert(un == 31L)
+    val (f1, l1, n1) = s.summary("ipv4-addr", "value")
+    assert(f1 == "2020-06-30T19:25:09.447726Z" && l1 == "2020-06-30T19:29:59.96346Z" && n1 == 200L)
+    val (f2, l2, n2) = s.summary("ipv4-addr", "value", "192.168.203.101")
+    assert(f2 == "2020-06-30T19:26:18.788238Z" && l2 == "2020-06-30T19:28:23.940523Z" && n2 == 3L)
+    val (f3, l3, n3) = s.summary("network-traffic", "src_ref.value", "192.168.203.101")
+    assert(f3 == "2020-06-30T19:26:18.788238Z" && l3 == "2020-06-30T19:28:23.940523Z" && n3 == 3L)
+  }
+}
