@@ -78,6 +78,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
                 val ids = a(2).asInstanceOf[Seq[Any]].map(_.toString)
                 val t = s(1)
                 catalog.registerRecipe(s(0), t)(r => r(t).where(col("id").isin(ids: _*)))
+              case "timestamped_view" => timestampedView(s(0), s(1), s(2))
               case "rename"  => renameView(s(0), s(1))
               case "remove"  => removeView(s(0))
               case "appdata" => setAppdata(s(0), s(1))
@@ -372,9 +373,11 @@ class Storage(val spark: SparkSession, val workDir: String) {
         // GROUP BY, i.e. distinct key tuples)
         df.select(keys.map(Deref.bq): _*).distinct().orderBy(keys.map(Deref.bq): _*)
       else
+        // the grouped output keeps the resolved key names verbatim
+        // (including dotted path keys like src_ref.value) — order by those
         df.groupBy(keys.map(Deref.bq): _*)
           .agg(aggCols.head, aggCols.tail: _*)
-          .orderBy(keys.map(k => Deref.bq(StixMeta.getLast(k))): _*)
+          .orderBy(keys.map(Deref.bq): _*)
     }
     journal("group", newname, viewname, by, aggs.map(t => Seq(t._1, t._2, t._3)))
   }
@@ -610,6 +613,22 @@ class Storage(val spark: SparkSession, val workDir: String) {
       .orderBy(col(timestamp))
   }
 
+  /** Register timestamped(input) as a live dependent VIEW: the recipe
+    * replays on every resolve, so later upserts into the input's base
+    * tables are visible — the reference's assign_query(timestamped(...,
+    * run=False)) shape (test_storage.py:394-428). */
+  def timestampedView(
+      viewname: String,
+      input: String,
+      timestamp: String = "first_observed"): Unit = {
+    val in = input
+    val ts = timestamp
+    catalog.registerRecipe(viewname, catalog.viewType(in).getOrElse("")) { _ =>
+      timestamped(in, timestamp = ts)
+    }
+    journal("timestamped_view", viewname, input, timestamp)
+  }
+
   /** (MIN(first_observed), MAX(last_observed), SUM(number_observed)) as a
     * one-row DataFrame, optionally restricted to resolved `path` = `value`
     * (sqlstorage.py:992-1026). Timestamps are RFC-3339 text at rest, so
@@ -647,10 +666,15 @@ class Storage(val spark: SparkSession, val workDir: String) {
       path: String,
       base: Option[DataFrame] = None): (DataFrame, String) = {
     Validate.validatePath(path)
+    val df0 = base.getOrElse(r(viewname))
+    // a materialized/grouped frame may already carry the dotted path as a
+    // flat column (e.g. re-sorting a reassigned group by 'src_ref.value');
+    // the reference checks view columns before synthesizing path joins
+    // (sqlstorage.py:624-639)
+    if (df0.columns.contains(path)) return (df0, path)
     val links =
       if (path.contains(":")) StixMeta.parsePath(path)
       else StixMeta.parseProp(scoType, path)
-    val df0 = base.getOrElse(r(viewname))
     if (links.isEmpty) throw new InvalidStixPath(path)
     val hasRel = links.exists(_.isInstanceOf[RelLink])
     if (!hasRel) {

@@ -37,8 +37,11 @@ object UpsertWriter {
       else if (nn.forall(_.isInstanceOf[Boolean])) BooleanType
       else if (nn.forall(_.isInstanceOf[Long])) LongType
       else if (nn.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double])) DoubleType
-      else if (nn.forall(_.isInstanceOf[Seq[_]])) {
-        if (nn.forall(_.asInstanceOf[Seq[_]].forall(e => !e.isInstanceOf[collection.Map[_, _]] && !e.isInstanceOf[Seq[_]])))
+      // collection.Seq, not immutable.Seq: Row.toSeq yields mutable
+      // ArraySeq for array columns (reassign round-trips)
+      else if (nn.forall(_.isInstanceOf[collection.Seq[_]])) {
+        if (nn.forall(_.asInstanceOf[collection.Seq[_]].forall(e =>
+            !e.isInstanceOf[collection.Map[_, _]] && !e.isInstanceOf[collection.Seq[_]])))
           ArrayType(StringType)
         else StringType // JSON-encoded (struct lists, e.g. registry values)
       } else StringType
@@ -48,8 +51,9 @@ object UpsertWriter {
     def conv(v: Any, t: DataType): Any = (v, t) match {
       case (null, _)                  => null
       case (x: Long, DoubleType)      => x.toDouble
-      case (x: Seq[_], ArrayType(StringType, _)) => x.map(e => if (e == null) null else e.toString)
-      case (x: Seq[_], StringType)    => graft.model.StixId.canonicalJson(x)
+      case (x: collection.Seq[_], ArrayType(StringType, _)) =>
+        x.toSeq.map(e => if (e == null) null else e.toString)
+      case (x: collection.Seq[_], StringType) => graft.model.StixId.canonicalJson(x.toSeq)
       case (x: collection.Map[_, _], StringType) => graft.model.StixId.canonicalJson(x)
       case (x, StringType)            => x.toString
       case (x, _)                     => x
