@@ -138,7 +138,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
         val seenCols = scala.collection.mutable.Set.empty[(String, String)]
         objs.flatMap { o =>
           val t = o("type").toString
-          val rest = o - "type"
+          val rest = o - "type" - "spec_version"
           val main = (t, StixId.canonicalJson(rest.map { case (k, v) => StixMeta.shortenKey(k) -> v }))
           val meta =
             if (t.startsWith("__")) Nil
@@ -243,7 +243,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
       if (!t.startsWith("__")) {
         val seen = scala.collection.mutable.Set.empty[String]
         rows.foreach(_.foreach { case (k, v) =>
-          if (k != "type" && v != null && seen.add(k))
+          if (k != "type" && k != "spec_version" && v != null && seen.add(k))
             colMeta += Map(
               "otype" -> t, "path" -> k,
               "shortname" -> StixMeta.shortenKey(k),
@@ -252,7 +252,8 @@ class Storage(val spark: SparkSession, val workDir: String) {
       }
       val df = UpsertWriter.rowsToDF(
         spark,
-        rows.map(r => (r - "type").map { case (k, v) => StixMeta.shortenKey(k) -> v }))
+        // type and spec_version never become columns (splitter.py:240-241)
+        rows.map(r => (r - "type" - "spec_version").map { case (k, v) => StixMeta.shortenKey(k) -> v }))
       t match {
         case "__contains" | "__reflist" =>
           UpsertWriter.appendDistinct(spark, workDir, t, df)
@@ -495,9 +496,17 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   def count(viewname: String): Long = resolve(viewname).count()
 
-  def tables(): Seq[String] = UpsertWriter.tables(workDir).filterNot(_.startsWith("__"))
+  /** All table names: parquet datasets + materialized reassign results
+    * (the reference's sqlite tables, sqlitestorage.py:268-274). */
+  def tables(): Seq[String] =
+    (UpsertWriter.tables(workDir).filterNot(_.startsWith("__")) ++
+      catalog.materializedNames).distinct
+
+  /** Table names that are SCO types = tables minus symbol-table names
+    * (sqlitestorage.py:276-285); identity and observed-data are types. */
   def types(): Seq[String] =
-    UpsertWriter.tables(workDir).filterNot(t => t.startsWith("__") || t == "identity" || t == "observed-data")
+    UpsertWriter.tables(workDir)
+      .filterNot(t => t.startsWith("__") || catalog.contains(t))
   def views(): Seq[String] = catalog.viewNames
   def tableType(viewname: String): Option[String] = catalog.viewType(viewname)
   def columns(name: String): Seq[String] = resolve(name).columns.toSeq

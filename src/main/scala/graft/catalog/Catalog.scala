@@ -25,7 +25,11 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
       var appData: String = null,
       /** (column, ascending) sort spec recorded by sorting verbs so lookup
         * can re-apply view order after deref joins (sqlstorage.py:608-621). */
-      var sortKeys: Seq[(String, Boolean)] = Nil
+      var sortKeys: Seq[(String, Boolean)] = Nil,
+      /** true for registerDF results (reassign materializations) — these
+        * count as TABLES in the reference's catalog verbs
+        * (test_storage.py:341-343). */
+      materialized: Boolean = false
   )
 
   private val views = mutable.LinkedHashMap[String, ViewDef]()
@@ -103,8 +107,12 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
   def registerDF(name: String, df: DataFrame, scoType: String = ""): Unit = {
     validateName(name)
     aliases.remove(name)
-    views(name) = ViewDef(_ => df, scoType)
+    views(name) = ViewDef(_ => df, scoType, materialized = true)
   }
+
+  /** Names bound to materialized DataFrames (reference: real tables). */
+  def materializedNames: Seq[String] =
+    views.collect { case (n, v) if v.materialized => n }.toSeq
 
   /** Rebind a name to a new recipe that may reference the OLD definition —
     * the reference's view self-shadowing (firepit/sqlitestorage.py:199-211). */

@@ -140,10 +140,34 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(procs.head.contains("parent_ref.pid"))
   }
 
-  test("spec_2_1_bundle: STIX 2.1 object_refs flatten path") {
+  test("spec_2_1_bundle: 2.1 goldens — ids, no spec_version column, verbs (test_spec_version_2_1.py)") {
     val s = tmpStore()
     s.cache("q1", Seq(fixture("spec_2_1_bundle.json")))
-    assert(s.tables().contains("domain-name"))
-    assert(s.catalog.resolve("__contains").count() > 0)
+    val types = s.types()
+    assert(types.contains("identity") && types.contains("domain-name") && types.contains("ipv4-addr"))
+    val dnCols = s.columns("domain-name")
+    assert(!dnCols.contains("type") && !dnCols.contains("spec_version"))
+    val dn = s.lookup("domain-name")
+    assert(dn.length == 1)
+    assert(dn.head("id") == "domain-name--bedb4899-d24b-5401-bc86-8f6b4cc18ec7")
+    assert(dn.head("value") == "example.com")
+    val ip = s.lookup("ipv4-addr")
+    assert(ip.length == 1)
+    assert(ip.head("id") == "ipv4-addr--28bb3599-77cd-5a82-a950-b5bc3caf07c4")
+    assert(ip.head("value") == "198.51.100.3")
+    s.extract("domains", "domain-name", "q1", "[domain-name:value LIKE '%.com']")
+    assert(s.values("domain-name:value", "domains") == Seq("example.com"))
+    val vc = s.valueCounts("domains", "value")
+    assert(vc == Seq(("example.com", 1L)))
+    s.extract("ips", "ipv4-addr", "q1", "[ipv4-addr:value ISSUBSET '198.51.100.0/24']")
+    assert(s.values("ipv4-addr:value", "ips") == Seq("198.51.100.3"))
+  }
+
+  test("ccoe custom objects: x-oca-event extract keeps ref columns (test_custom_objects.py)") {
+    val s = tmpStore()
+    s.cache("q1", Seq(fixture("ccoe_investigator_demo.json")))
+    s.extract("events", "x-oca-event", "q1", "[x-oca-event:kind = 'event']")
+    assert(s.columns("events").contains("process_ref"))
+    assert(s.count("events") > 0)
   }
 }

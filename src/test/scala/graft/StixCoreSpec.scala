@@ -439,7 +439,9 @@ class StixCoreSpec extends SparkSpec {
     val s = tmpStore()
     s.cache("q1", bundle20)
     assert(s.tables().contains("url") && !s.tables().exists(_.startsWith("__")))
-    assert(s.types().contains("network-traffic") && !s.types().contains("identity"))
+    // identity/observed-data ARE types in the reference (tables minus views,
+    // sqlitestorage.py:276-285; pinned by test_spec_version_2_1.py)
+    assert(s.types().contains("network-traffic") && s.types().contains("identity"))
     s.extract("v", "url", "q1", "")
     assert(s.views().contains("v"))
     s.setAppdata("v", """{"note":1}""")
