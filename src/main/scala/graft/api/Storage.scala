@@ -301,6 +301,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   /** view = pattern filter over an existing view (sqlstorage.py:579-600). */
   def filter(viewname: String, scoType: String, inputView: String, pattern: String): Unit = {
+    Validate.validateName(inputView)
     val pred = Pattern.compile(pattern, scoType, resolve)
     val input = inputView
     catalog.registerRecipe(viewname, scoType) { r =>
@@ -319,6 +320,8 @@ class Storage(val spark: SparkSession, val workDir: String) {
       by: String,
       asc: Boolean = true,
       limit: Option[Int] = None): Unit = {
+    Validate.validateName(on)
+    if (op == "sort" || op == "group") Validate.validatePath(by)
     val t = catalog.viewType(on).filter(_.nonEmpty).getOrElse(on)
     op match {
       case "sort" =>
@@ -391,6 +394,8 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   /** Equi-join of two views; shared columns coalesced (sqlstorage.py:541-566). */
   def join(viewname: String, lVar: String, lOn: String, rVar: String, rOn: String): Unit = {
+    Validate.validateName(lVar)
+    Validate.validateName(rVar)
     val t = catalog.viewType(lVar).filter(_.nonEmpty).getOrElse("")
     catalog.registerRecipe(viewname, t) { r =>
       val l = r(lVar)
@@ -409,6 +414,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   /** UNION (with dedup) of same-typed views (sqlstorage.py:777-793). */
   def merge(viewname: String, inputViews: Seq[String]): Unit = {
+    inputViews.foreach(Validate.validateName)
     val types = inputViews.map(v => catalog.viewType(v).filter(_.nonEmpty).getOrElse(v)).distinct
     if (types.length > 1)
       throw new IncompatibleType(s"cannot merge types: ${types.mkString(", ")}")
@@ -470,6 +476,15 @@ class Storage(val spark: SparkSession, val workDir: String) {
       limit: Option[Int] = None,
       offset: Int = 0): Seq[Map[String, Any]] = {
     val t = catalog.viewType(viewname).filter(_.nonEmpty).getOrElse(viewname)
+    if (cols.nonEmpty) {
+      // a requested column must exist on the view or be a valid STIX path
+      // (reference raises InvalidAttr, sqlstorage.py:628-634)
+      val dbcols = resolve(viewname).columns.toSet
+      cols.filterNot(dbcols.contains).foreach { c =>
+        try Validate.validatePath(c)
+        catch { case _: InvalidStixPath => throw new InvalidAttr(c) }
+      }
+    }
     var df = Deref.autoDeref(this, viewname, if (cols.isEmpty) None else Some(cols))
     // deref joins reorder rows; re-apply the view's recorded sort
     // (reference sort-preservation sniff, sqlstorage.py:608-621)

@@ -192,6 +192,13 @@ class IngestPathsSpec extends SparkSpec {
     graft.api.Validate.validatePath("hashes.'SHA-1'")
     graft.api.Validate.validatePath("protocols[*]")
     intercept[graft.api.InvalidStixPath] { s.values("value; --", "urls") }
+    // error contract on verbs (reference tests/test_errors.py shapes)
+    intercept[graft.api.InvalidViewname] {
+      s.filter("v2", "url", "urls; DROP TABLE url", "[url:value LIKE '%a%']")
+    }
+    intercept[graft.api.InvalidViewname] { s.merge("m", Seq("urls", "bad name")) }
+    intercept[graft.api.InvalidAttr] { s.lookup("urls", cols = Seq("value; --")) }
+    intercept[graft.api.InvalidStixPath] { s.assign("v3", "urls", "sort", "no such path;") }
   }
 
   test("LogMapper: flat records -> bundle -> cache -> query") {

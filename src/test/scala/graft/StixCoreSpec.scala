@@ -45,6 +45,34 @@ class StixCoreSpec extends SparkSpec {
     assert(Uuid5(dns, "python.org").toString == "886313e1-3b8a-5372-9b90-0c9aee199e5d")
   }
 
+  test("makeid matches the reference ids for the STIX 2.1 spec examples") {
+    // expected ids generated with the reference's makeid algorithm over
+    // tests/test_stix21_objects.json (the spec's own SCO examples)
+    val goldens = Seq(
+      """{"name":"Slime Industries","number":15139,"rir":"ARIN","spec_version":"2.1","type":"autonomous-system"}""" ->
+        "autonomous-system--3aa27478-50b5-5ab8-9da9-cdc12b657fff",
+      """{"path":"C:\\Windows\\System32","spec_version":"2.1","type":"directory"}""" ->
+        "directory--0a58d0c1-59e6-5afd-8252-dcd3f13e5622",
+      """{"resolves_to_refs":["ipv4-addr--ff26c055-6336-5bc5-b98d-13d6226742dd"],"spec_version":"2.1","type":"domain-name","value":"example.com"}""" ->
+        "domain-name--bedb4899-d24b-5401-bc86-8f6b4cc18ec7",
+      """{"display_name":"John Doe","spec_version":"2.1","type":"email-addr","value":"john@example.com"}""" ->
+        "email-addr--7165e2a9-671f-585d-b1e1-ca59c671d934",
+      """{"date":"1997-11-21T15:55:06.000Z","from_ref":"email-addr--89f52ea8-d6ef-51e9-8fce-6a29236436ed","is_multipart":false,"spec_version":"2.1","subject":"Saying Hello","to_refs":["email-addr--e4ee5301-b52d-59cd-a8fa-8036738c7194"],"type":"email-message"}""" ->
+        "email-message--92fa1bfd-2c62-5a30-8b7c-5b91ea73cf29",
+      """{"hashes":{"SHA-256":"fe90a7e910cb3a4739bed9180e807e93fa70c90f25a8915476f5e4bfbac681db"},"name":"foo.dll","size":25536,"spec_version":"2.1","type":"file"}""" ->
+        "file--949eb97a-da1e-5292-8959-03c4249dc9f3",
+      // non-ASCII name: uuid5 over raw UTF-8, not escaped
+      """{"hashes":{"SHA-256":"841a8921140aba50671ebb0770fecc4ee308c4952cfeff8de154ab14eeef4649"},"name":"qu\u00eary.dll","name_enc":"windows-1252","spec_version":"2.1","type":"file"}""" ->
+        "file--7d1e3a18-89e7-5bc5-be36-9879f5b7f5c8",
+      """{"spec_version":"2.1","type":"ipv4-addr","value":"198.51.100.3"}""" ->
+        "ipv4-addr--28bb3599-77cd-5a82-a950-b5bc3caf07c4"
+    )
+    goldens.foreach { case (json, expected) =>
+      val obj = Flatten.parseJson(json).asInstanceOf[Map[String, Any]]
+      assert(StixId.makeid(obj) == expected, s"id mismatch for $json")
+    }
+  }
+
   test("makeid is deterministic and value-sensitive") {
     val a = StixId.makeid(Map("type" -> "ipv4-addr", "value" -> "10.0.0.1"))
     val b = StixId.makeid(Map("type" -> "ipv4-addr", "value" -> "10.0.0.1"))
