@@ -637,6 +637,44 @@ class Storage(val spark: SparkSession, val workDir: String) {
       .orderBy(col(timestamp))
   }
 
+  /** Attach observed-data attributes to each SCO row
+    * (extract_observeddata_attribute, sqlstorage.py:913-976): `attributes`
+    * come from the observation ('id' surfaces as observation_id); `paths`
+    * restricts/projects view columns (all columns when empty); with exactly
+    * one path, `value` filters on its resolved column. */
+  def extractObservedDataAttribute(
+      viewname: String,
+      attributes: Seq[String],
+      paths: Seq[String] = Nil,
+      value: Any = null,
+      limit: Option[Int] = None): DataFrame = {
+    var v = resolve(viewname)
+    val projected = paths.filter(_ != "*").map { p =>
+      val (v2, c) = resolvePathColumn(
+        resolve, viewname, catalog.viewType(viewname).filter(_.nonEmpty).getOrElse(viewname),
+        p, Some(v))
+      v = v2
+      p -> c
+    }
+    val contains = resolve("__contains")
+    val obs = resolve("observed-data").withColumnRenamed("id", "observation_id")
+    var df = v
+      .join(contains, v("id") === contains("target_ref"))
+      .join(obs, contains("source_ref") === col("observation_id"))
+    if (value != null && projected.length == 1)
+      df = df.where(Deref.bq(projected.head._2) === lit(value))
+    val attrCols = attributes.map {
+      case "id" => col("observation_id")
+      case a    => obs.col(s"`$a`")
+    }
+    val projCols: Seq[Column] =
+      if (projected.nonEmpty) projected.map { case (p, c) => Deref.bq(c).as(p) }
+      else resolve(viewname).columns.toSeq.map(c => v(s"`$c`"))
+    var out = df.select(attrCols ++ projCols: _*).orderBy(attrCols: _*)
+    limit.foreach(n => out = out.limit(n))
+    out
+  }
+
   /** Register timestamped(input) as a live dependent VIEW: the recipe
     * replays on every resolve, so later upserts into the input's base
     * tables are visible — the reference's assign_query(timestamped(...,

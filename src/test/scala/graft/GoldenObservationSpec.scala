@@ -63,6 +63,21 @@ class GoldenObservationSpec extends SparkSpec {
     assert(s.timestamped("network-traffic", "src_ref.value", "192.168.203.101").count() == 3L)
   }
 
+  test("extract_observeddata_attribute goldens (test_obs_attr.py)") {
+    val s = store()
+    val d1 = s.extractObservedDataAttribute("url", Seq("last_observed"))
+    assert(d1.count() == 31L)
+    assert(d1.columns.contains("last_observed"))
+    val d2 = s.extractObservedDataAttribute("url", Seq("id"), paths = Seq("value"))
+    assert(d2.count() == 31L)
+    assert(d2.columns.toSet == Set("observation_id", "value"))
+    val d3 = s.extractObservedDataAttribute(
+      "url", Seq("number_observed", "first_observed", "last_observed", "id"))
+    assert(d3.count() == 31L)
+    assert(d3.columns.toSet ==
+      Set("number_observed", "first_observed", "last_observed", "observation_id", "value", "id"))
+  }
+
   test("registry values[*].name struct-list predicate (test_stix_patterns.py:37)") {
     val s = new Storage(spark, Files.createTempDirectory("graft-rk").toString)
     s.cache("q1", Seq(
