@@ -332,6 +332,67 @@ object LogMapper {
     }
   }
 
+  // ----- file-format readers (woodchipper.py:802-921) ----------------------
+
+  /** Header'd CSV file -> records, with numeric inference (the convert
+    * CLI's CSV path). Small files only — bulk ingest goes through
+    * spark.read.csv + cacheBundles. */
+  def recordsFromCsv(path: String): Seq[Rec] = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    if (lines.isEmpty) return Nil
+    def splitCsv(line: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val sb = new StringBuilder
+      var q = false
+      line.foreach {
+        case '"'            => q = !q
+        case ',' if !q      => out += sb.toString; sb.clear()
+        case c              => sb.append(c)
+      }
+      out += sb.toString
+      out.result()
+    }
+    val header = splitCsv(lines.get(0))
+    (1 until lines.size).map { i =>
+      header.zip(splitCsv(lines.get(i))).collect {
+        case (k, v) if v.nonEmpty => k -> inferScalar(v)
+      }.toMap
+    }.filter(_.nonEmpty)
+  }
+
+  /** Zeek native .log (TSV with #-directive headers: #fields names the
+    * columns, #types their zeek types; '-' is unset). */
+  def recordsFromZeekLog(path: String): Seq[Rec] = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    var fields: Seq[String] = Nil
+    val out = Seq.newBuilder[Rec]
+    lines.forEach { line =>
+      if (line.startsWith("#fields"))
+        fields = line.split('\t').toSeq.drop(1)
+      else if (!line.startsWith("#") && line.nonEmpty && fields.nonEmpty)
+        out += fields.zip(line.split('\t').toSeq).collect {
+          case (k, v) if v.nonEmpty && v != "-" => k -> inferScalar(v)
+        }.toMap
+    }
+    out.result()
+  }
+
+  /** JSON-lines log file -> records (Zeek json output, Sysmon exports). */
+  def recordsFromJsonl(path: String): Seq[Rec] = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    val out = Seq.newBuilder[Rec]
+    lines.forEach { line =>
+      if (line.trim.nonEmpty)
+        out += graft.ingest.Flatten.parseJson(line).asInstanceOf[Map[String, Any]]
+    }
+    out.result()
+  }
+
+  private def inferScalar(v: String): Any =
+    if (v.matches("-?\\d+")) v.toLong
+    else if (v.matches("-?\\d+\\.\\d+")) v.toDouble
+    else v
+
   /** Pick the first mapper whose detect() matches (process_events,
     * woodchipper.py:788-801). */
   val pathMappers: Seq[PathMapper] =

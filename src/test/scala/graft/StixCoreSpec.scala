@@ -101,6 +101,14 @@ class StixCoreSpec extends SparkSpec {
       "type" -> "x-custom",
       "nested" -> Map("a" -> 1L)))
     assert(custom.contains("nested")) // not recursed for custom SCOs
+    // ...but extensions on x-* types ARE recursed (test_raft.py case 5)
+    val ext = Flatten.jsonNormalize(Map(
+      "type" -> "x-foo",
+      "extensions" -> Map("x-cool-ext" -> Map("a" -> 1L, "b" -> 2L))))
+    assert(ext("extensions.'x-cool-ext'.a") == 1L && ext("extensions.'x-cool-ext'.b") == 2L)
+    // deep non-x nesting flattens fully (test_raft.py case 3)
+    val deep = Flatten.jsonNormalize(Map("type" -> "foo", "a" -> Map("b" -> Map("c" -> 1L))))
+    assert(deep("a.b.c") == 1L)
   }
 
   test("flatten 2.0: edges, id resolution, rank marking") {
