@@ -1,0 +1,99 @@
+package graft
+
+import graft.api.Storage
+import graft.model.StixId
+import org.apache.spark.sql.SparkSession
+
+/** Command-line front end over the Storage verb surface — the reference's
+  * CLI (firepit/cli.py: cache/extract/filter/assign/join/lookup/values/
+  * tables/views/columns/type/schema/count/appdata/load/merge/remove/rename/
+  * value_counts/number_observed/summary/timestamped). The database URL of
+  * the reference becomes a workdir path here.
+  *
+  * Usage: runMain graft.Cli <workdir> <command> [args...]
+  * Rows print as JSON lines (the CLI's default format).
+  */
+object Cli {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft.Cli <workdir> <command> [args...]
+        |  cache <query_id> <bundle_file_or_url>...
+        |  extract <name> <sco_type> <query_id> <pattern>
+        |  filter <name> <sco_type> <input_view> <pattern>
+        |  assign <name> <input> sort|group <by> [asc|desc] [limit]
+        |  join <name> <left> <left_on> <right> <right_on>
+        |  lookup <view> [limit [offset]]
+        |  values <path> <view>
+        |  tables | types | views
+        |  viewdata [view...]
+        |  columns <view> | type <view> | schema <view> | count <view>
+        |  set-appdata <view> <json> | get-appdata <view>
+        |  merge <name> <view>... | remove <view> | rename <old> <new>
+        |  value-counts <view> <path>
+        |  number-observed <view> <path> [value]
+        |  summary <view> [path [value]]
+        |  timestamped <view> [path [value]]""".stripMargin)
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) usage()
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .appName("graft-cli")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val s = new Storage(spark, args(0))
+    val rest = args.drop(2).toSeq
+
+    def printRows(rows: Seq[Map[String, Any]]): Unit =
+      rows.foreach(r => println(StixId.canonicalJson(r.map { case (k, v) =>
+        k -> (v match { case null => null; case x: java.lang.Number => x; case x => x.toString })
+      })))
+
+    try args(1) match {
+      case "cache"   => s.cache(rest.head, rest.tail)
+      case "extract" => s.extract(rest(0), rest(1), rest(2), if (rest.length > 3) rest(3) else null)
+      case "filter"  => s.filter(rest(0), rest(1), rest(2), rest(3))
+      case "assign" =>
+        s.assign(rest(0), rest(1), rest(2), rest(3),
+          asc = !rest.lift(4).contains("desc"),
+          limit = rest.lift(5).map(_.toInt))
+      case "join"   => s.join(rest(0), rest(1), rest(2), rest(3), rest(4))
+      case "lookup" =>
+        printRows(s.lookup(rest.head,
+          limit = rest.lift(1).map(_.toInt),
+          offset = rest.lift(2).map(_.toInt).getOrElse(0)))
+      case "values"  => s.values(rest(0), rest(1)).foreach(println)
+      case "tables"  => s.tables().foreach(println)
+      case "types"   => s.types().foreach(println)
+      case "views"   => s.views().foreach(println)
+      case "viewdata" => printRows(s.getViewData(rest))
+      case "columns" => s.columns(rest.head).foreach(println)
+      case "type"    => println(s.tableType(rest.head).getOrElse(""))
+      case "schema"  => s.schema(rest.head).foreach { case (n, t) => println(s"$n\t$t") }
+      case "count"   => println(s.count(rest.head))
+      case "set-appdata" => s.setAppdata(rest(0), rest(1))
+      case "get-appdata" => println(s.getAppdata(rest.head).getOrElse(""))
+      case "merge"   => s.merge(rest.head, rest.tail)
+      case "remove"  => s.removeView(rest.head)
+      case "rename"  => s.renameView(rest(0), rest(1))
+      case "value-counts" =>
+        s.valueCounts(rest(0), rest(1)).foreach { case (v, n) => println(s"$v\t$n") }
+      case "number-observed" =>
+        println(s.numberObserved(rest(0), rest(1), rest.lift(2).orNull))
+      case "summary" =>
+        val (f, l, n) = s.summary(rest.head, rest.lift(1).orNull, rest.lift(2).orNull)
+        println(s"first_observed\t$f")
+        println(s"last_observed\t$l")
+        println(s"number_observed\t$n")
+      case "timestamped" =>
+        val df = s.timestamped(rest.head, rest.lift(1).orNull, rest.lift(2).orNull)
+        df.toJSON.collect().foreach(println)
+      case _ => usage()
+    } finally spark.stop()
+  }
+}
