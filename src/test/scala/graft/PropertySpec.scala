@@ -67,6 +67,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PathAssembler: every _ref value resolves to an object index; props round-trip") {
+    val ipGen = Gen.zip(Gen.chooseNum(1, 254), Gen.chooseNum(1, 254))
+      .map { case (a, b) => s"10.$a.0.$b" }
+    val recGen = Gen.zip(ipGen, ipGen, Gen.chooseNum(1L, 65535L), Gen.chooseNum(1L, 1023L))
+    samples(recGen, 30).foreach { case (src, dst, sport, dport) =>
+      val obs = graft.ingest.PathAssembler.assemble(Map(
+        "first_observed" -> "2024-01-01T00:00:00.000Z",
+        "network-traffic:src_ref.value" -> src,
+        "network-traffic:dst_ref.value" -> dst,
+        "network-traffic:src_port" -> sport,
+        "network-traffic:dst_port" -> dport,
+        "network-traffic:protocols" -> "tcp"))
+      val objects = obs("objects").asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Map[String, Any]] }
+      // every _ref value is a valid index into the observation's objects
+      objects.values.foreach(_.foreach {
+        case (p, v) if p.endsWith("_ref") => assert(objects.contains(v.toString))
+        case _                            => ()
+      })
+      val nt = objects.values.find(_("type") == "network-traffic").get
+      assert(nt("src_port") == sport && nt("dst_port") == dport)
+      assert(objects(nt("src_ref").toString)("value") == src)
+      assert(objects(nt("dst_ref").toString)("value") == dst)
+      // flatten20 accepts the assembled observation unchanged
+      val flat = Flatten.flatten(obs)
+      assert(flat.count(_("type") == "__contains") == objects.size)
+      val fnt = flat.find(_("type") == "network-traffic").get
+      assert(fnt("src_ref").toString.startsWith("ipv4-addr--"))
+    }
+  }
+
   test("flatten 2.0 emits one __contains per SCO and resolves every ref") {
     samples(Gen.chooseNum(1, 6), 20).foreach { n =>
       val objects = (0 until n).map(i =>
