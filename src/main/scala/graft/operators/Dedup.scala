@@ -247,36 +247,78 @@ object Dedup {
     * Converges in O(component diameter) iterations, and near-dup
     * components are shallow by construction; the per-iteration
     * changed-count action is the convergence check. */
-  def dupGroups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id", maxIters: Int = 20)
-      : DataFrame = {
+  def dupGroups(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 20,
+      /** edge count at or below which a driver-side union-find replaces the
+        * distributed iteration: the pair graph is orders of magnitude
+        * smaller than the corpus, and one collect + one broadcast join
+        * beats O(diameter) shuffle rounds until the edges themselves stop
+        * fitting in driver memory */
+      driverMaxEdges: Long = 5000000L): DataFrame = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges
-      .select(col("src").as("vid")) // both directions present: src covers all
-      .distinct()
-      .withColumn("label", col("vid"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels, edges("src") === labels("vid"))
-        .select(col("dst").as("vid"), col("label"))
-      val updated = labels
-        .union(neighborMin)
-        .groupBy("vid")
-        .agg(min("label").as("label"))
-        .localCheckpoint()
-      changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "vid")
-        .where(col("label") =!= col("old"))
-        .count()
-      labels = updated
-      iter += 1
-    }
+    val nEdges = edges.count()
+
+    val labels: DataFrame =
+      if (nEdges <= driverMaxEdges) {
+        // union-find with path compression; roots kept at the component
+        // minimum so label == min reachable id (same result as propagation)
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        def lt(a: Any, b: Any): Boolean =
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        edges.collect().foreach { row =>
+          val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+          if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+        }
+        val idType = docs.schema(idCol).dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vid", idType),
+          org.apache.spark.sql.types.StructField("label", idType)))
+        val rows = parent.keys.toSeq.map(v =>
+          org.apache.spark.sql.Row(v, find(v)))
+        docs.sparkSession.createDataFrame(
+          docs.sparkSession.sparkContext.parallelize(rows, 1), schema)
+      } else {
+        // distributed min-label propagation over pair-connected vertices
+        var lbl = edges
+          .select(col("src").as("vid")) // both directions present: src covers all
+          .distinct()
+          .withColumn("label", col("vid"))
+          .localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < maxIters) {
+          val neighborMin = edges
+            .join(lbl, edges("src") === lbl("vid"))
+            .select(col("dst").as("vid"), col("label"))
+          val updated = lbl
+            .union(neighborMin)
+            .groupBy("vid")
+            .agg(min("label").as("label"))
+            .localCheckpoint()
+          changed = updated
+            .join(lbl.withColumnRenamed("label", "old"), "vid")
+            .where(col("label") =!= col("old"))
+            .count()
+          lbl = updated
+          iter += 1
+        }
+        lbl
+      }
+
     val d = docs.select(col(idCol)).distinct()
     d.join(labels, d(idCol) === labels("vid"), "left_outer")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))

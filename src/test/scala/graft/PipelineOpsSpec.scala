@@ -77,6 +77,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(j.length == 1 && j.head.getDouble(2) == 1.0)
   }
 
+  test("dupGroups: driver union-find and distributed propagation produce identical groups") {
+    val d = (1 to 8).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1, 2), (2, 3), (5, 6)).toDF("a_id", "b_id")
+    def run(threshold: Long) =
+      Dedup.dupGroups(d, pairs, driverMaxEdges = threshold)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+    val viaDriver = run(1000000L)
+    val viaPropagation = run(0L)
+    val expected = Seq(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 5, 6 -> 5, 7 -> 7, 8 -> 8)
+    assert(viaDriver == expected)
+    assert(viaPropagation == expected)
+  }
+
   test("winnowing fingerprints: shared passage detected at any position") {
     val passage = "the quick brown fox jumps over the lazy dog again and again"
     val a = s"AAA BBB CCC DDD EEE $passage"
