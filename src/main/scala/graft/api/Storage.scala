@@ -78,6 +78,8 @@ class Storage(val spark: SparkSession, val workDir: String) {
                 val ids = a(2).asInstanceOf[Seq[Any]].map(_.toString)
                 val t = s(1)
                 catalog.registerRecipe(s(0), t)(r => r(t).where(col("id").isin(ids: _*)))
+              case "assign_query" =>
+                assignQuery(s(0), graft.query.StageJson.fromJson(s(2)), s(1))
               case "timestamped_view" => timestampedView(s(0), s(1), s(2))
               case "rename"  => renameView(s(0), s(1))
               case "remove"  => removeView(s(0))
@@ -445,6 +447,10 @@ class Storage(val spark: SparkSession, val workDir: String) {
     query.stages.collect { case o: graft.query.Order => o.keys }.lastOption.foreach { ks =>
       catalog.setSortKeys(viewname, ks.map(k => (k.col, k.asc)))
     }
+    // Query-AST views persist when the AST is pure data; plans embedding
+    // live Catalyst Columns stay session-transient (StageJson)
+    graft.query.StageJson.toJson(query).foreach(j =>
+      journal("assign_query", viewname, scoType, j))
   }
 
   def runQuery(q: GQuery): DataFrame = q.df(resolve)

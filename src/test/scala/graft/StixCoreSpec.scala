@@ -443,6 +443,31 @@ class StixCoreSpec extends SparkSpec {
     assert(s2.count("urls") == 2) // lazy replay over current base tables
   }
 
+  test("assignQuery views persist via the Stage-ADT JSON codec; Column-bearing plans stay transient") {
+    import graft.query._
+    val dir = Files.createTempDirectory("graft-aq").toString
+    val s1 = new Storage(spark, dir)
+    s1.cache("q1", bundle20)
+    s1.extract("ips", "ipv4-addr", "q1", "")
+    val q = GQuery.table(
+      "ips",
+      Filter(Seq(Comparison("value", "LIKE", RLit("10.%")))),
+      Projection(Seq(Col("value"))),
+      Order(Seq(OrderKey("value"))))
+    // codec round-trip is exact on the data-only ADT
+    assert(StageJson.fromJson(StageJson.toJson(q).get) == q)
+    s1.assignQuery("tens", q, "ipv4-addr")
+    s1.assignQuery(
+      "transient",
+      GQuery.table("ips", Aggregation(Seq(ExprAgg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)), "n")))),
+      "ipv4-addr")
+    val s2 = new Storage(spark, dir)
+    assert(s2.views().contains("tens"))
+    assert(s2.values("value", "tens") == Seq("10.0.0.1"))
+    assert(!s2.views().contains("transient")) // live Columns cannot replay
+  }
+
   test("prop_metadata: known table, ref-path resolution, name heuristics") {
     assert(StixMeta.propMetadata("network-traffic", "dst_port") == ("int", "categorical"))
     assert(StixMeta.propMetadata("network-traffic", "src_byte_count") == ("int", "numerical"))
