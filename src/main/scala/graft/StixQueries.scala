@@ -111,6 +111,47 @@ object StixQueries {
       st.catalog.resolve("top_urls").select(col("id"), col("value"))
     },
 
+    // ----- group verb with explicit aggs incl. NUNIQUE (sqlstorage.py:1028-1077)
+    q("q_stix_group",
+      s"""SELECT dst_port, count(*) AS n, count(DISTINCT src_ref) AS unique_src
+         |FROM ${t("network-traffic")}
+         |WHERE id IN ${prov("q1")}
+         |GROUP BY dst_port ORDER BY dst_port""".stripMargin) { st =>
+      st.extract("conns_grp", "network-traffic", "q1", null)
+      st.group("by_port", "conns_grp", Seq("dst_port"),
+        Seq(("COUNT", "*", "n"), ("NUNIQUE", "src_ref", "unique_src")))
+      st.catalog.resolve("by_port")
+    },
+
+    // ----- join verb: equi-join of two views with shared-column coalesce
+    //       (sqlstorage.py:541-566)
+    q("q_stix_join",
+      s"""SELECT n.id, n.src_ref, n.dst_port, i.value
+         |FROM ${t("network-traffic")} n
+         |JOIN ${t("ipv4-addr")} i ON n.src_ref = i.id
+         |WHERE n.id IN ${prov("q1")} AND i.id IN ${prov("q1")}
+         |ORDER BY n.id""".stripMargin) { st =>
+      st.extract("conns_j", "network-traffic", "q1", null)
+      st.extract("ips_j", "ipv4-addr", "q1", null)
+      st.join("joined", "conns_j", "src_ref", "ips_j", "id")
+      st.catalog.resolve("joined")
+        .select(col("id"), col("src_ref"), col("dst_port"), col("value"))
+        .orderBy("id")
+    },
+
+    // ----- merge verb: distinct UNION of same-typed views
+    //       (sqlstorage.py:777-793)
+    q("q_stix_merge",
+      s"""SELECT id, value FROM ${t("url")}
+         |WHERE (value LIKE '%page/1%' AND id IN ${prov("q1")})
+         |   OR id IN ${prov("q2")}
+         |ORDER BY id""".stripMargin) { st =>
+      st.extract("urls_m1", "url", "q1", "[url:value LIKE '%page/1%']")
+      st.extract("urls_m2", "url", "q2", null)
+      st.merge("m_urls", Seq("urls_m1", "urls_m2"))
+      st.catalog.resolve("m_urls").select(col("id"), col("value")).orderBy("id")
+    },
+
     // ----- value_counts: observation-weighted frequency through the
     //       view ⋈ __contains ⋈ observed-data join (sqlstorage.py:854-874)
     q("q_stix_value_counts",
