@@ -27,11 +27,13 @@ import org.apache.spark.sql.SparkSession
   *  - network connections (ipv4 src/dst, ports, tcp) — most observations;
   *  - every 8th connection uses an ipv6 src (exercises the dual v4/v6
   *    deref join with COALESCE, reference deref.py:28-59);
-  *  - every 5th observation carries a url + user-account instead.
+  *  - every 5th observation carries a url + user-account instead;
+  *  - observations with i%10==3 add a process that opened the connection
+  *    (opened_connection_refs — exercises the __reflist edge table).
   */
 object StixCorpus {
 
-  val dir = "/tmp/graft_stix_corpus_v1"
+  val dir = "/tmp/graft_stix_corpus_v2"
   private val marker = java.nio.file.Paths.get(dir, "_READY")
   private val lock = new Object
 
@@ -92,7 +94,7 @@ object StixCorpus {
           else Map("type" -> "ipv4-addr", "value" -> s"10.0.${i % 4}.${1 + i % 60}")
         val dst = Map("type" -> "ipv4-addr", "value" -> s"203.0.113.${1 + i % 45}")
         val dstPort = Seq(22L, 80L, 443L, 445L, 3389L, 8080L, 9999L)(i % 7)
-        Map(
+        val conn = Map(
           "0" -> src,
           "1" -> dst,
           "2" -> Map(
@@ -103,6 +105,15 @@ object StixCorpus {
             "dst_port" -> dstPort,
             "protocols" -> Seq("tcp"))
         )
+        if (i % 10 == 3)
+          // the process that opened this connection (__reflist edge)
+          conn + ("3" -> Map(
+            "type" -> "process",
+            "name" -> s"proc${i % 20}.exe",
+            "pid" -> (1000L + i),
+            "x_unique_id" -> s"guid-$i",
+            "opened_connection_refs" -> Seq("2")))
+        else conn
       }
     Map(
       "type" -> "observed-data",

@@ -111,6 +111,24 @@ object StixQueries {
       st.catalog.resolve("top_urls").select(col("id"), col("value"))
     },
 
+    // ----- pattern ref-LIST path: process:opened_connection_refs.dst_port
+    //       routes through the __reflist edge table as a nested semi-join
+    //       (stix20.py:75-84)
+    q("q_stix_reflist",
+      s"""SELECT id, name, pid FROM ${t("process")}
+         |WHERE id IN (
+         |  SELECT r.source_ref FROM ${t("__reflist")} r
+         |  JOIN ${t("network-traffic")} n ON r.target_ref = n.id
+         |  WHERE r.ref_name = 'opened_connection_refs' AND n.dst_port = 443)
+         |  AND id IN ${prov("q1")}
+         |ORDER BY id""".stripMargin) { st =>
+      st.extract("procs_rl", "process", "q1",
+        "[process:opened_connection_refs.dst_port = 443]")
+      st.catalog.resolve("procs_rl")
+        .select(col("id"), col("name"), col("pid"))
+        .orderBy("id")
+    },
+
     // ----- group verb with explicit aggs incl. NUNIQUE (sqlstorage.py:1028-1077)
     q("q_stix_group",
       s"""SELECT dst_port, count(*) AS n, count(DISTINCT src_ref) AS unique_src
