@@ -213,6 +213,14 @@ class Storage(val spark: SparkSession, val workDir: String) {
       finishViews.remove(t)
     }
 
+  /** Import scalar values as SCOs of `scoType` via its primary property
+    * (reference load() accepts plain strings, sqlstorage.py:485-489). */
+  def load(viewname: String, values: Seq[String], scoType: String): Unit =
+    load(
+      viewname,
+      values.map(v => Map[String, Any]("type" -> scoType, StixMeta.primaryProp(scoType) -> v)),
+      scoType)
+
   /** Import plain SCO dicts (ids synthesized unless preserved), then make a
     * view of them (sqlstorage.py:471-502). */
   def load(

@@ -78,6 +78,35 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(pairs.count(_ == "192.168.132.245_10.0.0.214") == 1)
   }
 
+  test("test_bundle: lookup cols restriction; scalar load; join enrichment (test_lookup.py:16-23, test_storage.py:137-180)") {
+    val s = tmpStore()
+    s.cache("q1", Seq(fixture("test_bundle.json")))
+    s.extract("conns", "network-traffic", "q1", "[network-traffic:dst_port < 1024]")
+    val ports = s.lookup("conns", cols = Seq("dst_port"))
+    assert(ports.length == 78)
+    assert(ports.map(_("dst_port")).toSet == Set(22L, 80L, 514L))
+    // scalar load via the type's primary property
+    s.load("test_ips", Seq("10.0.0.1", "10.0.0.2"), "ipv4-addr")
+    val rows = s.lookup("test_ips")
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r("type") == "ipv4-addr")
+      assert(Set("10.0.0.1", "10.0.0.2").contains(r("value").toString))
+    }
+    // enrich two ips through load + join; shared columns coalesce
+    s.extract("local_ips", "ipv4-addr", "q1", "[ipv4-addr:value LIKE '%']")
+    s.load("marked_ips", Seq(
+      Map[String, Any]("type" -> "ipv4-addr", "value" -> "10.0.0.201", "risk" -> "high"),
+      Map[String, Any]("type" -> "ipv4-addr", "value" -> "10.0.0.214", "risk" -> "high")))
+    s.join("marked", "local_ips", "value", "marked_ips", "value")
+    val marked = s.lookup("marked")
+    assert(marked.length == 2)
+    marked.foreach { r =>
+      assert(Set("10.0.0.201", "10.0.0.214").contains(r("value").toString))
+      assert(r("risk") == "high")
+    }
+  }
+
   test("test_bundle_2: port-zero sort with byte-exact reference ids (test_storage.py:598-609)") {
     val s = tmpStore()
     s.cache("q1", Seq(fixture("test_bundle_2.json")))
