@@ -489,6 +489,10 @@ class Storage(val spark: SparkSession, val workDir: String) {
       cols: Seq[String] = Nil,
       limit: Option[Int] = None,
       offset: Int = 0): Seq[Map[String, Any]] = {
+    // renamed-away names are gone from the symbol table: lookup must raise
+    // (test_clobber_viewname); only captured recipes follow rename aliases
+    if (!catalog.contains(viewname) && !UpsertWriter.exists(workDir, viewname))
+      throw new UnknownViewname(viewname)
     val t = catalog.viewType(viewname).filter(_.nonEmpty).getOrElse(viewname)
     if (cols.nonEmpty) {
       // a requested column must exist on the view or be a valid STIX path

@@ -119,6 +119,16 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(conns.head("start") == "2020-06-30T19:25:09.447726Z")
   }
 
+  test("test_bundle_2: rename clobbers; old name raises UnknownViewname (test_storage.py:618-629)") {
+    val s = tmpStore()
+    s.cache("q1", Seq(fixture("test_bundle_2.json")))
+    s.extract("conns1", "network-traffic", "q1", "[network-traffic:dst_port < 1024]")
+    s.extract("conns2", "network-traffic", "q1", "[network-traffic:dst_port > 1024]")
+    s.renameView("conns2", "conns1")
+    intercept[graft.api.UnknownViewname] { s.lookup("conns2") }
+    assert(s.count("conns1") == 2) // the clobbering definition (dst_port > 1024)
+  }
+
   test("conn_a + conn_b: duplicate identity dedups to one row (test_storage.py:612-615)") {
     val s = tmpStore()
     s.cache("q1", Seq(fixture("conn_a.json"), fixture("conn_b.json")))
