@@ -215,22 +215,24 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   /** Import scalar values as SCOs of `scoType` via its primary property
     * (reference load() accepts plain strings, sqlstorage.py:485-489). */
-  def load(viewname: String, values: Seq[String], scoType: String): Unit =
+  def load(viewname: String, values: Seq[String], scoType: String): String =
     load(
       viewname,
       values.map(v => Map[String, Any]("type" -> scoType, StixMeta.primaryProp(scoType) -> v)),
       scoType)
 
   /** Import plain SCO dicts (ids synthesized unless preserved), then make a
-    * view of them (sqlstorage.py:471-502). */
+    * view of them; returns the loaded SCO type (sqlstorage.py:471-502). */
   def load(
       viewname: String,
       objects: Seq[Map[String, Any]],
       scoType: String = "",
       queryId: String = null,
-      preserveIds: Boolean = true): Unit = {
+      preserveIds: Boolean = true): String = {
     val typed = objects.map { o =>
       val t = o.getOrElse("type", scoType).toString
+      // reference error contract (sqlstorage.py:528-534)
+      if (t.isEmpty) throw new InvalidObject("missing `type`")
       val withType = o + ("type" -> t)
       if (preserveIds && o.contains("id")) withType
       else withType + ("id" -> StixId.makeid(withType))
@@ -241,6 +243,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
     val ids = typed.map(_("id").toString)
     catalog.registerRecipe(viewname, t)(r => r(t).where(col("id").isin(ids: _*)))
     journal("id_view", viewname, t, ids)
+    t
   }
 
   private def writeObjects(objs: Seq[Map[String, Any]], queryId: String): Unit = {
@@ -304,7 +307,10 @@ class Storage(val spark: SparkSession, val workDir: String) {
       val base = r(scoType)
       val prov = r("__queries").where(col("query_id") === queryId).select(col("sco_id"))
       val scoped = base.join(prov, base("id") === prov("sco_id"), "left_semi")
-      pred.map(scoped.where).getOrElse(scoped)
+      // a pattern over a type that was never ingested can reference columns
+      // the id-only empty stand-in lacks; the result is empty either way
+      // (sqlitestorage.py:169-171; tests/test_errors.py test_empty_results)
+      pred.filter(_ => catalog.baseExists(scoType)).map(scoped.where).getOrElse(scoped)
     }
     journal("extract", viewname, scoType, queryId, pattern)
   }
@@ -380,8 +386,17 @@ class Storage(val spark: SparkSession, val workDir: String) {
       }
       val aggCols =
         if (aggs.nonEmpty)
-          aggs.map { case (f, c, a) => Agg(f, Some(c).filter(_ != "*"), a).toColumn }
-        else autoAggs(df, keys)
+          aggs.map { case (f, c, a) =>
+            if (c == null || c == "*") Agg(f, None, a).toColumn
+            else {
+              // agg attrs may be deref paths too (sqlstorage.py:1060-1067):
+              // resolve the joins and aggregate over the joined column
+              val (df2, rc) = resolvePathColumn(r, viewname, t, c, Some(df))
+              df = df2
+              aggOver(f, rc, a)
+            }
+          }
+        else autoAggs(t, df, keys)
       if (aggCols.isEmpty)
         // nothing aggregatable: grouped keys only (reference renders a bare
         // GROUP BY, i.e. distinct key tuples)
@@ -396,11 +411,26 @@ class Storage(val spark: SparkSession, val workDir: String) {
     journal("group", newname, viewname, by, aggs.map(t => Seq(t._1, t._2, t._3)))
   }
 
-  private def autoAggs(df: DataFrame, keys: Seq[String]): Seq[Column] =
+  private def autoAggs(scoType: String, df: DataFrame, keys: Seq[String]): Seq[Column] =
     df.schema.fields.toSeq
       .filterNot(f => keys.contains(f.name))
-      .flatMap(f => StixMeta.autoAgg("", f.name, f.dataType.simpleString))
-      .map { case (func, c, alias) => Agg(func, Some(c), alias).toColumn }
+      .flatMap(f => StixMeta.autoAgg(scoType, f.name, f.dataType.simpleString))
+      .map { case (func, c, alias) => aggOver(func, c, alias) }
+
+  /** Aggregate over a resolved (possibly dotted) column name. */
+  private def aggOver(func: String, c: String, alias: String): Column = {
+    val cc = Deref.bq(c)
+    (func.toUpperCase match {
+      // functions.count written out: Storage.count(viewname) shadows it here
+      case "COUNT"   => org.apache.spark.sql.functions.count(cc)
+      case "SUM"     => sum(cc)
+      case "MIN"     => min(cc)
+      case "MAX"     => max(cc)
+      case "AVG"     => avg(cc)
+      case "NUNIQUE" => count_distinct(cc)
+      case o         => throw new InvalidAggregateFunction(o)
+    }).as(alias)
+  }
 
   /** Equi-join of two views; shared columns coalesced (sqlstorage.py:541-566). */
   def join(viewname: String, lVar: String, lOn: String, rVar: String, rOn: String): Unit = {
@@ -444,7 +474,8 @@ class Storage(val spark: SparkSession, val workDir: String) {
       if (hasGroup && !hasAgg) {
         val keys = query.stages.collectFirst { case Group(cols) => cols.map(_.outName) }.get
         val base = query.stages.collectFirst { case Table(n) => n }.get
-        val aggCols = autoAggs(resolve(base), keys)
+        val baseType = catalog.viewType(base).filter(_.nonEmpty).getOrElse(base)
+        val aggCols = autoAggs(baseType, resolve(base), keys)
         GQuery(query.stages.flatMap {
           case g: Group => Seq(g, Aggregation(aggCols.map(RawAgg)))
           case s        => Seq(s)
@@ -467,7 +498,11 @@ class Storage(val spark: SparkSession, val workDir: String) {
     * merge-upsert into their type tables (with unresolve splitting of
     * `x_ref.prop` columns); no-id aggregates become a materialized table. */
   def reassign(viewname: String, objects: Seq[Map[String, Any]]): Unit = {
-    if (objects.forall(_.contains("id"))) {
+    if (objects.isEmpty) return // reference ignores empty input (sqlstorage.py:508)
+    // the FIRST object picks the path (sqlstorage.py:512); on the id-bearing
+    // path a later object missing its id is an error, not a silent downgrade
+    if (objects.head.contains("id")) {
+      objects.find(!_.contains("id")).foreach(_ => throw new InvalidObject("missing `id`"))
       val split = Deref.unresolve(objects)
       val qid = java.util.UUID.randomUUID().toString
       writeObjects(split.map(o => Flatten.jsonNormalize(o)), qid)
@@ -489,6 +524,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
       cols: Seq[String] = Nil,
       limit: Option[Int] = None,
       offset: Int = 0): Seq[Map[String, Any]] = {
+    Validate.validateName(viewname) // malformed names first (sqlstorage.py lookup contract)
     // renamed-away names are gone from the symbol table: lookup must raise
     // (test_clobber_viewname); only captured recipes follow rename aliases
     if (!catalog.contains(viewname) && !UpsertWriter.exists(workDir, viewname))
@@ -759,6 +795,9 @@ class Storage(val spark: SparkSession, val workDir: String) {
     val hasRel = links.exists(_.isInstanceOf[RelLink])
     if (!hasRel) {
       val c = links.collect { case NodeLink(_, p) => p }.mkString(".")
+      // "no such column" is a typed error, not an engine AnalysisException
+      // (sqlitestorage.py:166-168 -> InvalidAttr)
+      if (!df0.columns.contains(c)) throw new InvalidAttr(c)
       (df0, c)
     } else {
       var df = df0

@@ -6,8 +6,13 @@ class InvalidViewname(name: String) extends GraftException(s"invalid view name: 
 class InvalidStixPath(path: String) extends GraftException(s"invalid STIX path: $path")
 class InvalidAttr(attr: String) extends GraftException(s"invalid attribute: $attr")
 class IncompatibleType(msg: String) extends GraftException(msg)
+class InvalidObject(msg: String) extends GraftException(msg)
 class UnknownViewname(name: String) extends GraftException(s"unknown view: $name")
 class InvalidQuery(msg: String) extends GraftException(msg)
+class InvalidComparisonOperator(op: String)
+    extends GraftException(s"invalid comparison operator: $op")
+class InvalidAggregateFunction(func: String)
+    extends GraftException(s"invalid aggregate function: $func")
 class StixPatternError(pattern: String) extends GraftException(s"bad STIX pattern: $pattern")
 class DuplicateTable(name: String) extends GraftException(s"duplicate table: $name")
 

@@ -64,6 +64,16 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
     * nanos-aware engines truncate. Pure projection — stays in the scan's
     * codegen stage, no extra pass. */
   private def readBase(name: String): DataFrame = {
+    // a view over a type that was never ingested yields EMPTY results, not an
+    // error — the reference maps sqlite's "no such table: main.X" to an empty
+    // cursor (sqlitestorage.py:169-171; tests/test_errors.py
+    // test_empty_results). Schema is id-only: nothing downstream can know
+    // more about a table that never existed.
+    if (!new java.io.File(s"$dataDir/$name.parquet").exists())
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types
+          .StructField("id", org.apache.spark.sql.types.StringType))))
     val df = spark.read.parquet(s"$dataDir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
@@ -130,6 +140,11 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
   /** Drop a cached base-table read (call after upserting new data so the
     * next resolve sees the new files). */
   def invalidateBase(name: String): Unit = baseCache.remove(name)
+
+  /** Does the base parquet table exist right now? (the reference's sqlite
+    * "no such table" probe — views over absent tables resolve to empty). */
+  def baseExists(name: String): Boolean =
+    new java.io.File(s"$dataDir/$name.parquet").exists()
 
   /** Identity of the current definition of a name (Storage.finish uses it
     * to tell its own layout registrations from user views). */

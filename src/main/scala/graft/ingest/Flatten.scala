@@ -220,6 +220,13 @@ object Flatten {
     val objects = bundle.getOrElse("objects", Seq.empty).asInstanceOf[Seq[Any]]
       .map(_.asInstanceOf[Map[String, Any]])
     objects.flatMap { obj =>
+      // ingest error contract (reference splitter.py:229, sqlstorage.py:487):
+      // a bundle object with a missing or empty `type` is rejected up front
+      obj.get("type").map(_.toString) match {
+        case None     => throw new graft.api.InvalidObject("missing `type`")
+        case Some("") => throw new graft.api.InvalidObject("empty `type` property")
+        case _        => ()
+      }
       val withId =
         if (obj.contains("id")) obj
         else obj + ("id" -> StixId.makeid(obj))

@@ -189,9 +189,12 @@ object LogMapper {
 
   object SysmonMapper extends PathMapper {
     private val common: Seq[(String, Any)] = Seq(
-      "UtcTime" -> Seq("first_observed", "last_observed"),
-      "TimeCreated" -> Seq("first_observed", "last_observed"),
+      // later entries overwrite: UtcTime (the event's own clock) beats the
+      // channel's TimeCreated, matching the reference's per-event mappings
+      // overriding the common map (woodchipper.py:434-489 vs :600)
       "@timestamp" -> Seq("first_observed", "last_observed"),
+      "TimeCreated" -> Seq("first_observed", "last_observed"),
+      "UtcTime" -> Seq("first_observed", "last_observed"),
       "Hostname" -> "x-oca-asset:hostname",
       "Channel" -> "x-oca-event:module",
       "SourceName" -> "x-oca-event:provider",
@@ -393,10 +396,40 @@ object LogMapper {
     else if (v.matches("-?\\d+\\.\\d+")) v.toDouble
     else v
 
+  /** Records that are already STIX-shaped flat dicts: `type` plus its
+    * primary property present; every key becomes a `type:key` path, known
+    * timestamp keys seed first/last_observed (the reference's FlatJsonMapper,
+    * woodchipper.py:750-776 — e.g. splint-converted CSVs of extracted SCOs). */
+  object StixFlatMapper extends PathMapper {
+    def detect(rec: Rec): Boolean =
+      rec.get("type").exists(t =>
+        rec.contains(graft.model.StixMeta.primaryProp(t.toString)))
+    def pathDict(rec: Rec): Map[String, Any] = {
+      val otype = rec("type").toString
+      val obsKeys = Set("first_observed", "last_observed", "number_observed")
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      var tsKey: Option[String] = None
+      rec.foreach { case (k, v) =>
+        if (obsKeys.contains(k)) out(k) = v
+        else {
+          if (tsKey.isEmpty && PathAssembler.knownTimestamps.contains(k)) tsKey = Some(k)
+          out(s"$otype:$k") = v
+        }
+      }
+      tsKey.foreach { k =>
+        if (!out.contains("first_observed")) {
+          out("first_observed") = rec(k)
+          out("last_observed") = rec(k)
+        }
+      }
+      out.toMap
+    }
+  }
+
   /** Pick the first mapper whose detect() matches (process_events,
     * woodchipper.py:788-801). */
   val pathMappers: Seq[PathMapper] =
-    Seq(SysmonMapper, ZeekJsonMapper, ZeekCsvMapper, IscHoneypotJsonMapper)
+    Seq(SysmonMapper, ZeekJsonMapper, ZeekCsvMapper, IscHoneypotJsonMapper, StixFlatMapper)
 
   def detectPathMapper(rec: Rec): Option[PathMapper] = pathMappers.find(_.detect(rec))
 
@@ -408,4 +441,25 @@ object LogMapper {
 
   def toBundleJson(records: Seq[Rec], mapper: PathMapper): String =
     StixId.canonicalJson(toBundle(records, mapper))
+
+  /** File-level conversion entry (splint `convert` -> woodchipper.convert,
+    * firepit/woodchipper.py:871-935): detect the file format by extension /
+    * leading bytes, read records, pick the first mapper that recognizes a
+    * record, emit a STIX 2.0 bundle JSON. */
+  def convert(path: String): String = {
+    val records =
+      if (path.endsWith(".csv")) recordsFromCsv(path)
+      else {
+        val firstLine = {
+          val src = scala.io.Source.fromFile(path)
+          try src.getLines().find(_.nonEmpty).getOrElse("") finally src.close()
+        }
+        if (firstLine.startsWith("#separator")) recordsFromZeekLog(path)
+        else recordsFromJsonl(path)
+      }
+    records.iterator.flatMap(detectPathMapper(_)).nextOption() match {
+      case Some(m) => toBundleJson(records, m)
+      case None    => toBundleJson(records) // generic flat network-JSON fallback
+    }
+  }
 }

@@ -35,6 +35,30 @@ object PathAssembler {
 
   private val RefsIdx = """(.+_refs)\[(\d+)\]""".r
 
+  /** KNOWN_TIMESTAMPS (firepit/timestamp.py:3-13). */
+  private[ingest] val knownTimestamps: Set[String] = Set(
+    "accessed", "created", "date", "end", "first_observed", "last_observed",
+    "modified", "start", "timestamp")
+
+  /** Lenient text timestamp -> RFC-3339 UTC at millisecond precision,
+    * truncating extra digits (timefmt/to_datetime, firepit/timestamp.py).
+    * Unparseable values pass through untouched. */
+  private[ingest] def normTs(v: Any): Any = v match {
+    case s: String =>
+      val t = s.trim.replace(' ', 'T')
+      val zoned = t.endsWith("Z") || t.matches(""".*[+-]\d\d:?\d\d$""")
+      try {
+        val instant =
+          if (zoned) java.time.OffsetDateTime.parse(t).toInstant
+          else java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(instant)
+      } catch { case _: java.time.format.DateTimeParseException => s }
+    case other => other
+  }
+
   private def ipShape(v: Any): Option[String] = {
     val s = v.toString
     if (s.matches("""\d{1,3}(\.\d{1,3}){3}""")) Some("ipv4-addr")
@@ -117,8 +141,12 @@ object PathAssembler {
           case i  => (k0.substring(0, i), k0.substring(i + 1))
         }
         val ci = k.indexOf(':')
-        if (ci < 0) obsAttrs(k) = v
-        else {
+        if (ci < 0) {
+          // observation timestamps are re-rendered RFC-3339 at ms precision
+          // (dict2observation: timefmt(dateutil.parse(val)),
+          // woodchipper.py:205-210)
+          obsAttrs(k) = if (knownTimestamps.contains(k)) normTs(v) else v
+        } else {
           val t = k.substring(0, ci)
           val rootKey = if (tag.isEmpty) t else s"$t#$tag"
           insert(roots.getOrElseUpdate(rootKey, new Node(t)), k.substring(ci + 1), v)

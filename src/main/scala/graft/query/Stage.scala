@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 sealed trait Stage
 
-/** Scan a named relation (base table or registered view). firepit/query.py:318-326 */
-case class Table(name: String) extends Stage
+/** Scan a named relation (base table or registered view); malformed names
+  * raise at construction (firepit/query.py:321-323). */
+case class Table(name: String) extends Stage {
+  graft.api.Validate.validateName(name)
+}
 
 /** Derived table: a nested query in FROM position. firepit/query.py:602-607 */
 case class SubqueryTable(q: GQuery, alias: String) extends Stage
@@ -62,7 +65,14 @@ case class Join(
     how: String = "inner",
     alias: Option[String] = None,
     extraPreds: Seq[Pred] = Nil
-) extends Stage
+) extends Stage {
+  // construction-time validation, firepit/query.py:463-470 (cross joins
+  // carry no ON columns, so empty is legal there)
+  graft.api.Validate.validateName(name)
+  if (leftCol.nonEmpty) graft.api.Validate.validatePath(leftCol)
+  if (rightCol.nonEmpty) graft.api.Validate.validatePath(rightCol)
+  alias.foreach(graft.api.Validate.validateName)
+}
 
 case class OrderKey(col: String, asc: Boolean = true)
 object OrderKey {
@@ -84,9 +94,16 @@ case class RawAgg(c: Column) extends AggLike {
 /** Aggregate spec: func in COUNT/SUM/MIN/MAX/AVG/NUNIQUE (firepit/query.py:11),
   * NUNIQUE = COUNT(DISTINCT) (firepit/query.py:382-384). `col=None` => '*'. */
 case class Agg(func: String, col: Option[String], alias: String) extends AggLike {
+  // AGG_FUNCS contract (firepit/query.py:11, :362-369): unknown functions
+  // raise at construction, not at plan-build time
+  locally {
+    if (!Agg.aggFuncs(func.toUpperCase))
+      throw new graft.api.InvalidAggregateFunction(func)
+  }
   def toColumn: Column = {
     val f = func.toUpperCase
-    val c = col.map(column => org.apache.spark.sql.functions.col(column))
+    // '*' is the reference's spelling of "whole row" (firepit/query.py:385-389)
+    val c = col.filter(_ != "*").map(column => org.apache.spark.sql.functions.col(column))
     val base = f match {
       case "COUNT"   => c.map(count).getOrElse(count(lit(1)))
       case "SUM"     => sum(c.get)
@@ -94,13 +111,18 @@ case class Agg(func: String, col: Option[String], alias: String) extends AggLike
       case "MAX"     => max(c.get)
       case "AVG"     => avg(c.get)
       case "NUNIQUE" => count_distinct(c.get)
-      case other     => throw new IllegalArgumentException(s"Unknown aggregation: $other")
+      case other     => throw new graft.api.InvalidAggregateFunction(other)
     }
     base.as(alias)
   }
 }
 object Agg {
+  private[query] val aggFuncs: Set[String] =
+    Set("COUNT", "SUM", "MIN", "MAX", "AVG", "NUNIQUE")
   def apply(func: String, col: String, alias: String): Agg = Agg(func, Some(col), alias)
+  /** Missing alias defaults to the lowercased function name
+    * (firepit/query.py:390-391: `SUM("foo") AS "sum"`). */
+  def apply(func: String, col: String): Agg = Agg(func, Some(col), func.toLowerCase)
   def countStar(alias: String = "count"): Agg = Agg("COUNT", None, alias)
 }
 
@@ -114,6 +136,11 @@ sealed trait ColSpec {
 /** Qualified / aliased plain column ref. firepit/query.py:70-93 */
 case class Col(name: String, table: Option[String] = None, alias: Option[String] = None)
     extends ColSpec {
+  // construction-time validation, firepit/query.py:70-78 — this is what makes
+  // Group/Projection/Order reject injection-shaped "column names"
+  graft.api.Validate.validatePath(name)
+  table.foreach(graft.api.Validate.validateName)
+  alias.foreach(graft.api.Validate.validatePath)
   def toColumn: Column = {
     val c = table.map(t => col(s"$t.$name")).getOrElse(col(name))
     alias.map(c.as).getOrElse(c)
@@ -127,6 +154,8 @@ object Col {
 /** First non-null across join branches (reference uses it to merge the
   * ipv4/ipv6 sides of a deref join). firepit/query.py:96-109 */
 case class CoalescedCol(names: Seq[String], alias: String) extends ColSpec {
+  names.foreach(graft.api.Validate.validatePath)
+  graft.api.Validate.validatePath(alias)
   def toColumn: Column = coalesce(names.map(col): _*).as(alias)
   def outName: String = alias
 }
@@ -143,6 +172,8 @@ case class BinnedCol(
     unit: String = "", // "" => numeric binning; s/m/h/d => timestamp binning
     alias: Option[String] = None
 ) extends ColSpec {
+  graft.api.Validate.validatePath(prop)
+  alias.foreach(graft.api.Validate.validatePath)
   private val unitSeconds = Map("s" -> 1L, "m" -> 60L, "h" -> 3600L, "d" -> 86400L)
   def toColumn: Column = {
     val c =
@@ -182,10 +213,40 @@ sealed trait Pred {
 }
 
 case class Comparison(lhs: String, op: String, rhs: Rhs) extends Pred {
+  import Comparison._
+
+  // construction-time contract (firepit/query.py:170-193): an unknown
+  // operator, or a NULL comparison outside =/!=/IS, raises immediately —
+  // callers see the typed error before any plan is built
+  locally {
+    graft.api.Validate.validatePath(lhs) // firepit/query.py:74 via Column
+    val u = op.toUpperCase
+    if (!compOps(u)) throw new graft.api.InvalidComparisonOperator(op)
+    if (isNullish(rhs) && !nullOps(u)) throw new graft.api.InvalidComparisonOperator(op)
+  }
+
   def toColumn(resolve: String => DataFrame): Column = {
-    val c = col(lhs)
-    val upper = op.toUpperCase
-    (upper, rhs) match {
+    // STIX list property: `prop[*]` compares against the string-encoded
+    // list column, so scalar =/!= become wildcard LIKEs and every non-null
+    // rhs gets %-wrapped (firepit/query.py:181-188)
+    val (name, upper, rhsEff) = {
+      val star = lhs.indexOf("[*]")
+      val base = if (star >= 0) lhs.substring(0, star) else lhs
+      val u = op.toUpperCase
+      if (star >= 0 && !isNullish(rhs)) {
+        val wrapped = rhs match {
+          case RLit(v) => RLit(s"%$v%")
+          case other   => other
+        }
+        u match {
+          case "="         => (base, "LIKE", wrapped)
+          case "!=" | "<>" => (base, "NOT LIKE", wrapped)
+          case o           => (base, o, wrapped)
+        }
+      } else (base, u, if (isNullish(rhs)) RNull else rhs)
+    }
+    val c = col(name)
+    (upper, rhsEff) match {
       // NULL normalization: `= null` => IS NULL (firepit/query.py:190-193,221-227)
       case ("=", RNull) | ("IS", RNull)                     => c.isNull
       case ("!=", RNull) | ("<>", RNull) | ("IS NOT", RNull) => c.isNotNull
@@ -199,13 +260,13 @@ case class Comparison(lhs: String, op: String, rhs: Rhs) extends Pred {
       // payload_bin comparisons route to the base64-decoding functions
       // (firepit/query.py:216-220) — without this a Stage-level LIKE against
       // `artifact` would silently match over base64 text
-      case ("LIKE", r) if lhs == "payload_bin" =>
+      case ("LIKE", r) if name == "payload_bin" =>
         graft.functions.Funcs.like_bin(r.asString, c)
-      case ("NOT LIKE", r) if lhs == "payload_bin" =>
+      case ("NOT LIKE", r) if name == "payload_bin" =>
         !graft.functions.Funcs.like_bin(r.asString, c)
-      case ("MATCHES", r) if lhs == "payload_bin" =>
+      case ("MATCHES", r) if name == "payload_bin" =>
         graft.functions.Funcs.match_bin(r.asString, c)
-      case ("NOT MATCHES", r) if lhs == "payload_bin" =>
+      case ("NOT MATCHES", r) if name == "payload_bin" =>
         !graft.functions.Funcs.match_bin(r.asString, c)
       // backslashes in LIKE values are literal in the reference (sqlite has
       // no default ESCAPE); Spark treats \ as the escape char, so double it
@@ -223,6 +284,22 @@ case class Comparison(lhs: String, op: String, rhs: Rhs) extends Pred {
       case ("ISSUBSET", r) => graft.functions.Funcs.in_subnet(c, lit(r.value))
       case (o, _) => throw new IllegalArgumentException(s"Unknown predicate op: $o")
     }
+  }
+}
+
+object Comparison {
+  /** COMP_OPS (firepit/query.py:7-8) plus the engine-level extensions the
+    * pattern compiler lowers through this node (NOT MATCHES, ISSUBSET). */
+  private[query] val compOps: Set[String] = Set(
+    "=", "<>", "!=", "<", ">", "<=", ">=", "LIKE", "IN", "IS",
+    "NOT LIKE", "NOT IN", "IS NOT", "MATCHES", "NOT MATCHES",
+    "ISSUBSET", "ISSUPERSET")
+  private[query] val nullOps: Set[String] = Set("=", "!=", "<>", "IS", "IS NOT")
+  private[query] def isNullish(r: Rhs): Boolean = r match {
+    case RNull                       => true
+    case RLit(null)                  => true
+    case RLit("null") | RLit("NULL") => true
+    case _                           => false
   }
 }
 
@@ -295,6 +372,10 @@ case class GQuery(stages: Seq[Stage]) {
         base = Some(q.df(resolve).alias(alias))
         lastAlias = Some(alias)
       case j @ Join(name, lcol, op, rcol, how, alias, extra) =>
+        // a JOIN with no relation on the left is malformed (firepit/query.py
+        // Join append contract; tests/test_query.py test_join_without_table)
+        if (base.isEmpty)
+          throw new graft.api.InvalidQuery("JOIN requires a preceding table")
         val rightAlias = alias.getOrElse(name)
         val right = resolve(name).alias(rightAlias)
         val sparkHow = how.toUpperCase match {
@@ -360,7 +441,12 @@ case class GQuery(stages: Seq[Stage]) {
     }
     if (havingPreds.nonEmpty) df = df.where(havingPreds.reduce(_ && _))
     proj.foreach(cols => df = df.select(cols.map(_.toColumn): _*))
-    if (distinct && countUnique.isEmpty) df = df.distinct()
+    // Projection + Unique + Count renders as COUNT(DISTINCT cols) in the
+    // reference (firepit/query.py:418-450; tests/test_query.py
+    // test_proj_unique_count) — null-excluding, unlike COUNT(*) over a
+    // DISTINCT subquery, so route it through count_distinct
+    val countDistinctProj = countFinal && distinct && proj.isDefined && countUnique.isEmpty
+    if (distinct && countUnique.isEmpty && !countDistinctProj) df = df.distinct()
     countUnique.foreach { cols =>
       df =
         if (cols.isEmpty) df.distinct().agg(count(lit(1)).as("count"))
@@ -370,7 +456,11 @@ case class GQuery(stages: Seq[Stage]) {
       df = df.orderBy(orderKeys.map(k => if (k.asc) col(k.col).asc else col(k.col).desc): _*)
     offsetN.foreach(n => df = df.offset(n))
     limitN.foreach(n => df = df.limit(n))
-    if (countFinal) df = df.agg(count(lit(1)).as("count"))
+    if (countFinal) df =
+      if (countDistinctProj) {
+        val names = proj.get.map(_.outName)
+        df.agg(count_distinct(col(names.head), names.tail.map(col): _*).as("count"))
+      } else df.agg(count(lit(1)).as("count"))
     df
   }
 }

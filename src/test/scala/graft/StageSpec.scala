@@ -199,4 +199,63 @@ class StageSpec extends SparkSpec {
       .head()
     assert(row.getLong(0) > 0)
   }
+
+  test("Predicate error contract: bad ops raise at construction (test_query.py test_bad_comp_op)") {
+    intercept[graft.api.InvalidComparisonOperator] { Comparison("foo", "asdf", RLit(99)) }
+    intercept[graft.api.InvalidComparisonOperator] { Comparison("baz", "UNLIKE", RLit("%blah%")) }
+    // NULL rhs narrows the legal ops to =/!=/IS (firepit/query.py:190-193)
+    intercept[graft.api.InvalidComparisonOperator] { Comparison("baz", "<", RNull) }
+    intercept[graft.api.InvalidComparisonOperator] { Comparison("baz", "<", RLit(null)) }
+  }
+
+  test("Aggregation error contract + default alias (test_query.py test_agg_without_alias)") {
+    intercept[graft.api.InvalidAggregateFunction] { Agg("TOTAL", "foo", "t") }
+    assert(Agg("SUM", "foo").alias == "sum")
+    // ('COUNT', '*', alias) counts rows, not a column named '*'
+    val n = GQuery
+      .table("region", Aggregation(Seq(Agg("COUNT", Some("*"), "count"))))
+      .df(cat.resolve).head().getLong(0)
+    assert(n == 5)
+  }
+
+  test("list property [*]: scalar = / != become wildcard LIKEs (test_query.py test_filter_list)") {
+    val c = cat
+    c.registerRecipe("listy") { r =>
+      r("region").withColumn(
+        "protocols",
+        when(col("r_regionkey") < 2, lit("['tcp', 'http']")).otherwise(lit("['udp', 'dns']")))
+    }
+    def run(p: Pred): Long =
+      GQuery.table("listy", Filter(Seq(p)), CountRows()).df(c.resolve).head().getLong(0)
+    assert(run(Comparison("protocols[*]", "=", RLit("http"))) == 2)
+    assert(run(Comparison("protocols[*]", "!=", RLit("http"))) == 3)
+    // null comparisons pass through untouched (firepit/query.py:183)
+    assert(run(Comparison("protocols[*]", "=", RNull)) == 0)
+    assert(run(Comparison("protocols[*]", "!=", RNull)) == 5)
+  }
+
+  test("Join without a preceding Table raises InvalidQuery (test_query.py test_join_without_table)") {
+    intercept[graft.api.InvalidQuery] {
+      GQuery(Seq(Join("region", "r_regionkey", "=", "n_regionkey"))).df(cat.resolve)
+    }
+  }
+
+  test("Projection + Unique + Count = COUNT(DISTINCT cols), null-excluding (test_proj_unique_count)") {
+    val c = cat
+    c.registerRecipe("with_nulls_cnt") { r =>
+      r("region").withColumn("maybe", when(col("r_regionkey") < 2, col("r_name")))
+    }
+    val n = GQuery
+      .table("with_nulls_cnt", Projection(Seq(Col("maybe"))), Unique(), CountRows())
+      .df(c.resolve).head().getLong(0)
+    // 2 non-null values; the null tuple is excluded, exactly as the
+    // reference's COUNT(DISTINCT "maybe") renders
+    assert(n == 2)
+    // without a projection the reference counts the DISTINCT * subquery —
+    // null rows included
+    val all = GQuery
+      .table("with_nulls_cnt", Projection(Seq(Col("maybe"))), Unique())
+      .df(c.resolve).count()
+    assert(all == 3)
+  }
 }
