@@ -156,6 +156,14 @@ class Storage(val spark: SparkSession, val workDir: String) {
       }
       .toDF("otype", "obj")
       .localCheckpoint() // parse bundles once, not once per discovered type
+    writeTypedJsonRows(flat, queryId)
+  }
+
+  /** Write a distributed (otype, canonical-json) object stream: per-type
+    * schema inference + merge-upsert, plus __queries provenance. Shared by
+    * the distributed bundle and fast-translation ingest paths. */
+  private def writeTypedJsonRows(flat: DataFrame, queryId: String): Unit = {
+    import spark.implicits._
     val types = flat.select("otype").distinct().collect().map(_.getString(0))
     types.foreach { t =>
       val df = spark.read.json(flat.where(col("otype") === t).select("obj").as[String])
@@ -244,6 +252,61 @@ class Storage(val spark: SparkSession, val workDir: String) {
     catalog.registerRecipe(viewname, t)(r => r(t).where(col("id").isin(ids: _*)))
     journal("id_view", viewname, t, ids)
     t
+  }
+
+  /** Ingest translated rows (Translate.translate output: flat
+    * `[objname#]type:attr` columns) — the aio "fast translation" write path
+    * (firepit/aio/ingest.py:573-731): the data-source identity row, per-
+    * object SCO rows, observation rows, `__contains` edges (rank 1, absent
+    * for dst/destination/target-named objects), `__reflist` rows from
+    * `*_refs` columns, and `__queries` provenance. */
+  def cacheTranslated(
+      queryId: String,
+      rows: Seq[Map[String, Any]],
+      identity: Map[String, Any]): Unit = {
+    val objs = Seq.newBuilder[Map[String, Any]]
+    if (identity != null && identity.nonEmpty) objs += identity
+    rows.foreach(objs ++= Translate.rowToObjects(_))
+    writeObjects(objs.result(), queryId)
+  }
+
+  /** Distributed fast translation — the 100 TB ingest path. Native event
+    * JSON documents are parsed, translated, and exploded into typed objects
+    * INSIDE executors (Translate.translateRow is pure/serializable); the
+    * driver only sees the distinct native-column set (for constant-value
+    * mappings) and the small type list, exactly like cacheBundles. */
+  def cacheTranslatedEvents(
+      queryId: String,
+      events: org.apache.spark.sql.Dataset[String],
+      stixMapJson: String,
+      identityJson: String): Unit = {
+    import events.sparkSession.implicits._
+    val stixMap = Flatten.parseJson(stixMapJson).asInstanceOf[Map[String, Any]]
+    val identity = Flatten.parseJson(identityJson).asInstanceOf[Map[String, Any]]
+    val nested = Translate.needsFlatten(stixMap)
+    def flatEvent(json: String): Map[String, Any] = {
+      val ev = Flatten.parseJson(json).asInstanceOf[Map[String, Any]]
+      if (nested) Flatten.jsonNormalize(ev) else ev
+    }
+    // pass 1: union of native columns, for constant-value mappings
+    val present = events.flatMap(e => flatEvent(e).keys).distinct().collect().toSeq
+    val valCols = Translate.constCols(stixMap, present)
+    val createdNow = Translate.nowRfc3339()
+    val flat = events
+      .flatMap { e =>
+        val row = Translate.translateRow(
+          stixMap, Translate.builtinTransformers, flatEvent(e), identity, valCols, createdNow)
+        Translate.rowToObjects(row).map { o =>
+          val t = o("type").toString
+          (t, StixId.canonicalJson(
+            (o - "type").map { case (k, v) => StixMeta.shortenKey(k) -> v }))
+        }
+      }
+      .toDF("otype", "obj")
+      .localCheckpoint() // translate events once, not once per discovered type
+    if (identity != null && identity.nonEmpty)
+      writeObjects(Seq(identity), queryId)
+    writeTypedJsonRows(flat, queryId)
   }
 
   private def writeObjects(objs: Seq[Map[String, Any]], queryId: String): Unit = {
