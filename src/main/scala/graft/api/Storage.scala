@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.catalog.Catalog
-import graft.ingest.{Flatten, UpsertWriter}
+import graft.ingest.{Flatten, Translate, UpsertWriter}
 import graft.model.{StixId, StixMeta}
 import graft.model.StixMeta.{NodeLink, RelLink}
 import graft.pattern.Pattern
@@ -70,7 +70,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
                   a(2).asInstanceOf[Seq[Any]].map(_.toString),
                   a(3).asInstanceOf[Seq[Any]].map { t =>
                     val x = t.asInstanceOf[Seq[Any]]
-                    (x(0).toString, x(1).toString, x(2).toString)
+                    (x(0).toString, Option(x(1)).map(_.toString).orNull, x(2).toString)
                   })
               case "join"  => join(s(0), s(1), s(2), s(3), s(4))
               case "merge" => merge(s(0), a(1).asInstanceOf[Seq[Any]].map(_.toString))
@@ -205,7 +205,12 @@ class Storage(val spark: SparkSession, val workDir: String) {
         types().map(_ -> "id")
     keyed.foreach { case (t, key) =>
       if (UpsertWriter.exists(workDir, t) && !catalog.contains(t)) {
-        val tbl = s"graft_f${Integer.toHexString(workDir.hashCode)}_${t.replaceAll("[^A-Za-z0-9_]", "_")}"
+        // collision-resistant per-workDir prefix (String.hashCode collides
+        // across workDirs in one session and would cross-clobber layouts)
+        val dirTag = java.security.MessageDigest.getInstance("MD5")
+          .digest(new java.io.File(workDir).getAbsolutePath.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+        val tbl = s"graft_f${dirTag}_${t.replaceAll("[^A-Za-z0-9_]", "_")}"
         graft.operators.Layout.writeBucketed(catalog.resolve(t), tbl, key, buckets)
         catalog.registerDF(t, spark.table(tbl), if (t.startsWith("__")) "" else t)
         finishViews(t) = catalog.viewDefRef(t).get
@@ -638,7 +643,12 @@ class Storage(val spark: SparkSession, val workDir: String) {
     * (sqlitestorage.py:276-285); identity and observed-data are types. */
   def types(): Seq[String] =
     UpsertWriter.tables(workDir)
-      .filterNot(t => t.startsWith("__") || catalog.contains(t))
+      .filterNot(t => t.startsWith("__") ||
+        // a finish() layout registration shadows the type's name in the
+        // catalog but the name is still a TYPE, not a user view — hiding it
+        // would silently disable auto-deref after finish()
+        (catalog.contains(t) &&
+          !finishViews.get(t).exists(ref => catalog.viewDefRef(t).exists(_ eq ref))))
   def views(): Seq[String] = catalog.viewNames
   def tableType(viewname: String): Option[String] = catalog.viewType(viewname)
   def columns(name: String): Seq[String] = resolve(name).columns.toSeq

@@ -296,24 +296,25 @@ object Translate {
 
     def resolveRefs(): Unit =
       refCols.toSeq.foreach { case (refCol, target) =>
-        val ci = refCol.indexOf(':')
-        val objKey = refCol.substring(0, ci)
-        if (objKeys.contains(objKey) && !out.contains(refCol)) {
-          target match {
-            case name: String =>
-              // a scalar ref: the named object's id (unwrapped objects
-              // resolve through their indexed names, first non-null —
-              // the reference's bfill, ingest.py:182-186)
-              val names = objRenames.getOrElse(name, Seq(name))
-              names.iterator.flatMap(madeIds.get).nextOption()
-                .foreach(id => out(refCol) = id)
-            case list: Seq[_] =>
-              val names = list.map(_.toString)
-                .flatMap(n => objRenames.getOrElse(n, Seq(n)))
-              val ids = names.flatMap(madeIds.get)
-              if (ids.nonEmpty) out(refCol) = ids
-            case _ => ()
+        // no per-row "source object exists" gate: the reference's obj_set
+        // check (ingest.py:492-496) is over the whole DataFrame's columns,
+        // so an object materializing ONLY through its ref column in some
+        // rows still resolves (test_asyncingest asserts row 2's nt exists
+        // solely via src_ref)
+        if (!out.contains(refCol)) {
+          val named = target match {
+            case s: String => Seq(s)
+            case l: Seq[_] => l.map(_.toString)
+            case _         => Nil
           }
+          // unwrapped objects resolve through their indexed instance names
+          // (the reference's obj_renames remap, ingest.py:189-191)
+          val ids = named.flatMap(n => objRenames.getOrElse(n, Seq(n)))
+            .flatMap(madeIds.get)
+          if (ids.nonEmpty)
+            // singular _ref: first non-null (the reference's bfill,
+            // ingest.py:182-184); plural _refs: every instance id
+            out(refCol) = if (refCol.endsWith("_refs")) ids else ids.head
         }
       }
 
@@ -358,5 +359,46 @@ object Translate {
   private def splitKey(objKey: String): (String, String) = {
     val h = objKey.indexOf('#')
     if (h >= 0) (objKey.substring(0, h), objKey.substring(h + 1)) else ("", objKey)
+  }
+
+  /** Explode ONE translated flat row (`[objname#]type:attr` -> value) into
+    * the objects the reference write path materializes (ingest.py:659-731):
+    * per-object SCO dicts (objects without an `id` are skipped, :672-674),
+    * rank-1 `__contains` edges observation->SCO — rank left absent for
+    * dst/destination/target-named instances (:706-711) — and `__reflist`
+    * rows exploded+deduped from `*_refs` columns (:717-731). Pure and
+    * serializable: runs inside `Dataset.flatMap` on executors. */
+  def rowToObjects(row: Rec): Seq[Rec] = {
+    val out = mutable.ArrayBuffer.empty[Rec]
+    val obsId = row.get("observed-data:id").map(_.toString).orNull
+    val objKeys = row.keysIterator.map(k => k.substring(0, k.indexOf(':'))).toSet
+    objKeys.toSeq.sorted.foreach { objKey =>
+      val (name, otype) = splitKey(objKey)
+      val prefix = objKey + ":"
+      val props = row.collect {
+        case (k, v) if k.startsWith(prefix) && v != null =>
+          k.substring(prefix.length) -> v
+      }
+      props.get("id").map(_.toString).foreach { id =>
+        val (refLists, scalars) = props.partition(_._1.endsWith("_refs"))
+        out += (scalars + ("type" -> otype))
+        if (otype != "observed-data" && obsId != null) {
+          val edge = Map[String, Any](
+            "type" -> "__contains", "source_ref" -> obsId, "target_ref" -> id)
+          val secondary = name.startsWith("dst") ||
+            name.startsWith("destination") || name.startsWith("target")
+          out += (if (secondary) edge else edge + ("x_firepit_rank" -> 1L))
+        }
+        refLists.toSeq.sortBy(_._1).foreach { case (refName, v) =>
+          val targets = v match { case l: Seq[_] => l; case single => Seq(single) }
+          targets.map(_.toString).distinct.foreach { t =>
+            out += Map[String, Any](
+              "type" -> "__reflist", "ref_name" -> refName,
+              "source_ref" -> id, "target_ref" -> t)
+          }
+        }
+      }
+    }
+    out.toSeq
   }
 }
