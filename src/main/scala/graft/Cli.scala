@@ -46,15 +46,26 @@ object Cli {
       .appName("graft-cli")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, args.toSeq) finally spark.stop()
+  }
+
+  /** Dispatch one CLI invocation against an existing session (separated
+    * from main so the replay suite can drive it without session teardown). */
+  def run(spark: SparkSession, args: Seq[String]): Unit = {
+    if (args.length < 2) usage()
     val s = new Storage(spark, args(0))
-    val rest = args.drop(2).toSeq
+    // reference CLI options: --columns=a,b on lookup (cli.py lookup)
+    val (opts, rest) = args.drop(2).partition(_.startsWith("--"))
+    val columns = opts.collectFirst {
+      case o if o.startsWith("--columns=") => o.stripPrefix("--columns=").split(',').toSeq
+    }.getOrElse(Nil)
 
     def printRows(rows: Seq[Map[String, Any]]): Unit =
       rows.foreach(r => println(StixId.canonicalJson(r.map { case (k, v) =>
         k -> (v match { case null => null; case x: java.lang.Number => x; case x => x.toString })
       })))
 
-    try args(1) match {
+    args(1) match {
       case "cache"   => s.cache(rest.head, rest.tail)
       case "extract" => s.extract(rest(0), rest(1), rest(2), if (rest.length > 3) rest(3) else null)
       case "filter"  => s.filter(rest(0), rest(1), rest(2), rest(3))
@@ -65,6 +76,7 @@ object Cli {
       case "join"   => s.join(rest(0), rest(1), rest(2), rest(3), rest(4))
       case "lookup" =>
         printRows(s.lookup(rest.head,
+          cols = columns,
           limit = rest.lift(1).map(_.toInt),
           offset = rest.lift(2).map(_.toInt).getOrElse(0)))
       case "values"  => s.values(rest(0), rest(1)).foreach(println)
@@ -94,6 +106,6 @@ object Cli {
         val df = s.timestamped(rest.head, rest.lift(1).orNull, rest.lift(2).orNull)
         df.toJSON.collect().foreach(println)
       case _ => usage()
-    } finally spark.stop()
+    }
   }
 }

@@ -549,7 +549,33 @@ class Storage(val spark: SparkSession, val workDir: String) {
           case s        => Seq(s)
         })
       } else query
-    catalog.registerRecipe(viewname, scoType)(r => q.df(r))
+    // ordering by a dereferenced path ("dst_ref.value") the view doesn't
+    // carry: resolve the base through auto-deref for the sort, then project
+    // the view's own columns back (the reference accepts such ORDER BYs —
+    // SQLite's quoted-identifier fallback — but never actually sorts;
+    // sorting for real is the useful reading of the same API)
+    val baseName = query.stages.collectFirst { case Table(n) => n }
+    val dottedSort = query.stages
+      .collect { case o: graft.query.Order => o.keys.map(_.col) }.flatten
+      .filter(_.contains("_ref."))
+    val groupedQ = query.stages.exists(s =>
+      s.isInstanceOf[Group] || s.isInstanceOf[Aggregation])
+    catalog.registerRecipe(viewname, scoType) { r =>
+      val wrap = !groupedQ && dottedSort.nonEmpty && baseName.exists { b =>
+        val have = r(b).columns.toSet
+        dottedSort.exists(!have.contains(_))
+      }
+      if (wrap) {
+        val b = baseName.get
+        val base = r(b)
+        val keep = base.columns.toSeq
+        // graft ONLY the sort paths onto the base rows (id-correlated), so
+        // the resulting view keeps exactly the base view's columns
+        val dr = Deref.autoDeref(this, b, Some(("id" +: dottedSort).distinct))
+        val based = base.join(dr, Seq("id"), "left_outer")
+        q.df(n => if (n == b) based else r(n)).select(keep.map(Deref.bq): _*)
+      } else q.df(r)
+    }
     // record the query's final sort so lookup re-applies it after deref
     query.stages.collect { case o: graft.query.Order => o.keys }.lastOption.foreach { ks =>
       catalog.setSortKeys(viewname, ks.map(k => (k.col, k.asc)))
@@ -618,9 +644,12 @@ class Storage(val spark: SparkSession, val workDir: String) {
     if (offset > 0) df = df.offset(offset)
     limit.foreach(n => df = df.limit(n))
     val typeVal = t
+    // type is synthesized only for "*" lookups or when explicitly asked
+    // (sqlstorage.py:661-664)
+    val addType = cols.isEmpty || cols.contains("type")
     df.collect().toSeq.map { row =>
       val m = row.schema.fieldNames.zip(row.toSeq).toMap
-      if (!m.contains("type")) m + ("type" -> typeVal) else m
+      if (addType && !m.contains("type")) m + ("type" -> typeVal) else m
     }
   }
 

@@ -43,7 +43,7 @@ object PathAssembler {
   /** Lenient text timestamp -> RFC-3339 UTC at millisecond precision,
     * truncating extra digits (timefmt/to_datetime, firepit/timestamp.py).
     * Unparseable values pass through untouched. */
-  private[ingest] def normTs(v: Any): Any = v match {
+  private[graft] def normTs(v: Any): Any = v match {
     case s: String =>
       val t = s.trim.replace(' ', 'T')
       val zoned = t.endsWith("Z") || t.matches(""".*[+-]\d\d:?\d\d$""")

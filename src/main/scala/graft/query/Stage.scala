@@ -453,7 +453,12 @@ case class GQuery(stages: Seq[Stage]) {
         else df.agg(count_distinct(col(cols.head), cols.tail.map(col): _*).as("count"))
     }
     if (orderKeys.nonEmpty)
-      df = df.orderBy(orderKeys.map(k => if (k.asc) col(k.col).asc else col(k.col).desc): _*)
+      df = df.orderBy(orderKeys.map { k =>
+        // deref output columns contain literal dots ("src_ref.value") —
+        // quote when the name exists as-is so it isn't read as a field path
+        val c = if (df.columns.contains(k.col)) col(s"`${k.col}`") else col(k.col)
+        if (k.asc) c.asc else c.desc
+      }: _*)
     offsetN.foreach(n => df = df.offset(n))
     limitN.foreach(n => df = df.limit(n))
     if (countFinal) df =

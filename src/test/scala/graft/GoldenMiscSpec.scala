@@ -1,0 +1,95 @@
+package graft
+
+import graft.api.Storage
+import graft.ingest.PathAssembler
+import java.nio.file.Files
+
+/** Replays of the reference's smaller suites: timestamp normalization
+  * (tests/test_timestamp.py), async-storage basics + deep custom objects
+  * (tests/test_asyncstorage.py), and the CLI flow (tests/test_cli.py). */
+class GoldenMiscSpec extends SparkSpec {
+
+  private def fixture(name: String): String =
+    new java.io.File(s"src/test/resources/fixtures/$name").getAbsolutePath
+
+  private def tmpDir() = Files.createTempDirectory("graft-misc").toString
+
+  // ---- test_timestamp.py -------------------------------------------------
+  // to_datetime parses 0-6 fractional digits; timefmt(prec=3) renders
+  // millisecond precision with truncation. normTs is the composition.
+
+  test("timestamp: to_datetime ∘ timefmt(3) truncates fractions (test_timestamp.py)") {
+    val cases = Seq(
+      "2022-02-01T00:00:00"        -> "2022-02-01T00:00:00.000Z",
+      "2022-02-01T00:00:00.1"      -> "2022-02-01T00:00:00.100Z",
+      "2022-02-01T00:00:00.12"     -> "2022-02-01T00:00:00.120Z",
+      "2022-02-01T00:00:00.123"    -> "2022-02-01T00:00:00.123Z",
+      "2022-02-01T00:00:00.1234"   -> "2022-02-01T00:00:00.123Z",
+      "2022-02-01T00:00:00.12345"  -> "2022-02-01T00:00:00.123Z",
+      "2022-02-01T00:00:00.123456" -> "2022-02-01T00:00:00.123Z",
+      // already-zoned text round-trips
+      "2022-02-01T00:00:00.000Z"   -> "2022-02-01T00:00:00.000Z",
+      "2022-02-01T00:00:00.123Z"   -> "2022-02-01T00:00:00.123Z")
+    cases.foreach { case (in, out) => assert(PathAssembler.normTs(in) == out, in) }
+  }
+
+  // ---- test_asyncstorage.py ---------------------------------------------
+
+  test("storage basics: tables/types/lookup/dotted paths (test_asyncstorage.py:42-74)") {
+    val s = new Storage(spark, tmpDir())
+    s.cache("q1", Seq(fixture("test_bundle.json")))
+    assert(s.tables().contains("url"))
+    assert(s.types().contains("url"))
+    val urls = s.lookup("url").map(_("value").toString).toSet
+    assert(urls.contains("http://www8.example.com/page/176"))
+    assert(urls.contains("http://www27.example.com/page/64"))
+    val urlsOnly = s.lookup("url", cols = Seq("value")).map(_("value").toString).toSet
+    assert(urlsOnly == urls)
+    val conns = s.lookup("network-traffic",
+      cols = Seq("src_ref.value", "src_port", "dst_ref.value", "dst_port", "protocols"))
+    assert(conns.map(_("src_ref.value").toString).contains("192.168.212.97"))
+    val exp = Set("observed-data", "identity", "url", "network-traffic", "ipv4-addr", "user-account")
+    assert(s.tables().toSet == exp)
+    assert(s.types().toSet == exp)
+    assert(s.views().isEmpty)
+    assert(s.columns("url").toSet == Set("id", "value"))
+  }
+
+  test("custom objects flatten only one level deep (test_asyncstorage.py:77-140)") {
+    val s = new Storage(spark, tmpDir())
+    s.cache("q1",
+      """{"type": "bundle", "id": "bundle--9e83faeb-3cb3-4aa2-97d0-35230c98e064",
+        | "objects": [
+        |  {"type": "identity", "id": "identity--f431f809-377b-45e0-aa1c-6a4751cae5ff",
+        |   "name": "example", "identity_class": "events"},
+        |  {"id": "observed-data--cc5f37b9-b7bc-45b4-a3a0-99e2540a039b",
+        |   "type": "observed-data",
+        |   "created_by_ref": "identity--f431f809-377b-45e0-aa1c-6a4751cae5ff",
+        |   "created": "2023-04-18T02:24:27.941Z", "modified": "2023-04-18T02:24:27.941Z",
+        |   "objects": {"0": {"type": "x-oca-example",
+        |     "level_01": {"level_02": {"level_03": {"level_04": {"level_05":
+        |       {"level_06": {"level_07": {"level_08": {
+        |         "stuff": "It's a lot",
+        |         "things": [{"key": "key_1", "value": "value_1"},
+        |                    {"key": "key_2", "value": "value_2"},
+        |                    {"key": "key_3", "value": "value_3"}]}}}}}}}}}}}]}""".stripMargin)
+    assert(s.columns("x-oca-example").toSet == Set("id", "level_01"))
+  }
+
+  // ---- test_cli.py -------------------------------------------------------
+
+  test("cli: cache -> extract -> filter -> lookup --columns (test_cli.py)") {
+    val wd = tmpDir()
+    Cli.run(spark, Seq(wd, "cache", "test-id", fixture("test_bundle.json")))
+    Cli.run(spark, Seq(wd, "extract", "ips", "ipv4-addr", "test-id", "[ipv4-addr:value LIKE '%']"))
+    Cli.run(spark, Seq(wd, "filter", "filt_ips", "ipv4-addr", "ips", "[ipv4-addr:value LIKE '192.%']"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Seq(wd, "lookup", "ips", "--columns=value"))
+    }
+    val lines = out.toString("UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+    assert(lines.size == 70) // test_bundle has 70 distinct ipv4 addrs
+    val parsed = lines.map(l => graft.ingest.Flatten.parseJson(l).asInstanceOf[Map[String, Any]])
+    assert(parsed.forall(_.keySet == Set("value")))
+  }
+}
