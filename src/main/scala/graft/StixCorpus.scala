@@ -50,6 +50,8 @@ object StixCorpus {
     storage
   }
 
+  private[graft] def deleteDir(p: java.nio.file.Path): Unit = deleteRecursively(p)
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p))
       java.nio.file.Files.list(p).forEach(deleteRecursively)

@@ -223,5 +223,89 @@ object StixQueries {
         .select(col("observation_id"), col("first_observed"), col("id"), col("value"))
         .orderBy("first_observed", "id")
     }
+  ) ++ xlate
+
+  // ----- fast-translation ingest path (reference firepit/aio/ingest.py):
+  //       the same verb surface over tables written by the DISTRIBUTED
+  //       stix-shifter translation (TranslateCorpus.cacheTranslatedEvents)
+  private def XWD = TranslateCorpus.dir
+  private def xt(name: String) = s"read_parquet('$XWD/$name.parquet/*.parquet')"
+  private def xprov(qid: String) =
+    s"(SELECT sco_id FROM ${xt("__queries")} WHERE query_id = '$qid')"
+  private def xq(name: String, oracle: String)(build: Storage => org.apache.spark.sql.DataFrame): Q =
+    Q(name, (spark, _) => build(TranslateCorpus.ensure(spark)), Some(oracle))
+
+  private def xlate: Seq[Q] = Seq(
+
+    // extract by compiled pattern + dual v4/v6 deref over translated conns;
+    // first protocol via the grouped+layer-sorted protocols column
+    xq("q_xlate_deref",
+      s"""SELECT n.id, coalesce(s4.value, s6.value) AS "src_ref.value",
+         |  d4.value AS "dst_ref.value", n.src_port, n.dst_port,
+         |  n.protocols[1] AS proto
+         |FROM ${xt("network-traffic")} n
+         |LEFT JOIN ${xt("ipv4-addr")} s4 ON n.src_ref = s4.id
+         |LEFT JOIN ${xt("ipv6-addr")} s6 ON n.src_ref = s6.id
+         |LEFT JOIN ${xt("ipv4-addr")} d4 ON n.dst_ref = d4.id
+         |WHERE n.dst_port = 443 AND n.id IN ${xprov("xq1")}
+         |ORDER BY n.id""".stripMargin) { st =>
+      st.extract("xconns", "network-traffic", "xq1", "[network-traffic:dst_port = 443]")
+      Deref.autoDeref(st, "xconns")
+        .select(
+          col("id"), col("`src_ref.value`"), col("`dst_ref.value`"),
+          col("src_port"), col("dst_port"),
+          element_at(col("protocols"), 1).as("proto"))
+        .orderBy("id")
+    },
+
+    // observation-weighted value_counts over translated urls
+    xq("q_xlate_value_counts",
+      s"""SELECT u.value, count(*) AS count
+         |FROM ${xt("url")} u
+         |JOIN ${xt("__contains")} c ON u.id = c.target_ref
+         |JOIN ${xt("observed-data")} o ON c.source_ref = o.id
+         |WHERE u.id IN ${xprov("xq1")}
+         |GROUP BY u.value ORDER BY u.value""".stripMargin) { st =>
+      st.extract("xurls", "url", "xq1", null)
+      st.valueCountsDF("xurls", "value")
+    },
+
+    // summary over translated conns: the observed-data attributes came from
+    // cybox:false mappings (first/last_observed, ToInteger number_observed)
+    xq("q_xlate_summary",
+      s"""SELECT min(o.first_observed) AS first_observed,
+         |  max(o.last_observed) AS last_observed,
+         |  CAST(sum(o.number_observed) AS BIGINT) AS number_observed
+         |FROM ${xt("network-traffic")} n
+         |JOIN ${xt("__contains")} c ON n.id = c.target_ref
+         |JOIN ${xt("observed-data")} o ON c.source_ref = o.id
+         |WHERE n.id IN ${xprov("xq1")}""".stripMargin) { st =>
+      st.extract("xconns_sum", "network-traffic", "xq1", null)
+      st.summaryDF("xconns_sum")
+    },
+
+    // __contains rank marking: dst-named instances carry NO rank
+    // (ingest.py:706-711) — count rank-1 edges per target type
+    xq("q_xlate_rank",
+      s"""SELECT t.otype, count(*) AS n FROM (
+         |  SELECT CASE
+         |    WHEN c.target_ref LIKE 'ipv4-addr--%' THEN 'ipv4-addr'
+         |    WHEN c.target_ref LIKE 'ipv6-addr--%' THEN 'ipv6-addr'
+         |    WHEN c.target_ref LIKE 'network-traffic--%' THEN 'network-traffic'
+         |    WHEN c.target_ref LIKE 'url--%' THEN 'url'
+         |    WHEN c.target_ref LIKE 'user-account--%' THEN 'user-account'
+         |    ELSE 'other' END AS otype
+         |  FROM ${xt("__contains")} c
+         |  WHERE c.x_firepit_rank IS NOT NULL) t
+         |GROUP BY t.otype ORDER BY t.otype""".stripMargin) { st =>
+      val c = st.catalog.resolve("__contains")
+      c.where(col("x_firepit_rank").isNotNull)
+        .select(regexp_extract(col("target_ref"), "^([a-z0-9-]+)--", 1).as("otype"))
+        .withColumn("otype",
+          when(col("otype").isin("ipv4-addr", "ipv6-addr", "network-traffic", "url", "user-account"),
+            col("otype")).otherwise("other"))
+        .groupBy("otype").agg(count(lit(1)).as("n"))
+        .orderBy("otype")
+    }
   )
 }

@@ -301,10 +301,22 @@ class Storage(val spark: SparkSession, val workDir: String) {
       .flatMap { e =>
         val row = Translate.translateRow(
           stixMap, Translate.builtinTransformers, flatEvent(e), identity, valCols, createdNow)
-        Translate.rowToObjects(row).map { o =>
+        Translate.rowToObjects(row).flatMap { o =>
           val t = o("type").toString
-          (t, StixId.canonicalJson(
+          val objRow = (t, StixId.canonicalJson(
             (o - "type").map { case (k, v) => StixMeta.shortenKey(k) -> v }))
+          // __columns metadata rows, as the driver-side path records
+          // (ingest.py:640-656); appendDistinct dedups the fan-out
+          val colRows =
+            if (t.startsWith("__")) Nil
+            else o.iterator.collect {
+              case (k, v) if k != "type" && k != "spec_version" && v != null =>
+                ("__columns", StixId.canonicalJson(Map(
+                  "otype" -> t, "path" -> k,
+                  "shortname" -> StixMeta.shortenKey(k),
+                  "dtype" -> StixMeta.pyDtype(v))))
+            }.toSeq
+          objRow +: colRows
         }
       }
       .toDF("otype", "obj")
