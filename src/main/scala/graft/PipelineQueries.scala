@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Events, Similarity, TextOps}
+import graft.streaming.StreamOps
 import Queries.{q, qNoOracle, Q}
 
 /** Training-data-pipeline query inventory: text analysis, deduplication,
@@ -403,6 +404,45 @@ object PipelineQueries {
           col("event_type"),
           col("n"),
           col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // the SAME windowed plan as q_events_window run as a Structured
+    // Streaming job: availableNow file source -> watermarked tumbling-window
+    // aggregation (StreamOps.windowedCounts) -> memory sink, drained to
+    // completion. Oracle-checks that the streaming execution of the shared
+    // plan equals the batch SQL — complete output mode, so the watermark
+    // bounds state without suppressing final windows.
+    q("q_stream_window",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { c =>
+      val spark = c.spark
+      val path = s"${c.dataDir}/events.parquet"
+      // nanos timestamps arrive as raw longs under nanosAsLong (same
+      // normalization the batch catalog applies at scan)
+      val schema = spark.read.parquet(path).schema
+      // events.parquet may be a single file; the file-stream source accepts
+      // a glob (or a directory) but not a bare file path, so wrap in a glob
+      var src = spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}")
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        src = src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val sinkName = s"q_stream_window_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.windowedCounts(src, "1 hour", "2 hours")
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(sinkName)
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          col("n"))
         .orderBy("window_start", "event_type")
     },
 

@@ -76,6 +76,27 @@ class GoldenMiscSpec extends SparkSpec {
     assert(s.columns("x-oca-example").toSet == Set("id", "level_01"))
   }
 
+  test("cache accepts HTTP(S) bundle URLs (raft.py:59-62)") {
+    val body = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture("test_bundle.json")))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/bundle.json", exchange => {
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, body.length)
+      val os = exchange.getResponseBody
+      os.write(body); os.close()
+    })
+    server.start()
+    try {
+      val s = new Storage(spark, tmpDir())
+      val port = server.getAddress.getPort
+      s.cache("q1", Seq(s"http://127.0.0.1:$port/bundle.json"))
+      assert(s.count("url") == 31)
+      assert(s.tables().contains("network-traffic"))
+    } finally server.stop(0)
+  }
+
   // ---- test_cli.py -------------------------------------------------------
 
   test("cli: cache -> extract -> filter -> lookup --columns (test_cli.py)") {
