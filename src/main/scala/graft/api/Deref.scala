@@ -23,8 +23,18 @@ object Deref {
   /** Backtick-quoted column ref (output names contain literal dots). */
   def bq(name: String): Column = col(s"`$name`")
 
-  def autoDeref(store: Storage, view: String, paths: Option[Seq[String]] = None): DataFrame = {
-    val viewDf = store.catalog.resolve(view)
+  def autoDeref(store: Storage, view: String, paths: Option[Seq[String]] = None): DataFrame =
+    autoDerefOver(store, store.catalog.resolve(view), view, paths)
+
+  /** Same walk over an already-resolved view DataFrame — callers inside a
+    * catalog recipe MUST use this with their captured resolver's output, or
+    * resolving the view's own name recurses into the recipe being defined
+    * (self-redefinition, test_storage.py:732-753). */
+  def autoDerefOver(
+      store: Storage,
+      viewDf: DataFrame,
+      view: String,
+      paths: Option[Seq[String]] = None): DataFrame = {
     val rootCols = viewDf.columns.toSeq
     if (!rootCols.contains("id")) return viewDf // aggregate view: bail (deref.py:96-98)
 

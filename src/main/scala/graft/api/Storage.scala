@@ -538,9 +538,14 @@ class Storage(val spark: SparkSession, val workDir: String) {
     val types = inputViews.map(v => catalog.viewType(v).filter(_.nonEmpty).getOrElse(v)).distinct
     if (types.length > 1)
       throw new IncompatibleType(s"cannot merge types: ${types.mkString(", ")}")
-    val inputs = inputViews
+    // inline each input's CURRENT definition (the reference unions the
+    // expanded viewdefs, sqlstorage.py:777-793): merged survives source
+    // removal; other names inside those definitions still resolve live
+    val snapshots = inputViews.map { v =>
+      catalog.viewRecipe(v).getOrElse((r: String => DataFrame) => r(v))
+    }
     catalog.registerRecipe(viewname, types.head) { r =>
-      inputs.map(r).reduce(_.unionByName(_, allowMissingColumns = true)).distinct()
+      snapshots.map(_(r)).reduce(_.unionByName(_, allowMissingColumns = true)).distinct()
     }
     journal("merge", viewname, inputViews)
   }
@@ -567,9 +572,12 @@ class Storage(val spark: SparkSession, val workDir: String) {
     // SQLite's quoted-identifier fallback — but never actually sorts;
     // sorting for real is the useful reading of the same API)
     val baseName = query.stages.collectFirst { case Table(n) => n }
+    // a sort column the query's own projection produces needs no deref help
+    val projectedNames = query.stages
+      .collect { case Projection(cols) => cols.map(_.outName) }.flatten.toSet
     val dottedSort = query.stages
       .collect { case o: graft.query.Order => o.keys.map(_.col) }.flatten
-      .filter(_.contains("_ref."))
+      .filter(c => c.contains("_ref.") && !projectedNames.contains(c))
     val groupedQ = query.stages.exists(s =>
       s.isInstanceOf[Group] || s.isInstanceOf[Aggregation])
     catalog.registerRecipe(viewname, scoType) { r =>
@@ -582,8 +590,10 @@ class Storage(val spark: SparkSession, val workDir: String) {
         val base = r(b)
         val keep = base.columns.toSeq
         // graft ONLY the sort paths onto the base rows (id-correlated), so
-        // the resulting view keeps exactly the base view's columns
-        val dr = Deref.autoDeref(this, b, Some(("id" +: dottedSort).distinct))
+        // the resulting view keeps exactly the base view's columns; walk
+        // over the CAPTURED base df — resolving `b` by name would recurse
+        // when the view redefines itself
+        val dr = Deref.autoDerefOver(this, base, b, Some(("id" +: dottedSort).distinct))
         val based = base.join(dr, Seq("id"), "left_outer")
         q.df(n => if (n == b) based else r(n)).select(keep.map(Deref.bq): _*)
       } else q.df(r)
@@ -801,8 +811,13 @@ class Storage(val spark: SparkSession, val workDir: String) {
       .join(contains, v("id") === contains("target_ref"))
       .join(obs, contains("source_ref") === col("observation_id"))
     if (filterCol != null && value != null) df = df.where(Deref.bq(filterCol) === lit(value))
-    df.select(col("observation_id") +: col(timestamp) +: baseCols.map(c => v(s"`$c`")): _*)
-      .orderBy(col(timestamp))
+    if (path != null)
+      // with a path, the reference projects ONLY (timestamp, path)
+      // (extract_observeddata_attribute proj; test_storage.py:778-779)
+      df.select(col(timestamp), Deref.bq(filterCol).as(path)).orderBy(col(timestamp))
+    else
+      df.select(col("observation_id") +: col(timestamp) +: baseCols.map(c => v(s"`$c`")): _*)
+        .orderBy(col(timestamp))
   }
 
   /** Attach observed-data attributes to each SCO row

@@ -150,6 +150,13 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
     * to tell its own layout registrations from user views). */
   private[graft] def viewDefRef(name: String): Option[AnyRef] = views.get(name)
 
+  /** Snapshot of a name's CURRENT recipe (alias-resolved) — merge() inlines
+    * its inputs' definitions at merge time like the reference's
+    * _get_view_def expansion (sqlstorage.py:777-793), so the merged view
+    * survives later removal of its sources (test_storage.py:574-595). */
+  private[graft] def viewRecipe(name: String): Option[(String => DataFrame) => DataFrame] =
+    views.get(canonical(name)).map(_.recipe)
+
   def viewNames: Seq[String] = views.keys.toSeq
   // NOTE: contains does NOT follow rename aliases — a renamed-away name is
   // no longer a view in the symbol table (only captured recipes follow it)

@@ -64,7 +64,12 @@ case class Join(
     rightCol: String,
     how: String = "inner",
     alias: Option[String] = None,
-    extraPreds: Seq[Pred] = Nil
+    extraPreds: Seq[Pred] = Nil,
+    /** Relation the left column binds to; defaults to the PREVIOUS stage's
+      * relation (implicit chaining). An explicit lhs re-anchors a later
+      * join at an earlier relation (firepit/query.py:453-515 `lhs=`;
+      * tests/test_storage.py:732-753 joins ipv4-addr twice off `conns`). */
+    lhs: Option[String] = None
 ) extends Stage {
   // construction-time validation, firepit/query.py:463-470 (cross joins
   // carry no ON columns, so empty is legal there)
@@ -72,6 +77,7 @@ case class Join(
   if (leftCol.nonEmpty) graft.api.Validate.validatePath(leftCol)
   if (rightCol.nonEmpty) graft.api.Validate.validatePath(rightCol)
   alias.foreach(graft.api.Validate.validateName)
+  lhs.foreach(graft.api.Validate.validateName)
 }
 
 case class OrderKey(col: String, asc: Boolean = true)
@@ -371,7 +377,7 @@ case class GQuery(stages: Seq[Stage]) {
       case SubqueryTable(q, alias) =>
         base = Some(q.df(resolve).alias(alias))
         lastAlias = Some(alias)
-      case j @ Join(name, lcol, op, rcol, how, alias, extra) =>
+      case j @ Join(name, lcol, op, rcol, how, alias, extra, lhs) =>
         // a JOIN with no relation on the left is malformed (firepit/query.py
         // Join append contract; tests/test_query.py test_join_without_table)
         if (base.isEmpty)
@@ -389,7 +395,7 @@ case class GQuery(stages: Seq[Stage]) {
         base = Some(
           if (sparkHow == "cross") base.get.crossJoin(right)
           else {
-            val l = col(s"${lastAlias.get}.$lcol")
+            val l = col(s"${lhs.getOrElse(lastAlias.get)}.$lcol")
             val r = col(s"$rightAlias.$rcol")
             val eq = op match {
               case "="          => l === r

@@ -43,10 +43,11 @@ object StageJson {
     case CountRows()         => Some(Map("t" -> "count"))
     case Unique()            => Some(Map("t" -> "unique"))
     case CountUnique(cols)   => Some(Map("t" -> "count_unique", "cols" -> cols))
-    case Join(n, l, op, r, how, alias, extra) =>
+    case Join(n, l, op, r, how, alias, extra, lhs) =>
       seqOpt(extra.map(encPred)).map(ps =>
         Map("t" -> "join", "name" -> n, "l" -> l, "op" -> op, "r" -> r,
-          "how" -> how, "alias" -> alias.orNull, "preds" -> ps))
+          "how" -> how, "alias" -> alias.orNull, "preds" -> ps,
+          "lhs" -> lhs.orNull))
   }
 
   private def encCol(c: ColSpec): Option[J] = c match {
@@ -121,7 +122,8 @@ object StageJson {
       Join(
         str(j, "name"), str(j, "l"), str(j, "op"), str(j, "r"), str(j, "how"),
         Option(str(j, "alias")),
-        j("preds").asInstanceOf[Seq[Any]].map(p => decPred(p.asInstanceOf[J])))
+        j("preds").asInstanceOf[Seq[Any]].map(p => decPred(p.asInstanceOf[J])),
+        Option(str(j, "lhs")))
   }
 
   private def decCol(j: J): ColSpec = j("c") match {
