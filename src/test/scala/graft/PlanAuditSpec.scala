@@ -3,6 +3,7 @@ package graft
 import graft.query._
 import graft.catalog.Catalog
 import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
 
 /** Plan audits: pin the physical properties the engine's scale story relies
   * on (filters reach the parquet scan, projections prune the read schema,
@@ -79,5 +80,50 @@ class PlanAuditSpec extends SparkSpec {
     // per-query top-k rank — none over the corpus x centroid cross product
     val windows = "(?m)^\\s*[+:]?[- ]*Window ".r.findAllIn(plan).length
     assert(windows == 2, s"expected 2 windows (probe + topk), found $windows")
+  }
+
+  test("auto-deref over translated tables: left joins on ids, no cartesian") {
+    val st = TranslateCorpus.ensure(spark)
+    st.extract("pa_conns", "network-traffic", "xq1", "[network-traffic:dst_port = 443]")
+    val df = graft.api.Deref.autoDeref(st, "pa_conns")
+    val plan = physical(df)
+    // every deref hop is a key-equality join; nothing degenerates to a
+    // nested-loop/cartesian product
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"deref produced a non-equi join:\n$plan")
+    // the SCO-side tables are small here and must broadcast; at cluster
+    // scale the same joins hash-partition on id — either way, equi-joins
+    assert(plan.contains("Join"), "expected deref joins in plan")
+  }
+
+  test("deref-sort wrap adds one id-equi join and keeps base columns") {
+    val st = TranslateCorpus.ensure(spark)
+    st.extract("pw_conns", "network-traffic", "xq1", "[network-traffic:src_port > 0]")
+    st.assignQuery("pw_sorted", GQuery(Seq(
+      Table("pw_conns"), Order(Seq(OrderKey("src_ref.value"))))))
+    val df = st.catalog.resolve("pw_sorted")
+    assert(df.columns.toSeq == st.catalog.resolve("pw_conns").columns.toSeq,
+      "wrapped view must keep exactly the base view's columns")
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), s"sort wrap went cartesian:\n$plan")
+    assert(plan.contains("Sort"), "expected a Sort node for the dotted order key")
+  }
+
+  test("streaming windowed counts: stateful agg with partial map-side combine") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val df = StreamOps.windowedCounts(
+      events.toDF().toDF("ts", "event_type"), "1 hour", "2 hours")
+    val sink = s"plan_audit_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = df.writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      events.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"))
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+        .lastProgress.toString()
+      // the state store shards by (window, key): the plan ran stateful agg
+      assert(plan.contains("stateOperators"), "expected stateful operator progress")
+    } finally q.stop()
   }
 }
