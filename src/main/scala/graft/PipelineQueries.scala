@@ -145,6 +145,23 @@ object PipelineQueries {
       Dedup.exact(c.resolve("documents")).orderBy("fingerprint")
     },
 
+    // incremental dedup: odd doc_ids arrive as the "new batch", even
+    // doc_ids are the already-ingested corpus — survivors are odd docs
+    // whose fingerprint no even doc carries, first-wins within the batch
+    q("q_dedup_incremental",
+      s"""WITH f AS (SELECT doc_id, md5($duckNorm) AS fingerprint FROM documents),
+         |seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 2 = 0),
+         |batch AS (SELECT * FROM f WHERE doc_id % 2 = 1)
+         |SELECT min(doc_id) AS doc_id, fingerprint
+         |FROM batch WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
+         |GROUP BY fingerprint ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val seen = Dedup.exact(docs.where(col("doc_id") % 2 === 0))
+      Dedup
+        .exactIncremental(docs.where(col("doc_id") % 2 === 1), seen)
+        .orderBy("doc_id")
+    },
+
     q("q_dedup_minhash",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
@@ -378,7 +395,19 @@ object PipelineQueries {
     // no SQL oracle: mapPartitions feature extraction is not expressible in
     // DuckDB; the driver records a rows-only check, and MultimodalSpec pins
     // determinism + batch-shape invariance
-    qNoOracle("q_multimodal") { c =>
+    // the decode stub is a deterministic 16-bin byte histogram; the corpus
+    // is ASCII, so DuckDB recomputes bin 0 from character codes — the
+    // batched mapPartitions plumbing is checked by the hard signal, not
+    // just rows>0
+    q("q_multimodal",
+      """WITH c AS (SELECT doc_id,
+        |    list_transform(split(text, ''), ch -> ord(ch)) AS codes
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 'image' AS modality,
+        |  round(CAST(length(list_filter(codes, x -> x % 16 = 0))::DOUBLE
+        |    / greatest(length(codes), 1) AS FLOAT)::DOUBLE, 4) AS f0,
+        |  16 AS dim
+        |FROM c ORDER BY media_id""".stripMargin) { c =>
       import graft.operators.Multimodal
       Multimodal
         .extractFeatures(
@@ -386,7 +415,7 @@ object PipelineQueries {
         .select(
           col("media_id"),
           col("modality"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
           size(col("features")).as("dim"))
         .orderBy("media_id")
     },

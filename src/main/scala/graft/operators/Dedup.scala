@@ -128,6 +128,28 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("group_size"))
 
+  /** Incremental exact dedup: the new batch against an already-ingested
+    * fingerprint set — the shape a continuously-fed corpus needs, where
+    * re-deduplicating 100 TB per arriving batch is not an option. One
+    * LEFT ANTI equi-join on the fingerprint (Catalyst broadcasts a small
+    * `seen` side automatically; both sides hash-partition otherwise) plus
+    * an in-batch first-wins dedup. `seen` is one `fingerprint` column —
+    * at scale, the persisted output of exact() reused across runs. */
+  def exactIncremental(
+      newDocs: DataFrame,
+      seen: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val fp = newDocs.select(
+      col("doc_id"), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val survivors = fp.join(
+      seen.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+    // batch-internal duplicates: keep the smallest doc_id per fingerprint
+    survivors
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fingerprint")
+  }
+
   /** Per-document MinHash signature + band hashes (the map-side pass).
     *
     * Left lazy on purpose: the kernel is a compiled function, so the
