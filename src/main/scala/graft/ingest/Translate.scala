@@ -195,7 +195,14 @@ object Translate {
             makeColname(m).endsWith("network-traffic:protocols"))
         val v =
           if (txName.isDefined && !protoTarget)
-            txf.get(txName.get).map(t => t(raw)).getOrElse(raw)
+            // a malformed value must not kill a 100 TB ingest: transformer
+            // failures keep the raw value (the reference's stix-shifter
+            // transformers swallow their own exceptions, e.g.
+            // ToLowercaseArray's bare except — test_asyncingest.py:28-39)
+            txf.get(txName.get).map { t =>
+              try t(raw)
+              catch { case scala.util.control.NonFatal(_) => raw }
+            }.getOrElse(raw)
           else raw
 
         maps.zipWithIndex.foreach { case (m, i) =>

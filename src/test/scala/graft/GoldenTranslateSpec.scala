@@ -246,6 +246,18 @@ class GoldenTranslateSpec extends SparkSpec {
     assert(at(rows, "observed-data:first_observed", 0) == "2023-08-07T22:00:22.052Z")
   }
 
+  test("transformer failures keep the raw value instead of killing the batch") {
+    val sm = Flatten.parseJson(
+      """{"pid": {"key": "process.pid", "object": "p", "transformer": "ToInteger"},
+        | "name": {"key": "process.name", "object": "p"}}""".stripMargin)
+      .asInstanceOf[Map[String, Any]]
+    val rows = Translate.translate(sm, Map.empty,
+      Seq(Map[String, Any]("pid" -> "not-a-number", "name" -> "x.exe")), dataSource)
+    assert(rows.size == 1)
+    assert(at(rows, "p#process:pid", 0) == "not-a-number") // raw survives
+    assert(at(rows, "p#process:name", 0) == "x.exe")
+  }
+
   test("rowToObjects: SCO dicts, __contains ranks, __reflist explode (ingest.py:659-731)") {
     val row = Map[String, Any](
       "observed-data:id" -> "observed-data--1",
