@@ -21,7 +21,7 @@ object Bench {
     }
     // one-time fixture corpora (deterministic synthetic STIX workdirs) are
     // built untimed: the benchmark measures the operators, not test setup
-    try { StixCorpus.ensure(spark); TranslateCorpus.ensure(spark) }
+    try { StixCorpus.ensure(spark); TranslateCorpus.ensure(spark); WoodCorpus.ensure(spark) }
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -223,7 +223,48 @@ object StixQueries {
         .select(col("observation_id"), col("first_observed"), col("id"), col("value"))
         .orderBy("first_observed", "id")
     }
-  ) ++ xlate
+  ) ++ xlate ++ wood
+
+  // ----- woodchipper conversion path (reference woodchipper.py:429-521):
+  //       Sysmon endpoint logs -> PathMapper -> bundle -> cache, answers
+  //       recomputed over the written tables
+  private def WWD = WoodCorpus.dir
+  private def wt(name: String) = s"read_parquet('$WWD/$name.parquet/*.parquet')"
+  private def wq(name: String, oracle: String)(build: Storage => org.apache.spark.sql.DataFrame): Q =
+    Q(name, (spark, _) => build(WoodCorpus.ensure(spark)), Some(oracle))
+
+  private def wood: Seq[Q] = Seq(
+
+    // parent/user deref over converted process-creation events
+    wq("q_wood_procs",
+      s"""SELECT p.id, p.name, p.pid,
+         |  par.name AS "parent_ref.name", u.user_id AS "creator_user_ref.user_id"
+         |FROM ${wt("process")} p
+         |LEFT JOIN ${wt("process")} par ON p.parent_ref = par.id
+         |LEFT JOIN ${wt("user-account")} u ON p.creator_user_ref = u.id
+         |WHERE p.pid >= 1000
+         |ORDER BY p.id""".stripMargin) { st =>
+      st.extract("wprocs", "process", "wq1", "[process:pid >= 1000]")
+      Deref.autoDeref(st, "wprocs", Some(Seq(
+          "id", "name", "pid", "parent_ref.name", "creator_user_ref.user_id")))
+        .orderBy("id")
+    },
+
+    // opened_connection_refs reflist semi-join from the converted net events
+    wq("q_wood_reflist",
+      s"""SELECT p.id, p.name, p.pid FROM ${wt("process")} p
+         |WHERE p.id IN (
+         |  SELECT r.source_ref FROM ${wt("__reflist")} r
+         |  JOIN ${wt("network-traffic")} n ON r.target_ref = n.id
+         |  WHERE r.ref_name = 'opened_connection_refs' AND n.dst_port = 443)
+         |ORDER BY p.id""".stripMargin) { st =>
+      st.extract("wconns", "process", "wq1",
+        "[process:opened_connection_refs.dst_port = 443]")
+      st.catalog.resolve("wconns")
+        .select(col("id"), col("name"), col("pid"))
+        .orderBy("id")
+    }
+  )
 
   // ----- fast-translation ingest path (reference firepit/aio/ingest.py):
   //       the same verb surface over tables written by the DISTRIBUTED
