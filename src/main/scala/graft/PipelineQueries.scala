@@ -475,6 +475,34 @@ object PipelineQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // streaming exact dedup: watermark-horizon dropDuplicates over
+    // (keys, ts) drained in one availableNow pass — the horizon covers the
+    // whole file, so the emitted set equals batch DISTINCT on (keys, ts)
+    q("q_stream_dedup",
+      """SELECT DISTINCT user_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+        |FROM events ORDER BY 1, 2, 3""".stripMargin) { c =>
+      val spark = c.spark
+      val path = s"${c.dataDir}/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      var src = spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}")
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        src = src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val sinkName = s"q_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.dedupStream(src.select(col("ts"), col("user_id"), col("event_type")),
+          Seq("user_id", "event_type"), watermark = "100 days")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(sinkName)
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+        .orderBy("user_id", "event_type", "ts_s")
+    },
+
     q("q_events_sessions",
       """WITH g AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
