@@ -503,6 +503,46 @@ object PipelineQueries {
         .orderBy("user_id", "event_type", "ts_s")
     },
 
+    // streaming session windows (native session_window, complete mode so
+    // the trailing sessions emit at drain) vs a gaps-and-islands oracle
+    q("q_stream_sessions",
+      """WITH g AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |sid AS (SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s)
+        |SELECT user_id,
+        |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS session_events
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { c =>
+      val spark = c.spark
+      val path = s"${c.dataDir}/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      var src = spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}")
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        src = src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val sinkName = s"q_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.sessionCounts(src, gap = "30 minutes", watermark = "100 days")
+        .writeStream.format("memory").queryName(sinkName).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(sinkName)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("session_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     q("q_events_sessions",
       """WITH g AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
