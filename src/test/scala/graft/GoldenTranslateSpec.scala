@@ -310,6 +310,36 @@ class GoldenTranslateSpec extends SparkSpec {
     assert(s.catalog.resolve("__queries").where(col("query_id") === "my-query-id").count() > 0)
   }
 
+  test("cacheTranslatedEvents: re-ingest is idempotent; new columns evolve the schema") {
+    import spark.implicits._
+    val s = new Storage(spark, Files.createTempDirectory("graft-xlate-evo").toString)
+    val sm =
+      """{"sourceip": [
+        |   {"key": "ipv4-addr.value", "object": "src_ip"},
+        |   {"key": "network-traffic.src_ref", "object": "nt", "references": "src_ip"}],
+        | "sourceport": {"key": "network-traffic.src_port", "object": "nt", "transformer": "ToInteger"},
+        | "appname": {"key": "network-traffic.x_app", "object": "nt"}}""".stripMargin
+    val idj = graft.model.StixId.canonicalJson(dataSource)
+    val batch1 = Seq(
+      """{"sourceip": "10.1.1.1", "sourceport": 80}""",
+      """{"sourceip": "10.1.1.2", "sourceport": 81}""").toDS()
+    s.cacheTranslatedEvents("e1", batch1, sm, idj)
+    assert(s.count("ipv4-addr") == 2)
+    val ntCount = s.count("network-traffic")
+    // same batch again: deterministic ids dedup, counts unchanged
+    s.cacheTranslatedEvents("e2", batch1, sm, idj)
+    assert(s.count("ipv4-addr") == 2)
+    assert(s.count("network-traffic") == ntCount)
+    // a batch with a NEW mapped column evolves the nt schema
+    val batch2 = Seq("""{"sourceip": "10.1.1.3", "sourceport": 82, "appname": "ssh"}""").toDS()
+    s.cacheTranslatedEvents("e3", batch2, sm, idj)
+    assert(s.count("ipv4-addr") == 3)
+    assert(s.columns("network-traffic").contains("x_app"))
+    // old rows carry null in the new column; the new row carries the value
+    val apps = s.catalog.resolve("network-traffic").select("x_app").collect().map(_.getString(0))
+    assert(apps.count(_ == "ssh") == 1 && apps.count(_ == null) == ntCount)
+  }
+
   test("cacheTranslatedEvents: distributed path matches the driver-side path") {
     import spark.implicits._
     val s = new Storage(spark, Files.createTempDirectory("graft-xlate-dist").toString)
