@@ -136,6 +136,29 @@ object PipelineQueries {
       Dedup.winnowFingerprints(c.resolve("documents")).orderBy("doc_id", "fingerprint")
     },
 
+    // PII scrub: both sides synthesize the same PII-bearing text from the
+    // corpus, then run the identical ordered regex chain (patterns are
+    // RE2/Java-portable by construction — no lookarounds)
+    q("q_text_redact", {
+      val chain = TextOps.redactions.foldLeft("t") { case (acc, (pat, tag)) =>
+        val p = pat.replace("'", "''")
+        s"regexp_replace($acc, '$p', '$tag', 'g')"
+      }
+      s"""WITH s AS (SELECT doc_id,
+         |  substring(text, 1, 40) || ' mail ' || doc_id || '@corp.example.com ip 10.2.'
+         |    || (doc_id % 250) || '.9 ssn 123-45-6789 card 4111 1111 1111 1111 tel +1 555 123 4567' AS t
+         |  FROM documents)
+         |SELECT doc_id, $chain AS clean FROM s ORDER BY doc_id""".stripMargin
+    }) { c =>
+      val synth = concat(
+        substring(col("text"), 1, 40), lit(" mail "), col("doc_id").cast("string"),
+        lit("@corp.example.com ip 10.2."), (col("doc_id") % 250).cast("string"),
+        lit(".9 ssn 123-45-6789 card 4111 1111 1111 1111 tel +1 555 123 4567"))
+      c.resolve("documents")
+        .select(col("doc_id"), TextOps.redact(synth).as("clean"))
+        .orderBy("doc_id")
+    },
+
     // ===== Deduplication ==================================================
 
     q("q_dedup_exact",

@@ -84,6 +84,26 @@ object TextOps {
     * any engine with md5 — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** PII redaction patterns, applied in order (emails before bare numbers so
+    * an address is one `<EMAIL>`, not a mangled number). Engine-portable
+    * POSIX-ish regexes — no lookarounds — so an external auditor can rerun
+    * the exact scrub. */
+  val redactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b(?:\\d[ -]?){13,16}\\b" -> "<CARD>",
+    "\\b\\+?\\d{1,3}[ .-]?\\(?\\d{2,4}\\)?[ .-]?\\d{3,4}[ .-]?\\d{3,4}\\b" -> "<PHONE>")
+
+  /** Mask common PII shapes (emails, IPs, SSNs, card-like and phone-like
+    * number runs) — the scrub pass a training corpus runs before anything
+    * else. A chain of codegen'd regexp_replace calls: pure map-side column
+    * work, zero shuffle, safe at any scale. */
+  def redact(text: Column): Column =
+    redactions.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
   /** Per-document text-feature frame (the map-side feature extraction pass
     * of a corpus pipeline). */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
