@@ -724,6 +724,22 @@ class Storage(val spark: SparkSession, val workDir: String) {
       .collectFirst { case m if m.get("path").contains(path) => m("shortname").toString }
 
   def removeView(name: String): Unit = { catalog.removeView(name); journal("remove", name) }
+
+  /** Delete ALL data in this store — tables, journal, views
+    * (sqlitestorage.py:323-329 removes the db file). */
+  def delete(): Unit = {
+    catalog.viewNames.toList.foreach(catalog.removeView)
+    UpsertWriter.tables(workDir).foreach(catalog.invalidateBase)
+    val p = java.nio.file.Paths.get(workDir)
+    if (java.nio.file.Files.exists(p)) {
+      def rm(q: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(q))
+          java.nio.file.Files.list(q).forEach(rm)
+        java.nio.file.Files.deleteIfExists(q)
+      }
+      java.nio.file.Files.list(p).forEach(rm)
+    }
+  }
   def renameView(o: String, n: String): Unit = { catalog.renameView(o, n); journal("rename", o, n) }
   def setAppdata(view: String, data: String): Unit = {
     catalog.setAppData(view, data)

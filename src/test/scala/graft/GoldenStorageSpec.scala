@@ -235,6 +235,18 @@ class GoldenStorageSpec extends SparkSpec {
     assert(henry.length == nHenry)
   }
 
+  test("delete() empties the store (test_storage.py:658-667 tail)") {
+    val s = bundled()
+    assert(s.tables().nonEmpty)
+    s.extract("urls", "url", "q1", "[url:value LIKE '%page/1%']")
+    s.delete()
+    assert(s.tables().isEmpty)
+    intercept[graft.api.UnknownViewname] { s.count("url") }
+    // the workdir is reusable after delete
+    s.cache("q2", Seq(fixture("test_bundle.json")))
+    assert(s.count("url") == 31)
+  }
+
   test("value_counts exact counts (test_storage.py:786-800)") {
     val s = bundled()
     val data = s.valueCounts("user-account", "account_login").toMap
