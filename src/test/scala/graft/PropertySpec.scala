@@ -98,6 +98,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("translate never throws and is deterministic on arbitrary events") {
+    import graft.ingest.Translate
+    val sm = Flatten.parseJson(
+      """{"ip": [
+        |   {"key": "ipv4-addr.value", "object": "h", "unwrap": true},
+        |   {"key": "ipv6-addr.value", "object": "h6", "unwrap": true},
+        |   {"key": "x-oca-asset.ip_refs", "object": "a", "references": ["h", "h6"], "unwrap": true}],
+        | "port": {"key": "network-traffic.src_port", "object": "n", "transformer": "ToInteger"},
+        | "ts": {"key": "first_observed", "transformer": "EpochToTimestamp", "cybox": false},
+        | "name": {"key": "software.name"}}""".stripMargin)
+      .asInstanceOf[Map[String, Any]]
+    val identity = Map[String, Any]("id" -> "identity--x", "type" -> "identity")
+    val evGen: Gen[Map[String, Any]] = for {
+      ip <- Gen.oneOf[Any](
+        "10.0.0.1", Seq("10.0.0.2", "fe80::1"), Seq.empty[String], 42L, "")
+      port <- Gen.oneOf[Any]("80", 80L, "junk", null)
+      ts <- Gen.oneOf[Any]("1675275995001", "garbage", null)
+      nm <- Gen.option(Gen.alphaNumStr.map(_.take(10)))
+      extra <- propsGen
+    } yield extra ++ Map("ip" -> ip, "port" -> port, "ts" -> ts) ++
+      nm.map(v => Map("name" -> (v: Any))).getOrElse(Map.empty)
+    samples(evGen, 80).foreach { ev0 =>
+      val ev = ev0.filter(_._2 != null)
+      val r1 = Translate.translateRow(sm, Translate.builtinTransformers, ev, identity,
+        Map.empty, "2024-01-01T00:00:00.000Z")
+      val r2 = Translate.translateRow(sm, Translate.builtinTransformers, ev, identity,
+        Map.empty, "2024-01-01T00:00:00.000Z")
+      // deterministic except the random observation id
+      assert(r1 - "observed-data:id" == r2 - "observed-data:id")
+      // exploding to objects never throws, and every object carries an id
+      val objs = Translate.rowToObjects(r1)
+      assert(objs.filter(o => !o("type").toString.startsWith("__")).forall(_.contains("id")))
+      // every __contains edge targets an object emitted in the same row
+      val ids = objs.flatMap(_.get("id")).map(_.toString).toSet
+      objs.filter(_("type") == "__contains")
+        .foreach(e => assert(ids.contains(e("target_ref").toString)))
+    }
+  }
+
   test("flatten 2.0 emits one __contains per SCO and resolves every ref") {
     samples(Gen.chooseNum(1, 6), 20).foreach { n =>
       val objects = (0 until n).map(i =>
