@@ -30,6 +30,7 @@ object Cli {
         |  columns <view> | type <view> | schema <view> | count <view>
         |  set-appdata <view> <json> | get-appdata <view>
         |  merge <name> <view>... | remove <view> | rename <old> <new>
+        |  delete | convert <logfile> [query_id]
         |  value-counts <view> <path>
         |  number-observed <view> <path> [value]
         |  summary <view> [path [value]]
@@ -91,6 +92,15 @@ object Cli {
       case "set-appdata" => s.setAppdata(rest(0), rest(1))
       case "get-appdata" => println(s.getAppdata(rest.head).getOrElse(""))
       case "merge"   => s.merge(rest.head, rest.tail)
+      case "delete"  => s.delete()
+      // splint convert: log file -> STIX bundle JSON on stdout (optionally
+      // cache it directly with a query id as the 2nd arg)
+      case "convert" =>
+        val bundle = graft.ingest.LogMapper.convert(rest.head)
+        rest.lift(1) match {
+          case Some(qid) => s.cache(qid, Seq(bundle))
+          case None      => println(bundle)
+        }
       case "remove"  => s.removeView(rest.head)
       case "rename"  => s.renameView(rest(0), rest(1))
       case "value-counts" =>

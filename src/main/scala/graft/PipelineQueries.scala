@@ -498,6 +498,23 @@ object PipelineQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // sliding windows: every event contributes to width/slide = 2
+    // overlapping windows; the oracle unnests both window starts per event
+    q("q_events_sliding",
+      """WITH w AS (SELECT event_type, ts,
+        |    time_bucket(INTERVAL '30 minutes', ts) AS b FROM events),
+        |x AS (SELECT event_type, b - INTERVAL '30 minutes' * j AS ws
+        |  FROM w CROSS JOIN (SELECT unnest(range(0, 2)) AS j) js)
+        |SELECT strftime(CAST(ws AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { c =>
+      Events.slidingAgg(c.resolve("events"), "1 hour", "30 minutes")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
+
     // streaming exact dedup: watermark-horizon dropDuplicates over
     // (keys, ts) drained in one availableNow pass — the horizon covers the
     // whole file, so the emitted set equals batch DISTINCT on (keys, ts)

@@ -24,6 +24,19 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding-window counts per event_type: each event lands in
+    * width/slide overlapping windows. Spark expands the overlap map-side
+    * inside the window() expression — one shuffle on (window, key), same
+    * as the tumbling case, not one per slide position. */
+  def slidingAgg(
+      events: DataFrame,
+      width: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
   /** Gap-based sessionization: a new session starts when a user's gap from
     * the previous event exceeds `gapMinutes`. Returns per-user session
     * counts and max session length (events per session). */

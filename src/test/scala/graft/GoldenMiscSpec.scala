@@ -113,4 +113,13 @@ class GoldenMiscSpec extends SparkSpec {
     val parsed = lines.map(l => graft.ingest.Flatten.parseJson(l).asInstanceOf[Map[String, Any]])
     assert(parsed.forall(_.keySet == Set("value")))
   }
+
+  test("cli: convert a zeek log then delete the store") {
+    val wd = tmpDir()
+    Cli.run(spark, Seq(wd, "convert", fixture("zeek_example.log"), "zq1"))
+    val s = new Storage(spark, wd)
+    assert(s.count("network-traffic") > 0)
+    Cli.run(spark, Seq(wd, "delete"))
+    assert(new Storage(spark, wd).tables().isEmpty)
+  }
 }
