@@ -159,6 +159,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic stratified sampling: the engine-portable md5 draw means
+    // the oracle reproduces the EXACT sampled row set, not just its size
+    q("q_sample_stratified",
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substring(md5(doc_id || 's0'), 1, 8)) AS BIGINT) / 4294967296.0
+        |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 1.0 ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin) { c =>
+      graft.operators.Sampling
+        .stratifiedSample(c.resolve("documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // ===== Deduplication ==================================================
 
     q("q_dedup_exact",

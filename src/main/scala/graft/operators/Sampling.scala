@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixes.
+  *
+  * Sampling at corpus scale must be (a) reproducible across runs and
+  * engines — a published dataset is defined by its recipe — and (b) pure
+  * map-side work. Both rule out `DataFrame.sample` (partition-RNG; results
+  * change with partitioning). The primitive here is a uniform [0,1) draw
+  * derived from a content hash: u = int(md5(id || seed)[0:8]) / 2^32 —
+  * engine-portable (any SQL dialect computes the same u) and independent
+  * of physical layout. Keep a row iff u < rate.
+  */
+object Sampling {
+
+  /** The deterministic per-row uniform draw in [0, 1). */
+  def uniformDraw(key: Column, seed: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(seed))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Bernoulli sample at a single rate — zero-shuffle filter. */
+  def sample(df: DataFrame, keyCol: String, rate: Double, seed: String = "s0"): DataFrame =
+    df.where(uniformDraw(col(keyCol), seed) < lit(rate))
+
+  /** Per-stratum rates (e.g. per-language mix weights): strata absent from
+    * `rates` drop entirely. Still a pure map-side filter — the rate lookup
+    * compiles to a CASE chain, no join, no shuffle. */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      seed: String = "s0"): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === lit(stratum), lit(r)).otherwise(acc)
+    }
+    df.where(uniformDraw(col(keyCol), seed) < rate)
+  }
+}
