@@ -173,6 +173,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // fixed-token-budget shard packing: shard = floor(tokens-before / 4096)
+    // in doc_id order — deterministic sequence packing for training shards
+    q("q_sample_shards",
+      """WITH t AS (SELECT doc_id,
+        |    length(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |      x -> length(x) > 0)) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(floor(before / 4096.0) AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin) { c =>
+      val withTokens = c.resolve("documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.packShards(withTokens, "doc_id", "n_tokens", 4096L)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy("doc_id")
+    },
+
     // ===== Deduplication ==================================================
 
     q("q_dedup_exact",

@@ -38,4 +38,25 @@ object Sampling {
     }
     df.where(uniformDraw(col(keyCol), seed) < rate)
   }
+
+  /** Assign documents to fixed-token-budget training shards: shard_id =
+    * floor(cumulative_tokens_before / shardTokens) in `keyCol` order.
+    *
+    * The running sum is one range-partitioned window (Spark's global-order
+    * window = sort shuffle). That is the honest cost of a DETERMINISTIC
+    * order-dependent packing; at extreme scale, pack per source/date
+    * partition instead (same code over groupBy keys) and concatenate shard
+    * namespaces. */
+  def packShards(
+      df: DataFrame,
+      keyCol: String,
+      tokensCol: String,
+      shardTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard_id",
+      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(shardTokens))
+        .cast("long"))
+  }
 }
