@@ -173,6 +173,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // per-stratum quotas: exactly min(quota, |stratum|) docs per language,
+    // chosen by the deterministic draw — the oracle reproduces the set
+    q("q_sample_quota",
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(doc_id || 'q1'), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+        |  FROM d)
+        |SELECT doc_id, lang FROM r WHERE rk <= 25 ORDER BY doc_id""".stripMargin) { c =>
+      graft.operators.Sampling
+        .quotaSample(c.resolve("documents"), "doc_id", "lang", 25, seed = "q1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // weighted corpus mix: two deterministic Bernoulli samples unioned —
+    // sources here are the even/odd halves standing in for web/books
+    q("q_sample_mix",
+      """WITH e AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+        |  AND CAST(('0x' || substring(md5(doc_id || 'm0-0'), 1, 8)) AS BIGINT) / 4294967296.0 < 0.3),
+        |o AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1
+        |  AND CAST(('0x' || substring(md5(doc_id || 'm0-1'), 1, 8)) AS BIGINT) / 4294967296.0 < 0.7)
+        |SELECT * FROM e UNION ALL SELECT * FROM o ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents").select(col("doc_id"), col("lang"))
+      graft.operators.Sampling
+        .mixCorpora(Seq(
+          docs.where(col("doc_id") % 2 === 0) -> 0.3,
+          docs.where(col("doc_id") % 2 === 1) -> 0.7), "doc_id", seed = "m0")
+        .orderBy("doc_id")
+    },
+
     // fixed-token-budget shard packing: shard = floor(tokens-before / 4096)
     // in doc_id order — deterministic sequence packing for training shards
     q("q_sample_shards",

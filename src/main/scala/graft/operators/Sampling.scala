@@ -39,6 +39,35 @@ object Sampling {
     df.where(uniformDraw(col(keyCol), seed) < rate)
   }
 
+  /** Exact per-stratum quotas ("top N docs per language"): rank rows inside
+    * each stratum by the deterministic draw and keep the first `quota`.
+    * One shuffle on the stratum key; the draw makes the selection a stable
+    * pseudo-random subset rather than "whatever sorted first". */
+  def quotaSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      quota: Int,
+      seed: String = "s0"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(uniformDraw(col(keyCol), seed), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
+  /** Weighted mix of corpora: per-source Bernoulli rates, one union —
+    * the "mix 30% web + 70% books" recipe as a single lazy plan. Sources
+    * may carry different schemas (missing columns null-fill). */
+  def mixCorpora(
+      sources: Seq[(DataFrame, Double)],
+      keyCol: String,
+      seed: String = "s0"): DataFrame =
+    sources.zipWithIndex
+      .map { case ((df, rate), i) => sample(df, keyCol, rate, s"$seed-$i") }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
   /** Assign documents to fixed-token-budget training shards: shard_id =
     * floor(cumulative_tokens_before / shardTokens) in `keyCol` order.
     *
