@@ -226,4 +226,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.length == 2)
     assert(r(0).getLong(2) == 2 && r(0).getDouble(3) == 3.0)
   }
+
+  test("sampling draws are invariant to partitioning and repeatable") {
+    import graft.operators.Sampling
+    val d = (0 until 500).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(Sampling.sample(d.repartition(1), "doc_id", 0.4))
+    val b = ids(Sampling.sample(d.repartition(13), "doc_id", 0.4))
+    assert(a == b)                       // layout-independent
+    assert(a.nonEmpty && a.size < 500)   // actually samples
+    // different seed -> different subset
+    val c = ids(Sampling.sample(d, "doc_id", 0.4, seed = "other"))
+    assert(c != a)
+    // quota: exactly min(quota, stratum size) per stratum
+    val q = Sampling.quotaSample(d, "doc_id", "lang", 50)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q("en") == 50 && q("de") == 50)
+    val qBig = Sampling.quotaSample(d.where(col("lang") === "en"), "doc_id", "lang", 10000)
+    assert(qBig.count() == d.where(col("lang") === "en").count())
+  }
+
+  test("packShards never exceeds budget by more than one document") {
+    import graft.operators.Sampling
+    val d = (0 until 100).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("doc_id", "n_tokens")
+    val shards = Sampling.packShards(d, "doc_id", "n_tokens", 10L)
+      .groupBy("shard_id").agg(sum("n_tokens").as("tot")).collect()
+    // each shard holds < budget + its last doc's tokens (greedy boundary)
+    assert(shards.forall(_.getLong(1) <= 10L + 7L))
+    // shard ids are contiguous from 0
+    val idsSeen = shards.map(_.getLong(0)).sorted.toSeq
+    assert(idsSeen == (0L until idsSeen.size).toSeq)
+  }
 }
