@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic sampling for training-data mixes.
   *
@@ -39,22 +41,90 @@ object Sampling {
     df.where(uniformDraw(col(keyCol), seed) < rate)
   }
 
+  /** Upper bound on the quota-th smallest of n uniform [0,1) draws.
+    *
+    * The quota-th order statistic concentrates at quota/n with standard
+    * deviation ~ sqrt(quota)/n, so quota + 6·sqrt(quota) + 16 draws below
+    * the bound is a >6-sigma guarantee that at least `quota` rows survive
+    * a `u < bound` pre-filter. quotaSample still VERIFIES the survivor
+    * count and widens on the (astronomically rare) undershoot, so the
+    * bound is a performance parameter, not a correctness assumption. */
+  private[operators] def quotaThreshold(quota: Int, n: Long): Double =
+    if (n <= quota) 1.0
+    else math.min(1.0, (quota.toDouble + 6.0 * math.sqrt(quota.toDouble) + 16.0) / n.toDouble)
+
+  /** Phase-1 pre-filter of [[quotaSample]]: keep only rows whose draw is
+    * below the (per-stratum, widened) threshold — a map-side filter after
+    * a broadcast join against one tiny (stratum, threshold) row per
+    * stratum. Survivors per stratum ≈ quota + O(sqrt(quota)), so the
+    * exact ranking window downstream touches ~quota·strata rows no matter
+    * how Zipfian the stratum sizes are. */
+  private[graft] def quotaPrefilter(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      quota: Int,
+      seed: String,
+      counts: Seq[(String, Long)],
+      widen: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thr = counts.map { case (s, n) =>
+      (s, math.min(1.0, quotaThreshold(quota, n) * widen))
+    }
+    val thrDf = thr.toDF("__s", "__thr")
+    df.join(broadcast(thrDf), col(stratumCol).cast("string") <=> col("__s"), "inner")
+      .where(uniformDraw(col(keyCol), seed) < col("__thr"))
+  }
+
   /** Exact per-stratum quotas ("top N docs per language"): rank rows inside
     * each stratum by the deterministic draw and keep the first `quota`.
-    * One shuffle on the stratum key; the draw makes the selection a stable
-    * pseudo-random subset rather than "whatever sorted first". */
+    *
+    * Naively this is one `row_number` window partitioned by stratum — but
+    * that serializes each stratum onto a single task, and real corpora are
+    * Zipfian (one language can be half the data), so the largest stratum
+    * becomes a straggler AQE cannot split. Instead: two-phase. Phase 1
+    * pre-filters map-side to the ~quota rows per stratum whose draw can
+    * possibly rank within the quota (see [[quotaThreshold]]), verifying
+    * the survivor count per stratum and widening the threshold if any
+    * stratum undershot (u is uniform, so this is a >6-sigma event). Phase
+    * 2 runs the exact window on survivors only — the skewed shuffle now
+    * carries ~quota·strata rows, not the corpus. Output is identical to
+    * the naive window. */
   def quotaSample(
       df: DataFrame,
       keyCol: String,
       stratumCol: String,
       quota: Int,
       seed: String = "s0"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    // stratum sizes: one hash agg, rows = #strata (map-side combined)
+    val counts: Seq[(String, Long)] = df
+      .groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    var widen = 1.0
+    var pre = quotaPrefilter(df, keyCol, stratumCol, quota, seed, counts, widen)
+    var verified = counts.isEmpty
+    while (!verified) {
+      val surv = pre
+        .groupBy(col("__s")).agg(count(lit(1)).as("__k"))
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      val ok = counts.forall { case (s, n) =>
+        surv.getOrElse(Option(s), 0L) >= math.min(quota.toLong, n)
+      }
+      if (ok) verified = true
+      else {
+        widen *= 4.0
+        pre = quotaPrefilter(df, keyCol, stratumCol, quota, seed, counts, widen)
+      }
+    }
+    val w = Window
       .partitionBy(col(stratumCol))
       .orderBy(uniformDraw(col(keyCol), seed), col(keyCol))
-    df.withColumn("__rk", row_number().over(w))
+    pre.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= quota)
-      .drop("__rk")
+      .drop("__rk", "__s", "__thr")
   }
 
   /** Weighted mix of corpora: per-source Bernoulli rates, one union —
@@ -71,21 +141,92 @@ object Sampling {
   /** Assign documents to fixed-token-budget training shards: shard_id =
     * floor(cumulative_tokens_before / shardTokens) in `keyCol` order.
     *
-    * The running sum is one range-partitioned window (Spark's global-order
-    * window = sort shuffle). That is the honest cost of a DETERMINISTIC
-    * order-dependent packing; at extreme scale, pack per source/date
-    * partition instead (same code over groupBy keys) and concatenate shard
-    * namespaces. */
+    * A deterministic order-dependent running sum is the textbook case for
+    * a global-order window — which funnels the whole corpus through one
+    * task. This is the two-pass version that never does that:
+    *
+    *   1. range-partition + sort by key (a normal parallel sort shuffle —
+    *      every partition holds a contiguous key range, each sorted);
+    *   2. pass 1: per-partition token subtotals (one row per partition,
+    *      map-side combined) → exact cumulative offsets on the driver,
+    *      broadcast;
+    *   3. pass 2: map-side running sum per partition, seeded with that
+    *      partition's offset — shard_id assigned with zero further
+    *      shuffle.
+    *
+    * The prefix sums are exact, so the output is identical to the
+    * single-task window no matter where the range boundaries land. The
+    * sorted input is pinned with localCheckpoint so both passes see the
+    * same partitioning (on a cluster, a reliable checkpoint or a
+    * persisted sort does the same job). */
   def packShards(
       df: DataFrame,
       keyCol: String,
       tokensCol: String,
-      shardTokens: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+      shardTokens: Long,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .localCheckpoint()
+    // pass 1: token subtotal per physical partition (tiny result)
+    val subtotals = ranged
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(coalesce(col(tokensCol).cast("long"), lit(0L))).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = ranged.rdd.getNumPartitions
+    val offsets = new Array[Long](math.max(nParts, 1))
+    var acc = 0L
+    for (p <- 0 until nParts) {
+      offsets(p) = acc
+      acc += subtotals.getOrElse(p, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: map-side running sum seeded with the partition offset
+    val tokIdx = ranged.schema.fieldIndex(tokensCol)
+    val outSchema = ranged.schema.add("shard_id", LongType, nullable = false)
+    val outRdd = ranged.rdd.mapPartitionsWithIndex(
+      { (pid, it) =>
+        var cum = bc.value(pid)
+        it.map { row =>
+          val shard = cum / shardTokens
+          if (!row.isNullAt(tokIdx))
+            cum += row.get(tokIdx).asInstanceOf[Number].longValue()
+          Row.fromSeq(row.toSeq :+ shard)
+        }
+      },
+      preservesPartitioning = true)
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** Per-stratum shard packing: pack each (source, date, …) stratum
+    * independently and namespace the shard ids by the stratum values.
+    * One hash shuffle on the stratum keys; each stratum's running sum
+    * stays on its own tasks, so parallelism = #strata — the right shape
+    * when the corpus is already organized by source/date and shards need
+    * not cross stratum boundaries. For a single global order over a
+    * monolithic corpus, use [[packShards]] (two-pass, never
+    * single-task). */
+  def packShardsBy(
+      df: DataFrame,
+      keyCol: String,
+      tokensCol: String,
+      shardTokens: Long,
+      stratumCols: Seq[String]): DataFrame = {
+    require(stratumCols.nonEmpty, "packShardsBy needs at least one stratum column")
+    val w = Window
+      .partitionBy(stratumCols.map(col): _*)
       .orderBy(col(keyCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("shard_id",
-      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(shardTokens))
-        .cast("long"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localShard = floor(
+      coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(shardTokens)).cast("long")
+    df.withColumn(
+      "shard_id",
+      concat_ws("/", (stratumCols.map(c => col(c).cast("string")) :+
+        localShard.cast("string")): _*))
   }
 }

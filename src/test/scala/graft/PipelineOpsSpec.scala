@@ -259,4 +259,74 @@ class PipelineOpsSpec extends SparkSpec {
     val idsSeen = shards.map(_.getLong(0)).sorted.toSeq
     assert(idsSeen == (0L until idsSeen.size).toSeq)
   }
+
+  test("packShards two-pass offsets match the single-window running sum") {
+    import graft.operators.Sampling
+    val d = (0 until 1000).map(i => (i.toLong, (i % 13 + 1).toLong)).toDF("doc_id", "n_tokens")
+    // oracle: driver-side exact running sum in key order
+    val expected = (0 until 1000).scanLeft(0L)((acc, i) => acc + (i % 13 + 1)).init
+      .zipWithIndex.map { case (before, i) => i.toLong -> before / 17L }.toMap
+    // many partitions so the cumulative offsets actually cross boundaries
+    val got = Sampling.packShards(d, "doc_id", "n_tokens", 17L, numPartitions = 11)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // null tokens contribute nothing, same as sum() over a window
+    val withNull = d.withColumn("n_tokens",
+      when(col("doc_id") % 5 === 0, lit(null: java.lang.Long)).otherwise(col("n_tokens")))
+    val gotNull = Sampling.packShards(withNull, "doc_id", "n_tokens", 17L, numPartitions = 7)
+      .select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expNull = (0 until 1000).scanLeft(0L) { (acc, i) =>
+      acc + (if (i % 5 == 0) 0L else (i % 13 + 1L))
+    }.init.zipWithIndex.map { case (before, i) => i.toLong -> before / 17L }.toMap
+    assert(gotNull == expNull)
+  }
+
+  test("packShardsBy namespaces shards per stratum") {
+    import graft.operators.Sampling
+    val d = (0 until 200)
+      .map(i => (i.toLong, if (i % 2 == 0) "web" else "books", (i % 5 + 1).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val packed = Sampling.packShardsBy(d, "doc_id", "n_tokens", 20L, Seq("source"))
+    val byShard = packed.groupBy("shard_id").agg(sum("n_tokens").as("tot")).collect()
+    assert(byShard.forall(r => r.getString(0).startsWith("web/") || r.getString(0).startsWith("books/")))
+    // greedy bound holds inside each stratum namespace
+    assert(byShard.forall(_.getLong(1) <= 20L + 5L))
+  }
+
+  test("quotaSample pre-filter bounds windowed rows on Zipfian strata") {
+    import graft.operators.Sampling
+    // Zipfian: en owns ~83% of the corpus, long tail of smaller strata
+    val sizes = Seq("en" -> 20000, "de" -> 2500, "fr" -> 800, "it" -> 150, "pt" -> 40)
+    val d = sizes.flatMap { case (lang, n) =>
+      (0 until n).map(i => (s"$lang-$i", lang))
+    }.toDF("doc_id", "lang")
+    val quota = 20
+    val cap = quota + 6 * math.sqrt(quota.toDouble) + 16 // expected survivors/stratum
+    val counts = sizes.map { case (s, n) => (s, n.toLong) }
+    val pre = Sampling.quotaPrefilter(d, "doc_id", "lang", quota, "s0", counts, 1.0)
+    val perStratum = pre.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      val k = perStratum.getOrElse(s, 0L)
+      if (n <= cap) assert(k == n, s"stratum $s (threshold 1.0) must keep all rows")
+      else {
+        assert(k >= quota, s"stratum $s undershot the quota pre-filter: $k")
+        assert(k <= (3 * cap).toLong, s"stratum $s pre-filter failed to bound volume: $k")
+      }
+    }
+    // the exact window runs over ~quota-strata rows, not the 23k corpus
+    assert(pre.count() <= sizes.size * (3 * cap).toLong)
+    // and the final output is IDENTICAL to the naive full-corpus window
+    val naiveW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(Sampling.uniformDraw(col("doc_id"), "s0"), col("doc_id"))
+    val naive = d.withColumn("__rk", row_number().over(naiveW))
+      .where(col("__rk") <= quota).drop("__rk")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = Sampling.quotaSample(d, "doc_id", "lang", quota)
+      .select("doc_id", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == naive)
+  }
 }

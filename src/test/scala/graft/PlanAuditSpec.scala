@@ -82,6 +82,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows == 2, s"expected 2 windows (probe + topk), found $windows")
   }
 
+  test("shard packing plans no window at all (two-pass offsets, no global sort task)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val df = graft.operators.Sampling.packShards(docs, "doc_id", "n_tokens", 4096L)
+    // the running sum is per-partition map work seeded by broadcast offsets —
+    // a single-partition Window (Spark's "No Partition Defined" warning path)
+    // must never appear; in fact no Window node should exist anywhere
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"packShards planned a Window:\n${physical(df)}")
+    // and the packed data stays spread over many partitions
+    assert(df.rdd.getNumPartitions > 1, "packed output collapsed to one partition")
+  }
+
+  test("quotaSample window runs over pre-filtered survivors, not the corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Sampling.quotaSample(docs, "doc_id", "lang", 25, seed = "q1")
+    val plan = physical(df)
+    // the exact row_number window must sit above the broadcast-join
+    // threshold pre-filter, so the skewed stratum shuffle carries
+    // ~quota rows per stratum instead of every row of the corpus
+    val winIdx = plan.indexOf("Window")
+    val bjIdx = plan.indexOf("BroadcastHashJoin")
+    assert(winIdx >= 0 && bjIdx >= 0, s"expected window over broadcast pre-filter:\n$plan")
+    assert(winIdx < bjIdx, s"window must consume the pre-filter output:\n$plan")
+  }
+
   test("auto-deref over translated tables: left joins on ids, no cartesian") {
     val st = TranslateCorpus.ensure(spark)
     st.extract("pa_conns", "network-traffic", "xq1", "[network-traffic:dst_port = 443]")
