@@ -30,10 +30,16 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $dt%8.2f s") // per-query progress
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ONE short stdout line (everything else is stderr): timings rounded to
+    // ms so the line stays well inside any head/tail capture window — the
+    // round-4 artifact lost the first 14 entries to a window cut mid-line
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -34,7 +34,13 @@ object Cli {
         |  value-counts <view> <path>
         |  number-observed <view> <path> [value]
         |  summary <view> [path [value]]
-        |  timestamped <view> [path [value]]""".stripMargin)
+        |  timestamped <view> [path [value]]
+        |  sql <select_statement>
+        |  load <name> <json_or_csv_file> [--sco-type=T] [--query-id=Q] [--preserve-ids=bool]
+        |  reassign <name> <json_file>
+        |  splint randomize-ids|dedup-ids|upgrade <bundle_file>
+        |  splint limit <n> <bundle_file>
+        |  splint timeshift <bundle_file> <new_start> <new_end>""".stripMargin)
     sys.exit(2)
   }
 
@@ -52,21 +58,56 @@ object Cli {
 
   /** Dispatch one CLI invocation against an existing session (separated
     * from main so the replay suite can drive it without session teardown). */
+  /** JSON array of dicts, falling back to headered CSV — the reference
+    * load's file contract (cli.py:264-269). */
+  private def readObjects(path: String): Seq[Map[String, Any]] = {
+    val text =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    try graft.ingest.Flatten.parseJson(text) match {
+      case s: Seq[_]    => s.map(_.asInstanceOf[Map[String, Any]])
+      case m: Map[_, _] => Seq(m.asInstanceOf[Map[String, Any]])
+      case _            => throw new IllegalArgumentException("not a JSON array")
+    } catch {
+      case _: Exception =>
+        val lines = text.split("\r?\n").toSeq.filter(_.nonEmpty)
+        val hdr = lines.head.split(",", -1).toSeq
+        lines.tail.map(l => hdr.zip(l.split(",", -1).toSeq).toMap[String, Any])
+    }
+  }
+
+  /** Which --options each command defines (reference cli.py). Any other
+    * command passes leading-dash arguments through as positional data (a
+    * file literally named `--x` must reach cache/convert), and an
+    * unrecognized --option on an option-taking command is a usage error,
+    * not a silent drop. */
+  private val knownOpts: Map[String, Set[String]] = Map(
+    "lookup" -> Set("--columns"),
+    "load" -> Set("--sco-type", "--query-id", "--preserve-ids"))
+
   def run(spark: SparkSession, args: Seq[String]): Unit = {
     if (args.length < 2) usage()
     val s = new Storage(spark, args(0))
-    // reference CLI options: --columns=a,b on lookup (cli.py lookup)
-    val (opts, rest) = args.drop(2).partition(_.startsWith("--"))
-    val columns = opts.collectFirst {
-      case o if o.startsWith("--columns=") => o.stripPrefix("--columns=").split(',').toSeq
-    }.getOrElse(Nil)
+    val cmd = args(1)
+    val (opts, rest) = knownOpts.get(cmd) match {
+      case Some(valid) =>
+        val (o, r) = args.drop(2).partition(_.startsWith("--"))
+        o.map(_.takeWhile(_ != '=')).filterNot(valid).foreach { bad =>
+          System.err.println(s"unknown option for $cmd: $bad")
+          usage()
+        }
+        (o, r)
+      case None => (Seq.empty[String], args.drop(2))
+    }
+    def opt(name: String): Option[String] =
+      opts.collectFirst { case o if o.startsWith(s"$name=") => o.stripPrefix(s"$name=") }
+    val columns = opt("--columns").map(_.split(',').toSeq).getOrElse(Nil)
 
     def printRows(rows: Seq[Map[String, Any]]): Unit =
       rows.foreach(r => println(StixId.canonicalJson(r.map { case (k, v) =>
         k -> (v match { case null => null; case x: java.lang.Number => x; case x => x.toString })
       })))
 
-    args(1) match {
+    cmd match {
       case "cache"   => s.cache(rest.head, rest.tail)
       case "extract" => s.extract(rest(0), rest(1), rest(2), if (rest.length > 3) rest(3) else null)
       case "filter"  => s.filter(rest(0), rest(1), rest(2), rest(3))
@@ -115,6 +156,47 @@ object Cli {
       case "timestamped" =>
         val df = s.timestamped(rest.head, rest.lift(1).orNull, rest.lift(2).orNull)
         df.toJSON.collect().foreach(println)
+      // validated SQL passthrough (reference cli.py:229-235 runs raw SQL;
+      // here every workdir table + view registers as a temp view — dashes
+      // become underscores, e.g. network_traffic — and only read-only
+      // SELECT/WITH statements run)
+      case "sql" =>
+        val stmt = rest.mkString(" ").trim
+        val head = stmt.split("\\s+").headOption.map(_.toUpperCase).getOrElse("")
+        if (head != "SELECT" && head != "WITH") {
+          System.err.println("sql: only SELECT/WITH statements are allowed")
+          sys.exit(2)
+        }
+        (graft.ingest.UpsertWriter.tables(s.workDir) ++ s.views()).distinct.foreach { tbl =>
+          try s.catalog.resolve(tbl)
+            .createOrReplaceTempView(tbl.replaceAll("[^A-Za-z0-9_]", "_"))
+          catch { case _: Exception => () }
+        }
+        spark.sql(stmt).toJSON.collect().foreach(println)
+      // load a JSON array (or headered CSV) of SCO dicts as a view
+      // (cli.py:258-273)
+      case "load" =>
+        val objs = readObjects(rest(1))
+        s.load(rest(0), objs, opt("--sco-type").getOrElse(""),
+          opt("--query-id").orNull,
+          opt("--preserve-ids").forall(_.toBoolean))
+      case "reassign" => s.reassign(rest(0), readObjects(rest(1)))
+      // splint bundle transforms (splint.py:50-221): result bundle on stdout
+      case "splint" =>
+        import graft.ingest.BundleUtil
+        def bundleArg(i: Int): BundleUtil.Obj =
+          graft.ingest.Flatten.parseJson(
+            new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(rest(i))), "UTF-8")
+          ).asInstanceOf[Map[String, Any]]
+        val out = rest.head match {
+          case "randomize-ids" => BundleUtil.randomizeIds(bundleArg(1))
+          case "dedup-ids"     => BundleUtil.dedupIds(bundleArg(1))
+          case "upgrade"       => BundleUtil.upgrade(bundleArg(1))
+          case "limit"         => BundleUtil.limit(bundleArg(2), rest(1).toInt)
+          case "timeshift"     => BundleUtil.timeshift(bundleArg(1), rest(2), rest(3))
+          case _               => usage()
+        }
+        println(StixId.canonicalJson(out))
       case _ => usage()
     }
   }

@@ -433,6 +433,58 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF with LEARNED centroids: the oracle replays Lloyd's iterations
+    // (deterministic first-k init, 6dp-rounded cosine argmax, per-dim mean)
+    // then the same assign/probe/top-k replay as q_ann_ivf. Centroid means
+    // are float32-cast on BOTH sides before the final scoring, so sub-float
+    // fp-ordering differences in avg() cannot reach the compared scores.
+    q("q_ann_ivf_kmeans", {
+      def lloyd(i: Int, prev: String): String =
+        s"""s$i AS (SELECT e.vec_id, e.v, c.centroid_id,
+           |        round(list_dot_product(e.v, c.cent)
+           |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cent, c.cent))), 6) AS sc
+           |      FROM e CROSS JOIN $prev c),
+           |a$i AS (SELECT vec_id, v, centroid_id FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM s$i) z$i
+           |      WHERE rk = 1),
+           |m$i AS (SELECT centroid_id, i, avg(v[i]) AS m
+           |      FROM a$i CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii GROUP BY centroid_id, i),
+           |c$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$i GROUP BY centroid_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+         |${lloyd(1, "c0")},
+         |${lloyd(2, "c1")},
+         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+         |ca AS (SELECT e.vec_id, e.v, f.centroid_id,
+         |        round(list_dot_product(e.v, f.centd)
+         |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+         |      FROM e CROSS JOIN cf f),
+         |assigned AS (SELECT vec_id AS neighbor_id, v AS c_emb, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) za WHERE rk = 1),
+         |probed AS (SELECT vec_id AS query_id, v AS q_emb, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca WHERE vec_id < 5) zp
+         |      WHERE rk <= 2),
+         |s AS (SELECT p.query_id, a.neighbor_id,
+         |        round(list_dot_product(p.q_emb, a.c_emb)
+         |          / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.c_emb, a.c_emb))), 6) AS score
+         |      FROM probed p JOIN assigned a ON p.centroid_id = a.centroid_id
+         |      WHERE p.query_id <> a.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }) { c =>
+      val emb = c.resolve("embeddings")
+      val cents = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+      Similarity
+        .ivfTopK(emb, emb.where(col("vec_id") < 5), k = 5, nprobe = 2, learnedCentroids = cents)
+        .orderBy("query_id", "rank")
+    },
+
     // multi-band sign-LSH near-dup: candidates collide iff all 6 sign bits
     // agree in some of the 4 bands; threshold 0.4 is tuned so the sf0.01
     // oracle answer is non-empty (max pairwise cosine in the corpus ~0.51)

@@ -222,6 +222,42 @@ object StixQueries {
       st.timestamped("urls_ts")
         .select(col("observation_id"), col("first_observed"), col("id"), col("value"))
         .orderBy("first_observed", "id")
+    },
+
+    // ----- values() on a ref path: the single-column read with implicit
+    //       joins (sqlstorage.py:667-683; test_storage.py:24-41's values
+    //       contract). parseProp targets the HEAD ref type (ipv4-addr), so
+    //       v6-sourced rows surface as NULL — the oracle mirrors that left
+    //       join exactly. NULLS FIRST matches Spark's asc null ordering.
+    q("q_stix_values",
+      s"""SELECT s4.value AS "src_ref.value"
+         |FROM ${t("network-traffic")} n
+         |LEFT JOIN ${t("ipv4-addr")} s4 ON n.src_ref = s4.id
+         |WHERE n.src_port > 0 AND n.id IN ${prov("q1")}
+         |ORDER BY 1 NULLS FIRST""".stripMargin) { st =>
+      st.extract("vals_conns", "network-traffic", "q1", "[network-traffic:src_port > 0]")
+      st.valuesDF("src_ref.value", "vals_conns").orderBy(col("`src_ref.value`"))
+    },
+
+    // ----- reassign: write analytic results back (sqlstorage.py:504-539) —
+    //       tag the 5 lexicographically-first urls with x_risk, then
+    //       re-query THROUGH the engine (id-recipe view over the merged
+    //       url table). The oracle recomputes the expected scores from
+    //       value independently, so a silently-dropped upsert column (null
+    //       x_risk) hash-mismatches. Deterministic inputs make the merge
+    //       idempotent across verify/bench re-runs.
+    q("q_stix_reassign",
+      s"""WITH sel AS (SELECT id, value FROM ${t("url")} ORDER BY id LIMIT 5)
+         |SELECT id, CAST(length(value) AS BIGINT) AS x_risk FROM sel
+         |ORDER BY id""".stripMargin) { st =>
+      val sel = st.catalog.resolve("url")
+        .select(col("id"), col("value")).orderBy("id").limit(5).collect()
+      val objs = sel.toSeq.map(r =>
+        Map[String, Any](
+          "type" -> "url", "id" -> r.getString(0),
+          "x_risk" -> r.getString(1).length.toLong))
+      st.reassign("risky_urls", objs)
+      st.catalog.resolve("risky_urls").select(col("id"), col("x_risk")).orderBy("id")
     }
   ) ++ xlate ++ wood
 
@@ -325,8 +361,8 @@ object StixQueries {
       st.summaryDF("xconns_sum")
     },
 
-    // __contains rank marking: dst-named instances carry NO rank
-    // (ingest.py:706-711) — count rank-1 edges per target type
+    // __contains rank marking: dst-named instances carry rank 0
+    // (aio/ingest.py:707-711) — count rank-1 (primary) edges per target type
     xq("q_xlate_rank",
       s"""SELECT t.otype, count(*) AS n FROM (
          |  SELECT CASE
@@ -337,10 +373,10 @@ object StixQueries {
          |    WHEN c.target_ref LIKE 'user-account--%' THEN 'user-account'
          |    ELSE 'other' END AS otype
          |  FROM ${xt("__contains")} c
-         |  WHERE c.x_firepit_rank IS NOT NULL) t
+         |  WHERE c.x_firepit_rank = 1) t
          |GROUP BY t.otype ORDER BY t.otype""".stripMargin) { st =>
       val c = st.catalog.resolve("__contains")
-      c.where(col("x_firepit_rank").isNotNull)
+      c.where(col("x_firepit_rank") === 1)
         .select(regexp_extract(col("target_ref"), "^([a-z0-9-]+)--", 1).as("otype"))
         .withColumn("otype",
           when(col("otype").isin("ipv4-addr", "ipv6-addr", "network-traffic", "url", "user-account"),

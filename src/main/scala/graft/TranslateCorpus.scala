@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   */
 object TranslateCorpus {
 
-  val dir = "/tmp/graft_xlate_corpus_v1"
+  // v2: dst-named __contains edges now carry rank 0 (aio/ingest.py parity)
+  val dir = "/tmp/graft_xlate_corpus_v2"
   private val marker = java.nio.file.Paths.get(dir, "_READY")
   private val lock = new Object
 

@@ -168,7 +168,23 @@ class Storage(val spark: SparkSession, val workDir: String) {
     types.foreach { t =>
       val df = spark.read.json(flat.where(col("otype") === t).select("obj").as[String])
       t match {
-        case "__contains" | "__reflist" | "__columns" =>
+        // executor-side dtype is computed per VALUE, so one column can emit
+        // conflicting rows (a transformer-failure fallback yields 'str'
+        // beside the good rows' 'int'): keep ONE row per (otype, path) —
+        // non-'str' preferred, then lexicographic for determinism — and
+        // never add a second row for an already-recorded path, matching the
+        // driver path's first-sighting-wins dedup (writeObjects below)
+        case "__columns" =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("otype", "path")
+            .orderBy(
+              when(col("dtype") === lit("str"), 1).otherwise(0),
+              col("dtype"), col("shortname"))
+          val once = df
+            .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+          UpsertWriter.appendKeyedFirst(spark, workDir, t, once, Seq("otype", "path"))
+        case "__contains" | "__reflist" =>
           UpsertWriter.appendDistinct(spark, workDir, t, df)
         case "observed-data" => UpsertWriter.insertIgnore(spark, workDir, t, df)
         case _               => UpsertWriter.upsert(spark, workDir, t, df)
@@ -199,17 +215,19 @@ class Storage(val spark: SparkSession, val workDir: String) {
     * SCO-side join key), __reflist on source_ref, observed-data and every
     * SCO table on id. Later ingest into a table drops its bucketed layout
     * (copy-on-write, like every other table rewrite here). */
+  /** Collision-resistant per-workDir prefix for finish()'s bucketed tables
+    * (String.hashCode collides across workDirs in one session and would
+    * cross-clobber layouts). */
+  private lazy val dirTag: String = java.security.MessageDigest.getInstance("MD5")
+    .digest(new java.io.File(workDir).getAbsolutePath.getBytes("UTF-8"))
+    .take(6).map("%02x".format(_)).mkString
+
   def finish(buckets: Int = 8): Unit = {
     val keyed =
       Seq("__contains" -> "target_ref", "__reflist" -> "source_ref", "observed-data" -> "id") ++
         types().map(_ -> "id")
     keyed.foreach { case (t, key) =>
       if (UpsertWriter.exists(workDir, t) && !catalog.contains(t)) {
-        // collision-resistant per-workDir prefix (String.hashCode collides
-        // across workDirs in one session and would cross-clobber layouts)
-        val dirTag = java.security.MessageDigest.getInstance("MD5")
-          .digest(new java.io.File(workDir).getAbsolutePath.getBytes("UTF-8"))
-          .take(6).map("%02x".format(_)).mkString
         val tbl = s"graft_f${dirTag}_${t.replaceAll("[^A-Za-z0-9_]", "_")}"
         graft.operators.Layout.writeBucketed(catalog.resolve(t), tbl, key, buckets)
         catalog.registerDF(t, spark.table(tbl), if (t.startsWith("__")) "" else t)
@@ -360,7 +378,10 @@ class Storage(val spark: SparkSession, val workDir: String) {
     }
     val meta = colMeta.result()
     if (meta.nonEmpty) {
-      UpsertWriter.appendDistinct(spark, workDir, "__columns", UpsertWriter.rowsToDF(spark, meta))
+      // keyed-first like the distributed path: a later batch re-sighting a
+      // path with a different value class must not add a second row
+      UpsertWriter.appendKeyedFirst(
+        spark, workDir, "__columns", UpsertWriter.rowsToDF(spark, meta), Seq("otype", "path"))
       catalog.invalidateBase("__columns")
     }
     // provenance: every flattened SCO id came from this cache call
@@ -675,12 +696,18 @@ class Storage(val spark: SparkSession, val workDir: String) {
     }
   }
 
-  /** Single column (STIX path, implicit joins) as values (sqlstorage.py:667-683). */
-  def values(path: String, viewname: String): Seq[Any] = {
+  /** Single column (STIX path, implicit joins) as a lazy DataFrame — the
+    * plan behind values(); exposed so the driver's oracle can hash-check
+    * the path-join machinery without a collect. */
+  def valuesDF(path: String, viewname: String): DataFrame = {
     val t = catalog.viewType(viewname).filter(_.nonEmpty).getOrElse(viewname)
     val (df, c) = resolvePathColumn(resolve, viewname, t, path)
-    df.select(Deref.bq(c)).collect().toSeq.map(_.get(0))
+    df.select(Deref.bq(c))
   }
+
+  /** Single column (STIX path, implicit joins) as values (sqlstorage.py:667-683). */
+  def values(path: String, viewname: String): Seq[Any] =
+    valuesDF(path, viewname).collect().toSeq.map(_.get(0))
 
   def count(viewname: String): Long = resolve(viewname).count()
 
@@ -725,19 +752,30 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   def removeView(name: String): Unit = { catalog.removeView(name); journal("remove", name) }
 
-  /** Delete ALL data in this store — tables, journal, views
-    * (sqlitestorage.py:323-329 removes the db file). */
+  /** Delete ALL data in this store — tables, journal, views, AND the
+    * bucketed warehouse copies finish() wrote via saveAsTable (without the
+    * DROPs, full data copies would survive on disk and stay queryable in
+    * the Spark catalog after delete(); sqlitestorage.py:323-329 removes
+    * the db file). */
   def delete(): Unit = {
     catalog.viewNames.toList.foreach(catalog.removeView)
     UpsertWriter.tables(workDir).foreach(catalog.invalidateBase)
+    finishViews.clear()
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(s"graft_f${dirTag}_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     val p = java.nio.file.Paths.get(workDir)
     if (java.nio.file.Files.exists(p)) {
+      // each Files.list stream closed eagerly — deep trees leak handles otherwise
       def rm(q: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(q))
-          java.nio.file.Files.list(q).forEach(rm)
+        if (java.nio.file.Files.isDirectory(q)) {
+          val s = java.nio.file.Files.list(q)
+          try s.forEach(rm) finally s.close()
+        }
         java.nio.file.Files.deleteIfExists(q)
       }
-      java.nio.file.Files.list(p).forEach(rm)
+      val top = java.nio.file.Files.list(p)
+      try top.forEach(rm) finally top.close()
     }
   }
   def renameView(o: String, n: String): Unit = { catalog.renameView(o, n); journal("rename", o, n) }

@@ -4,24 +4,33 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the embedding kernels (dot product and
-  * L2 norm over array<float> columns).
+  * L2 norm over array<float> / array<double> columns).
   *
-  * These replace Scala UDFs in the ANN/near-dup hot path: a UDF boxes every
-  * float of every vector into Seq[java.lang.Float] per row, while these
-  * read the unsafe ArrayData directly (one primitive-array copy), stay
-  * inside whole-stage codegen via a static call, and keep the exact
-  * summation semantics of the DuckDB oracle (in-order left fold, float
-  * upcast to double per element).
+  * These replace Scala UDFs in the ANN/near-dup/k-means hot paths: a UDF
+  * boxes every element of every vector into Seq[java.lang.Float/Double]
+  * per row, while these read the unsafe ArrayData directly (one
+  * primitive-array copy), stay inside whole-stage codegen via a static
+  * call, and keep the exact summation semantics of the DuckDB oracle
+  * (in-order left fold, float upcast to double per element). The element
+  * type is resolved once at plan time from the input schema — float and
+  * double arrays each get their own primitive kernel.
   */
 case class DotF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  private def isDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
-    DotF.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotF.compute($a, $b)")
+    if (isDouble) DotF.computeD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else DotF.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isDouble) "computeD" else "compute"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotF.$fn($a, $b)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF =
     copy(left = l, right = r)
   override def prettyName: String = "dot_f"
@@ -38,6 +47,14 @@ object DotF {
     s
   }
 
+  def computeD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
   def apply(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       DotF(
@@ -47,9 +64,17 @@ object DotF {
 
 case class NormF(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(v: Any): Any = NormF.compute(v.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NormF.compute($c)")
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    if (isDouble) NormF.computeD(v.asInstanceOf[ArrayData])
+    else NormF.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isDouble) "computeD" else "compute"
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormF.$fn($c)")
+  }
   override protected def withNewChildInternal(c: Expression): NormF = copy(c)
   override def prettyName: String = "norm_f"
 }
@@ -60,6 +85,14 @@ object NormF {
     var i = 0
     val n = a.numElements()
     while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  def computeD(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
     math.sqrt(s)
   }
 

@@ -371,8 +371,10 @@ object Translate {
   /** Explode ONE translated flat row (`[objname#]type:attr` -> value) into
     * the objects the reference write path materializes (ingest.py:659-731):
     * per-object SCO dicts (objects without an `id` are skipped, :672-674),
-    * rank-1 `__contains` edges observation->SCO — rank left absent for
-    * dst/destination/target-named instances (:706-711) — and `__reflist`
+    * rank-1 `__contains` edges observation->SCO — rank 0 for dst/
+    * destination/target-named instances, matching aio/ingest.py:707-711
+    * exactly (the SYNC raft.py path leaves the key unset instead; this
+    * kernel mirrors the aio fast path it is cited from) — and `__reflist`
     * rows exploded+deduped from `*_refs` columns (:717-731). Pure and
     * serializable: runs inside `Dataset.flatMap` on executors. */
   def rowToObjects(row: Rec): Seq[Rec] = {
@@ -394,7 +396,7 @@ object Translate {
             "type" -> "__contains", "source_ref" -> obsId, "target_ref" -> id)
           val secondary = name.startsWith("dst") ||
             name.startsWith("destination") || name.startsWith("target")
-          out += (if (secondary) edge else edge + ("x_firepit_rank" -> 1L))
+          out += edge + ("x_firepit_rank" -> (if (secondary) 0L else 1L))
         }
         refLists.toSeq.sortBy(_._1).foreach { case (refName, v) =>
           val targets = v match { case l: Seq[_] => l; case single => Seq(single) }

@@ -112,6 +112,27 @@ object UpsertWriter {
     writeSwap(merged, p)
   }
 
+  /** Append only rows whose key tuple isn't already stored — first sighting
+    * wins, the __columns metadata contract (the reference records a column's
+    * dtype once, at its new-column hook; a later conflicting sighting must
+    * not add a second row). Callers pass a batch already deduped by key. */
+  def appendKeyedFirst(
+      spark: SparkSession, dir: String, table: String,
+      incoming: DataFrame, keys: Seq[String]): Unit = {
+    val p = pathOf(dir, table)
+    val merged =
+      if (!Files.exists(p)) incoming
+      else {
+        val existing = spark.read.parquet(p.toString)
+        existing.unionByName(
+          incoming.join(
+            existing.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+            keys, "left_anti"),
+          allowMissingColumns = true)
+      }
+    writeSwap(merged, p)
+  }
+
   private def mergeById(df: DataFrame): DataFrame = {
     val dataCols = df.columns.filterNot(c => c == "id" || c == "__seq")
     // an SCO can be ALL reference lists (e.g. x-oca-asset with only

@@ -122,4 +122,64 @@ class GoldenMiscSpec extends SparkSpec {
     Cli.run(spark, Seq(wd, "delete"))
     assert(new Storage(spark, wd).tables().isEmpty)
   }
+
+  private def captureOut(body: => Unit): Seq[String] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out))(body)
+    out.toString("UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  test("cli: sql runs a SELECT over workdir tables (cli.py:229-235)") {
+    val wd = tmpDir()
+    Cli.run(spark, Seq(wd, "cache", "test-id", fixture("test_bundle.json")))
+    val lines = captureOut {
+      Cli.run(spark, Seq(wd, "sql",
+        "SELECT count(*) AS n FROM url"))
+    }
+    assert(lines == Seq("""{"n":31}"""))
+    // dashed table names register with underscores
+    val nt = captureOut {
+      Cli.run(spark, Seq(wd, "sql", "SELECT count(*) AS n FROM network_traffic"))
+    }
+    assert(nt.size == 1 && nt.head.startsWith("""{"n":"""))
+  }
+
+  test("cli: load a JSON file of SCOs then query it (cli.py:258-273)") {
+    val wd = tmpDir()
+    val f = java.nio.file.Files.createTempFile("graft_load", ".json")
+    java.nio.file.Files.writeString(f,
+      """[{"type":"url","value":"http://a.example.com/1"},
+        | {"type":"url","value":"http://b.example.com/2"}]""".stripMargin)
+    Cli.run(spark, Seq(wd, "load", "my_urls", f.toString, "--sco-type=url"))
+    val s = new Storage(spark, wd)
+    assert(s.count("my_urls") == 2)
+    assert(s.values("value", "my_urls").map(_.toString).sorted ==
+      Seq("http://a.example.com/1", "http://b.example.com/2"))
+  }
+
+  test("cli: splint transforms print a bundle on stdout (splint.py:50-221)") {
+    val wd = tmpDir()
+    def parse(lines: Seq[String]): Map[String, Any] =
+      graft.ingest.Flatten.parseJson(lines.mkString("\n")).asInstanceOf[Map[String, Any]]
+    def objs(b: Map[String, Any]): Seq[Map[String, Any]] =
+      b("objects").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+    val src = fixture("test_bundle.json")
+    val orig = parse(Seq(java.nio.file.Files.readString(java.nio.file.Paths.get(src))))
+    val limited = parse(captureOut(Cli.run(spark, Seq(wd, "splint", "limit", "3", src))))
+    val obsCount = objs(limited).count(_("type") == "observed-data")
+    assert(obsCount == 3, s"limit 3 kept $obsCount observations")
+    val randomized = parse(captureOut(Cli.run(spark, Seq(wd, "splint", "randomize-ids", src))))
+    val origIds = objs(orig).flatMap(_.get("id")).toSet
+    val newIds = objs(randomized).flatMap(_.get("id")).toSet
+    assert(newIds.size == origIds.size && newIds.intersect(origIds).isEmpty)
+  }
+
+  test("cli: unknown --option is a positional arg, not a silent drop") {
+    val wd = tmpDir()
+    // cache receives '--weird.json' as a file path and fails on the missing
+    // file — before the fix it was silently stripped and cache misparsed
+    intercept[Exception] {
+      Cli.run(spark, Seq(wd, "cache", "qx", "--weird.json"))
+    }
+  }
 }

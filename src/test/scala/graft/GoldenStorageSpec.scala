@@ -247,6 +247,28 @@ class GoldenStorageSpec extends SparkSpec {
     assert(s.count("url") == 31)
   }
 
+  test("delete() drops finish()'s bucketed warehouse tables too") {
+    val s = bundled()
+    s.finish()
+    // finish wrote bucketed saveAsTable copies into the Spark warehouse,
+    // prefixed by this workDir's md5 tag (other suites' tables must survive)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(s.workDir).getAbsolutePath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val mine = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"graft_f$tag")).toSet
+    assert(mine.nonEmpty, "expected finish() to register warehouse tables")
+    s.delete()
+    val after = spark.catalog.listTables().collect().map(_.name).toSet
+    // every warehouse copy of THIS workdir is gone (no data survives delete)
+    assert(mine.intersect(after).isEmpty,
+      s"warehouse tables survived delete(): ${mine.intersect(after)}")
+    // and a fresh finish() on re-cached data works
+    s.cache("q2", Seq(fixture("test_bundle.json")))
+    s.finish()
+    assert(s.count("url") == 31)
+  }
+
   test("value_counts exact counts (test_storage.py:786-800)") {
     val s = bundled()
     val data = s.valueCounts("user-account", "account_login").toMap

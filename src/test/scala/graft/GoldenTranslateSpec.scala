@@ -277,11 +277,12 @@ class GoldenTranslateSpec extends SparkSpec {
     // the SCO dict keeps scalars, drops the _refs column
     val asset = byType("x-oca-asset").head
     assert(asset("hostname") == "wk1" && !asset.contains("ip_refs"))
-    // __contains: rank 1, but absent for dst/destination/target instances
+    // __contains: rank 1, but 0 for dst/destination/target instances
+    // (aio/ingest.py:707-711 — the sync raft.py path uses None instead)
     val edges = byType("__contains").map(e =>
       e("target_ref").toString -> e.get("x_firepit_rank")).toMap
     assert(edges("ipv4-addr--1").contains(1L))
-    assert(edges("ipv4-addr--2").isEmpty)
+    assert(edges("ipv4-addr--2").contains(0L))
     assert(edges("x-oca-asset--1").contains(1L))
     // __reflist exploded + deduped
     val refs = byType("__reflist")

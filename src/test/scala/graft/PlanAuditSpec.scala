@@ -111,6 +111,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(winIdx < bjIdx, s"window must consume the pre-filter output:\n$plan")
   }
 
+  test("k-means iteration carries no ScalaUDF (native double-array kernels)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.kmeansCentroids(emb, k = 2, iters = 1)
+    val plan = physical(cents)
+    // dot/norm run as codegen'd DotF/NormF on array<double> — a boxed
+    // Seq[Double] UDF would re-materialize every vector per row per iteration
+    assert(!plan.contains("ScalaUDF"), s"k-means plan still boxes through a UDF:\n$plan")
+    assert(plan.toLowerCase.contains("dot_f") || plan.contains("DotF"),
+      s"expected native dot kernel in plan:\n$plan")
+  }
+
   test("auto-deref over translated tables: left joins on ids, no cartesian") {
     val st = TranslateCorpus.ensure(spark)
     st.extract("pa_conns", "network-traffic", "xq1", "[network-traffic:dst_port = 443]")

@@ -82,6 +82,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window merges late rows across file-source micro-batches") {
+    // the availableNow drains in the oracle queries see the whole corpus in
+    // one batch; this pins the cross-batch path: maxFilesPerTrigger=1 over
+    // two files, where batch 2 carries a LATE row that must merge into a
+    // session opened (and buffered in the state store) by batch 1
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mb").toString
+    val batch1 = Seq(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:10:00"), 1L),
+      (ts("2024-01-01 01:00:00"), 2L)).toDF("ts", "user_id")
+    val batch2 = Seq(
+      (ts("2024-01-01 00:20:00"), 1L), // late: extends user 1's first session
+      (ts("2024-01-01 03:00:00"), 1L)).toDF("ts", "user_id")
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+    batch2.coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream
+      .schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val sink = s"sess_mb_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = StreamOps.sessionCounts(src, "30 minutes", "10 days")
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val sq = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+      assert(fedBatches >= 2, s"expected a multi-batch drain, got $fedBatches feeding batches")
+      val rows = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+        .toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 00:00:00.0", 3L), // late 00:20 row merged in
+        (1L, "2024-01-01 03:00:00.0", 1L),
+        (2L, "2024-01-01 01:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("runningCounts keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
