@@ -159,6 +159,50 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition quality: duplicate word-2-gram fraction per
+    // doc — pure map-side codegen, the pre-training filter signal
+    q("q_text_repetition",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN length(toks) >= 2
+         |    THEN list_transform(range(1, length(toks)), i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE [] END AS gs FROM t)
+         |SELECT doc_id, length(gs) AS n_grams,
+         |  CASE WHEN length(gs) > 0
+         |    THEN round((length(gs) - length(list_distinct(gs))) / CAST(length(gs) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS rep_ratio
+         |FROM g ORDER BY doc_id""".stripMargin) { c =>
+      c.resolve("documents")
+        .select(
+          col("doc_id"),
+          size(TextOps.ngramStrings(col("text"), 2)).as("n_grams"),
+          TextOps.repetitionRatio(col("text"), 2).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // benchmark decontamination: docs sharing ANY word 8-gram with the
+    // benchmark slice (doc_id % 10 = 0) are scrubbed; the oracle recomputes
+    // the exact surviving id set via the same md5 overlap keys
+    q("q_text_decontam",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN length(toks) >= 8
+         |    THEN list_transform(range(1, length(toks) - 6), i -> md5(array_to_string(toks[i:i+7], ' ')))
+         |    ELSE [] END) AS h FROM t),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+         |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (h)
+         |        WHERE g.doc_id % 10 <> 0)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY d.doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      Dedup
+        .decontaminate(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          n = 8)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // deterministic stratified sampling: the engine-portable md5 draw means
     // the oracle reproduces the EXACT sampled row set, not just its size
     q("q_sample_stratified",

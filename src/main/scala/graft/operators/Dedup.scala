@@ -150,6 +150,27 @@ object Dedup {
       .select("doc_id", "fingerprint")
   }
 
+  /** Benchmark decontamination: drop corpus docs sharing ANY word n-gram
+    * with the benchmark set — the overlap rule every training pipeline runs
+    * to scrub eval/test material out of pre-training data. Benchmark n-gram
+    * sets are small by construction (eval suites are MBs against a 100 TB
+    * corpus), so the overlap probe is a BROADCAST semi-join over a pure
+    * map-side explode of the corpus — no corpus shuffle — and the final
+    * left-anti join keys (contaminated ids) are tiny again. n defaults to
+    * 8 contiguous words (the classic 13-gram rule scaled to short docs). */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol), explode(TextOps.ngramHashes(col(textCol), n)).as("__h"))
+    val bench = broadcast(grams(benchmark).select(col("__h")).distinct())
+    val contaminated = grams(corpus).join(bench, "__h").select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Per-document MinHash signature + band hashes (the map-side pass).
     *
     * Left lazy on purpose: the kernel is a compiled function, so the

@@ -32,6 +32,35 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Word n-gram strings of the normalized text (empty when < n tokens).
+    * Guarded: Spark's sequence(1, 0) would generate a DESCENDING [1, 0]. */
+  def ngramStrings(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** md5 of each word n-gram — the engine-portable overlap key used by
+    * benchmark decontamination (md5 hex compares identically in any SQL
+    * engine; at scale the fixed-width key also beats long gram strings
+    * through the shuffle/broadcast). */
+  def ngramHashes(text: Column, n: Int): Column =
+    transform(ngramStrings(text, n), g => md5(g))
+
+  /** Gopher-style repetition signal: fraction of duplicate word n-grams,
+    * 1 - distinct/total (0 for docs shorter than n tokens). Pure map-side
+    * codegen column work — rounded 6dp inside the expression so the value
+    * hash-matches a reference engine. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val g = ngramStrings(text, n)
+    when(size(g) > 0,
+      round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Stopword list shared with the language-ID heuristic. */
   val enStop: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
   val deStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "nicht")

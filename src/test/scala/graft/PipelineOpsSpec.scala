@@ -38,6 +38,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(preds.toSeq == Seq("en", "de", "unknown"))
   }
 
+  test("ngramStrings: sliding word n-grams, empty when short") {
+    val g = docs((1, "a b c d"), (2, "a b"))
+      .orderBy("doc_id")
+      .select(TextOps.ngramStrings(col("text"), 3))
+      .collect()
+      .map(_.getSeq[String](0))
+    assert(g(0) == Seq("a b c", "b c d"))
+    assert(g(1).isEmpty)
+  }
+
+  test("repetitionRatio: duplicate n-gram fraction, 0 for short docs") {
+    val r = docs((1, "x y x y x y"), (2, "a b c d"), (3, "a"))
+      .orderBy("doc_id")
+      .select(TextOps.repetitionRatio(col("text"), 2))
+      .collect()
+      .map(_.getDouble(0))
+    // "x y x y x y" -> 5 bigrams, 2 distinct -> 3/5 duplicates
+    assert(r.toSeq == Seq(0.6, 0.0, 0.0))
+  }
+
+  test("decontaminate drops exactly the docs overlapping the benchmark") {
+    val corpus = docs(
+      (1, "one two three four five six seven eight nine"), // contains bench 8-gram
+      (2, "totally different words with no overlap at all here"),
+      (3, "one two three four five SIX seven eight extra")) // 8-gram 'one..eight' (case-norm) matches
+    val bench = docs((100, "zz one two three four five six seven eight yy"))
+    val clean = Dedup.decontaminate(corpus, bench, n = 8)
+      .select("doc_id").collect().map(_.getInt(0)).toSet
+    assert(clean == Set(2))
+    // and the overlap probe is a broadcast semi-join over map-side grams:
+    // the corpus side reaches the join without any shuffle exchange
+    val plan = Dedup.decontaminate(corpus, bench, n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench grams should broadcast:\n$plan")
+  }
+
   test("exact dedup groups identical normalized texts") {
     val g = Dedup
       .exact(docs((1, "same text here"), (2, "Same  TEXT here"), (3, "other")))
