@@ -217,6 +217,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // temperature-balanced multilingual sampling (rates ∝ n_lang^0.5,
+    // expected 150 draws): the oracle re-derives the SAME 6dp rates from
+    // the same in-order double fold, so the kept row set matches exactly
+    q("q_sample_temperature",
+      """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY lang),
+        |z AS (SELECT list_sum(list(pow(CAST(n AS DOUBLE), 0.5) ORDER BY s)) AS z FROM c),
+        |r AS (SELECT s, round(least(1.0,
+        |        150 * pow(CAST(n AS DOUBLE), 0.5) / z.z / CAST(n AS DOUBLE)), 6) AS rate
+        |      FROM c, z)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.s
+        |WHERE CAST(('0x' || substring(md5(d.doc_id || 't0'), 1, 8)) AS BIGINT) / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin) { c =>
+      graft.operators.Sampling
+        .temperatureSample(c.resolve("documents"), "doc_id", "lang",
+          tau = 0.5, targetTotal = 150L, seed = "t0")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // per-stratum quotas: exactly min(quota, |stratum|) docs per language,
     // chosen by the deterministic draw — the oracle reproduces the set
     q("q_sample_quota",

@@ -67,6 +67,17 @@ object Dedup {
     else text.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
       .split(' ').filter(_.nonEmpty)
 
+  /** md5 of each word n-gram — the compiled mirror of
+    * TextOps.ngramHashes (same normalization, same hex). */
+  private def ngramMd5Strings(text: String, n: Int): Array[String] = {
+    val toks = normTokens(text)
+    if (toks.length < n) Array.empty
+    else Array.tabulate(toks.length - n + 1)(i => md5Hex(toks.slice(i, i + n).mkString(" ")))
+  }
+
+  private val ngramMd5Udf =
+    org.apache.spark.sql.functions.udf((text: String, n: Int) => ngramMd5Strings(text, n))
+
   private def shingleStrings(text: String): Array[String] = {
     val toks = normTokens(text)
     if (toks.length >= 3) Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
@@ -164,8 +175,12 @@ object Dedup {
       n: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // compiled kernel, not TextOps.ngramHashes: the overlap probe is the
+    // hot map pass, and interpreted higher-order md5 folds measure far
+    // slower than a compiled function (same rationale as the minhash
+    // kernels above; byte-identical hex output either way)
     def grams(df: DataFrame) =
-      df.select(col(idCol), explode(TextOps.ngramHashes(col(textCol), n)).as("__h"))
+      spread(df).select(col(idCol), explode(ngramMd5Udf(col(textCol), lit(n))).as("__h"))
     val bench = broadcast(grams(benchmark).select(col("__h")).distinct())
     val contaminated = grams(corpus).join(bench, "__h").select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

@@ -127,6 +127,46 @@ object Sampling {
       .drop("__rk", "__s", "__thr")
   }
 
+  /** Temperature-balanced per-stratum rates — the multilingual mixing rule
+    * (sample stratum s with probability ∝ (n_s/N)^tau; tau < 1 upweights
+    * tail languages): with w_s = n_s^tau and Z = Σ w_s,
+    * rate_s = min(1, targetTotal·w_s / Z / n_s).
+    *
+    * Engine-reproducibility: Z folds in stratum-NAME order (any engine can
+    * replay the same in-order double sum) and the returned rates round to
+    * 6dp — a draw grid of 2^-32 never straddles sub-1e-6 libm pow
+    * differences, so the kept row SET is identical across engines. */
+  def temperatureRates(
+      counts: Seq[(String, Long)],
+      tau: Double,
+      targetTotal: Long): Seq[(String, Double)] = {
+    val sorted = counts.sortBy(_._1)
+    val ws = sorted.map { case (s, n) => (s, n, math.pow(n.toDouble, tau)) }
+    val z = ws.foldLeft(0.0)(_ + _._3)
+    ws.map { case (s, n, w) =>
+      val r = math.min(1.0, targetTotal.toDouble * w / z / n.toDouble)
+      s -> BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  /** One-call temperature sample: count strata (one tiny hash agg), derive
+    * the balanced rates, apply the zero-shuffle stratified filter. */
+  def temperatureSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      tau: Double,
+      targetTotal: Long,
+      seed: String = "s0"): DataFrame = {
+    val counts = df
+      .groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    stratifiedSample(df, keyCol, stratumCol,
+      temperatureRates(counts, tau, targetTotal).toMap, seed)
+  }
+
   /** Weighted mix of corpora: per-source Bernoulli rates, one union —
     * the "mix 30% web + 70% books" recipe as a single lazy plan. Sources
     * may carry different schemas (missing columns null-fill). */

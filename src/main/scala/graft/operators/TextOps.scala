@@ -32,16 +32,26 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Evaluate `expr` once per row and hand it to `body` as a bound lambda
+    * variable. Higher-order array functions run interpreted (outside
+    * whole-stage codegen's subexpression elimination), so a column that a
+    * lambda references per-ELEMENT re-evaluates its whole subtree per
+    * element — binding via a 1-element transform makes it a variable read
+    * (measured 25x on the n-gram explode: the regex tokenization was
+    * re-running for every gram). */
+  private def bindOnce(expr: Column)(body: Column => Column): Column =
+    element_at(transform(array(expr), v => body(v)), 1)
+
   /** Word n-gram strings of the normalized text (empty when < n tokens).
     * Guarded: Spark's sequence(1, 0) would generate a DESCENDING [1, 0]. */
-  def ngramStrings(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngramStrings(text: Column, n: Int): Column =
+    bindOnce(tokens(text)) { toks =>
+      when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** md5 of each word n-gram — the engine-portable overlap key used by
     * benchmark decontamination (md5 hex compares identically in any SQL
@@ -54,12 +64,12 @@ object TextOps {
     * 1 - distinct/total (0 for docs shorter than n tokens). Pure map-side
     * codegen column work — rounded 6dp inside the expression so the value
     * hash-matches a reference engine. */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val g = ngramStrings(text, n)
-    when(size(g) > 0,
-      round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
-      .otherwise(lit(0.0))
-  }
+  def repetitionRatio(text: Column, n: Int): Column =
+    bindOnce(ngramStrings(text, n)) { g =>
+      when(size(g) > 0,
+        round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
+        .otherwise(lit(0.0))
+    }
 
   /** Stopword list shared with the language-ID heuristic. */
   val enStop: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")

@@ -284,6 +284,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(qBig.count() == d.where(col("lang") === "en").count())
   }
 
+  test("temperatureRates: tau=1 is proportional, tau=0 equalizes strata") {
+    val counts = Seq("en" -> 900L, "fr" -> 90L, "de" -> 10L)
+    // tau=1: every stratum keeps rate target/N
+    val r1 = graft.operators.Sampling.temperatureRates(counts, 1.0, 100).toMap
+    assert(r1.values.forall(v => math.abs(v - 0.1) < 1e-9))
+    // tau=0: expected draws equalize (10 per stratum) -> rate = 10/n, capped
+    val r0 = graft.operators.Sampling.temperatureRates(counts, 0.0, 30).toMap
+    assert(math.abs(r0("en") - 10.0 / 900) < 1e-6)
+    assert(r0("de") == 1.0)
+  }
+
   test("packShards never exceeds budget by more than one document") {
     import graft.operators.Sampling
     val d = (0 until 100).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("doc_id", "n_tokens")
