@@ -53,6 +53,28 @@ object StreamOps {
       watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming face of Dedup.exactIncremental: drop arriving docs whose
+    * content fingerprint is already in the persisted corpus (stream-static
+    * LEFT ANTI join — Spark re-plans the static side per micro-batch, so a
+    * fingerprint set updated between batches is picked up), then in-stream
+    * dropDuplicates bounded by the watermark. At scale the static side is
+    * the bucketed fingerprint table of previous runs; the join hashes on
+    * the fingerprint, never the text. */
+  def dedupAgainstCorpus(
+      stream: DataFrame,
+      seen: DataFrame,
+      textCol: String = "text",
+      watermark: String = "2 hours"): DataFrame = {
+    val fp = stream.withColumn(
+      "fingerprint", graft.operators.TextOps.fingerprint(col(textCol)))
+    fp.join(seen.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+      .withWatermark("ts", watermark)
+      // WithinWatermark, not dropDuplicates(key): a bare key-dedup keeps
+      // every fingerprint in the state store forever — this one expires
+      // state at the horizon, the only bounded choice on an endless stream
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+  }
+
   /** Per-user running event counter via mapGroupsWithState — the custom-state
     * escape hatch (reference has no streaming; SURVEY §2.7). Emits one
     * updated (user_id, count) row per user per micro-batch. */

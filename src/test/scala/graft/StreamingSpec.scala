@@ -121,6 +121,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstCorpus drops already-ingested fingerprints and in-stream dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq("already ingested doc").toDF("text")
+      .select(graft.operators.TextOps.fingerprint(col("text")).as("fingerprint"))
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "text")
+    val q = StreamOps.dedupAgainstCorpus(events, seen, watermark = "1 hour")
+      .writeStream.format("memory").queryName("corpus_dedup").outputMode("append")
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "already ingested doc"), // vs static corpus
+        (ts("2024-01-01 00:01:00"), "fresh doc"),
+        (ts("2024-01-01 00:02:00"), "FRESH   doc")) // in-stream dup (normalized)
+      q.processAllAvailable()
+      val texts = spark.table("corpus_dedup").collect().map(_.getAs[String]("text")).toSet
+      assert(texts == Set("fresh doc"))
+    } finally q.stop()
+  }
+
   test("runningCounts keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
