@@ -542,7 +542,10 @@ object PipelineQueries {
          |ORDER BY query_id, rank""".stripMargin
     }) { c =>
       val emb = c.resolve("embeddings")
-      val cents = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+      // pin the k learned rows: ivfTopK references the centroids from both
+      // the corpus-assign and probe branches, and without the checkpoint
+      // each branch re-runs every Lloyd iteration
+      val cents = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
       Similarity
         .ivfTopK(emb, emb.where(col("vec_id") < 5), k = 5, nprobe = 2, learnedCentroids = cents)
         .orderBy("query_id", "rank")
@@ -593,6 +596,21 @@ object PipelineQueries {
         .profile(c.resolve("documents"), Seq("doc_id", "n_chars", "text"))
         .drop("dtype")
         .orderBy("column")
+    },
+
+    // exact quantile profiling: percentile == quantile_cont interpolation
+    // (lo + (hi-lo)·frac) in both engines — 6dp-rounded value parity
+    q("q_profile_quantiles", {
+      val ps = Seq(0.5, 0.9, 0.99)
+      val cols = Seq("doc_id", "n_chars")
+      cols.flatMap(c => ps.map(p =>
+        s"""SELECT '$c' AS "column", $p AS p,
+           |  round(quantile_cont($c, $p), 6) AS q FROM documents""".stripMargin))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\", p")
+    }) { c =>
+      graft.operators.Profile
+        .quantiles(c.resolve("documents"), Seq("doc_id", "n_chars"))
+        .orderBy("column", "p")
     },
 
     // ===== Multimodal plumbing (binary columns + batched stub decode) =====

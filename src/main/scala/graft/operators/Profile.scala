@@ -67,4 +67,30 @@ object Profile {
         StructField("max_val", DoubleType),
         StructField("avg_val", DoubleType))))
   }
+
+  /** Exact per-column quantiles, one (column, p, q) row per requested
+    * percentile — ONE aggregation pass over all columns (each percentile
+    * list comes back as an array, unpivoted lazily with posexplode).
+    *
+    * `percentile` interpolates lo + (hi-lo)·frac, the same quantile_cont
+    * definition every SQL engine uses, so values hash-match an oracle
+    * (rounded 6dp). Exact percentile sorts each column's values inside the
+    * agg — fine for profiling runs and samples; at 100 TB the scale path
+    * is approx_percentile (mergeable KLL-style sketch, same plan shape,
+    * engine-specific values). */
+  def quantiles(
+      df: DataFrame,
+      colNames: Seq[String],
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val psSql = ps.mkString(", ")
+    val aggs = colNames.map(c => expr(s"percentile(`$c`, array($psSql))").as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(colNames.map(c =>
+        struct(lit(c).as("column"), col(c).as("qs"))): _*)).as("s"))
+      .select(col("s.column").as("column"), posexplode(col("s.qs")).as(Seq("i", "q")))
+      .select(
+        col("column"),
+        element_at(typedlit(ps), col("i").cast("int") + 1).as("p"),
+        round(col("q"), 6).as("q"))
+  }
 }
