@@ -49,6 +49,31 @@ object PipelineQueries {
       | THEN 1 ELSE 0 END)""".stripMargin
   private def duckStopHits(listSql: String) =
     s"length(list_filter(toks, x -> list_contains($listSql, x)))"
+  // connected components over the >=0.5-jaccard minhash-candidate pair
+  // graph, as named CTEs ending in grp(doc_id, group_id) — shared by the
+  // q_dedup_groups and q_dedup_reps oracles (must follow WITH RECURSIVE)
+  private lazy val duckGroupsCte =
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
+       |m AS (SELECT doc_id, sh, $duckSig AS sig FROM s),
+       |b AS (SELECT doc_id, j, md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS h
+       |      FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |      FROM b a JOIN b b2 ON a.j = b2.j AND a.h = b2.h
+       |        AND a.doc_id < b2.doc_id),
+       |d AS (SELECT doc_id, list_distinct(sh) AS dsh FROM m),
+       |pj AS (SELECT c.a_id, c.b_id,
+       |  length(list_filter(da.dsh, x -> list_contains(db.dsh, x)))::DOUBLE
+       |    / (length(da.dsh) + length(db.dsh)
+       |       - length(list_filter(da.dsh, x -> list_contains(db.dsh, x)))) AS jaccard
+       |  FROM cand c JOIN d da ON c.a_id = da.doc_id JOIN d db ON c.b_id = db.doc_id),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM pj WHERE round(jaccard, 6) >= 0.5
+       |      UNION SELECT b_id, a_id FROM pj WHERE round(jaccard, 6) >= 0.5),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       |grp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id)""".stripMargin
   private def sqlList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
 
   private[graft] val all: Seq[Q] = Seq(
@@ -355,31 +380,30 @@ object PipelineQueries {
     // graph; the oracle walks reachability with a recursive CTE and takes
     // the min reachable id per doc — identical group labeling
     q("q_dedup_groups",
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
-         |m AS (SELECT doc_id, sh, $duckSig AS sig FROM s),
-         |b AS (SELECT doc_id, j, md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS h
-         |      FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
-         |      FROM b a JOIN b b2 ON a.j = b2.j AND a.h = b2.h
-         |        AND a.doc_id < b2.doc_id),
-         |d AS (SELECT doc_id, list_distinct(sh) AS dsh FROM m),
-         |pj AS (SELECT c.a_id, c.b_id,
-         |  length(list_filter(da.dsh, x -> list_contains(db.dsh, x)))::DOUBLE
-         |    / (length(da.dsh) + length(db.dsh)
-         |       - length(list_filter(da.dsh, x -> list_contains(db.dsh, x)))) AS jaccard
-         |  FROM cand c JOIN d da ON c.a_id = da.doc_id JOIN d db ON c.b_id = db.doc_id),
-         |e AS (SELECT a_id AS src, b_id AS dst FROM pj WHERE round(jaccard, 6) >= 0.5
-         |      UNION SELECT b_id, a_id FROM pj WHERE round(jaccard, 6) >= 0.5),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
-         |SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+      s"""WITH RECURSIVE $duckGroupsCte
+         |SELECT doc_id, group_id FROM grp
          |ORDER BY doc_id""".stripMargin) { c =>
       val docs = c.resolve("documents")
       Dedup
         .dupGroups(docs, Dedup.ngramJaccardPairs(docs, minJaccard = 0.5))
+        .orderBy("doc_id")
+    },
+
+    // representative per duplicate group: keep the longest copy (ties ->
+    // smallest id) — the post-grouping "keep best, drop rest" step
+    q("q_dedup_reps",
+      s"""WITH RECURSIVE $duckGroupsCte,
+         |jn AS (SELECT d2.doc_id, d2.n_chars, g.group_id
+         |       FROM documents d2 JOIN grp g USING (doc_id)),
+         |rk AS (SELECT doc_id, row_number() OVER (
+         |         PARTITION BY group_id ORDER BY n_chars DESC, doc_id) AS rn FROM jn)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM rk WHERE rn = 1)
+         |ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val groups = Dedup.dupGroups(docs, Dedup.ngramJaccardPairs(docs, minJaccard = 0.5))
+      Dedup.selectRepresentatives(docs, groups, "n_chars")
+        .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     },
 

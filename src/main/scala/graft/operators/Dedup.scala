@@ -382,6 +382,25 @@ object Dedup {
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))
   }
 
+  /** Keep ONE representative per duplicate group — the doc maximizing
+    * `scoreCol`, ties to the smallest id (the post-grouping step of every
+    * dedup pipeline: keep the best copy, drop the rest). One min_by hash
+    * aggregate keyed on group_id — partial-aggregable, no window — then a
+    * semi-join back for the full rows; the reps side is one id per group,
+    * so it broadcasts at any corpus size with a sane group count. */
+  def selectRepresentatives(
+      docs: DataFrame,
+      groups: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val reps = docs
+      .select(col(idCol), col(scoreCol))
+      .join(groups, idCol)
+      .groupBy("group_id")
+      .agg(min_by(col(idCol), struct(-col(scoreCol).cast("double"), col(idCol))).as(idCol))
+    docs.join(reps.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Per-document 64-bit simhash frame (map-side pass), via the native
     * codegen expression graft.functions.SimHash64. */
   def simhashFrame(docs: DataFrame, textCol: String = "text"): DataFrame =

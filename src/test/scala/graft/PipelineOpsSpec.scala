@@ -284,6 +284,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(qBig.count() == d.where(col("lang") === "en").count())
   }
 
+  test("selectRepresentatives keeps the best-scored doc per group, ties to smallest id") {
+    val d = Seq((1, 10L), (2, 30L), (3, 30L), (4, 5L)).toDF("doc_id", "score")
+    val groups = Seq((1, 1), (2, 1), (3, 1), (4, 4)).toDF("doc_id", "group_id")
+    val kept = Dedup.selectRepresentatives(d, groups, "score")
+      .select("doc_id").collect().map(_.getInt(0)).toSet
+    assert(kept == Set(2, 4)) // group 1: 2 and 3 tie at 30 -> 2; singleton 4
+  }
+
   test("temperatureRates: tau=1 is proportional, tau=0 equalizes strata") {
     val counts = Seq("en" -> 900L, "fr" -> 90L, "de" -> 10L)
     // tau=1: every stratum keeps rate target/N
