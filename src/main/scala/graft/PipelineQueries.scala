@@ -49,6 +49,39 @@ object PipelineQueries {
       | THEN 1 ELSE 0 END)""".stripMargin
   private def duckStopHits(listSql: String) =
     s"length(list_filter(toks, x -> list_contains($listSql, x)))"
+  // exact and sign-LSH top-5 neighbor SQL (no trailing ORDER BY — used
+  // standalone with one appended, and nested as CTE bodies by q_ann_recall)
+  private val duckBruteSql =
+    """WITH p AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS e FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(q::DOUBLE[], e::DOUBLE[])
+      |          / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) * sqrt(list_dot_product(e::DOUBLE[], e::DOUBLE[]))), 6) AS score
+      |      FROM p CROSS JOIN c WHERE query_id <> neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, score,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY score DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5""".stripMargin
+  private val duckLshSql =
+    """WITH wb AS (SELECT vec_id, embedding,
+      |        list_sum(list_transform(range(1, 5), i ->
+      |          CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+      |               ELSE CAST(0 AS BIGINT) END))::BIGINT AS bucket
+      |      FROM embeddings),
+      |p AS (SELECT vec_id AS query_id, embedding AS q, bucket FROM wb WHERE vec_id < 5),
+      |s AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+      |        round(list_dot_product(p.q::DOUBLE[], c.embedding::DOUBLE[])
+      |          / (sqrt(list_dot_product(p.q::DOUBLE[], p.q::DOUBLE[]))
+      |             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS score
+      |      FROM p JOIN wb c ON p.bucket = c.bucket
+      |      WHERE p.query_id <> c.vec_id),
+      |r AS (SELECT query_id, neighbor_id, score,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY score DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5""".stripMargin
+
   // connected components over the >=0.5-jaccard minhash-candidate pair
   // graph, as named CTEs ending in grp(doc_id, group_id) — shared by the
   // q_dedup_groups and q_dedup_reps oracles (must follow WITH RECURSIVE)
@@ -444,48 +477,36 @@ object PipelineQueries {
 
     // ===== Similarity search =============================================
 
-    q("q_ann_bruteforce",
-      s"""WITH p AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS e FROM embeddings),
-         |s AS (SELECT query_id, neighbor_id,
-         |        round(list_dot_product(q::DOUBLE[], e::DOUBLE[])
-         |          / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) * sqrt(list_dot_product(e::DOUBLE[], e::DOUBLE[]))), 6) AS score
-         |      FROM p CROSS JOIN c WHERE query_id <> neighbor_id),
-         |r AS (SELECT query_id, neighbor_id, score,
-         |        row_number() OVER (PARTITION BY query_id
-         |                           ORDER BY score DESC, neighbor_id) AS rank
-         |      FROM s)
-         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin) { c =>
+    q("q_ann_bruteforce", s"$duckBruteSql\nORDER BY query_id, rank") { c =>
       val emb = c.resolve("embeddings")
       Similarity
         .bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 5)
         .orderBy("query_id", "rank")
     },
 
-    q("q_ann_lsh",
-      s"""WITH wb AS (SELECT vec_id, embedding,
-         |        list_sum(list_transform(range(1, 5), i ->
-         |          CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
-         |               ELSE CAST(0 AS BIGINT) END))::BIGINT AS bucket
-         |      FROM embeddings),
-         |p AS (SELECT vec_id AS query_id, embedding AS q, bucket FROM wb WHERE vec_id < 5),
-         |s AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-         |        round(list_dot_product(p.q::DOUBLE[], c.embedding::DOUBLE[])
-         |          / (sqrt(list_dot_product(p.q::DOUBLE[], p.q::DOUBLE[]))
-         |             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS score
-         |      FROM p JOIN wb c ON p.bucket = c.bucket
-         |      WHERE p.query_id <> c.vec_id),
-         |r AS (SELECT query_id, neighbor_id, score,
-         |        row_number() OVER (PARTITION BY query_id
-         |                           ORDER BY score DESC, neighbor_id) AS rank
-         |      FROM s)
-         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin) { c =>
+    q("q_ann_lsh", s"$duckLshSql\nORDER BY query_id, rank") { c =>
       val emb = c.resolve("embeddings")
       Similarity
         .lshTopK(emb, emb.where(col("vec_id") < 5), k = 5, bits = 4)
         .orderBy("query_id", "rank")
+    },
+
+    // recall@5 of the LSH path against exact brute force — the measurement
+    // loop for tuning bits/bands/nprobe, computed IN the engine (one
+    // semi-join on (query, neighbor) + a per-query count)
+    q("q_ann_recall",
+      s"""WITH a AS ($duckLshSql),
+         |e AS ($duckBruteSql)
+         |SELECT a.query_id, round(count(*) / 5.0, 6) AS recall
+         |FROM a JOIN e USING (query_id, neighbor_id)
+         |GROUP BY a.query_id ORDER BY query_id""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      val probes = emb.where(col("vec_id") < 5)
+      Similarity
+        .recallAtK(
+          Similarity.lshTopK(emb, probes, k = 5, bits = 4),
+          Similarity.bruteForceTopK(emb, probes, k = 5), 5)
+        .orderBy("query_id")
     },
 
     q("q_ann_ivf",
