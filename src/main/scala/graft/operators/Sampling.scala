@@ -163,6 +163,7 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
       .collect().toSeq
       .map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1 != null) // null strata are unsampleable (CASE never matches)
     stratifiedSample(df, keyCol, stratumCol,
       temperatureRates(counts, tau, targetTotal).toMap, seed)
   }

@@ -98,6 +98,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions > 1, "packed output collapsed to one partition")
   }
 
+  test("stratified/temperature sampling plans zero shuffles (pure map-side filter)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Sampling
+      .stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25))
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"sampling filter should not shuffle:\n${physical(df)}")
+    // temperatureSample = one tiny counts agg (collected) + the same filter
+    val ts = graft.operators.Sampling
+      .temperatureSample(docs, "doc_id", "lang", tau = 0.5, targetTotal = 100L)
+    val tsEx = ts.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(tsEx.isEmpty, s"temperature filter should not shuffle:\n${physical(ts)}")
+  }
+
   test("quotaSample window runs over pre-filtered survivors, not the corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.operators.Sampling.quotaSample(docs, "doc_id", "lang", 25, seed = "q1")
