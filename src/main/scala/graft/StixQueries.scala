@@ -258,6 +258,31 @@ object StixQueries {
           "x_risk" -> r.getString(1).length.toLong))
       st.reassign("risky_urls", objs)
       st.catalog.resolve("risky_urls").select(col("id"), col("x_risk")).orderBy("id")
+    },
+
+    // ----- tables(): the catalog surface as a hard-signal row — the oracle
+    //       lists the engine's written parquet datasets via glob()
+    //       (sqlitestorage.py:268-274's sqlite_master scan)
+    q("q_stix_tables",
+      s"""SELECT regexp_extract(file, '([^/]+)\\.parquet/$$', 1) AS name
+         |FROM glob('$WD/*/')
+         |WHERE file LIKE '%.parquet/'
+         |  AND NOT starts_with(regexp_extract(file, '([^/]+)\\.parquet/$$', 1), '__')
+         |ORDER BY name""".stripMargin) { st =>
+      val spark = st.spark
+      import spark.implicits._
+      st.tables().toDF("name").orderBy("name")
+    },
+
+    // ----- columns(): per-table schema names vs DESCRIBE over the same
+    //       parquet (sqlitestorage.py:287-293)
+    q("q_stix_columns",
+      s"""SELECT column_name AS name FROM (
+         |  DESCRIBE SELECT * FROM ${t("network-traffic")})
+         |ORDER BY name""".stripMargin) { st =>
+      val spark = st.spark
+      import spark.implicits._
+      st.columns("network-traffic").toDF("name").orderBy("name")
     }
   ) ++ xlate ++ wood
 
