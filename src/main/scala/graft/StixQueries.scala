@@ -247,17 +247,37 @@ object StixQueries {
     //       x_risk) hash-mismatches. Deterministic inputs make the merge
     //       idempotent across verify/bench re-runs.
     q("q_stix_reassign",
-      s"""WITH sel AS (SELECT id, value FROM ${t("url")} ORDER BY id LIMIT 5)
+      s"""WITH sel AS (SELECT id, value FROM ${t("url")}
+         |  WHERE value NOT LIKE 'http://loaded.%' ORDER BY id LIMIT 5)
          |SELECT id, CAST(length(value) AS BIGINT) AS x_risk FROM sel
          |ORDER BY id""".stripMargin) { st =>
+      // exclude q_stix_load's rows so the picked set is identical no matter
+      // which of the two url-writing queries runs first in a session
       val sel = st.catalog.resolve("url")
-        .select(col("id"), col("value")).orderBy("id").limit(5).collect()
+        .select(col("id"), col("value"))
+        .where(!col("value").startsWith("http://loaded."))
+        .orderBy("id").limit(5).collect()
       val objs = sel.toSeq.map(r =>
         Map[String, Any](
           "type" -> "url", "id" -> r.getString(0),
           "x_risk" -> r.getString(1).length.toLong))
       st.reassign("risky_urls", objs)
       st.catalog.resolve("risky_urls").select(col("id"), col("x_risk")).orderBy("id")
+    },
+
+    // ----- load(): scalar values become SCOs via the primary property
+    //       (sqlstorage.py:485-489), written through the same upsert path —
+    //       the oracle reads them back from the engine's url table.
+    //       Deterministic uuid5 ids make the upsert idempotent across runs.
+    q("q_stix_load",
+      s"""SELECT value FROM ${t("url")}
+         |WHERE value LIKE 'http://loaded.example.com/%'
+         |ORDER BY value""".stripMargin) { st =>
+      st.load("loaded_urls", Seq(
+        "http://loaded.example.com/a",
+        "http://loaded.example.com/b",
+        "http://loaded.example.com/c"), "url")
+      st.catalog.resolve("loaded_urls").select(col("value")).orderBy("value")
     },
 
     // ----- tables(): the catalog surface as a hard-signal row — the oracle
