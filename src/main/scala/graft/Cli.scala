@@ -59,17 +59,26 @@ object Cli {
   /** Dispatch one CLI invocation against an existing session (separated
     * from main so the replay suite can drive it without session teardown). */
   /** JSON array of dicts, falling back to headered CSV — the reference
-    * load's file contract (cli.py:264-269). */
+    * load's file contract (cli.py:264-269: json.load, ValueError ->
+    * csv.DictReader). Only a JSON PARSE error triggers the CSV fallback;
+    * well-formed JSON of the wrong shape (e.g. an array of scalars) is a
+    * real error, not CSV. */
   private def readObjects(path: String): Seq[Map[String, Any]] = {
     val text =
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-    try graft.ingest.Flatten.parseJson(text) match {
-      case s: Seq[_]    => s.map(_.asInstanceOf[Map[String, Any]])
-      case m: Map[_, _] => Seq(m.asInstanceOf[Map[String, Any]])
-      case _            => throw new IllegalArgumentException("not a JSON array")
-    } catch {
-      case _: Exception =>
+    val parsed =
+      try Some(graft.ingest.Flatten.parseJson(text))
+      catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+    parsed match {
+      case Some(s: Seq[_])    => s.map(_.asInstanceOf[Map[String, Any]])
+      case Some(m: Map[_, _]) => Seq(m.asInstanceOf[Map[String, Any]])
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"load: expected a JSON array of objects, got ${other.getClass.getSimpleName}")
+      case None =>
         val lines = text.split("\r?\n").toSeq.filter(_.nonEmpty)
+        if (lines.isEmpty)
+          throw new IllegalArgumentException(s"load: $path is empty")
         val hdr = lines.head.split(",", -1).toSeq
         lines.tail.map(l => hdr.zip(l.split(",", -1).toSeq).toMap[String, Any])
     }
@@ -91,9 +100,18 @@ object Cli {
     val (opts, rest) = knownOpts.get(cmd) match {
       case Some(valid) =>
         val (o, r) = args.drop(2).partition(_.startsWith("--"))
-        o.map(_.takeWhile(_ != '=')).filterNot(valid).foreach { bad =>
-          System.err.println(s"unknown option for $cmd: $bad")
-          usage()
+        o.foreach { raw =>
+          val name = raw.takeWhile(_ != '=')
+          if (!valid(name)) {
+            System.err.println(s"unknown option for $cmd: $name")
+            usage()
+          }
+          // a bare known flag would pass validation but never match opt()'s
+          // '=' form — error instead of silently ignoring the user's flag
+          if (!raw.contains('=')) {
+            System.err.println(s"option $name requires =value")
+            usage()
+          }
         }
         (o, r)
       case None => (Seq.empty[String], args.drop(2))
@@ -162,9 +180,24 @@ object Cli {
       // SELECT/WITH statements run)
       case "sql" =>
         val stmt = rest.mkString(" ").trim
-        val head = stmt.split("\\s+").headOption.map(_.toUpperCase).getOrElse("")
-        if (head != "SELECT" && head != "WITH") {
-          System.err.println("sql: only SELECT/WITH statements are allowed")
+        // read-only guard on the PARSED plan, not the first keyword: a
+        // "WITH ... INSERT ..." statement starts with WITH but parses to a
+        // Command — reject anything that isn't a pure query
+        val parsed =
+          try spark.sessionState.sqlParser.parsePlan(stmt)
+          catch {
+            case e: Exception =>
+              System.err.println(s"sql: parse error: ${e.getMessage}")
+              sys.exit(2)
+          }
+        val writes = parsed.collectFirst {
+          // Command covers DDL + INSERT OVERWRITE DIRECTORY; ParsedStatement
+          // covers INSERT INTO et al. (they parse as statements, not queries)
+          case p: org.apache.spark.sql.catalyst.plans.logical.Command          => p
+          case p: org.apache.spark.sql.catalyst.plans.logical.ParsedStatement  => p
+        }
+        if (writes.nonEmpty) {
+          System.err.println("sql: only read-only SELECT/WITH statements are allowed")
           sys.exit(2)
         }
         (graft.ingest.UpsertWriter.tables(s.workDir) ++ s.views()).distinct.foreach { tbl =>

@@ -279,7 +279,8 @@ object PipelineQueries {
     // expected 150 draws): the oracle re-derives the SAME 6dp rates from
     // the same in-order double fold, so the kept row set matches exactly
     q("q_sample_temperature",
-      """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY lang),
+      """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
         |z AS (SELECT list_sum(list(pow(CAST(n AS DOUBLE), 0.5) ORDER BY s)) AS z FROM c),
         |r AS (SELECT s, round(least(1.0,
         |        150 * pow(CAST(n AS DOUBLE), 0.5) / z.z / CAST(n AS DOUBLE)), 6) AS rate
@@ -542,10 +543,11 @@ object PipelineQueries {
     },
 
     // IVF with LEARNED centroids: the oracle replays Lloyd's iterations
-    // (deterministic first-k init, 6dp-rounded cosine argmax, per-dim mean)
-    // then the same assign/probe/top-k replay as q_ann_ivf. Centroid means
-    // are float32-cast on BOTH sides before the final scoring, so sub-float
-    // fp-ordering differences in avg() cannot reach the compared scores.
+    // (deterministic first-k init, 6dp-rounded cosine argmax, per-dim mean
+    // rounded 9dp — avg() fp-ordering noise must not reach the NEXT
+    // iteration's argmax either) then the same assign/probe/top-k replay as
+    // q_ann_ivf, with centroids float32-cast on BOTH sides before the final
+    // scoring. The mean step derives the dimensionality from the data.
     q("q_ann_ivf_kmeans", {
       def lloyd(i: Int, prev: String): String =
         s"""s$i AS (SELECT e.vec_id, e.v, c.centroid_id,
@@ -555,8 +557,9 @@ object PipelineQueries {
            |a$i AS (SELECT vec_id, v, centroid_id FROM (
            |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM s$i) z$i
            |      WHERE rk = 1),
-           |m$i AS (SELECT centroid_id, i, avg(v[i]) AS m
-           |      FROM a$i CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii GROUP BY centroid_id, i),
+           |m$i AS (SELECT centroid_id, i, round(avg(v[i]), 9) AS m
+           |      FROM a$i CROSS JOIN (SELECT unnest(range(1,
+           |        (SELECT max(length(v)) FROM e) + 1)) AS i) ii GROUP BY centroid_id, i),
            |c$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$i GROUP BY centroid_id)""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent

@@ -276,7 +276,7 @@ object StixQueries {
       st.load("loaded_urls", Seq(
         "http://loaded.example.com/a",
         "http://loaded.example.com/b",
-        "http://loaded.example.com/c"), "url")
+        "http://loaded.example.com/c"), "url", queryId = "loadq1")
       st.catalog.resolve("loaded_urls").select(col("value")).orderBy("value")
     },
 

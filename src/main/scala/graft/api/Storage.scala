@@ -171,9 +171,9 @@ class Storage(val spark: SparkSession, val workDir: String) {
         // executor-side dtype is computed per VALUE, so one column can emit
         // conflicting rows (a transformer-failure fallback yields 'str'
         // beside the good rows' 'int'): keep ONE row per (otype, path) —
-        // non-'str' preferred, then lexicographic for determinism — and
-        // never add a second row for an already-recorded path, matching the
-        // driver path's first-sighting-wins dedup (writeObjects below)
+        // non-'str' preferred, then lexicographic — the same pick rule the
+        // driver path (writeObjects) applies, and never add a second row
+        // for an already-recorded path
         case "__columns" =>
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("otype", "path")
@@ -247,10 +247,14 @@ class Storage(val spark: SparkSession, val workDir: String) {
   /** Import scalar values as SCOs of `scoType` via its primary property
     * (reference load() accepts plain strings, sqlstorage.py:485-489). */
   def load(viewname: String, values: Seq[String], scoType: String): String =
+    load(viewname, values, scoType, null: String)
+
+  def load(viewname: String, values: Seq[String], scoType: String, queryId: String): String =
     load(
       viewname,
       values.map(v => Map[String, Any]("type" -> scoType, StixMeta.primaryProp(scoType) -> v)),
-      scoType)
+      scoType,
+      queryId)
 
   /** Import plain SCO dicts (ids synthesized unless preserved), then make a
     * view of them; returns the loaded SCO type (sqlstorage.py:471-502). */
@@ -280,7 +284,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
   /** Ingest translated rows (Translate.translate output: flat
     * `[objname#]type:attr` columns) — the aio "fast translation" write path
     * (firepit/aio/ingest.py:573-731): the data-source identity row, per-
-    * object SCO rows, observation rows, `__contains` edges (rank 1, absent
+    * object SCO rows, observation rows, `__contains` edges (rank 1, or 0
     * for dst/destination/target-named objects), `__reflist` rows from
     * `*_refs` columns, and `__queries` provenance. */
   def cacheTranslated(
@@ -349,17 +353,29 @@ class Storage(val spark: SparkSession, val workDir: String) {
     val colMeta = Seq.newBuilder[Map[String, Any]]
     byType.foreach { case (t, rows) =>
       // shorten long/extension column names at ingest (splitter.py:240-256)
-      // and record (otype, path, shortname, dtype) rows for __columns —
-      // first non-null sighting wins, like the reference's new-column hook
+      // and record ONE (otype, path, shortname, dtype) row per path for
+      // __columns — non-'str' dtype preferred, then lexicographic, the SAME
+      // pick rule as the distributed path's window dedup below, so the two
+      // ingest paths record identical metadata for identical data
       if (!t.startsWith("__")) {
-        val seen = scala.collection.mutable.Set.empty[String]
+        val best = scala.collection.mutable.Map.empty[String, String]
         rows.foreach(_.foreach { case (k, v) =>
-          if (k != "type" && k != "spec_version" && v != null && seen.add(k))
-            colMeta += Map(
-              "otype" -> t, "path" -> k,
-              "shortname" -> StixMeta.shortenKey(k),
-              "dtype" -> StixMeta.pyDtype(v))
+          if (k != "type" && k != "spec_version" && v != null) {
+            val d = StixMeta.pyDtype(v)
+            val better = best.get(k) match {
+              case None    => true
+              case Some(c) => (c == "str" && d != "str") ||
+                ((c == "str") == (d == "str")) && d < c
+            }
+            if (better) best(k) = d
+          }
         })
+        best.toSeq.sortBy(_._1).foreach { case (k, d) =>
+          colMeta += Map(
+            "otype" -> t, "path" -> k,
+            "shortname" -> StixMeta.shortenKey(k),
+            "dtype" -> d)
+        }
       }
       val df = UpsertWriter.rowsToDF(
         spark,
@@ -641,7 +657,13 @@ class Storage(val spark: SparkSession, val workDir: String) {
     if (objects.head.contains("id")) {
       objects.find(!_.contains("id")).foreach(_ => throw new InvalidObject("missing `id`"))
       val split = Deref.unresolve(objects)
-      val qid = java.util.UUID.randomUUID().toString
+      // provenance id derived from the written id set (reference uses a
+      // random uuid4; any identifier satisfies the contract, and a
+      // content-keyed uuid5 makes replaying the same reassign a no-op
+      // instead of growing __queries by one provenance set per run)
+      val qid = graft.model.Uuid5(graft.model.StixId.Namespace,
+        "reassign:" + viewname + ":" +
+          objects.map(_("id").toString).sorted.mkString(",")).toString
       writeObjects(split.map(o => Flatten.jsonNormalize(o)), qid)
       val ids = objects.map(_("id").toString)
       val t = objects.head("id").toString.split("--").head

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the embedding kernels (dot product and
   * L2 norm over array<float> / array<double> columns).
@@ -23,6 +24,15 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
   private def isDouble: Boolean = left.dataType match {
     case ArrayType(DoubleType, _) => true
     case _                        => false
+  }
+  // both sides must share one primitive element width: the kernel is picked
+  // from the LEFT type, and reading a double-backed array with getFloat
+  // would silently return garbage — fail at plan time instead
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _))   => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_f needs two array<float> or two array<double> inputs, got $l and $r")
   }
   override def nullSafeEval(a: Any, b: Any): Any =
     if (isDouble) DotF.computeD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -67,6 +77,11 @@ case class NormF(child: Expression) extends UnaryExpression {
   private def isDouble: Boolean = child.dataType match {
     case ArrayType(DoubleType, _) => true
     case _                        => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"norm_f needs array<float> or array<double>, got $other")
   }
   override def nullSafeEval(v: Any): Any =
     if (isDouble) NormF.computeD(v.asInstanceOf[ArrayData])

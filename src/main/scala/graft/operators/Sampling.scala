@@ -245,13 +245,17 @@ object Sampling {
   }
 
   /** Per-stratum shard packing: pack each (source, date, …) stratum
-    * independently and namespace the shard ids by the stratum values.
-    * One hash shuffle on the stratum keys; each stratum's running sum
-    * stays on its own tasks, so parallelism = #strata — the right shape
-    * when the corpus is already organized by source/date and shards need
-    * not cross stratum boundaries. For a single global order over a
-    * monolithic corpus, use [[packShards]] (two-pass, never
-    * single-task). */
+    * independently. One hash shuffle on the stratum keys; each stratum's
+    * running sum stays on its own tasks, so parallelism = #strata — the
+    * right shape when the corpus is already organized by source/date and
+    * shards need not cross stratum boundaries. For a single global order
+    * over a monolithic corpus, use [[packShards]] (two-pass, never
+    * single-task).
+    *
+    * `shard_id` is a LONG local to the stratum — the same numeric contract
+    * as [[packShards]] — and a shard is identified by
+    * (stratumCols…, shard_id); the stratum columns are already on the
+    * frame, so nothing is stringified into the id. */
   def packShardsBy(
       df: DataFrame,
       keyCol: String,
@@ -263,11 +267,8 @@ object Sampling {
       .partitionBy(stratumCols.map(col): _*)
       .orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val localShard = floor(
-      coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(shardTokens)).cast("long")
     df.withColumn(
       "shard_id",
-      concat_ws("/", (stratumCols.map(c => col(c).cast("string")) :+
-        localShard.cast("string")): _*))
+      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(shardTokens)).cast("long"))
   }
 }

@@ -337,16 +337,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotNull == expNull)
   }
 
-  test("packShardsBy namespaces shards per stratum") {
+  test("packShardsBy packs per stratum with numeric local shard ids") {
     import graft.operators.Sampling
     val d = (0 until 200)
       .map(i => (i.toLong, if (i % 2 == 0) "web" else "books", (i % 5 + 1).toLong))
       .toDF("doc_id", "source", "n_tokens")
     val packed = Sampling.packShardsBy(d, "doc_id", "n_tokens", 20L, Seq("source"))
-    val byShard = packed.groupBy("shard_id").agg(sum("n_tokens").as("tot")).collect()
-    assert(byShard.forall(r => r.getString(0).startsWith("web/") || r.getString(0).startsWith("books/")))
-    // greedy bound holds inside each stratum namespace
-    assert(byShard.forall(_.getLong(1) <= 20L + 5L))
+    // shard identity = (stratum, shard_id), with shard_id a LONG (the same
+    // numeric contract as packShards); both strata restart at shard 0
+    val byShard = packed.groupBy("source", "shard_id").agg(sum("n_tokens").as("tot")).collect()
+    assert(packed.schema("shard_id").dataType == org.apache.spark.sql.types.LongType)
+    assert(byShard.count(r => r.getLong(1) == 0L) == 2) // one shard 0 per stratum
+    // greedy bound holds inside each stratum
+    assert(byShard.forall(_.getLong(2) <= 20L + 5L))
   }
 
   test("quotaSample pre-filter bounds windowed rows on Zipfian strata") {
