@@ -269,6 +269,21 @@ class GoldenStorageSpec extends SparkSpec {
     assert(s.count("url") == 31)
   }
 
+  test("replaying the same load/reassign grows no provenance (deterministic qids)") {
+    val s = bundled()
+    def provCount() = s.catalog.resolve("__queries").count()
+    s.load("lv", Seq("10.99.0.1", "10.99.0.2"), "ipv4-addr", "fixed-load-q")
+    val objs = Seq(Map[String, Any](
+      "type" -> "url", "id" -> "url--11111111-1111-5111-9111-111111111111",
+      "value" -> "http://replay.example.com/x"))
+    s.reassign("rv", objs)
+    val n1 = provCount()
+    // exact replays: content-keyed qids make the provenance append a no-op
+    s.load("lv", Seq("10.99.0.1", "10.99.0.2"), "ipv4-addr", "fixed-load-q")
+    s.reassign("rv", objs)
+    assert(provCount() == n1, "replaying identical load/reassign must not grow __queries")
+  }
+
   test("value_counts exact counts (test_storage.py:786-800)") {
     val s = bundled()
     val data = s.valueCounts("user-account", "account_login").toMap
