@@ -745,6 +745,29 @@ object PipelineQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // ordered conversion funnel with a 6-hour conversion window: users
+    // reaching each step within the window after their earliest completion
+    // of the previous one — the oracle chains the same min-after-frontier
+    // aggregates (at sf0.01: 150 -> 15 -> 2, a real drop-off)
+    q("q_events_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN s1 ON e.user_id = s1.user_id
+        |      WHERE e.event_type = 'view' AND e.ts > s1.t
+        |        AND e.ts <= s1.t + INTERVAL '6 hours' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN s2 ON e.user_id = s2.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |        AND e.ts <= s2.t + INTERVAL '6 hours' GROUP BY e.user_id)
+        |SELECT 1 AS step, 'signup' AS event_type, (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin) { c =>
+      Events.funnel(c.resolve("events"), Seq("signup", "view", "purchase"), maxGap = "6 hours")
+        .orderBy("step")
+    },
+
     // sliding windows: every event contributes to width/slide = 2
     // overlapping windows; the oracle unnests both window starts per event
     q("q_events_sliding",

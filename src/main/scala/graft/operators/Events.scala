@@ -130,6 +130,49 @@ object Events {
 
   /** Change-detection with lag: count of events whose value strictly rose
     * versus the user's previous event (deterministic (ts, event_id) order). */
+  /** Ordered conversion funnel: one row per step with the number of users
+    * whose earliest completion of step i+1 is STRICTLY after their
+    * earliest completion of step i (the classic signup→view→purchase
+    * shape). Each step is a filtered min-aggregate equi-joined to the
+    * previous frontier — hash aggs and joins keyed on the user, all
+    * partial-aggregable; no windows, no per-user event sort, so the plan
+    * scales with users × steps, not events². The frontier chain is lazy;
+    * for funnels much deeper than a handful of steps, checkpoint the
+    * frontiers to avoid re-deriving the chain per step count. */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      /** conversion window: step i+1 must land within this interval after
+        * step i (e.g. "6 hours"); null = unbounded */
+      maxGap: String = null,
+      idCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var frontier = events
+      .where(col(typeCol) === lit(steps.head))
+      .groupBy(col(idCol))
+      .agg(min(col(tsCol)).as("__t"))
+    def stepRow(i: Int, s: String, f: DataFrame) =
+      f.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(i).as("step"), lit(s).as("event_type"), col("n_users"))
+    var out = stepRow(1, steps.head, frontier)
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val inWindow =
+        if (maxGap == null) col(tsCol) > col("__t")
+        else col(tsCol) > col("__t") &&
+          col(tsCol) <= col("__t") + expr(s"INTERVAL '$maxGap'")
+      frontier = events
+        .where(col(typeCol) === lit(s))
+        .join(frontier, idCol)
+        .where(inWindow)
+        .groupBy(col(idCol))
+        .agg(min(col(tsCol)).as("__t"))
+      out = out.unionByName(stepRow(i + 1, s, frontier))
+    }
+    out
+  }
+
   def risingValueCounts(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events

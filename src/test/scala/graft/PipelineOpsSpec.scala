@@ -236,6 +236,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(1).getInt(0) == 200 && r(1).getLong(1) == 1)
   }
 
+  test("funnel counts ordered completions within the conversion window") {
+    val ev = Seq(
+      // user 1 completes a->b->c in order, inside the window
+      (1L, "a", "2024-01-01 00:00:00"), (1L, "b", "2024-01-01 00:10:00"),
+      (1L, "c", "2024-01-01 00:20:00"),
+      // user 2: b BEFORE a -> never reaches step 2
+      (2L, "b", "2024-01-01 00:00:00"), (2L, "a", "2024-01-01 00:10:00"),
+      // user 3: a then b, but outside the 1-hour window
+      (3L, "a", "2024-01-01 00:00:00"), (3L, "b", "2024-01-01 02:00:00"))
+      .map { case (u, t, s) => (u, t, java.sql.Timestamp.valueOf(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val f = Events.funnel(ev, Seq("a", "b", "c"), maxGap = "1 hour")
+      .orderBy("step").collect()
+    assert(f.map(r => (r.getInt(0), r.getLong(2))).toSeq ==
+      Seq((1, 3L), (2, 1L), (3, 1L)))
+  }
+
   test("asOfJoin carries the latest right row at or before each left time") {
     val left = Seq((1, 10L, "a1"), (1, 20L, "a2"), (2, 15L, "a3"))
       .toDF("u", "t", "av")
