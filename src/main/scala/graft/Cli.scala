@@ -60,27 +60,32 @@ object Cli {
     * from main so the replay suite can drive it without session teardown). */
   /** JSON array of dicts, falling back to headered CSV — the reference
     * load's file contract (cli.py:264-269: json.load, ValueError ->
-    * csv.DictReader). Only a JSON PARSE error triggers the CSV fallback;
-    * well-formed JSON of the wrong shape (e.g. an array of scalars) is a
-    * real error, not CSV. */
+    * csv.DictReader). A parse error OR a bare-scalar parse (Jackson
+    * readTree ignores trailing tokens, so a numeric-headed CSV like
+    * "2023,2024\n..." parses as the scalar 2023 — Python raises "Extra
+    * data" there) falls back to CSV; well-formed JSON of the wrong shape
+    * (an array of scalars) is a real error, not CSV. */
   private def readObjects(path: String): Seq[Map[String, Any]] = {
     val text =
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
     val parsed =
       try Some(graft.ingest.Flatten.parseJson(text))
       catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+    def csv(): Seq[Map[String, Any]] = {
+      val lines = text.split("\r?\n").toSeq.filter(_.nonEmpty)
+      if (lines.isEmpty)
+        throw new IllegalArgumentException(s"load: $path is empty")
+      val hdr = lines.head.split(",", -1).toSeq
+      lines.tail.map(l => hdr.zip(l.split(",", -1).toSeq).toMap[String, Any])
+    }
     parsed match {
-      case Some(s: Seq[_])    => s.map(_.asInstanceOf[Map[String, Any]])
+      case Some(s: Seq[_]) =>
+        if (!s.forall(_.isInstanceOf[Map[_, _]]))
+          throw new IllegalArgumentException(
+            "load: expected a JSON array of objects, found non-object elements")
+        s.map(_.asInstanceOf[Map[String, Any]])
       case Some(m: Map[_, _]) => Seq(m.asInstanceOf[Map[String, Any]])
-      case Some(other) =>
-        throw new IllegalArgumentException(
-          s"load: expected a JSON array of objects, got ${other.getClass.getSimpleName}")
-      case None =>
-        val lines = text.split("\r?\n").toSeq.filter(_.nonEmpty)
-        if (lines.isEmpty)
-          throw new IllegalArgumentException(s"load: $path is empty")
-        val hdr = lines.head.split(",", -1).toSeq
-        lines.tail.map(l => hdr.zip(l.split(",", -1).toSeq).toMap[String, Any])
+      case _                  => csv() // parse error or scalar-with-trailing-garbage
     }
   }
 

@@ -134,25 +134,29 @@ class Storage(val spark: SparkSession, val workDir: String) {
     val flat = bundles
       .flatMap { b =>
         val objs = Flatten.flattenBundle(b)
-        // per-bundle dedup of column metadata: objects of a bundle share
-        // schema, so this collapses the __columns stream ~|objects|-fold
-        // before the appendDistinct shuffle
-        val seenCols = scala.collection.mutable.Set.empty[(String, String)]
-        objs.flatMap { o =>
+        // per-bundle collapse of column metadata (objects of a bundle share
+        // schema, ~|objects|-fold fewer __columns rows) with the SAME pick
+        // rule as every other dedup (StixMeta.dtypePreferred): a
+        // first-sighting set here could freeze a fallback 'str' before the
+        // downstream window ever sees the real dtype
+        val best = scala.collection.mutable.Map.empty[(String, String), String]
+        val main = objs.map { o =>
           val t = o("type").toString
           val rest = o - "type" - "spec_version"
-          val main = (t, StixId.canonicalJson(rest.map { case (k, v) => StixMeta.shortenKey(k) -> v }))
-          val meta =
-            if (t.startsWith("__")) Nil
-            else rest.toSeq.collect {
-              case (k, v) if v != null && seenCols.add((t, k)) =>
-                ("__columns", StixId.canonicalJson(Map(
-                  "otype" -> t, "path" -> k,
-                  "shortname" -> StixMeta.shortenKey(k),
-                  "dtype" -> StixMeta.pyDtype(v))))
+          if (!t.startsWith("__")) rest.foreach { case (k, v) =>
+            if (v != null) {
+              val d = StixMeta.pyDtype(v)
+              if (StixMeta.dtypePreferred(d, best.get((t, k)))) best((t, k)) = d
             }
-          main +: meta
+          }
+          (t, StixId.canonicalJson(rest.map { case (k, v) => StixMeta.shortenKey(k) -> v }))
         }
+        val meta = best.toSeq.sortBy(_._1).map { case ((t, k), d) =>
+          ("__columns", StixId.canonicalJson(Map(
+            "otype" -> t, "path" -> k,
+            "shortname" -> StixMeta.shortenKey(k), "dtype" -> d)))
+        }
+        main ++ meta
       }
       .toDF("otype", "obj")
       .localCheckpoint() // parse bundles once, not once per discovered type
@@ -362,12 +366,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
         rows.foreach(_.foreach { case (k, v) =>
           if (k != "type" && k != "spec_version" && v != null) {
             val d = StixMeta.pyDtype(v)
-            val better = best.get(k) match {
-              case None    => true
-              case Some(c) => (c == "str" && d != "str") ||
-                ((c == "str") == (d == "str")) && d < c
-            }
-            if (better) best(k) = d
+            if (StixMeta.dtypePreferred(d, best.get(k))) best(k) = d
           }
         })
         best.toSeq.sortBy(_._1).foreach { case (k, d) =>
@@ -736,8 +735,11 @@ class Storage(val spark: SparkSession, val workDir: String) {
   /** All table names: parquet datasets + materialized reassign results
     * (the reference's sqlite tables, sqlitestorage.py:268-274). */
   def tables(): Seq[String] =
-    (UpsertWriter.tables(workDir).filterNot(_.startsWith("__")) ++
-      catalog.materializedNames).distinct
+    // the '__' filter applies to BOTH sources: finish() re-registers the
+    // edge tables via registerDF, which would otherwise surface
+    // __contains/__reflist through materializedNames
+    (UpsertWriter.tables(workDir) ++ catalog.materializedNames)
+      .filterNot(_.startsWith("__")).distinct
 
   /** Table names that are SCO types = tables minus symbol-table names
     * (sqlitestorage.py:276-285); identity and observed-data are types. */

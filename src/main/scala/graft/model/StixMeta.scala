@@ -72,6 +72,17 @@ object StixMeta {
     case _                       => "str"
   }
 
+  /** Pick rule for conflicting __columns dtypes of one (otype, path):
+    * non-'str' preferred (a transformer/parse fallback records the raw
+    * string beside the good rows' real dtype), then lexicographic — the
+    * ONE rule shared by the driver, bundle, and distributed-window dedups
+    * so every ingest path records identical metadata for identical data. */
+  def dtypePreferred(cand: String, incumbent: Option[String]): Boolean = incumbent match {
+    case None => true
+    case Some(c) =>
+      (c == "str" && cand != "str") || ((c == "str") == (cand == "str")) && cand < c
+  }
+
   /** Last dotted/colon piece of a path (props.py:355-360). */
   def getLast(prop: String): String = {
     val i = prop.lastIndexWhere(c => c == '.' || c == ':')

@@ -68,8 +68,9 @@ object Dedup {
       .split(' ').filter(_.nonEmpty)
 
   /** md5 of each word n-gram — the compiled mirror of
-    * TextOps.ngramHashes (same normalization, same hex). */
-  private def ngramMd5Strings(text: String, n: Int): Array[String] = {
+    * TextOps.ngramHashes (same normalization, same hex; parity pinned by
+    * PipelineOpsSpec). */
+  private[graft] def ngramMd5Strings(text: String, n: Int): Array[String] = {
     val toks = normTokens(text)
     if (toks.length < n) Array.empty
     else Array.tabulate(toks.length - n + 1)(i => md5Hex(toks.slice(i, i + n).mkString(" ")))
@@ -393,11 +394,17 @@ object Dedup {
       groups: DataFrame,
       scoreCol: String,
       idCol: String = "doc_id"): DataFrame = {
+    // NULL scores rank LAST (struct fields sort nulls first ascending, so a
+    // raw -score would make a null-scored doc win every group; coalescing
+    // to +inf matches a SQL ORDER BY score DESC NULLS LAST)
+    val orderKey = struct(
+      coalesce(-col(scoreCol).cast("double"), lit(Double.PositiveInfinity)),
+      col(idCol))
     val reps = docs
       .select(col(idCol), col(scoreCol))
       .join(groups, idCol)
       .groupBy("group_id")
-      .agg(min_by(col(idCol), struct(-col(scoreCol).cast("double"), col(idCol))).as(idCol))
+      .agg(min_by(col(idCol), orderKey).as(idCol))
     docs.join(reps.select(col(idCol)), Seq(idCol), "left_semi")
   }
 

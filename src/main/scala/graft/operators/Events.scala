@@ -128,8 +128,6 @@ object Events {
       .select(left.columns.map(col) ++ rightCols.map(c => col(s"$outPrefix$c")): _*)
   }
 
-  /** Change-detection with lag: count of events whose value strictly rose
-    * versus the user's previous event (deterministic (ts, event_id) order). */
   /** Ordered conversion funnel: one row per step with the number of users
     * whose earliest completion of step i+1 is STRICTLY after their
     * earliest completion of step i (the classic signup→view→purchase
@@ -173,6 +171,8 @@ object Events {
     out
   }
 
+  /** Change-detection with lag: count of events whose value strictly rose
+    * versus the user's previous event (deterministic (ts, event_id) order). */
   def risingValueCounts(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events

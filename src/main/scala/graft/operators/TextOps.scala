@@ -53,10 +53,12 @@ object TextOps {
         .otherwise(array().cast("array<string>"))
     }
 
-  /** md5 of each word n-gram — the engine-portable overlap key used by
-    * benchmark decontamination (md5 hex compares identically in any SQL
-    * engine; at scale the fixed-width key also beats long gram strings
-    * through the shuffle/broadcast). */
+  /** md5 of each word n-gram — the engine-portable overlap key (md5 hex
+    * compares identically in any SQL engine; the fixed-width key also
+    * beats long gram strings through a shuffle/broadcast). This is the
+    * declarative mirror of Dedup's compiled ngramMd5 kernel, which the
+    * decontamination hot path uses instead (interpreted HOFs are slower);
+    * PipelineOpsSpec pins the two byte-identical. */
   def ngramHashes(text: Column, n: Int): Column =
     transform(ngramStrings(text, n), g => md5(g))
 

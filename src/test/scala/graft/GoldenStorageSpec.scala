@@ -258,6 +258,9 @@ class GoldenStorageSpec extends SparkSpec {
     val mine = spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith(s"graft_f$tag")).toSet
     assert(mine.nonEmpty, "expected finish() to register warehouse tables")
+    // finish()'s edge-table re-registrations must not surface internals
+    assert(!s.tables().exists(_.startsWith("__")),
+      s"tables() leaked internal tables: ${s.tables().filter(_.startsWith("__"))}")
     s.delete()
     val after = spark.catalog.listTables().collect().map(_.name).toSet
     // every warehouse copy of THIS workdir is gone (no data survives delete)

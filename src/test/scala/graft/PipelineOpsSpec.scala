@@ -58,6 +58,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(0.6, 0.0, 0.0))
   }
 
+  test("compiled n-gram md5 kernel is byte-identical to the declarative column") {
+    val texts = Seq("A  b\tC d e f G h i", "one two", "", "x y z w v u t s q r p o")
+    texts.foreach { txt =>
+      val declarative = docs((1, txt))
+        .select(TextOps.ngramHashes(col("text"), 8))
+        .head().getSeq[String](0)
+      assert(declarative == Dedup.ngramMd5Strings(txt, 8).toSeq,
+        s"kernel/column divergence on: '$txt'")
+    }
+  }
+
   test("decontaminate drops exactly the docs overlapping the benchmark") {
     val corpus = docs(
       (1, "one two three four five six seven eight nine"), // contains bench 8-gram
@@ -307,6 +318,13 @@ class PipelineOpsSpec extends SparkSpec {
     val kept = Dedup.selectRepresentatives(d, groups, "score")
       .select("doc_id").collect().map(_.getInt(0)).toSet
     assert(kept == Set(2, 4)) // group 1: 2 and 3 tie at 30 -> 2; singleton 4
+    // a NULL score ranks LAST (SQL DESC NULLS LAST), never wins the group
+    val dn = Seq((1, Some(10L)), (2, None), (3, Some(5L)))
+      .toDF("doc_id", "score")
+    val gn = Seq((1, 1), (2, 1), (3, 1)).toDF("doc_id", "group_id")
+    val keptN = Dedup.selectRepresentatives(dn, gn, "score")
+      .select("doc_id").collect().map(_.getInt(0)).toSet
+    assert(keptN == Set(1))
   }
 
   test("temperatureRates: tau=1 is proportional, tau=0 equalizes strata") {
