@@ -50,13 +50,9 @@ object StixCorpus {
     storage
   }
 
-  private[graft] def deleteDir(p: java.nio.file.Path): Unit = deleteRecursively(p)
+  private[graft] def deleteDir(p: java.nio.file.Path): Unit = ingest.FsUtil.deleteTree(p)
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).forEach(deleteRecursively)
-    java.nio.file.Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit = ingest.FsUtil.deleteTree(p)
 
   private def pad(n: Long, w: Int): String = {
     val s = n.toString

@@ -20,7 +20,7 @@ import Queries.Q
 object StixQueries {
 
   private val WD = StixCorpus.dir
-  private def t(name: String) = s"read_parquet('$WD/$name.parquet/*.parquet')"
+  private def t(name: String) = s"read_parquet('$WD/$name.parquet/**/*.parquet', hive_partitioning=0)"
   private def prov(qid: String) =
     s"(SELECT sco_id FROM ${t("__queries")} WHERE query_id = '$qid')"
 
@@ -310,7 +310,7 @@ object StixQueries {
   //       Sysmon endpoint logs -> PathMapper -> bundle -> cache, answers
   //       recomputed over the written tables
   private def WWD = WoodCorpus.dir
-  private def wt(name: String) = s"read_parquet('$WWD/$name.parquet/*.parquet')"
+  private def wt(name: String) = s"read_parquet('$WWD/$name.parquet/**/*.parquet', hive_partitioning=0)"
   private def wq(name: String, oracle: String)(build: Storage => org.apache.spark.sql.DataFrame): Q =
     Q(name, (spark, _) => build(WoodCorpus.ensure(spark)), Some(oracle))
 
@@ -351,7 +351,7 @@ object StixQueries {
   //       the same verb surface over tables written by the DISTRIBUTED
   //       stix-shifter translation (TranslateCorpus.cacheTranslatedEvents)
   private def XWD = TranslateCorpus.dir
-  private def xt(name: String) = s"read_parquet('$XWD/$name.parquet/*.parquet')"
+  private def xt(name: String) = s"read_parquet('$XWD/$name.parquet/**/*.parquet', hive_partitioning=0)"
   private def xprov(qid: String) =
     s"(SELECT sco_id FROM ${xt("__queries")} WHERE query_id = '$qid')"
   private def xq(name: String, oracle: String)(build: Storage => org.apache.spark.sql.DataFrame): Q =

@@ -790,16 +790,9 @@ class Storage(val spark: SparkSession, val workDir: String) {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     val p = java.nio.file.Paths.get(workDir)
     if (java.nio.file.Files.exists(p)) {
-      // each Files.list stream closed eagerly — deep trees leak handles otherwise
-      def rm(q: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(q)) {
-          val s = java.nio.file.Files.list(q)
-          try s.forEach(rm) finally s.close()
-        }
-        java.nio.file.Files.deleteIfExists(q)
-      }
+      // shared leak-free recursive delete (graft.ingest.FsUtil)
       val top = java.nio.file.Files.list(p)
-      try top.forEach(rm) finally top.close()
+      try top.forEach(graft.ingest.FsUtil.deleteTree(_)) finally top.close()
     }
   }
   def renameView(o: String, n: String): Unit = { catalog.renameView(o, n); journal("rename", o, n) }

@@ -74,7 +74,9 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types
           .StructField("id", org.apache.spark.sql.types.StringType))))
-    val df = spark.read.parquet(s"$dataDir/$name.parquet")
+    // .drop: bucketed stores carry a hidden __bucket partition column
+    // (UpsertWriter layout) that must never surface in query results
+    val df = spark.read.parquet(s"$dataDir/$name.parquet").drop("__bucket")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case None    => df

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
@@ -17,13 +17,43 @@ import scala.jdk.CollectionConverters._
   *
   * Implemented as one distributed groupBy(id): the newest-non-null rule is
   * `max(struct(seq, col))` over rows where col is non-null — an ordinary
-  * codegen'd aggregate, no window, no collect. Schema evolution is
-  * unionByName(allowMissingColumns). Storage is copy-on-write Parquet
-  * (write temp, swap), the Spark analogue of the reference's view-rewrite
-  * copy-on-write; at 100 TB the same merge runs per id-hash partition so
-  * only affected files rewrite.
+  * codegen'd aggregate, no window, no collect.
+  *
+  * == Bucketed incremental storage ==
+  *
+  * Every table is stored hash-partitioned into `__bucket=K/` subdirectories
+  * with K = pmod(hash(bucket keys), N); N is fixed at table creation and
+  * recorded in a `_graft_buckets` marker inside the table directory (the
+  * catalog of the layout). An incoming batch routes each row to its bucket,
+  * and the merge REWRITES ONLY THE BUCKETS THAT RECEIVED ROWS — the
+  * row-level ON CONFLICT economics of the reference (sqlstorage.py:382-408)
+  * at file granularity: a trickle of bundles into a 100 TB store rewrites
+  * O(batch) buckets, not the table. Bucket keys are chosen so that all rows
+  * that can merge/dedup against each other share a bucket: `id` for upsert/
+  * insert-ignore, the dedup key tuple for keyed appends, and the full
+  * column set for distinct appends — per-bucket merge is then exactly
+  * global merge.
+  *
+  * All buckets of a table always share ONE schema (column set, types, and
+  * order): a batch whose union schema differs from the stored schema
+  * triggers a full-table merge-rewrite (copy-on-write swap of the whole
+  * directory). Schema evolution is rare and early in a store's life;
+  * steady-state ingest touches only its own buckets. Uniform schemas keep
+  * reads trivially globbable by ANY engine — no Spark mergeSchema pass, no
+  * per-file footer reconciliation at 100 TB.
   */
 object UpsertWriter {
+
+  /** Buckets per table, fixed at table creation (recorded in the table's
+    * `_graft_buckets` marker). 16 keeps local test stores compact; a
+    * 100 TB deployment sets this once per store so each bucket holds a few
+    * hundred GB (e.g. 4096) — the incremental-rewrite economics are
+    * identical at any N. */
+  val DefaultBuckets: Int =
+    sys.env.get("SPARK_GRAFT_TABLE_BUCKETS").map(_.toInt).getOrElse(16)
+
+  /** The hidden hive-partition column carrying the bucket id. */
+  private val BucketCol = "__bucket"
 
   /** Infer a column type from observed values (firepit infer_type analogue,
     * sqlstorage.py:89-104): Long/Double/Boolean kept native; primitive
@@ -68,69 +98,218 @@ object UpsertWriter {
 
   def tables(dir: String): Seq[String] =
     if (!Files.exists(Paths.get(dir))) Nil
-    else
-      Files.list(Paths.get(dir)).iterator().asScala
+    else {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.endsWith(".parquet"))
         .map(_.stripSuffix(".parquet"))
         .toSeq.sorted
+      finally s.close()
+    }
 
-  /** Merge-upsert `incoming` into `dir/table.parquet` by `id`. */
-  def upsert(spark: SparkSession, dir: String, table: String, incoming: DataFrame): Unit = {
-    val p = pathOf(dir, table)
-    val merged =
-      if (!Files.exists(p)) mergeById(incoming.withColumn("__seq", monotonically_increasing_id()))
-      else {
-        val old = spark.read.parquet(p.toString).withColumn("__seq", lit(-1L))
-        val nw = incoming.withColumn("__seq", monotonically_increasing_id())
-        mergeById(old.unionByName(nw, allowMissingColumns = true))
+  /** Read a stored table WITHOUT the bucketing partition column — the one
+    * read entry point callers should use (flat legacy dirs read
+    * identically: drop of an absent column is a no-op). */
+  def readTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(pathOf(dir, table).toString).drop(BucketCol)
+
+  // ----- bucket layout bookkeeping ----------------------------------------
+
+  private def markerOf(p: Path): Path = p.resolve("_graft_buckets")
+
+  /** Bucket count of a stored table; None for a legacy flat directory
+    * (its next write migrates it to the bucketed layout). */
+  private def bucketCount(p: Path): Option[Int] =
+    if (!Files.exists(markerOf(p))) None
+    else
+      try Some(new String(Files.readAllBytes(markerOf(p)), "UTF-8").trim.toInt)
+      catch { case _: Exception => None }
+
+  private def bucketOf(keys: Seq[String], n: Int): Column =
+    pmod(hash(keys.map(k => col(s"`$k`")): _*), lit(n))
+
+  /** True when writing `incoming` into the stored table would change the
+    * table's column set or types (analysis-only — no job runs). */
+  private def schemaChanges(stored: DataFrame, incoming: DataFrame): Boolean = {
+    val target = stored.limit(0)
+      .unionByName(incoming.limit(0), allowMissingColumns = true).schema
+    def key(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSet
+    key(target) != key(stored.schema)
+  }
+
+  /** Write `content` (rows for the `touched` buckets only, no bucket
+    * column) into `p`, swapping ONLY those bucket subdirectories; `keys`
+    * is the bucket hash key. One file per touched bucket locally; a
+    * cluster deployment raises write parallelism by salting the
+    * repartition, not by changing the layout. */
+  private def swapTouchedBuckets(
+      content: DataFrame, p: Path, keys: Seq[String], n: Int, touched: Seq[Int]): Unit = {
+    if (touched.isEmpty) return
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    content
+      .withColumn(BucketCol, bucketOf(keys, n))
+      .repartition(math.max(touched.size, 1), col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(tmp.toString)
+    Files.createDirectories(p)
+    touched.foreach { k =>
+      val src = tmp.resolve(s"$BucketCol=$k")
+      val dst = p.resolve(s"$BucketCol=$k")
+      if (Files.exists(src)) {
+        if (Files.exists(dst)) FsUtil.deleteTree(dst)
+        Files.move(src, dst)
       }
-    writeSwap(merged, p)
+    }
+    FsUtil.deleteTree(tmp)
+    if (!Files.exists(markerOf(p)))
+      Files.write(markerOf(p), s"$n\n".getBytes("UTF-8"))
+  }
+
+  /** Full-table copy-on-write: write ALL of `content` bucketed to a temp
+    * dir and swap the whole directory (table creation, legacy migration,
+    * and the rare schema-evolution batch). */
+  private def swapAllBuckets(
+      content: DataFrame, p: Path, keys: Seq[String], n: Int): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    content
+      .withColumn(BucketCol, bucketOf(keys, n))
+      .repartition(n, col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(tmp.toString)
+    Files.write(tmp.resolve("_graft_buckets"), s"$n\n".getBytes("UTF-8"))
+    if (Files.exists(p)) FsUtil.deleteTree(p)
+    Files.move(tmp, p)
+  }
+
+  /** The distinct bucket ids `incoming` lands in (one tiny agg over the
+    * incoming batch — rows out = #touched buckets <= N). */
+  private def touchedBuckets(incoming: DataFrame, keys: Seq[String], n: Int): Seq[Int] =
+    incoming.select(bucketOf(keys, n).as("__b")).distinct()
+      .collect().toSeq.map(_.getInt(0))
+
+  // ----- public write verbs -----------------------------------------------
+
+  /** Merge-upsert `incoming` into `dir/table.parquet` by `id`, rewriting
+    * only the id-hash buckets the batch touches. */
+  def upsert(
+      spark: SparkSession, dir: String, table: String, incoming: DataFrame,
+      numBuckets: Int = DefaultBuckets): Unit = {
+    val p = pathOf(dir, table)
+    val inc = incoming.withColumn("__seq", monotonically_increasing_id())
+    if (!Files.exists(p))
+      swapAllBuckets(mergeById(inc), p, Seq("id"), numBuckets)
+    else {
+      val stored = readTable(spark, dir, table)
+      val n = bucketCount(p)
+      if (n.isEmpty || schemaChanges(stored, incoming)) {
+        val old = stored.withColumn("__seq", lit(-1L))
+        val merged = mergeById(old.unionByName(inc, allowMissingColumns = true))
+        swapAllBuckets(merged, p, Seq("id"), n.getOrElse(numBuckets))
+      } else {
+        val nb = n.get
+        val touched = touchedBuckets(incoming, Seq("id"), nb)
+        val old = spark.read.parquet(p.toString)
+          .where(col(BucketCol).isin(touched: _*)) // partition-pruned scan
+          .drop(BucketCol)
+          .withColumn("__seq", lit(-1L))
+        val merged = mergeById(old.unionByName(inc, allowMissingColumns = true))
+        swapTouchedBuckets(merged, p, Seq("id"), nb, touched)
+      }
+    }
   }
 
   /** Insert-or-ignore upsert (observed-data rows, sqlstorage.py:389-392):
     * existing ids keep their stored row untouched. */
-  def insertIgnore(spark: SparkSession, dir: String, table: String, incoming: DataFrame): Unit = {
+  def insertIgnore(
+      spark: SparkSession, dir: String, table: String, incoming: DataFrame,
+      numBuckets: Int = DefaultBuckets): Unit = {
     val p = pathOf(dir, table)
     val dedupedNew = incoming.dropDuplicates("id")
-    val merged =
-      if (!Files.exists(p)) dedupedNew
-      else {
+    if (!Files.exists(p))
+      swapAllBuckets(dedupedNew, p, Seq("id"), numBuckets)
+    else {
+      val stored = readTable(spark, dir, table)
+      val n = bucketCount(p)
+      if (n.isEmpty || schemaChanges(stored, incoming)) {
+        val fresh = dedupedNew.join(stored.select("id"), Seq("id"), "left_anti")
+        swapAllBuckets(
+          stored.unionByName(fresh, allowMissingColumns = true),
+          p, Seq("id"), n.getOrElse(numBuckets))
+      } else {
+        val nb = n.get
+        val touched = touchedBuckets(dedupedNew, Seq("id"), nb)
         val old = spark.read.parquet(p.toString)
+          .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
+        // same id => same bucket, so the pruned anti-join is exact
         val fresh = dedupedNew.join(old.select("id"), Seq("id"), "left_anti")
-        old.unionByName(fresh, allowMissingColumns = true)
+        swapTouchedBuckets(
+          old.unionByName(fresh, allowMissingColumns = true), p, Seq("id"), nb, touched)
       }
-    writeSwap(merged, p)
+    }
   }
 
-  /** Append with full-row dedup (edge/provenance tables without ids). */
-  def appendDistinct(spark: SparkSession, dir: String, table: String, incoming: DataFrame): Unit = {
+  /** Append with full-row dedup (edge/provenance tables without ids).
+    * Buckets on the full column tuple (name-sorted for batch-order
+    * independence): identical rows hash identically, so per-bucket
+    * distinct equals global distinct. */
+  def appendDistinct(
+      spark: SparkSession, dir: String, table: String, incoming: DataFrame,
+      numBuckets: Int = DefaultBuckets): Unit = {
     val p = pathOf(dir, table)
-    val merged =
-      if (!Files.exists(p)) incoming.distinct()
-      else spark.read.parquet(p.toString).unionByName(incoming, allowMissingColumns = true).distinct()
-    writeSwap(merged, p)
+    def keysOf(df: DataFrame): Seq[String] = df.columns.toSeq.sorted
+    if (!Files.exists(p))
+      swapAllBuckets(incoming.distinct(), p, keysOf(incoming), numBuckets)
+    else {
+      val stored = readTable(spark, dir, table)
+      val n = bucketCount(p)
+      if (n.isEmpty || schemaChanges(stored, incoming))
+        swapAllBuckets(
+          stored.unionByName(incoming, allowMissingColumns = true).distinct(),
+          p, keysOf(stored.unionByName(incoming, allowMissingColumns = true)),
+          n.getOrElse(numBuckets))
+      else {
+        val nb = n.get
+        val keys = keysOf(stored)
+        val touched = touchedBuckets(incoming, keys, nb)
+        val old = spark.read.parquet(p.toString)
+          .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
+        swapTouchedBuckets(
+          old.unionByName(incoming, allowMissingColumns = true).distinct(),
+          p, keys, nb, touched)
+      }
+    }
   }
 
   /** Append only rows whose key tuple isn't already stored — first sighting
     * wins, the __columns metadata contract (the reference records a column's
     * dtype once, at its new-column hook; a later conflicting sighting must
-    * not add a second row). Callers pass a batch already deduped by key. */
+    * not add a second row). Callers pass a batch already deduped by key.
+    * Buckets on the key tuple, so the pruned anti-join is exact. */
   def appendKeyedFirst(
       spark: SparkSession, dir: String, table: String,
-      incoming: DataFrame, keys: Seq[String]): Unit = {
+      incoming: DataFrame, keys: Seq[String],
+      numBuckets: Int = DefaultBuckets): Unit = {
     val p = pathOf(dir, table)
-    val merged =
-      if (!Files.exists(p)) incoming
+    if (!Files.exists(p))
+      swapAllBuckets(incoming, p, keys, numBuckets)
+    else {
+      val stored = readTable(spark, dir, table)
+      val n = bucketCount(p)
+      def freshOf(old: DataFrame) =
+        incoming.join(
+          old.select(keys.map(k => col(s"`$k`")): _*).distinct(), keys, "left_anti")
+      if (n.isEmpty || schemaChanges(stored, incoming))
+        swapAllBuckets(
+          stored.unionByName(freshOf(stored), allowMissingColumns = true),
+          p, keys, n.getOrElse(numBuckets))
       else {
-        val existing = spark.read.parquet(p.toString)
-        existing.unionByName(
-          incoming.join(
-            existing.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
-            keys, "left_anti"),
-          allowMissingColumns = true)
+        val nb = n.get
+        val touched = touchedBuckets(incoming, keys, nb)
+        val old = spark.read.parquet(p.toString)
+          .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
+        swapTouchedBuckets(
+          old.unionByName(freshOf(old), allowMissingColumns = true), p, keys, nb, touched)
       }
-    writeSwap(merged, p)
+    }
   }
 
   private def mergeById(df: DataFrame): DataFrame = {
@@ -153,21 +332,5 @@ object UpsertWriter {
       }
     }
     df.groupBy("id").agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** Copy-on-write: write to a temp dir, then swap into place (Parquet has
-    * no in-place update; same pattern the reference uses for view rewrite).
-    */
-  private def writeSwap(df: DataFrame, target: Path): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (Files.exists(target)) deleteRecursively(target)
-    Files.move(tmp, target)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 }

@@ -131,12 +131,19 @@ object Events {
   /** Ordered conversion funnel: one row per step with the number of users
     * whose earliest completion of step i+1 is STRICTLY after their
     * earliest completion of step i (the classic signup→view→purchase
-    * shape). Each step is a filtered min-aggregate equi-joined to the
-    * previous frontier — hash aggs and joins keyed on the user, all
-    * partial-aggregable; no windows, no per-user event sort, so the plan
-    * scales with users × steps, not events². The frontier chain is lazy;
-    * for funnels much deeper than a handful of steps, checkpoint the
-    * frontiers to avoid re-deriving the chain per step count. */
+    * shape).
+    *
+    * ONE events scan, one shuffle: funnel-relevant events fold per user
+    * into the frontier-chain timestamps in a single pass —
+    * sort_array(collect_list(ts, step)) then an `aggregate` lambda that,
+    * walking events in time order, fills slot i with the first step-i
+    * event strictly after (and within `maxGap` of) slot i-1. Walking in
+    * ascending time makes "first qualifying" = "min qualifying", which is
+    * exactly the per-step min-after-frontier chain — but computed in O(d)
+    * per event instead of d separate event scans (the previous shape
+    * re-derived frontiers 1..i per step: O(d²) scans). Per-user state is
+    * that user's funnel events only — bounded by the funnel's own
+    * semantics, never the corpus. */
   def funnel(
       events: DataFrame,
       steps: Seq[String],
@@ -147,28 +154,37 @@ object Events {
       typeCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    var frontier = events
-      .where(col(typeCol) === lit(steps.head))
-      .groupBy(col(idCol))
-      .agg(min(col(tsCol)).as("__t"))
-    def stepRow(i: Int, s: String, f: DataFrame) =
-      f.agg(count(lit(1)).cast("long").as("n_users"))
-        .select(lit(i).as("step"), lit(s).as("event_type"), col("n_users"))
-    var out = stepRow(1, steps.head, frontier)
-    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
-      val inWindow =
-        if (maxGap == null) col(tsCol) > col("__t")
-        else col(tsCol) > col("__t") &&
-          col(tsCol) <= col("__t") + expr(s"INTERVAL '$maxGap'")
-      frontier = events
-        .where(col(typeCol) === lit(s))
-        .join(frontier, idCol)
-        .where(inWindow)
-        .groupBy(col(idCol))
-        .agg(min(col(tsCol)).as("__t"))
-      out = out.unionByName(stepRow(i + 1, s, frontier))
+    val d = steps.size
+    val tsType = events.schema(tsCol).dataType.sql
+    // step name -> slot index, map-side (Column API — names never reach SQL text)
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === lit(s), lit(i)).otherwise(acc)
     }
-    out
+    val perUser = events
+      .where(col(typeCol).isin(steps: _*))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("t"), stepIdx.as("s")))).as("__evs"))
+    val gapCond =
+      if (maxGap == null) "" else s" AND e.t <= acc[i-1] + INTERVAL '$maxGap'"
+    // `i = 0 OR …` short-circuits, so acc[i-1] is never indexed at i = 0
+    val fold = expr(
+      s"""aggregate(__evs, array_repeat(CAST(NULL AS $tsType), $d),
+         |  (acc, e) -> transform(acc, (v, i) ->
+         |    CASE WHEN i = e.s AND v IS NULL
+         |           AND (i = 0 OR (acc[i-1] IS NOT NULL AND e.t > acc[i-1]$gapCond))
+         |         THEN e.t ELSE v END))""".stripMargin)
+    val reached = perUser.select(fold.as("__acc"))
+    val counts = {
+      val aggs = (0 until d).map(i =>
+        sum(when(col("__acc").getItem(i).isNotNull, 1L).otherwise(0L)).as(s"__n$i"))
+      reached.agg(aggs.head, aggs.tail: _*)
+    }
+    counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+      struct(
+        lit(i + 1).as("step"),
+        lit(s).as("event_type"),
+        coalesce(col(s"__n$i"), lit(0L)).as("n_users"))
+    }: _*)).as("r")).select(col("r.step"), col("r.event_type"), col("r.n_users"))
   }
 
   /** Change-detection with lag: count of events whose value strictly rose

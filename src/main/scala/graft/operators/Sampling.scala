@@ -197,23 +197,37 @@ object Sampling {
     *
     * The prefix sums are exact, so the output is identical to the
     * single-task window no matter where the range boundaries land. The
-    * sorted input is pinned with localCheckpoint so both passes see the
-    * same partitioning (on a cluster, a reliable checkpoint or a
-    * persisted sort does the same job). */
+    * sorted input must be PINNED so both passes see the same partitioning;
+    * `pin` picks how:
+    *   - "local" (default): localCheckpoint — fastest, but partitions live
+    *     in executor storage, so an executor loss fails the job. Right for
+    *     local mode and short interactive runs.
+    *   - "persist": persist(DISK_ONLY) — replicated to the block manager's
+    *     disk store; a lost partition RECOMPUTES through the deterministic
+    *     range-sort instead of failing. Right for 1000-executor jobs where
+    *     some executor loss is expected. Both modes produce identical
+    *     shard ids (the pin is a scheduling property, not a semantic one). */
   def packShards(
       df: DataFrame,
       keyCol: String,
       tokensCol: String,
       shardTokens: Long,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      pin: String = "local"): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df
+    val sorted = df
       .repartitionByRange(parts, col(keyCol))
       .sortWithinPartitions(col(keyCol))
-      .localCheckpoint()
+    val ranged = pin match {
+      case "local" => sorted.localCheckpoint()
+      case "persist" =>
+        sorted.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case other => throw new IllegalArgumentException(
+        s"packShards pin must be 'local' or 'persist', got '$other'")
+    }
     // pass 1: token subtotal per physical partition (tiny result)
     val subtotals = ranged
       .groupBy(spark_partition_id().as("__pid"))

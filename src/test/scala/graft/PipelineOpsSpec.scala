@@ -372,6 +372,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotNull == expNull)
   }
 
+  test("packShards pin modes (localCheckpoint vs DISK_ONLY persist) agree") {
+    import graft.operators.Sampling
+    val d = (0 until 500).map(i => (i.toLong, (i % 11 + 1).toLong)).toDF("doc_id", "n_tokens")
+    val local = Sampling.packShards(d, "doc_id", "n_tokens", 23L, numPartitions = 9)
+      .select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val persisted = Sampling
+      .packShards(d, "doc_id", "n_tokens", 23L, numPartitions = 9, pin = "persist")
+      .select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == persisted) // the pin is a scheduling choice, not a semantic one
+    intercept[IllegalArgumentException] {
+      Sampling.packShards(d, "doc_id", "n_tokens", 23L, pin = "nope")
+    }
+  }
+
   test("packShardsBy packs per stratum with numeric local shard ids") {
     import graft.operators.Sampling
     val d = (0 until 200)
@@ -421,5 +435,44 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id", "lang")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == naive)
+  }
+
+  test("funnel is single-pass: ONE events scan regardless of funnel depth") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val steps = Seq("signup", "view", "click", "purchase", "login", "search", "logout", "refund")
+    val df = Events.funnel(ev, steps, maxGap = "12 hours")
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected ONE events scan for an ${steps.size}-step funnel, got $scans")
+    assert(df.count() == steps.size)
+  }
+
+  test("single-pass funnel fold equals the chained min-after-frontier computation") {
+    val rnd = new scala.util.Random(42)
+    val steps = Seq("s1", "s2", "s3", "s4", "s5", "s6")
+    val rows = (1 to 40).flatMap { u =>
+      (1 to 12).map { _ =>
+        val t = java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")
+        (u.toLong, steps(rnd.nextInt(steps.size)), t)
+      }
+    }
+    val ev = rows.toDF("user_id", "event_type", "ts")
+    val gap = "3 hours"
+    // reference computation: the d-scan frontier chain the operator replaced
+    var frontier = ev.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
+    var expected = Seq((1, frontier.count()))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      frontier = ev.where(col("event_type") === s).join(frontier, "user_id")
+        .where(col("ts") > col("__t") &&
+          col("ts") <= col("__t") + expr(s"INTERVAL '$gap'"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
+      expected = expected :+ ((i + 1, frontier.count()))
+    }
+    val got = Events.funnel(ev, steps, maxGap = gap).orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == expected, s"fold=$got chained=$expected")
+    assert(expected.head._2 > 0 && expected.last._2 < expected.head._2) // non-trivial drop-off
   }
 }
