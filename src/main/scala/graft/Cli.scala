@@ -71,12 +71,43 @@ object Cli {
     val parsed =
       try Some(graft.ingest.Flatten.parseJson(text))
       catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+    // minimal RFC-4180 field split: quoted fields may contain commas and
+    // doubled quotes — the reference's csv.DictReader contract
+    def splitCsv(line: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val sb = new StringBuilder
+      var inQ = false
+      var i = 0
+      while (i < line.length) {
+        val ch = line.charAt(i)
+        if (inQ) {
+          if (ch == '"') {
+            if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+            else inQ = false
+          } else sb.append(ch)
+        } else ch match {
+          case '"' => inQ = true
+          case ',' => out += sb.result(); sb.clear()
+          case c   => sb.append(c)
+        }
+        i += 1
+      }
+      out += sb.result()
+      out.result()
+    }
     def csv(): Seq[Map[String, Any]] = {
       val lines = text.split("\r?\n").toSeq.filter(_.nonEmpty)
       if (lines.isEmpty)
         throw new IllegalArgumentException(s"load: $path is empty")
-      val hdr = lines.head.split(",", -1).toSeq
-      lines.tail.map(l => hdr.zip(l.split(",", -1).toSeq).toMap[String, Any])
+      val hdr = splitCsv(lines.head)
+      // rows with fewer fields than the header map the missing keys to null
+      // (csv.DictReader's restval=None); extra fields are dropped
+      lines.tail.map { l =>
+        val vals = splitCsv(l)
+        hdr.zipWithIndex
+          .map { case (h, i) => h -> (if (i < vals.length) vals(i) else null) }
+          .toMap[String, Any]
+      }
     }
     parsed match {
       case Some(s: Seq[_]) =>
@@ -205,12 +236,20 @@ object Cli {
           System.err.println("sql: only read-only SELECT/WITH statements are allowed")
           sys.exit(2)
         }
-        (graft.ingest.UpsertWriter.tables(s.workDir) ++ s.views()).distinct.foreach { tbl =>
-          try s.catalog.resolve(tbl)
-            .createOrReplaceTempView(tbl.replaceAll("[^A-Za-z0-9_]", "_"))
-          catch { case _: Exception => () }
-        }
-        spark.sql(stmt).toJSON.collect().foreach(println)
+        // register, run, then DROP the temp views: on a shared SparkSession
+        // driving multiple workdirs, a view left behind for workdir A could
+        // silently serve a later `sql` against workdir B for any table name
+        // B lacks
+        val registered = (graft.ingest.UpsertWriter.tables(s.workDir) ++ s.views()).distinct
+          .flatMap { tbl =>
+            try {
+              val v = tbl.replaceAll("[^A-Za-z0-9_]", "_")
+              s.catalog.resolve(tbl).createOrReplaceTempView(v)
+              Some(v)
+            } catch { case _: Exception => None }
+          }
+        try spark.sql(stmt).toJSON.collect().foreach(println)
+        finally registered.foreach(spark.catalog.dropTempView(_))
       // load a JSON array (or headered CSV) of SCO dicts as a view
       // (cli.py:258-273)
       case "load" =>

@@ -303,6 +303,141 @@ object StixQueries {
       val spark = st.spark
       import spark.implicits._
       st.columns("network-traffic").toDF("name").orderBy("name")
+    },
+
+    // ----- types(): SCO-type tables = parquet datasets minus catalog
+    //       shadowing minus materialized analytics (sqlitestorage.py:
+    //       276-285). A materialized no-id reassign is registered FIRST:
+    //       tables() lists it, types() must not — the glob oracle sees only
+    //       real parquet datasets, so a leak of the probe hash-fails.
+    q("q_stix_types",
+      s"""SELECT regexp_extract(file, '([^/]+)\\.parquet/$$', 1) AS name
+         |FROM glob('$WD/*/')
+         |WHERE file LIKE '%.parquet/'
+         |  AND NOT starts_with(regexp_extract(file, '([^/]+)\\.parquet/$$', 1), '__')
+         |ORDER BY name""".stripMargin) { st =>
+      val spark = st.spark
+      import spark.implicits._
+      st.reassign("type_probe_agg", Seq(Map[String, Any]("n" -> 1L)))
+      st.types().toDF("name").orderBy("name")
+    },
+
+    // ----- views(): the registered-view catalog, checked against the
+    //       engine's OWN persisted __symtable journal (the reference's
+    //       __symtable scan, sqlitestorage.py:276-285) — register three
+    //       probe views, remove one, and both sides must agree on the
+    //       surviving set.
+    q("q_stix_views",
+      s"""WITH j AS (SELECT verb, args FROM read_json('$WD/__symtable.jsonl',
+         |      format='newline_delimited', columns={'verb': 'VARCHAR', 'args': 'JSON[]'})),
+         |reg AS (SELECT DISTINCT args->>0 AS name FROM j
+         |      WHERE verb = 'extract' AND (args->>0) LIKE 'vwp%'),
+         |gone AS (SELECT DISTINCT args->>0 AS name FROM j WHERE verb = 'remove')
+         |SELECT name FROM reg WHERE name NOT IN (SELECT name FROM gone)
+         |ORDER BY name""".stripMargin) { st =>
+      val spark = st.spark
+      import spark.implicits._
+      st.extract("vwp_a", "url", "q1", null)
+      st.extract("vwp_b", "ipv4-addr", "q1", null)
+      st.extract("vwp_c", "url", "q2", null)
+      st.removeView("vwp_c")
+      st.views().filter(_.startsWith("vwp")).toDF("name").orderBy("name")
+    },
+
+    // ----- table_type(): view -> SCO type, vs the journaled symtable rows
+    //       (sqlstorage.py:744-752)
+    q("q_stix_table_type",
+      s"""SELECT DISTINCT args->>0 AS name, args->>1 AS otype
+         |FROM read_json('$WD/__symtable.jsonl',
+         |      format='newline_delimited', columns={'verb': 'VARCHAR', 'args': 'JSON[]'})
+         |WHERE verb = 'extract' AND (args->>0) LIKE 'ttp%'
+         |ORDER BY name""".stripMargin) { st =>
+      val spark = st.spark
+      import spark.implicits._
+      st.extract("ttp_conns", "network-traffic", "q1", null)
+      st.extract("ttp_urls", "url", "q1", null)
+      Seq("ttp_conns", "ttp_urls")
+        .map(v => (v, st.tableType(v).getOrElse("")))
+        .toDF("name", "otype").orderBy("name")
+    },
+
+    // ----- schema(): (column, dtype) pairs vs DESCRIBE with the DuckDB ->
+    //       Spark simpleString type mapping (sqlitestorage.py:287-293's
+    //       PRAGMA table_info)
+    q("q_stix_schema",
+      s"""SELECT column_name AS name,
+         |  CASE column_type
+         |    WHEN 'VARCHAR' THEN 'string' WHEN 'BIGINT' THEN 'bigint'
+         |    WHEN 'DOUBLE' THEN 'double' WHEN 'BOOLEAN' THEN 'boolean'
+         |    WHEN 'VARCHAR[]' THEN 'array<string>'
+         |    ELSE lower(column_type) END AS dtype
+         |FROM (DESCRIBE SELECT * FROM ${t("network-traffic")})
+         |ORDER BY name""".stripMargin) { st =>
+      val spark = st.spark
+      import spark.implicits._
+      st.schema("network-traffic").toDF("name", "dtype").orderBy("name")
+    },
+
+    // ----- get_view_data(): the bulk __symtable dump (name, type, appdata)
+    //       (sqlstorage.py:761-771) — appdata round-trips through the
+    //       journaled setAppdata verb, so the oracle reads it back from the
+    //       engine's own persisted journal.
+    q("q_stix_get_view_data",
+      s"""WITH j AS (SELECT verb, args FROM read_json('$WD/__symtable.jsonl',
+         |      format='newline_delimited', columns={'verb': 'VARCHAR', 'args': 'JSON[]'})),
+         |e AS (SELECT DISTINCT args->>0 AS name, args->>1 AS otype FROM j
+         |      WHERE verb = 'extract' AND (args->>0) LIKE 'gvd%'),
+         |a AS (SELECT DISTINCT args->>0 AS name, args->>1 AS appdata FROM j
+         |      WHERE verb = 'appdata')
+         |SELECT e.name, e.otype, a.appdata
+         |FROM e LEFT JOIN a USING (name)
+         |ORDER BY e.name""".stripMargin) { st =>
+      val spark = st.spark
+      import spark.implicits._
+      st.extract("gvd_a", "url", "q1", null)
+      st.setAppdata("gvd_a", """{"notes":"probe"}""")
+      st.extract("gvd_b", "network-traffic", "q1", null)
+      st.getViewData(Seq("gvd_a", "gvd_b"))
+        .map(m => (
+          m("name").toString,
+          m("type").toString,
+          Option(m("appdata")).map(_.toString).orNull))
+        .toDF("name", "otype", "appdata")
+        .orderBy("name")
+    },
+
+    // ----- funnel over the STIX data model: the hunting surface composed
+    //       with the pipeline operators — per-source-address ordered
+    //       progression web (443) -> SMB (445) -> SSH (22) over
+    //       observed-data timestamps of the engine-ingested corpus, each
+    //       step within 12 h of the previous (23 -> 6 -> 2 at corpus scale).
+    q("q_stix_funnel",
+      s"""WITH ev AS (SELECT n.src_ref AS user_id, CAST(n.dst_port AS VARCHAR) AS et,
+         |        CAST(o.first_observed AS TIMESTAMP) AS ts
+         |      FROM ${t("network-traffic")} n
+         |      JOIN ${t("__contains")} c ON n.id = c.target_ref
+         |      JOIN ${t("observed-data")} o ON c.source_ref = o.id
+         |      WHERE n.id IN ${prov("q1")}),
+         |s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE et = '443' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s1 USING (user_id)
+         |      WHERE e.et = '445' AND e.ts > s1.t
+         |        AND e.ts <= s1.t + INTERVAL '12 hours' GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s2 USING (user_id)
+         |      WHERE e.et = '22' AND e.ts > s2.t
+         |        AND e.ts <= s2.t + INTERVAL '12 hours' GROUP BY e.user_id)
+         |SELECT 1 AS step, '443' AS event_type, (SELECT count(*) FROM s1) AS n_users
+         |UNION ALL SELECT 2, '445', (SELECT count(*) FROM s2)
+         |UNION ALL SELECT 3, '22', (SELECT count(*) FROM s3)
+         |ORDER BY step""".stripMargin) { st =>
+      st.extract("fn_conns", "network-traffic", "q1", null)
+      val events = st.timestamped("fn_conns")
+        .select(
+          col("src_ref").as("user_id"),
+          col("dst_port").cast("string").as("event_type"),
+          to_timestamp(col("first_observed")).as("ts"))
+      graft.operators.Events
+        .funnel(events, Seq("443", "445", "22"), maxGap = "12 hours")
+        .orderBy("step")
     }
   ) ++ xlate ++ wood
 

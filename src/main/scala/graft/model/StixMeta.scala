@@ -76,7 +76,14 @@ object StixMeta {
     * non-'str' preferred (a transformer/parse fallback records the raw
     * string beside the good rows' real dtype), then lexicographic — the
     * ONE rule shared by the driver, bundle, and distributed-window dedups
-    * so every ingest path records identical metadata for identical data. */
+    * so every ingest path records identical metadata for identical data.
+    *
+    * Batch-boundary caveat (intentional): the rule applies WITHIN one
+    * ingest batch; across batches the first STORED sighting wins
+    * (appendKeyedFirst), matching the reference's record-once contract —
+    * its new-column hook writes the dtype exactly once and never revisits
+    * it (sqlstorage.py:187-189). A batch-1 fallback 'str' therefore stays
+    * recorded even if batch 2 sees the real dtype, exactly as upstream. */
   def dtypePreferred(cand: String, incumbent: Option[String]): Boolean = incumbent match {
     case None => true
     case Some(c) =>

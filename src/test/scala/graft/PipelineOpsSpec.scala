@@ -438,7 +438,9 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("funnel is single-pass: ONE events scan regardless of funnel depth") {
+    // same nanos->timestamp scan normalization the Catalog applies
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val steps = Seq("signup", "view", "click", "purchase", "login", "search", "logout", "refund")
     val df = Events.funnel(ev, steps, maxGap = "12 hours")
     val scans = df.queryExecution.executedPlan.toString
