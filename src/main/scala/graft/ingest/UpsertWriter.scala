@@ -165,16 +165,28 @@ object UpsertWriter {
       Files.write(markerOf(p), s"$n\n".getBytes("UTF-8"))
   }
 
+  /** Files written per bucket on a full-table write. 1 keeps local test
+    * stores compact (N tasks, one file each); a cluster doing the initial
+    * bulk load sets this so write parallelism = N × fanout tasks instead
+    * of being capped at N — the salt only spreads the SHUFFLE, each task
+    * still writes into its rows' correct bucket directory. */
+  private def writeFanout: Int =
+    sys.env.get("SPARK_GRAFT_BUCKET_WRITE_FANOUT").map(_.toInt.max(1)).getOrElse(1)
+
   /** Full-table copy-on-write: write ALL of `content` bucketed to a temp
     * dir and swap the whole directory (table creation, legacy migration,
     * and the rare schema-evolution batch). */
   private def swapAllBuckets(
       content: DataFrame, p: Path, keys: Seq[String], n: Int): Unit = {
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    content
-      .withColumn(BucketCol, bucketOf(keys, n))
-      .repartition(n, col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(tmp.toString)
+    val f = writeFanout
+    val bucketed = content.withColumn(BucketCol, bucketOf(keys, n))
+    val spread =
+      if (f <= 1) bucketed.repartition(n, col(BucketCol))
+      else bucketed.repartition(
+        n * f, col(BucketCol),
+        pmod(hash(keys.map(k => col(s"`$k`")) :+ lit("fanout"): _*), lit(f)))
+    spread.write.partitionBy(BucketCol).mode("overwrite").parquet(tmp.toString)
     Files.write(tmp.resolve("_graft_buckets"), s"$n\n".getBytes("UTF-8"))
     if (Files.exists(p)) FsUtil.deleteTree(p)
     Files.move(tmp, p)
