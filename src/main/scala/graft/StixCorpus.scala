@@ -29,11 +29,14 @@ import org.apache.spark.sql.SparkSession
   *    deref join with COALESCE, reference deref.py:28-59);
   *  - every 5th observation carries a url + user-account instead;
   *  - observations with i%10==3 add a process that opened the connection
-  *    (opened_connection_refs — exercises the __reflist edge table).
+  *    (opened_connection_refs — exercises the __reflist edge table);
+  *  - observations with i%5==2 add an artifact whose payload_bin (base64)
+  *    rotates beacon / exfil / benign text (exercises the like_bin /
+  *    match_bin payload decoders through the pattern compiler).
   */
 object StixCorpus {
 
-  val dir = "/tmp/graft_stix_corpus_v2"
+  val dir = "/tmp/graft_stix_corpus_v3"
   private val marker = java.nio.file.Paths.get(dir, "_READY")
   private val lock = new Object
 
@@ -103,15 +106,17 @@ object StixCorpus {
             "dst_port" -> dstPort,
             "protocols" -> Seq("tcp"))
         )
-        if (i % 10 == 3)
-          // the process that opened this connection (__reflist edge)
-          conn + ("3" -> Map(
-            "type" -> "process",
-            "name" -> s"proc${i % 20}.exe",
-            "pid" -> (1000L + i),
-            "x_unique_id" -> s"guid-$i",
-            "opened_connection_refs" -> Seq("2")))
-        else conn
+        val withProc =
+          if (i % 10 == 3)
+            // the process that opened this connection (__reflist edge)
+            conn + ("3" -> Map(
+              "type" -> "process",
+              "name" -> s"proc${i % 20}.exe",
+              "pid" -> (1000L + i),
+              "x_unique_id" -> s"guid-$i",
+              "opened_connection_refs" -> Seq("2")))
+          else conn
+        if (i % 5 == 2) withProc + ("9" -> artifact(i)) else withProc
       }
     Map(
       "type" -> "observed-data",
@@ -121,6 +126,23 @@ object StixCorpus {
       "number_observed" -> (1L + i % 5),
       "objects" -> objects
     )
+  }
+
+  /** Artifact SCO with a base64 payload (STIX 2.0 payload_bin). A quarter
+    * of the texts carry a "beacon" marker (LIKE path), a quarter an
+    * `exfil-<n>` marker (MATCHES path), half are benign — so payload
+    * patterns have non-trivial hit sets on both decoders. */
+  private def artifact(i: Int): Map[String, Any] = {
+    val text = (i % 20) match {
+      case 2  => s"beacon interval ${i}s to c2.example.net"
+      case 7  => s"staging exfil-$i chunk for upload"
+      case 12 => s"routine log rotation $i complete"
+      case _  => s"heartbeat $i ok"
+    }
+    Map(
+      "type" -> "artifact",
+      "mime_type" -> "text/plain",
+      "payload_bin" -> java.util.Base64.getEncoder.encodeToString(text.getBytes("UTF-8")))
   }
 
   private def bundleJson(b: Int): String = {

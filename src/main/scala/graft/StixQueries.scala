@@ -438,6 +438,40 @@ object StixQueries {
       graft.operators.Events
         .funnel(events, Seq("443", "445", "22"), maxGap = "12 hours")
         .orderBy("step")
+    },
+
+    // ----- payload_bin decoders through the pattern compiler: LIKE routes
+    //       to like_bin, MATCHES to match_bin (base64-decode then match —
+    //       sqlitestorage.py:78-87 match_bin/like_bin). The oracle decodes
+    //       the same base64 column in SQL.
+    q("q_stix_payload",
+      s"""SELECT id, mime_type FROM ${t("artifact")}
+         |WHERE (decode(from_base64(payload_bin)) LIKE '%beacon%'
+         |    OR regexp_matches(decode(from_base64(payload_bin)), 'exfil-[0-9]+'))
+         |  AND id IN ${prov("q1")}
+         |ORDER BY id""".stripMargin) { st =>
+      st.extract("artifacts_pb", "artifact", "q1",
+        "[artifact:payload_bin LIKE '%beacon%' OR artifact:payload_bin MATCHES 'exfil-[0-9]+']")
+      st.catalog.resolve("artifacts_pb")
+        .select(col("id"), col("mime_type"))
+        .orderBy("id")
+    },
+
+    // ----- finish(): the post-ingest bucketed layout — results read
+    //       THROUGH the re-registered bucketed warehouse tables must equal
+    //       the parquet ground truth the oracle reads (sqlstorage.py:
+    //       824-827's deferred-index hook; co-location audited by
+    //       LayoutSpec, correctness pinned here).
+    q("q_stix_finish",
+      s"""SELECT u.value, count(*) AS count
+         |FROM ${t("url")} u
+         |JOIN ${t("__contains")} c ON u.id = c.target_ref
+         |JOIN ${t("observed-data")} o ON c.source_ref = o.id
+         |WHERE u.id IN ${prov("q2")}
+         |GROUP BY u.value ORDER BY u.value""".stripMargin) { st =>
+      st.finish()
+      st.extract("urls_fin", "url", "q2", null)
+      st.valueCountsDF("urls_fin", "value")
     }
   ) ++ xlate ++ wood
 

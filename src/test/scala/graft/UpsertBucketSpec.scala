@@ -60,6 +60,24 @@ class UpsertBucketSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("incremental merge's old-side scan is partition-pruned to touched buckets") {
+    val dir = Files.createTempDirectory("graft-bucket-prune").toString
+    UpsertWriter.upsert(spark, dir, "t",
+      df((0 until 200).map(i => (s"id-$i", s"n$i", 1L))))
+    // the same pruned read the incremental path plans: only the touched
+    // bucket's files are listed (PartitionFilters on __bucket, and the
+    // scan's partition count collapses to the touched set)
+    val pruned = spark.read.parquet(s"$dir/t.parquet")
+      .where(col("__bucket").isin(3, 5))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in pruned plan"))
+    assert(scan.partitionFilters.nonEmpty, "expected partition filters on __bucket")
+    val scanned = scan.selectedPartitions.partitionCount
+    assert(scanned == 2, s"expected 2 pruned partitions, scanned $scanned")
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("schema-evolving batch rewrites all buckets once, keeping them uniform") {
     val dir = Files.createTempDirectory("graft-bucket-schema").toString
     UpsertWriter.upsert(spark, dir, "t",
