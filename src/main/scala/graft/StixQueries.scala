@@ -324,23 +324,33 @@ object StixQueries {
 
     // ----- views(): the registered-view catalog, checked against the
     //       engine's OWN persisted __symtable journal (the reference's
-    //       __symtable scan, sqlitestorage.py:276-285) — register three
-    //       probe views, remove one, and both sides must agree on the
-    //       surviving set.
+    //       __symtable scan, sqlitestorage.py:276-285) — register four
+    //       probe views, remove one, RENAME one, and both sides must agree
+    //       on the surviving set (registered − removed − rename-sources
+    //       + rename-targets).
     q("q_stix_views",
       s"""WITH j AS (SELECT verb, args FROM read_json('$WD/__symtable.jsonl',
          |      format='newline_delimited', columns={'verb': 'VARCHAR', 'args': 'JSON[]'})),
          |reg AS (SELECT DISTINCT args->>0 AS name FROM j
          |      WHERE verb = 'extract' AND (args->>0) LIKE 'vwp%'),
-         |gone AS (SELECT DISTINCT args->>0 AS name FROM j WHERE verb = 'remove')
-         |SELECT name FROM reg WHERE name NOT IN (SELECT name FROM gone)
+         |gone AS (SELECT DISTINCT args->>0 AS name FROM j WHERE verb = 'remove'),
+         |ren AS (SELECT DISTINCT args->>0 AS o, args->>1 AS n FROM j WHERE verb = 'rename')
+         |SELECT name FROM (
+         |  SELECT name FROM reg
+         |  WHERE name NOT IN (SELECT name FROM gone)
+         |    AND name NOT IN (SELECT o FROM ren)
+         |  UNION
+         |  SELECT n AS name FROM ren
+         |  WHERE n LIKE 'vwp%' AND o IN (SELECT name FROM reg))
          |ORDER BY name""".stripMargin) { st =>
       val spark = st.spark
       import spark.implicits._
       st.extract("vwp_a", "url", "q1", null)
       st.extract("vwp_b", "ipv4-addr", "q1", null)
       st.extract("vwp_c", "url", "q2", null)
+      st.extract("vwp_d", "url", "q1", null)
       st.removeView("vwp_c")
+      st.renameView("vwp_d", "vwp_e")
       st.views().filter(_.startsWith("vwp")).toDF("name").orderBy("name")
     },
 

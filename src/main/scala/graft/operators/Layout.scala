@@ -40,13 +40,24 @@ object Layout {
       df: DataFrame,
       table: String,
       key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a PREVIOUS JVM may have left the managed table's warehouse directory
+    // on disk without a catalog entry (the in-memory catalog dies with the
+    // session); saveAsTable then fails with LOCATION_ALREADY_EXISTS — drop
+    // the catalog entry AND clear the stale location before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = java.nio.file.Paths.get(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath).resolve(table.toLowerCase(java.util.Locale.ROOT))
+    if (java.nio.file.Files.exists(loc)) graft.ingest.FsUtil.deleteTree(loc)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables; with matching bucket specs the plan is
     * shuffle-free (assert via hasShuffle below). */
