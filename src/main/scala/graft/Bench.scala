@@ -26,7 +26,8 @@ object Bench {
     catch { case _: Throwable => () }
     // min of `reps` repetitions per query: a co-tenant load spike during
     // one rep cannot fake an across-the-board regression in the record
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.trim.toIntOption).map(_.max(1)).getOrElse(2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

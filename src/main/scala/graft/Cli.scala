@@ -71,39 +71,50 @@ object Cli {
     val parsed =
       try Some(graft.ingest.Flatten.parseJson(text))
       catch { case _: com.fasterxml.jackson.core.JacksonException => None }
-    // minimal RFC-4180 field split: quoted fields may contain commas and
-    // doubled quotes — the reference's csv.DictReader contract
-    def splitCsv(line: String): Seq[String] = {
-      val out = Seq.newBuilder[String]
+    // RFC-4180 record tokenizer with csv.DictReader semantics: the quote
+    // char is special only at FIELD START; quoted fields may contain
+    // commas, doubled quotes, and embedded newlines; blank lines skip
+    def parseCsv(t: String): Seq[Seq[String]] = {
+      val rows = Seq.newBuilder[Seq[String]]
+      var fields = Seq.newBuilder[String]
       val sb = new StringBuilder
       var inQ = false
+      var fieldStart = true
+      var sawAny = false
       var i = 0
-      while (i < line.length) {
-        val ch = line.charAt(i)
+      def endField(): Unit = { fields += sb.result(); sb.clear(); fieldStart = true }
+      def endRow(): Unit = {
+        endField(); rows += fields.result(); fields = Seq.newBuilder; sawAny = false
+      }
+      while (i < t.length) {
+        val ch = t.charAt(i)
         if (inQ) {
           if (ch == '"') {
-            if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+            if (i + 1 < t.length && t.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
             else inQ = false
           } else sb.append(ch)
         } else ch match {
-          case '"' => inQ = true
-          case ',' => out += sb.result(); sb.clear()
-          case c   => sb.append(c)
+          case '"' if fieldStart => inQ = true; fieldStart = false; sawAny = true
+          case ','               => endField(); sawAny = true
+          case '\r' =>
+            if (i + 1 < t.length && t.charAt(i + 1) == '\n') i += 1
+            if (sawAny || sb.nonEmpty) endRow()
+          case '\n' => if (sawAny || sb.nonEmpty) endRow()
+          case c    => sb.append(c); fieldStart = false; sawAny = true
         }
         i += 1
       }
-      out += sb.result()
-      out.result()
+      if (sawAny || sb.nonEmpty) endRow()
+      rows.result()
     }
     def csv(): Seq[Map[String, Any]] = {
-      val lines = text.split("\r?\n").toSeq.filter(_.nonEmpty)
-      if (lines.isEmpty)
+      val rows = parseCsv(text)
+      if (rows.isEmpty)
         throw new IllegalArgumentException(s"load: $path is empty")
-      val hdr = splitCsv(lines.head)
+      val hdr = rows.head
       // rows with fewer fields than the header map the missing keys to null
       // (csv.DictReader's restval=None); extra fields are dropped
-      lines.tail.map { l =>
-        val vals = splitCsv(l)
+      rows.tail.map { vals =>
         hdr.zipWithIndex
           .map { case (h, i) => h -> (if (i < vals.length) vals(i) else null) }
           .toMap[String, Any]

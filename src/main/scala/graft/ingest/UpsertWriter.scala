@@ -50,7 +50,8 @@ object UpsertWriter {
     * hundred GB (e.g. 4096) — the incremental-rewrite economics are
     * identical at any N. */
   val DefaultBuckets: Int =
-    sys.env.get("SPARK_GRAFT_TABLE_BUCKETS").map(_.toInt).getOrElse(16)
+    sys.env.get("SPARK_GRAFT_TABLE_BUCKETS").flatMap(_.trim.toIntOption)
+      .filter(_ > 0).getOrElse(16)
 
   /** The hidden hive-partition column carrying the bucket id. */
   private val BucketCol = "__bucket"
@@ -160,6 +161,22 @@ object UpsertWriter {
         Files.move(src, dst)
       }
     }
+    // guard: if any content row hashed OUTSIDE the touched set (a
+    // nondeterministic incoming frame re-evaluated between the touched
+    // collect and the write job), deleting the tmp dir would silently
+    // lose it — fail loudly instead
+    val strays = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(s"$BucketCol=")).toList
+      finally s.close()
+    }
+    if (strays.nonEmpty) {
+      FsUtil.deleteTree(tmp)
+      throw new IllegalStateException(
+        s"bucketed write produced rows outside the touched bucket set ($strays); " +
+          "is the incoming DataFrame nondeterministic?")
+    }
     FsUtil.deleteTree(tmp)
     if (!Files.exists(markerOf(p)))
       Files.write(markerOf(p), s"$n\n".getBytes("UTF-8"))
@@ -171,7 +188,8 @@ object UpsertWriter {
     * of being capped at N — the salt only spreads the SHUFFLE, each task
     * still writes into its rows' correct bucket directory. */
   private def writeFanout: Int =
-    sys.env.get("SPARK_GRAFT_BUCKET_WRITE_FANOUT").map(_.toInt.max(1)).getOrElse(1)
+    sys.env.get("SPARK_GRAFT_BUCKET_WRITE_FANOUT").flatMap(_.trim.toIntOption)
+      .map(_.max(1)).getOrElse(1)
 
   /** Full-table copy-on-write: write ALL of `content` bucketed to a temp
     * dir and swap the whole directory (table creation, legacy migration,
@@ -198,6 +216,23 @@ object UpsertWriter {
     incoming.select(bucketOf(keys, n).as("__b")).distinct()
       .collect().toSeq.map(_.getInt(0))
 
+  /** `incoming` aligned to the stored schema (column set, types, order) —
+    * only used when schemaChanges() returned false, i.e. the union schema
+    * equals the stored schema. Bucket hashes MUST be computed on the
+    * aligned rows: a raw long that will coerce to the stored double (or a
+    * batch missing a stored column) would otherwise hash differently than
+    * the row that actually gets written. */
+  private def alignTo(stored: DataFrame, incoming: DataFrame): DataFrame =
+    stored.limit(0).unionByName(incoming, allowMissingColumns = true)
+
+  /** The bucketing partition column is an implementation name — a data
+    * column by the same name would be clobbered at write and dropped at
+    * read; fail loudly instead. */
+  private def rejectReserved(incoming: DataFrame): Unit =
+    if (incoming.columns.contains(BucketCol))
+      throw new IllegalArgumentException(
+        s"column name '$BucketCol' is reserved by the bucketed store")
+
   // ----- public write verbs -----------------------------------------------
 
   /** Merge-upsert `incoming` into `dir/table.parquet` by `id`, rewriting
@@ -205,6 +240,7 @@ object UpsertWriter {
   def upsert(
       spark: SparkSession, dir: String, table: String, incoming: DataFrame,
       numBuckets: Int = DefaultBuckets): Unit = {
+    rejectReserved(incoming)
     val p = pathOf(dir, table)
     val inc = incoming.withColumn("__seq", monotonically_increasing_id())
     if (!Files.exists(p))
@@ -234,6 +270,7 @@ object UpsertWriter {
   def insertIgnore(
       spark: SparkSession, dir: String, table: String, incoming: DataFrame,
       numBuckets: Int = DefaultBuckets): Unit = {
+    rejectReserved(incoming)
     val p = pathOf(dir, table)
     val dedupedNew = incoming.dropDuplicates("id")
     if (!Files.exists(p))
@@ -248,13 +285,13 @@ object UpsertWriter {
           p, Seq("id"), n.getOrElse(numBuckets))
       } else {
         val nb = n.get
-        val touched = touchedBuckets(dedupedNew, Seq("id"), nb)
+        val aligned = alignTo(stored, dedupedNew)
+        val touched = touchedBuckets(aligned, Seq("id"), nb)
         val old = spark.read.parquet(p.toString)
           .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
         // same id => same bucket, so the pruned anti-join is exact
-        val fresh = dedupedNew.join(old.select("id"), Seq("id"), "left_anti")
-        swapTouchedBuckets(
-          old.unionByName(fresh, allowMissingColumns = true), p, Seq("id"), nb, touched)
+        val fresh = aligned.join(old.select("id"), Seq("id"), "left_anti")
+        swapTouchedBuckets(old.unionByName(fresh), p, Seq("id"), nb, touched)
       }
     }
   }
@@ -266,6 +303,7 @@ object UpsertWriter {
   def appendDistinct(
       spark: SparkSession, dir: String, table: String, incoming: DataFrame,
       numBuckets: Int = DefaultBuckets): Unit = {
+    rejectReserved(incoming)
     val p = pathOf(dir, table)
     def keysOf(df: DataFrame): Seq[String] = df.columns.toSeq.sorted
     if (!Files.exists(p))
@@ -281,12 +319,14 @@ object UpsertWriter {
       else {
         val nb = n.get
         val keys = keysOf(stored)
-        val touched = touchedBuckets(incoming, keys, nb)
+        // align FIRST: a batch with a subset of the stored columns or a
+        // coercible type (long -> stored double) must hash the bucket keys
+        // on the values that will actually be written
+        val aligned = alignTo(stored, incoming)
+        val touched = touchedBuckets(aligned, keys, nb)
         val old = spark.read.parquet(p.toString)
           .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
-        swapTouchedBuckets(
-          old.unionByName(incoming, allowMissingColumns = true).distinct(),
-          p, keys, nb, touched)
+        swapTouchedBuckets(old.unionByName(aligned).distinct(), p, keys, nb, touched)
       }
     }
   }
@@ -300,26 +340,28 @@ object UpsertWriter {
       spark: SparkSession, dir: String, table: String,
       incoming: DataFrame, keys: Seq[String],
       numBuckets: Int = DefaultBuckets): Unit = {
+    rejectReserved(incoming)
     val p = pathOf(dir, table)
     if (!Files.exists(p))
       swapAllBuckets(incoming, p, keys, numBuckets)
     else {
       val stored = readTable(spark, dir, table)
       val n = bucketCount(p)
-      def freshOf(old: DataFrame) =
-        incoming.join(
+      def freshOf(old: DataFrame, inc: DataFrame) =
+        inc.join(
           old.select(keys.map(k => col(s"`$k`")): _*).distinct(), keys, "left_anti")
       if (n.isEmpty || schemaChanges(stored, incoming))
         swapAllBuckets(
-          stored.unionByName(freshOf(stored), allowMissingColumns = true),
+          stored.unionByName(freshOf(stored, incoming), allowMissingColumns = true),
           p, keys, n.getOrElse(numBuckets))
       else {
         val nb = n.get
-        val touched = touchedBuckets(incoming, keys, nb)
+        val aligned = alignTo(stored, incoming)
+        val touched = touchedBuckets(aligned, keys, nb)
         val old = spark.read.parquet(p.toString)
           .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
         swapTouchedBuckets(
-          old.unionByName(freshOf(old), allowMissingColumns = true), p, keys, nb, touched)
+          old.unionByName(freshOf(old, aligned)), p, keys, nb, touched)
       }
     }
   }

@@ -156,21 +156,27 @@ object Events {
     require(steps.nonEmpty, "funnel needs at least one step")
     val d = steps.size
     val tsType = events.schema(tsCol).dataType.sql
-    // step name -> slot index, map-side (Column API — names never reach SQL text)
-    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+    // step names may REPEAT (login -> purchase -> login), so events carry a
+    // distinct-type id and each slot declares which type id it accepts —
+    // mapping an event to a single slot index would starve all but one of
+    // the duplicates. Type mapping uses the Column API (names never reach
+    // SQL text); only the numeric slot/type ids are spliced into the fold.
+    val distinctTypes = steps.distinct
+    val typeId = distinctTypes.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
       when(col(typeCol) === lit(s), lit(i)).otherwise(acc)
     }
+    val slotTid = steps.map(distinctTypes.indexOf)
     val perUser = events
       .where(col(typeCol).isin(steps: _*))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col(tsCol).as("t"), stepIdx.as("s")))).as("__evs"))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("t"), typeId.as("s")))).as("__evs"))
     val gapCond =
       if (maxGap == null) "" else s" AND e.t <= acc[i-1] + INTERVAL '$maxGap'"
     // `i = 0 OR …` short-circuits, so acc[i-1] is never indexed at i = 0
     val fold = expr(
       s"""aggregate(__evs, array_repeat(CAST(NULL AS $tsType), $d),
          |  (acc, e) -> transform(acc, (v, i) ->
-         |    CASE WHEN i = e.s AND v IS NULL
+         |    CASE WHEN array(${slotTid.mkString(", ")})[i] = e.s AND v IS NULL
          |           AND (i = 0 OR (acc[i-1] IS NOT NULL AND e.t > acc[i-1]$gapCond))
          |         THEN e.t ELSE v END))""".stripMargin)
     val reached = perUser.select(fold.as("__acc"))

@@ -45,12 +45,24 @@ object Layout {
     // a PREVIOUS JVM may have left the managed table's warehouse directory
     // on disk without a catalog entry (the in-memory catalog dies with the
     // session); saveAsTable then fails with LOCATION_ALREADY_EXISTS — drop
-    // the catalog entry AND clear the stale location before writing
+    // the catalog entry AND clear the stale location before writing.
+    // Best-effort and local-filesystem only: a remote warehouse (hdfs/s3)
+    // or an unparseable dir just skips the cleanup.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = java.nio.file.Paths.get(
-      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
-        .getPath).resolve(table.toLowerCase(java.util.Locale.ROOT))
-    if (java.nio.file.Files.exists(loc)) graft.ingest.FsUtil.deleteTree(loc)
+    try {
+      val raw = spark.conf.get("spark.sql.warehouse.dir")
+      val uri = java.net.URI.create(raw)
+      val base = uri.getScheme match {
+        case null   => raw
+        case "file" => uri.getPath
+        case _      => null
+      }
+      if (base != null) {
+        val loc = java.nio.file.Paths.get(base)
+          .resolve(table.toLowerCase(java.util.Locale.ROOT))
+        if (java.nio.file.Files.exists(loc)) graft.ingest.FsUtil.deleteTree(loc)
+      }
+    } catch { case _: Exception => () }
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)

@@ -437,6 +437,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("funnel supports repeated step names (login -> purchase -> login)") {
+    val ev = Seq(
+      // user 1: completes a -> b -> a
+      (1L, "a", "2024-01-01 00:00:00"), (1L, "b", "2024-01-01 00:10:00"),
+      (1L, "a", "2024-01-01 00:20:00"),
+      // user 2: a -> b but no second a
+      (2L, "a", "2024-01-01 00:00:00"), (2L, "b", "2024-01-01 00:05:00"),
+      // user 3: single a only
+      (3L, "a", "2024-01-01 00:00:00"))
+      .map { case (u, t, s) => (u, t, java.sql.Timestamp.valueOf(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val f = Events.funnel(ev, Seq("a", "b", "a")).orderBy("step").collect()
+    assert(f.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "a", 3L), (2, "b", 2L), (3, "a", 1L)))
+  }
+
   test("funnel is single-pass: ONE events scan regardless of funnel depth") {
     // same nanos->timestamp scan normalization the Catalog applies
     val ev = spark.read.parquet(s"$sfDir/events.parquet")

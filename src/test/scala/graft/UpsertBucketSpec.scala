@@ -118,6 +118,43 @@ class UpsertBucketSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("appendDistinct: coercible-type and subset-column batches neither lose rows nor crash") {
+    val dir = Files.createTempDirectory("graft-bucket-coerce").toString
+    val sp = spark
+    import sp.implicits._
+    // stored schema: (k string, w double, extra string)
+    UpsertWriter.appendDistinct(spark, dir, "e",
+      Seq(("a", 1.5, "x"), ("b", 2.0, "y")).toDF("k", "w", "extra"))
+    // batch 2: w arrives as LONG (coerces to the stored double) — the
+    // bucket hash must be computed on the coerced value or the row lands
+    // outside the touched set and is silently dropped
+    UpsertWriter.appendDistinct(spark, dir, "e",
+      Seq(("c", 3L, "z")).toDF("k", "w", "extra"))
+    // batch 3: subset of the stored columns (no `extra`)
+    UpsertWriter.appendDistinct(spark, dir, "e",
+      Seq(("d", 4.0)).toDF("k", "w"))
+    val out = UpsertWriter.readTable(spark, dir, "e")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Double]("w"),
+        r.getAs[String]("extra"))).toSet
+    assert(out == Set(("a", 1.5, "x"), ("b", 2.0, "y"), ("c", 3.0, "z"), ("d", 4.0, null)))
+    // and re-appending the coerced row stays deduped
+    UpsertWriter.appendDistinct(spark, dir, "e",
+      Seq(("c", 3L, "z")).toDF("k", "w", "extra"))
+    assert(UpsertWriter.readTable(spark, dir, "e").count() == 4)
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("a data column named __bucket is rejected, not silently clobbered") {
+    val dir = Files.createTempDirectory("graft-bucket-reserved").toString
+    val sp = spark
+    import sp.implicits._
+    intercept[IllegalArgumentException] {
+      UpsertWriter.upsert(spark, dir, "t",
+        Seq(("a", 1)).toDF("id", "__bucket"))
+    }
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("insertIgnore keeps stored rows and rewrites only touched buckets") {
     val dir = Files.createTempDirectory("graft-bucket-ii").toString
     val table = java.nio.file.Paths.get(dir, "o.parquet")
