@@ -492,6 +492,35 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // multi-probe LSH: each query also probes every bucket at Hamming
+    // distance 1 (XOR single-bit masks) — the recall knob between exact
+    // bucket (radius 0) and brute force (radius = bits)
+    q("q_ann_multiprobe",
+      s"""WITH wb AS (SELECT vec_id, embedding,
+         |        list_sum(list_transform(range(1, 5), i ->
+         |          CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+         |               ELSE CAST(0 AS BIGINT) END))::BIGINT AS bucket
+         |      FROM embeddings),
+         |p0 AS (SELECT vec_id AS query_id, embedding AS q, bucket FROM wb WHERE vec_id < 5),
+         |p AS (SELECT query_id, q, xor(bucket, m.m) AS bucket
+         |      FROM p0 CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m) m),
+         |s AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |        round(list_dot_product(p.q::DOUBLE[], c.embedding::DOUBLE[])
+         |          / (sqrt(list_dot_product(p.q::DOUBLE[], p.q::DOUBLE[]))
+         |             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS score
+         |      FROM p JOIN wb c ON p.bucket = c.bucket
+         |      WHERE p.query_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      Similarity
+        .multiProbeLshTopK(emb, emb.where(col("vec_id") < 5), k = 5, bits = 4, radius = 1)
+        .orderBy("query_id", "rank")
+    },
+
     // recall@5 of the LSH path against exact brute force — the measurement
     // loop for tuning bits/bands/nprobe, computed IN the engine. The
     // denominator is least(k, per-query exact count) and zero-overlap

@@ -437,6 +437,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("multiProbeLshTopK: radius 0 = exact-bucket LSH; radius = bits = brute force") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probes = emb.where(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(
+      rows(Similarity.multiProbeLshTopK(emb, probes, k = 5, bits = 4, radius = 0)) ==
+        rows(Similarity.lshTopK(emb, probes, k = 5, bits = 4)))
+    assert(
+      rows(Similarity.multiProbeLshTopK(emb, probes, k = 5, bits = 4, radius = 4)) ==
+        rows(Similarity.bruteForceTopK(emb, probes, k = 5)))
+  }
+
   test("funnel supports repeated step names (login -> purchase -> login)") {
     val ev = Seq(
       // user 1: completes a -> b -> a
