@@ -152,6 +152,24 @@ object UpsertWriter {
       .withColumn(BucketCol, bucketOf(keys, n))
       .repartition(math.max(touched.size, 1), col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(tmp.toString)
+    // guard BEFORE any live mutation: if the write produced rows OUTSIDE
+    // the touched set (a nondeterministic incoming frame re-evaluated
+    // between the touched collect and the write job), abort with the live
+    // table untouched — moving first would leave a partially-rewritten
+    // store AND delete the stray rows
+    val touchedNames = touched.map(k => s"$BucketCol=$k").toSet
+    val strays = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(d => d.startsWith(s"$BucketCol=") && !touchedNames(d)).toList
+      finally s.close()
+    }
+    if (strays.nonEmpty) {
+      FsUtil.deleteTree(tmp)
+      throw new IllegalStateException(
+        s"bucketed write produced rows outside the touched bucket set ($strays); " +
+          "is the incoming DataFrame nondeterministic?")
+    }
     Files.createDirectories(p)
     touched.foreach { k =>
       val src = tmp.resolve(s"$BucketCol=$k")
@@ -160,22 +178,6 @@ object UpsertWriter {
         if (Files.exists(dst)) FsUtil.deleteTree(dst)
         Files.move(src, dst)
       }
-    }
-    // guard: if any content row hashed OUTSIDE the touched set (a
-    // nondeterministic incoming frame re-evaluated between the touched
-    // collect and the write job), deleting the tmp dir would silently
-    // lose it — fail loudly instead
-    val strays = {
-      val s = Files.list(tmp)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith(s"$BucketCol=")).toList
-      finally s.close()
-    }
-    if (strays.nonEmpty) {
-      FsUtil.deleteTree(tmp)
-      throw new IllegalStateException(
-        s"bucketed write produced rows outside the touched bucket set ($strays); " +
-          "is the incoming DataFrame nondeterministic?")
     }
     FsUtil.deleteTree(tmp)
     if (!Files.exists(markerOf(p)))
@@ -229,7 +231,9 @@ object UpsertWriter {
     * column by the same name would be clobbered at write and dropped at
     * read; fail loudly instead. */
   private def rejectReserved(incoming: DataFrame): Unit =
-    if (incoming.columns.contains(BucketCol))
+    // case-insensitive: Spark resolves columns case-insensitively by
+    // default, so '__Bucket' would be clobbered just the same
+    if (incoming.columns.exists(_.equalsIgnoreCase(BucketCol)))
       throw new IllegalArgumentException(
         s"column name '$BucketCol' is reserved by the bucketed store")
 
@@ -254,12 +258,17 @@ object UpsertWriter {
         swapAllBuckets(merged, p, Seq("id"), n.getOrElse(numBuckets))
       } else {
         val nb = n.get
-        val touched = touchedBuckets(incoming, Seq("id"), nb)
+        // align before hashing, like every other verb: an id column whose
+        // type coerces to the stored type (long batch into a double-id
+        // table) must hash the bucket on the value that gets written
+        val aligned = alignTo(stored, incoming)
+          .withColumn("__seq", monotonically_increasing_id())
+        val touched = touchedBuckets(aligned, Seq("id"), nb)
         val old = spark.read.parquet(p.toString)
           .where(col(BucketCol).isin(touched: _*)) // partition-pruned scan
           .drop(BucketCol)
           .withColumn("__seq", lit(-1L))
-        val merged = mergeById(old.unionByName(inc, allowMissingColumns = true))
+        val merged = mergeById(old.unionByName(aligned))
         swapTouchedBuckets(merged, p, Seq("id"), nb, touched)
       }
     }

@@ -152,6 +152,28 @@ class UpsertBucketSpec extends SparkSpec {
       UpsertWriter.upsert(spark, dir, "t",
         Seq(("a", 1)).toDF("id", "__bucket"))
     }
+    // Spark resolves columns case-insensitively by default, so any casing
+    // of the reserved name must be rejected too
+    intercept[IllegalArgumentException] {
+      UpsertWriter.upsert(spark, dir, "t",
+        Seq(("a", 1)).toDF("id", "__Bucket"))
+    }
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("upsert with a coercing id type (long batch into double-id table) hashes aligned") {
+    val dir = Files.createTempDirectory("graft-bucket-upsert-coerce").toString
+    val sp = spark
+    import sp.implicits._
+    UpsertWriter.upsert(spark, dir, "n",
+      (0 until 40).map(i => (i.toDouble, s"v$i")).toDF("id", "v"))
+    // longs coerce to the stored double ids: one new id, one merging update
+    UpsertWriter.upsert(spark, dir, "n",
+      Seq((100L, "new"), (7L, "updated")).toDF("id", "v"))
+    val out = UpsertWriter.readTable(spark, dir, "n")
+    assert(out.count() == 41)
+    assert(out.where(col("id") === 7.0).head().getAs[String]("v") == "updated")
+    assert(out.where(col("id") === 100.0).head().getAs[String]("v") == "new")
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
