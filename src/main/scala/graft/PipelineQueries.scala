@@ -391,6 +391,34 @@ object PipelineQueries {
       Dedup.minhashPairs(c.resolve("documents")).orderBy("a_id", "b_id")
     },
 
+    // incremental NEAR-dup: odd-id docs arrive as a batch against the
+    // even-id docs' persisted LSH band index — survivors are batch docs
+    // with no indexed neighbor at est_jaccard >= 0.5 (the continuous-crawl
+    // shape: candidates via the band equi-join, never a corpus rescan)
+    q("q_dedup_minhash_inc",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
+         |m AS (SELECT doc_id, $duckSig AS sig FROM s),
+         |b AS (SELECT doc_id, sig, j,
+         |        md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS h
+         |      FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |cand AS (SELECT DISTINCT n.doc_id AS nid, n.sig AS nsig, o.sig AS osig
+         |      FROM b n JOIN b o ON n.j = o.j AND n.h = o.h
+         |      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+         |dup AS (SELECT DISTINCT nid FROM cand
+         |      WHERE round(list_sum(list_transform(range(1, 17),
+         |        i -> CASE WHEN nsig[i] = osig[i] THEN 1 ELSE 0 END)) / 16.0, 6) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT nid FROM dup)
+         |ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val index = Dedup.minhashBands(docs.where(col("doc_id") % 2 === 0))
+      Dedup
+        .minhashIncremental(docs.where(col("doc_id") % 2 === 1), index, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     q("q_dedup_ngram",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |s AS (SELECT doc_id, $duckShingles AS sh FROM t),

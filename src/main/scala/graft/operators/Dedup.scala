@@ -200,27 +200,38 @@ object Dedup {
     spread(docs)
       .select(col("doc_id"), minhashUdf(k)(col(textCol)).as("sig"))
 
-  /** Candidate near-duplicate pairs via LSH banding, scored by signature
-    * agreement (estimated Jaccard). Join key = (band_idx, band_hash): two
-    * docs collide iff some band matches — linear-scale candidate generation.
-    */
-  def minhashPairs(docs: DataFrame, textCol: String = "text", k: Int = 16, bands: Int = 4)
+  /** Band-signature index rows (doc_id, sig, band_idx, band_hash) — the
+    * persistable LSH index. [[minhashPairs]] self-joins this frame; a
+    * continuously-fed corpus PERSISTS it (one parquet table, appended per
+    * batch) so arriving data near-dedups against the whole corpus via an
+    * equi-join on the index ([[minhashIncremental]]), never a corpus
+    * rescan.
+    *
+    * Explodes a LITERAL band-index sequence and derives the band hash
+    * above the Generate: an explode over a derived array makes the
+    * optimizer infer a size()>0 filter and push the array expression
+    * (signature included) below the exchange, re-evaluating it per input
+    * row; a literal sequence folds that filter away and the signature
+    * attribute flows through untouched. */
+  def minhashBands(docs: DataFrame, textCol: String = "text", k: Int = 16, bands: Int = 4)
       : DataFrame = {
-    val mh = minhashFrame(docs, textCol, k)
-    // Explode a LITERAL band-index sequence and derive the band hash above
-    // the Generate: an explode over a derived array makes the optimizer
-    // infer a size()>0 filter and push the array expression (signature
-    // included) below the exchange, re-evaluating it per input row; a
-    // literal sequence folds that filter away and the signature attribute
-    // flows through untouched.
     val rows = k / bands
-    val exploded = mh
+    minhashFrame(docs, textCol, k)
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
       .withColumn(
         "band_hash",
         md5(concat_ws(
           ",",
           transform(slice(col("sig"), col("band_idx") * rows + 1, lit(rows)), x => x.cast("string")))))
+  }
+
+  /** Candidate near-duplicate pairs via LSH banding, scored by signature
+    * agreement (estimated Jaccard). Join key = (band_idx, band_hash): two
+    * docs collide iff some band matches — linear-scale candidate generation.
+    */
+  def minhashPairs(docs: DataFrame, textCol: String = "text", k: Int = 16, bands: Int = 4)
+      : DataFrame = {
+    val exploded = minhashBands(docs, textCol, k, bands)
     val a = exploded.select(
       col("doc_id").as("a_id"),
       col("sig").as("a_sig"),
@@ -241,6 +252,41 @@ object Dedup {
             .cast("double") / k,
           6).as("est_jaccard"))
       .distinct()
+  }
+
+  /** Incremental NEAR-dup: drop new docs whose estimated Jaccard against
+    * ANY already-indexed doc reaches `threshold` — the continuous-crawl
+    * shape, where re-deduplicating the whole corpus per arriving batch is
+    * not an option. `index` is a persisted [[minhashBands]] table (the
+    * corpus's LSH signature index, appended per batch): candidates come
+    * from a (band_idx, band_hash) equi-join of the batch's bands against
+    * it — work scales with band-bucket occupancy, never corpus size — and
+    * the dropped-id set is batch-sized, driving one left-anti join back.
+    * In-batch near-dups are a separate pass ([[minhashPairs]] +
+    * [[dupGroups]] over the batch alone). */
+  def minhashIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val nb = minhashBands(newDocs, textCol, k, bands)
+      .select(
+        col("doc_id"), col("sig").as("__nsig"),
+        col("band_idx"), col("band_hash"))
+    val dup = nb
+      .join(
+        index.select(col("sig").as("__osig"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .where(
+        round(
+          size(filter(zip_with(col("__nsig"), col("__osig"), (x, y) => x === y), p => p))
+            .cast("double") / k,
+          6) >= threshold)
+      .select(col("doc_id"))
+      .distinct()
+    newDocs.join(dup, Seq("doc_id"), "left_anti")
   }
 
   /** Exact n-gram Jaccard on the LSH candidate pairs (verification stage —

@@ -437,6 +437,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("minhashIncremental agrees with the pairwise near-dup relation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // ground truth: odd docs near-dup (est_jaccard >= 0.5) of ANY even doc,
+    // per the pairwise operator
+    val pairs = Dedup.minhashPairs(docs).where(col("est_jaccard") >= 0.5)
+      .collect().flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+    val dupOdd = pairs.collect { case (a, b) if a % 2 == 1 && b % 2 == 0 => a }.toSet
+    val idx = Dedup.minhashBands(docs.where(col("doc_id") % 2 === 0))
+    val survivors = Dedup
+      .minhashIncremental(docs.where(col("doc_id") % 2 === 1), idx, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allOdd = docs.where(col("doc_id") % 2 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == allOdd -- dupOdd)
+    assert(dupOdd.nonEmpty) // the corpus plants real near-dups across the split
+  }
+
   test("multiProbeLshTopK: radius 0 = exact-bucket LSH; radius = bits = brute force") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
