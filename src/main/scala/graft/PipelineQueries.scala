@@ -391,6 +391,27 @@ object PipelineQueries {
       Dedup.minhashPairs(c.resolve("documents")).orderBy("a_id", "b_id")
     },
 
+    // cross-document duplicate spans: per-doc fraction of 8-token windows
+    // whose hash occurs in at least one OTHER document — substring-level
+    // repetition (boilerplate/templates) that whole-doc dedup misses
+    q("q_text_dup_spans",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN length(toks) >= 8
+         |    THEN list_transform(range(1, length(toks) - 6), i -> md5(array_to_string(toks[i:i+7], ' ')))
+         |    ELSE [] END) AS h FROM t),
+         |ch AS (SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY doc_id),
+         |dup AS (SELECT g.doc_id, count(*) AS n_dup FROM g JOIN ch USING (h) GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(tot.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |  round(coalesce(dup.n_dup, 0) / greatest(coalesce(tot.n_spans, 0), 1), 6) AS dup_span_fraction
+         |FROM documents d
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { c =>
+      Dedup.duplicateSpans(c.resolve("documents"), n = 8).orderBy("doc_id")
+    },
+
     // incremental NEAR-dup: odd-id docs arrive as a batch against the
     // even-id docs' persisted LSH band index — survivors are batch docs
     // with no indexed neighbor at est_jaccard >= 0.5 (the continuous-crawl
@@ -747,6 +768,34 @@ object PipelineQueries {
       Similarity
         .cosineNearDupPairs(c.resolve("embeddings"), threshold = 0.4, bands = 4, bits = 6)
         .orderBy("a_id", "b_id")
+    },
+
+    // incremental embedding near-dup: odd-id vectors arrive as a batch
+    // against the even-id vectors' persisted band index — survivors have
+    // no indexed neighbor at cosine >= 0.4 (band equi-join candidates,
+    // never a corpus rescan; the vector-side twin of q_dedup_minhash_inc)
+    q("q_embed_neardup_inc",
+      s"""WITH ex AS (SELECT vec_id, embedding, j AS band_idx,
+         |        list_sum(list_transform(range(1, 7), i ->
+         |          CASE WHEN embedding[j*6 + i] > 0 THEN (1::BIGINT << (i - 1))
+         |               ELSE 0::BIGINT END)) AS bucket
+         |      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |dup AS (SELECT DISTINCT n.vec_id
+         |      FROM ex n JOIN ex o ON n.band_idx = o.band_idx AND n.bucket = o.bucket
+         |      WHERE n.vec_id % 2 = 1 AND o.vec_id % 2 = 0
+         |        AND round(list_dot_product(n.embedding::DOUBLE[], o.embedding::DOUBLE[])
+         |          / (sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[]))
+         |             * sqrt(list_dot_product(o.embedding::DOUBLE[], o.embedding::DOUBLE[]))), 6) >= 0.4)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM dup)
+         |ORDER BY vec_id""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      val index = Similarity.embeddingBands(emb.where(col("vec_id") % 2 === 0))
+      Similarity
+        .cosineNearDupIncremental(
+          emb.where(col("vec_id") % 2 === 1), index, threshold = 0.4)
+        .select("vec_id")
+        .orderBy("vec_id")
     },
 
     // ===== Data profiling (corpus QA pass) ================================

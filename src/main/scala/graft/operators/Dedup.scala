@@ -187,6 +187,43 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Cross-document duplicate-SPAN measurement — the substring-level
+    * signal whole-document dedup misses (boilerplate, license blocks,
+    * templated passages repeated across otherwise-distinct documents):
+    * for every document, the fraction of its n-token windows whose hash
+    * also occurs in at least one OTHER document. Two linear passes: one
+    * hash-keyed aggregate marks a window hash cross-doc iff
+    * min(doc) != max(doc) (no distinct-count sketch needed), one semi-join
+    * back counts each document's windows landing in the cross-doc set.
+    * Documents shorter than n tokens emit zero windows and report 0.0. */
+  def duplicateSpans(
+      docs: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = spread(docs)
+      .select(col(idCol), explode(ngramMd5Udf(col(textCol), lit(n))).as("__h"))
+    val crossDoc = grams
+      .groupBy("__h")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+      .select("__h")
+    val totals = grams.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
+    val dups = grams.join(crossDoc, Seq("__h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_spans"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left_outer")
+      .join(dups, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(
+          coalesce(col("n_dup_spans"), lit(0L)) /
+            greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)).cast("double"),
+          6).as("dup_span_fraction"))
+  }
+
   /** Per-document MinHash signature + band hashes (the map-side pass).
     *
     * Left lazy on purpose: the kernel is a compiled function, so the

@@ -437,6 +437,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("duplicateSpans flags cross-doc boilerplate but not within-doc repetition") {
+    val boiler = "all rights reserved no part of this document may be reproduced"
+    val d = Seq(
+      (1, s"alpha beta gamma delta $boiler epsilon zeta"),
+      (2, s"one two three four five $boiler six seven"),
+      (3, "unique content entirely its own words nothing shared here at all ok fine"),
+      // within-doc repetition only: the repeated 8-gram stays single-doc
+      (4, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (5, "short doc") // < 8 tokens -> zero spans, fraction 0.0
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(d, n = 8).collect()
+      .map(x => x.getAs[Int]("doc_id") ->
+        (x.getAs[Long]("n_spans"), x.getAs[Long]("n_dup_spans"))).toMap
+    assert(r(1)._2 > 0 && r(2)._2 > 0)      // shared boilerplate flagged both sides
+    assert(r(3)._2 == 0)                    // unique content clean
+    assert(r(4)._2 == 0 && r(4)._1 > 0)     // within-doc repetition is NOT cross-doc
+    assert(r(5) == (0L, 0L))                // sub-n doc: zero spans, no crash
+  }
+
   test("minhashIncremental agrees with the pairwise near-dup relation") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // ground truth: odd docs near-dup (est_jaccard >= 0.5) of ANY even doc,
