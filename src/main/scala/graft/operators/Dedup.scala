@@ -176,16 +176,19 @@ object Dedup {
       n: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // compiled kernel, not TextOps.ngramHashes: the overlap probe is the
-    // hot map pass, and interpreted higher-order md5 folds measure far
-    // slower than a compiled function (same rationale as the minhash
-    // kernels above; byte-identical hex output either way)
-    def grams(df: DataFrame) =
-      spread(df).select(col(idCol), explode(ngramMd5Udf(col(textCol), lit(n))).as("__h"))
-    val bench = broadcast(grams(benchmark).select(col("__h")).distinct())
-    val contaminated = grams(corpus).join(bench, "__h").select(col(idCol)).distinct()
+    val bench = broadcast(
+      ngramFrame(benchmark, n, idCol, textCol).select(col("__h")).distinct())
+    val contaminated = ngramFrame(corpus, n, idCol, textCol)
+      .join(bench, "__h").select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** (id, window-hash) rows — the shared hot n-gram extraction pass.
+    * Compiled kernel, not TextOps.ngramHashes: interpreted higher-order
+    * md5 folds measure far slower than a compiled function (same
+    * rationale as the minhash kernels; byte-identical hex output). */
+  private def ngramFrame(df: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
+    spread(df).select(col(idCol), explode(ngramMd5Udf(col(textCol), lit(n))).as("__h"))
 
   /** Cross-document duplicate-SPAN measurement — the substring-level
     * signal whole-document dedup misses (boilerplate, license blocks,
@@ -201,19 +204,22 @@ object Dedup {
       n: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val grams = spread(docs)
-      .select(col(idCol), explode(ngramMd5Udf(col(textCol), lit(n))).as("__h"))
+    val grams = ngramFrame(docs, n, idCol, textCol)
     val crossDoc = grams
       .groupBy("__h")
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
       .where(col("__mn") =!= col("__mx"))
-      .select("__h")
-    val totals = grams.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
-    val dups = grams.join(crossDoc, Seq("__h"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_dup_spans"))
+      .select(col("__h"), lit(1).as("__x"))
+    // one joined aggregation computes totals AND dup counts, so the hot
+    // ngram map pass runs twice (crossDoc + this), not three times
+    val perDoc = grams
+      .join(crossDoc, Seq("__h"), "left_outer")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("__x")).as("n_dup_spans"))
     docs.select(col(idCol))
-      .join(totals, Seq(idCol), "left_outer")
-      .join(dups, Seq(idCol), "left_outer")
+      .join(perDoc, Seq(idCol), "left_outer")
       .select(
         col(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -308,6 +314,15 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // an index persisted with a different k would band-hash different
+    // slice widths — near-zero candidates and SILENT dedup failure; check
+    // one stored signature (limit-1 read) and fail loudly. bands must
+    // match too, but band geometry isn't recoverable from the rows —
+    // callers own that contract (scaladoc).
+    index.select(size(col("sig"))).head(1).headOption.foreach { r =>
+      require(r.getInt(0) == k,
+        s"LSH index was built with k=${r.getInt(0)}, caller passed k=$k")
+    }
     val nb = minhashBands(newDocs, textCol, k, bands)
       .select(
         col("doc_id"), col("sig").as("__nsig"),
