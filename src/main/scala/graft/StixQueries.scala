@@ -450,6 +450,37 @@ object StixQueries {
         .orderBy("step")
     },
 
+    // ----- gap sessionization over the STIX data model: per-source
+    //       observation sessions split on gaps > 150 min (the beaconing /
+    //       activity-burst view of the same observed-data timestamps the
+    //       funnel row uses; 56 single-session + 16 two-session sources)
+    q("q_stix_sessions",
+      s"""WITH ev AS (SELECT n.src_ref AS user_id,
+         |        CAST(o.first_observed AS TIMESTAMP) AS ts, n.id AS event_id
+         |      FROM ${t("network-traffic")} n
+         |      JOIN ${t("__contains")} c ON n.id = c.target_ref
+         |      JOIN ${t("observed-data")} o ON c.source_ref = o.id
+         |      WHERE n.id IN ${prov("q1")}),
+         |w AS (SELECT user_id, ts, event_id,
+         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+         |x AS (SELECT user_id, ts, event_id,
+         |        CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 9000
+         |             THEN 1 ELSE 0 END AS ns FROM w),
+         |y AS (SELECT user_id, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+         |z AS (SELECT user_id, sid, count(*) AS n FROM y GROUP BY user_id, sid)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(max(n) AS BIGINT) AS max_session_events
+         |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin) { st =>
+      st.extract("sess_conns", "network-traffic", "q1", null)
+      val events = st.timestamped("sess_conns")
+        .select(
+          col("src_ref").as("user_id"),
+          to_timestamp(col("first_observed")).as("ts"),
+          col("id").as("event_id"))
+      graft.operators.Events.sessionize(events, gapMinutes = 150).orderBy("user_id")
+    },
+
     // ----- payload_bin decoders through the pattern compiler: LIKE routes
     //       to like_bin, MATCHES to match_bin (base64-decode then match —
     //       sqlitestorage.py:78-87 match_bin/like_bin). The oracle decodes
