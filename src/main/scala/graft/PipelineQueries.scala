@@ -237,6 +237,42 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // unigram corpus-LM scoring (CCNet-style): mean negative log-likelihood
+    // of each doc under an add-one-smoothed unigram model fit on the
+    // English slice — the in/out-of-distribution quality signal
+    q("q_text_lm_nll",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS w FROM documents),
+         |ref AS (SELECT w, count(*) AS c
+         |        FROM (SELECT unnest($duckToks) AS w FROM documents WHERE lang = 'en')
+         |        GROUP BY w),
+         |st AS (SELECT sum(c) AS total, count(*) AS vocab FROM ref)
+         |SELECT tok.doc_id, count(*) AS n_tokens,
+         |  round(avg(-ln((coalesce(ref.c, 0) + 1.0) / (st.total + st.vocab + 1.0))), 6) AS nll
+         |FROM tok LEFT JOIN ref USING (w) CROSS JOIN st
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      TextOps.lmScore(docs, docs.where(col("lang") === "en")).orderBy("doc_id")
+    },
+
+    // per-doc top-3 keywords by smoothed TF-IDF, rounded-then-ranked so the
+    // ordering is a total order both engines reproduce
+    q("q_text_tfidf",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term,
+         |        round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+         |      FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, score,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY score DESC, term) AS rank
+         |      FROM s)
+         |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin) { c =>
+      TextOps.tfidfTopK(c.resolve("documents"), k = 3).orderBy("doc_id", "rank")
+    },
+
     // benchmark decontamination: docs sharing ANY word 8-gram with the
     // benchmark slice (doc_id % 10 = 0) are scrubbed; the oracle recomputes
     // the exact surviving id set via the same md5 overlap keys
@@ -370,6 +406,25 @@ object PipelineQueries {
       val seen = Dedup.exact(docs.where(col("doc_id") % 2 === 0))
       Dedup
         .exactIncremental(docs.where(col("doc_id") % 2 === 1), seen)
+        .orderBy("doc_id")
+    },
+
+    // Bloom-prefiltered incremental dedup: same contract as
+    // q_dedup_incremental (the oracle is the exact set algebra — the Bloom
+    // pass may only ever add join probes, never change the answer), but the
+    // corpus side reaches the batch as ONE aggregated filter and definite-new
+    // rows skip the anti-join shuffle entirely
+    q("q_dedup_bloom",
+      s"""WITH f AS (SELECT doc_id, md5($duckNorm) AS fingerprint FROM documents),
+         |seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 3 = 0),
+         |batch AS (SELECT * FROM f WHERE doc_id % 3 <> 0)
+         |SELECT min(doc_id) AS doc_id, fingerprint
+         |FROM batch WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
+         |GROUP BY fingerprint ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val seen = Dedup.exact(docs.where(col("doc_id") % 3 === 0))
+      Dedup
+        .exactIncrementalBloom(docs.where(col("doc_id") % 3 =!= 0), seen)
         .orderBy("doc_id")
     },
 

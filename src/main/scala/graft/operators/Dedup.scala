@@ -162,6 +162,56 @@ object Dedup {
       .select("doc_id", "fingerprint")
   }
 
+  /** Bloom-prefiltered incremental exact dedup — same result as
+    * [[exactIncremental]], different 100 TB economics. The plain version
+    * left-anti-joins EVERY new fingerprint against the persisted corpus
+    * store: a shuffle proportional to corpus size per arriving batch. Here
+    * the corpus side is first folded into one serialized Bloom filter
+    * (Spark's native `BloomFilterAggregate` — partial-aggregable, merged
+    * executor-side) delivered through a scalar subquery, exactly the
+    * runtime-filter mechanism Catalyst's InjectRuntimeFilter uses. The
+    * batch is then split MAP-SIDE by the codegen `BloomFilterMightContain`
+    * predicate: definite-new rows (the overwhelming majority of a crawl
+    * batch against a deduplicated store) never shuffle at all, and only
+    * maybe-hits (true duplicates + fpp false positives) reach the exact
+    * left-anti join. False positives cost a join probe, never a wrong
+    * answer. `expectedItems` sizes the filter; at scale pass the store's
+    * row count (1B ids ≈ 1.2 GB at the default 3% fpp — one broadcast,
+    * versus re-shuffling the store every batch). */
+  def exactIncrementalBloom(
+      newDocs: DataFrame,
+      seen: DataFrame,
+      textCol: String = "text",
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    val bloomDF = seen.select(
+      GraftBridge.column(
+        new BloomFilterAggregate(
+          GraftBridge.expression(xxhash64(col("fingerprint"))),
+          expectedItems).toAggregateExpression()).as("bf"))
+    // null-safe: an empty store aggregates to a NULL filter -> nothing seen
+    val maybeSeen = coalesce(
+      GraftBridge.column(BloomFilterMightContain(
+        GraftBridge.scalarSubquery(bloomDF),
+        GraftBridge.expression(xxhash64(col("fingerprint"))))),
+      lit(false))
+
+    val fp = newDocs.select(
+      col("doc_id"), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val definiteNew = fp.where(!maybeSeen)
+    val checked = fp.where(maybeSeen)
+      .join(seen.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+      .select("doc_id", "fingerprint")
+    definiteNew
+      .unionByName(checked)
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fingerprint")
+  }
+
   /** Benchmark decontamination: drop corpus docs sharing ANY word n-gram
     * with the benchmark set — the overlap rule every training pipeline runs
     * to scrub eval/test material out of pre-training data. Benchmark n-gram

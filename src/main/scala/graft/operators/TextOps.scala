@@ -160,4 +160,74 @@ object TextOps {
       fingerprint(t).as("fingerprint")
     )
   }
+
+  /** Unigram corpus-LM scoring (the CCNet-style quality signal): each
+    * document's mean negative log-likelihood under an add-one-smoothed
+    * unigram model fit on a REFERENCE corpus — low nll reads like the
+    * reference (keep), high nll is out-of-distribution (bucket or drop).
+    * p(w) = (c_ref(w)+1) / (total_ref + |V_ref| + 1); the +1 type is the
+    * shared OOV mass, so unseen words score finite.
+    *
+    * Scale shape: the model is vocabulary-sized (MBs against a 100 TB
+    * corpus) — one aggregate over the reference, then BROADCAST to a
+    * map-side join against the exploded corpus tokens; the scalar
+    * (total, vocab) row rides along as a broadcast cross join. The only
+    * corpus-sized shuffle is the final per-document average. Documents
+    * with no tokens produce no row (nothing to score). */
+  def lmScore(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val model = ref
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+    val stats = model.agg(sum("c").as("total"), count(lit(1)).as("vocab"))
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(model), Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(
+          avg(-log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (col("total") + col("vocab") + lit(1.0)))), 6).as("nll"))
+      .select(col(idCol), col("n_tokens"), col("nll"))
+  }
+
+  /** Per-document top-k keyword extraction by smoothed TF-IDF
+    * (tf × (ln((N+1)/(df+1)) + 1), sklearn's smooth-idf). Deterministic:
+    * scores are rounded BEFORE ranking and ties break on the term, so the
+    * ranking is a total order any engine reproduces.
+    *
+    * Scale shape: explode + one (doc, term) count shuffle; document
+    * frequencies reduce that frame to vocabulary size and broadcast back;
+    * the rank window partitions by document — per-document groups are
+    * vocabulary-bounded, never corpus-bounded, so no skew at 100 TB. */
+  def tfidfTopK(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score",
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
 }

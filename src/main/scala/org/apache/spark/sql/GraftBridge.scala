@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, InSubquery, ListQuery, Not}
+import org.apache.spark.sql.catalyst.expressions.{Expression, InSubquery, ListQuery, Not, ScalarSubquery}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge between the public Column API and Catalyst expressions.
@@ -30,4 +30,11 @@ object GraftBridge {
 
   def notInSubquery(c: Column, subquery: DataFrame): Column =
     column(Not(InSubquery(Seq(expression(c)), ListQuery(logicalPlan(subquery)))))
+
+  /** A single-row single-column DataFrame as a scalar-subquery EXPRESSION.
+    * Spark plans it as its own job whose one result value is folded into the
+    * consuming operator — the same mechanism InjectRuntimeFilter uses to feed
+    * a whole-relation aggregate (e.g. a serialized Bloom filter) into a
+    * map-side predicate without ever collecting through the driver API. */
+  def scalarSubquery(df: DataFrame): Expression = ScalarSubquery(logicalPlan(df))
 }

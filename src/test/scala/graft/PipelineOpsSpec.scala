@@ -544,4 +544,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected, s"fold=$got chained=$expected")
     assert(expected.head._2 > 0 && expected.last._2 < expected.head._2) // non-trivial drop-off
   }
+
+  test("exactIncrementalBloom: identical answer to exactIncremental, bloom stays in-plan") {
+    val seen = Dedup.exact(docs((0, "alpha beta"), (2, "gamma delta")))
+    val batch = docs(
+      (1, "ALPHA   beta"), // duplicate of stored 0 after normalization
+      (3, "epsilon zeta"), // new
+      (5, "epsilon  ZETA"), // in-batch duplicate of 3
+      (7, "eta theta")) // new
+    val out = Dedup.exactIncrementalBloom(batch, seen)
+    val expect = Dedup.exactIncremental(batch, seen)
+      .orderBy("doc_id").collect().toSeq
+    assert(out.orderBy("doc_id").collect().toSeq == expect)
+    assert(expect.map(_.getInt(0)) == Seq(3, 7))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prefilter missing from plan:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "bloom path must stay codegen")
+  }
+
+  test("exactIncrementalBloom: empty store (NULL bloom filter) keeps all distinct batch docs") {
+    val seen = Dedup.exact(docs())
+    val got = Dedup
+      .exactIncrementalBloom(docs((1, "a b"), (3, "A  b"), (5, "c d")), seen)
+      .orderBy("doc_id").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 5))
+  }
+
+  test("lmScore: add-one-smoothed unigram NLL with shared OOV mass") {
+    // reference "a a b": c(a)=2, c(b)=1, total=3, vocab=2 -> denominator 6
+    val ref = docs((0, "a a b"))
+    val rows = TextOps.lmScore(docs((1, "a b z"), (2, "a a")), ref)
+      .orderBy("doc_id").collect()
+    def p(c: Long) = (c + 1.0) / 6.0
+    val nll1 = -(math.log(p(2)) + math.log(p(1)) + math.log(p(0))) / 3
+    val nll2 = -math.log(p(2))
+    assert(rows(0).getLong(1) == 3 && math.abs(rows(0).getDouble(2) - nll1) < 1e-6)
+    assert(rows(1).getLong(1) == 2 && math.abs(rows(1).getDouble(2) - nll2) < 1e-6)
+    assert(rows(0).getDouble(2) > rows(1).getDouble(2), "OOV doc must score worse")
+  }
+
+  test("tfidfTopK: rounded scores rank, ties break on the term") {
+    // N=2; df(x)=1, df(y)=df(z)=2 -> idf(x)=ln(1.5)+1, idf(y)=idf(z)=1
+    val r = TextOps.tfidfTopK(docs((1, "x x y z"), (2, "y z")), k = 3)
+      .orderBy("doc_id", "rank").collect()
+    val d1 = r.filter(_.getInt(0) == 1).map(x => (x.getInt(1), x.getString(2))).toSeq
+    val d2 = r.filter(_.getInt(0) == 2).map(x => (x.getInt(1), x.getString(2))).toSeq
+    assert(d1 == Seq((1, "x"), (2, "y"), (3, "z")), s"doc1=$d1")
+    assert(d2 == Seq((1, "y"), (2, "z")), s"doc2=$d2")
+    val xScore = r.find(x => x.getInt(0) == 1 && x.getString(2) == "x").get.getDouble(3)
+    assert(math.abs(xScore - 2 * (math.log(1.5) + 1)) < 1e-6)
+  }
 }
