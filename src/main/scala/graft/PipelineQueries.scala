@@ -82,6 +82,23 @@ object PipelineQueries {
       |      FROM s)
       |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5""".stripMargin
 
+  // one Lloyd's iteration as named CTEs s$i/a$i/m$i/c$i over `e` (vec_id, v)
+  // and the previous centroid CTE — the DuckDB replay of
+  // Similarity.kmeansCentroids' rounded-argmax iteration, shared by the
+  // q_ann_ivf_kmeans and q_embed_semdedup oracles
+  private def duckLloyd(i: Int, prev: String): String =
+    s"""s$i AS (SELECT e.vec_id, e.v, c.centroid_id,
+       |        round(list_dot_product(e.v, c.cent)
+       |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cent, c.cent))), 6) AS sc
+       |      FROM e CROSS JOIN $prev c),
+       |a$i AS (SELECT vec_id, v, centroid_id FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM s$i) z$i
+       |      WHERE rk = 1),
+       |m$i AS (SELECT centroid_id, i, round(avg(v[i]), 9) AS m
+       |      FROM a$i CROSS JOIN (SELECT unnest(range(1,
+       |        (SELECT max(length(v)) FROM e) + 1)) AS i) ii GROUP BY centroid_id, i),
+       |c$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$i GROUP BY centroid_id)""".stripMargin
+
   // connected components over the >=0.5-jaccard minhash-candidate pair
   // graph, as named CTEs ending in grp(doc_id, group_id) — shared by the
   // q_dedup_groups and q_dedup_reps oracles (must follow WITH RECURSIVE)
@@ -467,6 +484,32 @@ object PipelineQueries {
       Dedup.duplicateSpans(c.resolve("documents"), n = 8).orderBy("doc_id")
     },
 
+    // duplicate-span REMOVAL (ExactSubstr dedup's edit step): tokens covered
+    // by a cross-document 8-token window are scrubbed from every carrier and
+    // the survivors reassembled; the oracle replays the exact edit (DuckDB
+    // positions are 1-based, Spark's 0-based — each side is internally
+    // consistent so the scrubbed token sets coincide)
+    q("q_text_scrub_spans",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN length(toks) >= 8
+         |    THEN list_transform(range(1, length(toks) - 6),
+         |      i -> struct_pack(p := i, h := md5(array_to_string(toks[i:i+7], ' '))))
+         |    ELSE [] END) AS u FROM t),
+         |w AS (SELECT doc_id, u.p AS p, u.h AS h FROM g),
+         |ch AS (SELECT h FROM w GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |ds AS (SELECT doc_id, list(DISTINCT p) AS starts
+         |       FROM w JOIN ch USING (h) GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, toks,
+         |        list_filter(toks, (x, i) -> coalesce(length(
+         |          list_filter(ds.starts, s -> s <= i AND i <= s + 7)), 0) = 0) AS kept
+         |      FROM t LEFT JOIN ds USING (doc_id))
+         |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+         |  CAST(length(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(toks) - length(kept) AS BIGINT) AS n_removed
+         |FROM k ORDER BY doc_id""".stripMargin) { c =>
+      Dedup.removeDuplicateSpans(c.resolve("documents"), n = 8).orderBy("doc_id")
+    },
+
     // incremental NEAR-dup: odd-id docs arrive as a batch against the
     // even-id docs' persisted LSH band index — survivors are batch docs
     // with no indexed neighbor at est_jaccard >= 0.5 (the continuous-crawl
@@ -686,18 +729,7 @@ object PipelineQueries {
     // q_ann_ivf, with centroids float32-cast on BOTH sides before the final
     // scoring. The mean step derives the dimensionality from the data.
     q("q_ann_ivf_kmeans", {
-      def lloyd(i: Int, prev: String): String =
-        s"""s$i AS (SELECT e.vec_id, e.v, c.centroid_id,
-           |        round(list_dot_product(e.v, c.cent)
-           |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cent, c.cent))), 6) AS sc
-           |      FROM e CROSS JOIN $prev c),
-           |a$i AS (SELECT vec_id, v, centroid_id FROM (
-           |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM s$i) z$i
-           |      WHERE rk = 1),
-           |m$i AS (SELECT centroid_id, i, round(avg(v[i]), 9) AS m
-           |      FROM a$i CROSS JOIN (SELECT unnest(range(1,
-           |        (SELECT max(length(v)) FROM e) + 1)) AS i) ii GROUP BY centroid_id, i),
-           |c$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$i GROUP BY centroid_id)""".stripMargin
+      val lloyd = duckLloyd _
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
          |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
@@ -850,6 +882,38 @@ object PipelineQueries {
         .cosineNearDupIncremental(
           emb.where(col("vec_id") % 2 === 1), index, threshold = 0.4)
         .select("vec_id")
+        .orderBy("vec_id")
+    },
+
+    // SemDeDup: k-means clusters the embedding space (the same replayed
+    // Lloyd's as q_ann_ivf_kmeans), then near-dups are pruned WITHIN each
+    // cluster — keep-min-id under cosine >= 0.4; the oracle replays
+    // clustering, float32 centroid quantization, assignment, and the
+    // intra-cluster pair rule end-to-end
+    q("q_embed_semdedup",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+         |${duckLloyd(1, "c0")},
+         |${duckLloyd(2, "c1")},
+         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+         |ca AS (SELECT e.vec_id, e.v, f.centroid_id,
+         |        round(list_dot_product(e.v, f.centd)
+         |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+         |      FROM e CROSS JOIN cf f),
+         |assigned AS (SELECT vec_id, v, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) za WHERE rk = 1),
+         |dup AS (SELECT DISTINCT a.vec_id FROM assigned a
+         |      JOIN assigned b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+         |      WHERE round(list_dot_product(a.v, b.v)
+         |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
+         |SELECT a.vec_id, a.centroid_id,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM assigned a LEFT JOIN dup d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin) { c =>
+      Similarity
+        .semDedup(c.resolve("embeddings"), k = 4, iters = 2, threshold = 0.4)
         .orderBy("vec_id")
     },
 

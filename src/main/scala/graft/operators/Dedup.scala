@@ -280,6 +280,51 @@ object Dedup {
           6).as("dup_span_fraction"))
   }
 
+  /** Cross-document duplicate-span REMOVAL — the edit step of ExactSubstr
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"), where [[duplicateSpans]] is the measurement: every
+    * token covered by an n-token window whose hash occurs in MORE than one
+    * document is scrubbed and the surviving tokens reassembled. Removal
+    * policy: a duplicated span leaves ALL documents carrying it — the
+    * deterministic, order-free variant (keep-one-copy needs a global
+    * document order and a second keyed pass; at 100 TB the conservative
+    * scrub is the one that stays embarrassingly parallel).
+    *
+    * Same linear shape as the measurement: one window-hash aggregate marks
+    * cross-doc hashes, one semi-join back collects per-doc duplicate window
+    * STARTS (bounded by document length, never corpus size), and the edit
+    * itself is a codegen index-aware array filter — token i survives iff no
+    * duplicate window [s, s+n) covers it. */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val win = spread(docs).select(
+      col(idCol),
+      posexplode(ngramMd5Udf(col(textCol), lit(n))).as(Seq("__p", "__h")))
+    val crossDoc = win
+      .groupBy("__h")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+      .select(col("__h"))
+    val starts = win
+      .join(crossDoc, Seq("__h"))
+      .groupBy(idCol)
+      .agg(collect_set(col("__p")).as("__starts"))
+    val toks = TextOps.tokens(col(textCol))
+    val st = coalesce(col("__starts"), typedLit(Array.empty[Int]))
+    val kept = filter(toks, (_, i) =>
+      size(filter(st, s => s <= i && i <= s + lit(n - 1))) === 0)
+    docs
+      .join(starts, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        concat_ws(" ", kept).as("clean_text"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Per-document MinHash signature + band hashes (the map-side pass).
     *
     * Left lazy on purpose: the kernel is a compiled function, so the

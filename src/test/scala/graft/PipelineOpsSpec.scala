@@ -583,6 +583,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(0).getDouble(2) > rows(1).getDouble(2), "OOV doc must score worse")
   }
 
+  test("removeDuplicateSpans scrubs cross-doc windows from every carrier") {
+    val shared = "one two three four five six seven eight" // exactly one 8-token window
+    val d = docs(
+      (1, s"$shared tail1 tail2"),
+      (2, s"head0 $shared"),
+      (3, "unrelated words only here nothing more at all"))
+    val r = Dedup.removeDuplicateSpans(d, n = 8).orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "tail1 tail2" && r(0).getLong(3) == 8)
+    assert(r(1).getString(1) == "head0" && r(1).getLong(3) == 8)
+    assert(r(2).getString(1) == "unrelated words only here nothing more at all"
+      && r(2).getLong(3) == 0)
+  }
+
+  test("semDedup: intra-cluster near-dups drop to min id, clusters never compare") {
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.05f, 0f, 0f)), // near-dup of 1, same cluster
+      (10L, Array(0f, 1f, 0f, 0f)),
+      (11L, Array(0.05f, 0.99f, 0f, 0f))) // near-dup of 10, other cluster
+    val r = Similarity.semDedup(rows.toDF("vec_id", "embedding"), k = 2, iters = 2, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    val kept = r.filter(_.getLong(2) == 1L).map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 10L), s"kept=$kept")
+    val cl = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(cl(1L) == cl(2L) && cl(10L) == cl(11L) && cl(1L) != cl(10L), s"clusters=$cl")
+  }
+
   test("tfidfTopK: rounded scores rank, ties break on the term") {
     // N=2; df(x)=1, df(y)=df(z)=2 -> idf(x)=ln(1.5)+1, idf(y)=idf(z)=1
     val r = TextOps.tfidfTopK(docs((1, "x x y z"), (2, "y z")), k = 3)
