@@ -1166,6 +1166,26 @@ object PipelineQueries {
       Events.sessionize(c.resolve("events"), 30).orderBy("user_id")
     },
 
+    // weekly cohort retention matrix: cohort = week of first event, cell =
+    // users of that cohort active offset weeks later + rate vs cohort size
+    q("q_events_retention",
+      """WITH cohort AS (SELECT user_id,
+        |    CAST(epoch(date_trunc('week', min(ts))) AS BIGINT) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS act_week FROM events),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1),
+        |j AS (SELECT c.cohort_week,
+        |    CAST((a.act_week - c.cohort_week) / 604800 AS BIGINT) AS week_offset
+        |  FROM act a JOIN cohort c USING (user_id)),
+        |g AS (SELECT cohort_week, week_offset, count(*) AS n_users FROM j GROUP BY 1, 2)
+        |SELECT g.cohort_week, g.week_offset, g.n_users, sz.cohort_size,
+        |  round(g.n_users / CAST(sz.cohort_size AS DOUBLE), 6) AS retention
+        |FROM g JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin) { c =>
+      Events.retention(c.resolve("events")).orderBy("cohort_week", "week_offset")
+    },
+
     q("q_events_top_types",
       """WITH counts AS (SELECT CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
         |    event_type, count(*) AS n

@@ -203,4 +203,45 @@ object Events {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_rising"))
   }
+
+  /** Weekly cohort retention: users are cohorted by the week of their FIRST
+    * event, and each (cohort, week-offset) cell counts how many of that
+    * cohort were active offset weeks later — the standard product-analytics
+    * retention matrix, plus the rate against cohort size. Week keys are
+    * epoch seconds of the truncated week start (the engine-portable integer
+    * convention every time bin in this repo uses).
+    *
+    * Scale shape: three aggregations all keyed on user_id (first-event
+    * cohort, distinct active weeks, cohort join) — one hash-partitioning
+    * reused across stages, then the matrix itself is weeks×offsets tiny and
+    * the cohort-size join broadcasts. No windows, no collect. */
+  def retention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val week = (c: org.apache.spark.sql.Column) => unix_timestamp(date_trunc("week", c))
+    val cohort = events
+      .groupBy(col(userCol))
+      .agg(week(min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(userCol), week(col(tsCol)).as("act_week"))
+      .distinct()
+    val sz = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    active
+      .join(cohort, userCol)
+      // active weeks never precede the first-event week, and both keys are
+      // week-truncated, so the offset is an exact non-negative multiple of 7d
+      .select(
+        col("cohort_week"),
+        ((col("act_week") - col("cohort_week")) / 604800L).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users")) // one row per user post-distinct
+      .join(broadcast(sz), Seq("cohort_week"))
+      .select(
+        col("cohort_week"),
+        col("week_offset"),
+        col("n_users"),
+        col("cohort_size"),
+        round(col("n_users") / col("cohort_size").cast("double"), 6).as("retention"))
+  }
 }

@@ -583,6 +583,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(0).getDouble(2) > rows(1).getDouble(2), "OOV doc must score worse")
   }
 
+  test("retention: cohort by first-event week, offsets count active weeks") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 100L), // wk0 cohort
+      (2L, Timestamp.valueOf("2024-01-10 09:00:00"), 100L), // active wk1
+      (3L, Timestamp.valueOf("2024-01-03 12:00:00"), 200L), // wk0 cohort only
+      (4L, Timestamp.valueOf("2024-01-08 00:00:00"), 300L)  // wk1 cohort
+    ).toDF("event_id", "ts", "user_id")
+    val t = Events.retention(ev).orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    val w0 = t(0)._1
+    assert(t.toSeq == Seq(
+      (w0, 0L, 2L, 2L, 1.0),
+      (w0, 1L, 1L, 2L, 0.5),
+      (w0 + 604800L, 0L, 1L, 1L, 1.0)), s"matrix=${t.toSeq}")
+  }
+
   test("removeDuplicateSpans scrubs cross-doc windows from every carrier") {
     val shared = "one two three four five six seven eight" // exactly one 8-token window
     val d = docs(
