@@ -247,6 +247,10 @@ object Cli {
           System.err.println("sql: only read-only SELECT/WITH statements are allowed")
           sys.exit(2)
         }
+        // the engine's scalar surface (in_subnet/match_bin/like_bin/...)
+        // as SQL functions, same as the reference registers them on every
+        // host-DB connection (sqlitestorage.py:54-87)
+        graft.functions.GraftExtensions.install(spark)
         // register, run, then DROP the temp views: on a shared SparkSession
         // driving multiple workdirs, a view left behind for workdir A could
         // silently serve a later `sql` against workdir B for any table name

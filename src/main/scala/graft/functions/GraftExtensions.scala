@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions._
+
+/** SQL registration of the engine's scalar surface — the
+  * `SparkSessionExtensions` mechanism for shipping custom expressions as a
+  * library: sessions created with `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) can call
+  * `in_subnet`, `match_bin`, `like_bin`, `rfc3339`, `simhash64`, `dot_f`,
+  * and `norm_f` from plain SQL — the same names the reference exposes as
+  * host-DB functions (sqlitestorage.py:54-87 registers them on every
+  * connection; pgcommon.py ships them as CREATE FUNCTION DDL). The native
+  * expressions (SimHash64/DotF/NormF) inject directly; the built-in-composed
+  * ones (Funcs) go through the Column bridge, so one definition serves both
+  * the DataFrame and SQL APIs.
+  *
+  * `install(spark)` does the same registrations on an ALREADY RUNNING
+  * session (extension classes only apply at session instantiation) — the
+  * CLI's `sql` command uses this so statement files get the functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  // eager conversion: builder output must be a real Catalyst tree (see
+  // GraftBridge.resolvedExpression) — the lazy wrapper reaches codegen
+  private def e(col: Column): Expression = GraftBridge.resolvedExpression(col)
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (identifier, info, builder) rows in SparkSessionExtensions' injectable
+    * shape. Patterns are COLUMNS here (SQL can't demand Scala literals);
+    * like_bin keeps the reference's literal-backslash contract by doubling
+    * them before LIKE, same as Funcs.like_bin does on the literal. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("in_subnet"),
+        info("in_subnet", "in_subnet(value, cidr) - IPv4 addr-or-subnet CIDR membership"),
+        (args: Seq[Expression]) => e(Funcs.in_subnet(c(args(0)), c(args(1))))),
+      (FunctionIdentifier("match_bin"),
+        info("match_bin", "match_bin(pattern, b64) - regex search over a base64-decoded value"),
+        (args: Seq[Expression]) =>
+          e(call_function("rlike", decode(unbase64(c(args(1))), "UTF-8"), c(args(0))))),
+      (FunctionIdentifier("like_bin"),
+        info("like_bin", "like_bin(pattern, b64) - SQL LIKE over a base64-decoded value"),
+        (args: Seq[Expression]) =>
+          e(call_function(
+            "like",
+            decode(unbase64(c(args(1))), "UTF-8"),
+            call_function("replace", c(args(0)), lit("\\"), lit("\\\\"))))),
+      (FunctionIdentifier("rfc3339"),
+        info("rfc3339", "rfc3339(ts) - RFC-3339 millisecond text rendering"),
+        (args: Seq[Expression]) => e(Funcs.rfc3339(c(args(0))))),
+      (FunctionIdentifier("simhash64"),
+        info("simhash64", "simhash64(text) - 64-bit SimHash of normalized word tokens"),
+        (args: Seq[Expression]) => SimHash64(args(0))),
+      (FunctionIdentifier("dot_f"),
+        info("dot_f", "dot_f(a, b) - dot product of two array<float|double> vectors"),
+        (args: Seq[Expression]) => DotF(args(0), args(1))),
+      (FunctionIdentifier("norm_f"),
+        info("norm_f", "norm_f(a) - L2 norm of an array<float|double> vector"),
+        (args: Seq[Expression]) => NormF(args(0))))
+
+  /** Same registrations on a live session. Idempotent (re-registering a
+    * name replaces the identical builder). */
+  def install(spark: SparkSession): Unit =
+    registrations.foreach { case (id, inf, builder) =>
+      GraftBridge.registerFunction(spark, id.funcName, inf, builder)
+    }
+}

@@ -37,4 +37,28 @@ object GraftBridge {
     * a whole-relation aggregate (e.g. a serialized Bloom filter) into a
     * map-side predicate without ever collecting through the driver API. */
   def scalarSubquery(df: DataFrame): Expression = ScalarSubquery(logicalPlan(df))
+
+  /** Column -> EAGERLY converted Catalyst expression tree. `expression`
+    * defers behind a ColumnNodeExpression that only the Dataset boundary
+    * unwraps; a FunctionRegistry builder's output never crosses that
+    * boundary, so its tree must be real Catalyst nodes (unresolved ones are
+    * fine — the analyzer keeps resolving builder output — but the lazy
+    * wrapper is not, it reaches codegen unconverted). */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a function on a LIVE session's registry (the builder-time
+    * `SparkSessionExtensions.injectFunction` path only applies to sessions
+    * instantiated after `withExtensions`/`spark.sql.extensions`; an already
+    * running session registers here). */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+      .functionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

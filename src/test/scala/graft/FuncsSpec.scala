@@ -33,4 +33,35 @@ class FuncsSpec extends SparkSpec {
       .select(Funcs.rfc3339(to_timestamp(col("s"))).as("t"))
     assert(df.head().getString(0) == "2024-01-02T03:04:05.678Z")
   }
+
+  test("GraftExtensions: the whole scalar surface is SQL-callable") {
+    graft.functions.GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT
+        |  in_subnet('10.0.0.5', '10.0.0.0/8')  AS in1,
+        |  in_subnet('11.0.0.5', '10.0.0.0/8')  AS in2,
+        |  match_bin('wor.d', base64('hello world')) AS mb,
+        |  like_bin('%world', base64('hello world')) AS lb,
+        |  like_bin('world',  base64('hello world')) AS lb2,
+        |  rfc3339(timestamp'2024-01-02 03:04:05.678') AS ts,
+        |  dot_f(cast(array(1.0, 2.0) AS array<double>),
+        |        cast(array(3.0, 4.0) AS array<double>)) AS dp,
+        |  norm_f(cast(array(3.0, 4.0) AS array<double>)) AS nm,
+        |  simhash64('alpha beta gamma') AS sh
+        |""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getString(5) == "2024-01-02T03:04:05.678Z")
+    assert(r.getDouble(6) == 11.0 && r.getDouble(7) == 5.0)
+    // SQL and Column APIs share one definition -> identical values
+    val colApi = Seq("alpha beta gamma").toDF("t")
+      .select(graft.functions.SimHash64(col("t"))).head().getLong(0)
+    assert(r.getLong(8) == colApi)
+  }
+
+  test("GraftExtensions: builder-time injection lists the same functions") {
+    // the extension class is the same registration table install() uses
+    assert(graft.functions.GraftExtensions.registrations.map(_._1.funcName).sorted ==
+      Seq("dot_f", "in_subnet", "like_bin", "match_bin", "norm_f", "rfc3339", "simhash64"))
+  }
 }

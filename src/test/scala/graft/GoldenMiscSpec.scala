@@ -142,6 +142,13 @@ class GoldenMiscSpec extends SparkSpec {
       Cli.run(spark, Seq(wd, "sql", "SELECT count(*) AS n FROM network_traffic"))
     }
     assert(nt.size == 1 && nt.head.startsWith("""{"n":"""))
+    // the engine's scalar surface is installed on the sql session
+    // (GraftExtensions), same as the reference's per-connection functions
+    val fn = captureOut {
+      Cli.run(spark, Seq(wd, "sql",
+        "SELECT count(*) AS n FROM ipv4_addr WHERE in_subnet(value, '10.0.0.0/8')"))
+    }
+    assert(fn.size == 1 && fn.head.startsWith("""{"n":"""), s"got $fn")
   }
 
   test("cli: load a JSON file of SCOs then query it (cli.py:258-273)") {
