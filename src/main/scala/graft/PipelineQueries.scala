@@ -642,6 +642,40 @@ object PipelineQueries {
     // multi-probe LSH: each query also probes every bucket at Hamming
     // distance 1 (XOR single-bit masks) — the recall knob between exact
     // bucket (radius 0) and brute force (radius = bits)
+    // SQ8 scalar-quantized ANN: candidates ranked by the quantized dot
+    // product (integer-valued doubles — EXACT, so the candidate order needs
+    // no rounding quarantine), exact cosine re-rank on the 4k shortlist
+    q("q_ann_sq8",
+      """WITH g AS (SELECT CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+        |      FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+        |e AS (SELECT vec_id, embedding,
+        |        list_transform(embedding, x -> least(greatest(
+        |          CASE WHEN g.hi > g.lo
+        |            THEN floor((CAST(x AS DOUBLE) - g.lo) / (g.hi - g.lo) * 255.0)
+        |            ELSE 0.0 END, 0.0), 255.0)) AS qv
+        |      FROM embeddings CROSS JOIN g),
+        |p AS (SELECT vec_id AS query_id, embedding AS q, qv AS qq FROM e WHERE vec_id < 5),
+        |s AS (SELECT p.query_id, c.vec_id AS neighbor_id, p.q, c.embedding AS ce,
+        |        list_dot_product(p.qq, c.qv) AS iscore
+        |      FROM p CROSS JOIN e c WHERE p.query_id <> c.vec_id),
+        |cand AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY iscore DESC, neighbor_id) AS crank FROM s) z WHERE crank <= 20),
+        |x AS (SELECT query_id, neighbor_id,
+        |        round(list_dot_product(q::DOUBLE[], ce::DOUBLE[])
+        |          / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))
+        |             * sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))), 6) AS score
+        |      FROM cand),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, neighbor_id) AS rank FROM x)
+        |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      Similarity
+        .sq8TopK(emb, emb.where(col("vec_id") < 5), k = 5, candidateFactor = 4)
+        .orderBy("query_id", "rank")
+    },
+
     q("q_ann_multiprobe",
       s"""WITH wb AS (SELECT vec_id, embedding,
          |        list_sum(list_transform(range(1, 5), i ->

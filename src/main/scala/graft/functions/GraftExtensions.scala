@@ -68,10 +68,12 @@ object GraftExtensions {
         info("norm_f", "norm_f(a) - L2 norm of an array<float|double> vector"),
         (args: Seq[Expression]) => NormF(args(0))))
 
-  /** Same registrations on a live session. Idempotent (re-registering a
-    * name replaces the identical builder). */
+  /** Same registrations on a live session. Idempotent — a session that
+    * already carries the surface is left alone (re-registration would only
+    * replace identical builders, with a registry warning per name). */
   def install(spark: SparkSession): Unit =
-    registrations.foreach { case (id, inf, builder) =>
-      GraftBridge.registerFunction(spark, id.funcName, inf, builder)
-    }
+    if (!spark.catalog.functionExists(registrations.head._1.funcName))
+      registrations.foreach { case (id, inf, builder) =>
+        GraftBridge.registerFunction(spark, id.funcName, inf, builder)
+      }
 }

@@ -553,13 +553,21 @@ class PipelineOpsSpec extends SparkSpec {
       (5, "epsilon  ZETA"), // in-batch duplicate of 3
       (7, "eta theta")) // new
     val out = Dedup.exactIncrementalBloom(batch, seen)
+    // execute `out` ITSELF (not a wrapper) so the AQE plan below is final —
+    // subquery reuse is only visible in an executed plan
+    val got = out.collect().toSeq.sortBy(_.getInt(0))
     val expect = Dedup.exactIncremental(batch, seen)
-      .orderBy("doc_id").collect().toSeq
-    assert(out.orderBy("doc_id").collect().toSeq == expect)
+      .collect().toSeq.sortBy(_.getInt(0))
+    assert(got == expect)
     assert(expect.map(_.getInt(0)) == Seq(3, 7))
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"bloom prefilter missing from plan:\n$plan")
     assert(!plan.contains("ScalaUDF"), "bloom path must stay codegen")
+    // one store scan feeds every branch: the definite-new filter, the
+    // maybe-hit filter, and the anti-join's pushed copy all reuse ONE
+    // executed bloom aggregate
+    assert(plan.contains("ReusedSubquery"),
+      s"bloom subquery must execute once and be reused:\n$plan")
   }
 
   test("exactIncrementalBloom: empty store (NULL bloom filter) keeps all distinct batch docs") {
@@ -612,6 +620,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(1).getString(1) == "head0" && r(1).getLong(3) == 8)
     assert(r(2).getString(1) == "unrelated words only here nothing more at all"
       && r(2).getLong(3) == 0)
+  }
+
+  test("sq8TopK: a full-corpus shortlist degenerates to exact brute force") {
+    // law: when candidateFactor covers the whole corpus, quantized candidate
+    // ranking cannot drop a true neighbor — results equal bruteForceTopK
+    val vecs = (1L to 12L).map(i => (i, Array.tabulate(4)(d => math.sin(i * 2.7 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.where(col("vec_id") <= 2)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getInt(1))
+    val exact = Similarity.bruteForceTopK(df, probes, k = 3).collect().toSeq.sortBy(key)
+    val sq = Similarity.sq8TopK(df, probes, k = 3, candidateFactor = 12).collect().toSeq.sortBy(key)
+    assert(sq == exact, s"sq8=$sq exact=$exact")
   }
 
   test("semDedup: intra-cluster near-dups drop to min id, clusters never compare") {
