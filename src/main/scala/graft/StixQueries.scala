@@ -481,6 +481,45 @@ object StixQueries {
       graft.operators.Events.sessionize(events, gapMinutes = 150).orderBy("user_id")
     },
 
+    // ----- PageRank over the SCO reference graph: __reflist edges plus
+    //       network-traffic's scalar src/dst refs — structural hub
+    //       detection (which address is most central in the hunt); the
+    //       oracle unrolls the damped iteration with the same per-iteration
+    //       9dp rounding the operator applies
+    q("q_stix_pagerank", {
+      def it(i: Int, prev: String): String =
+        s"""c$i AS (SELECT e.dst AS id, sum(r.rank / od.outdeg) AS s
+           |      FROM e JOIN od USING (src) JOIN $prev r ON r.id = e.src GROUP BY e.dst),
+           |r$i AS (SELECT nodes.id,
+           |        round(CAST(0.15 AS DOUBLE)/nn.n
+           |          + CAST(0.85 AS DOUBLE)*coalesce(c$i.s, CAST(0 AS DOUBLE)), 9) AS rank
+           |      FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.id = nodes.id)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT source_ref AS src, target_ref AS dst FROM ${t("__reflist")}
+         |  UNION
+         |  SELECT id, src_ref FROM ${t("network-traffic")} WHERE src_ref IS NOT NULL
+         |  UNION
+         |  SELECT id, dst_ref FROM ${t("network-traffic")} WHERE dst_ref IS NOT NULL),
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src IS NOT NULL AND dst IS NOT NULL),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT id, round(CAST(1.0 AS DOUBLE)/nn.n, 9) AS rank
+         |      FROM nodes CROSS JOIN nn),
+         |${it(1, "r0")},
+         |${it(2, "r1")},
+         |${it(3, "r2")}
+         |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin
+    }) { st =>
+      val rl = st.catalog.resolve("__reflist")
+        .select(col("source_ref").as("src"), col("target_ref").as("dst"))
+      val nt = st.catalog.resolve("network-traffic")
+      val edges = rl
+        .unionByName(nt.select(col("id").as("src"), col("src_ref").as("dst")))
+        .unionByName(nt.select(col("id").as("src"), col("dst_ref").as("dst")))
+      graft.operators.Graph.pageRank(edges, iters = 3).orderBy("id")
+    },
+
     // ----- payload_bin decoders through the pattern compiler: LIKE routes
     //       to like_bin, MATCHES to match_bin (base64-decode then match —
     //       sqlitestorage.py:78-87 match_bin/like_bin). The oracle decodes

@@ -622,6 +622,16 @@ class PipelineOpsSpec extends SparkSpec {
       && r(2).getLong(3) == 0)
   }
 
+  test("pageRank: hand-computed two-iteration values on a three-node chain") {
+    // a->b, a->c, b->c; N=3, d=0.85, per-iteration 9dp rounding
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val r = graft.operators.Graph.pageRank(edges, iters = 2)
+      .orderBy("id").collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.05) < 1e-9)
+    assert(math.abs(r("b") - 0.07125) < 1e-9)
+    assert(math.abs(r("c") - 0.234167) < 1e-9, s"c=${r("c")}")
+  }
+
   test("sq8TopK: a full-corpus shortlist degenerates to exact brute force") {
     // law: when candidateFactor covers the whole corpus, quantized candidate
     // ranking cannot drop a true neighbor — results equal bruteForceTopK
