@@ -642,6 +642,74 @@ object PipelineQueries {
     // multi-probe LSH: each query also probes every bucket at Hamming
     // distance 1 (XOR single-bit masks) — the recall knob between exact
     // bucket (radius 0) and brute force (radius = bits)
+    // Product quantization ANN (PQ + ADC): two 32-dim subspaces each train
+    // a 4-codeword spherical-k-means codebook (the replayed Lloyd's),
+    // vectors encode to per-subspace argmax codes, queries score via the
+    // ADC lookup-table sum, shortlist re-ranks exact — the full billion-
+    // scale recipe replayed end-to-end in SQL
+    q("q_ann_pq", {
+      def lloydJ(tag: Int, i: Int, prev: String): String =
+        s"""s$tag$i AS (SELECT e.vec_id, e.v, c.centroid_id,
+           |        round(list_dot_product(e.v, c.cent)
+           |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cent, c.cent))), 6) AS sc
+           |      FROM e$tag e CROSS JOIN $prev c),
+           |a$tag$i AS (SELECT vec_id, v, centroid_id FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM s$tag$i) z
+           |      WHERE rk = 1),
+           |m$tag$i AS (SELECT centroid_id, i, round(avg(v[i]), 9) AS m
+           |      FROM a$tag$i CROSS JOIN (SELECT unnest(range(1, 33)) AS i) ii GROUP BY centroid_id, i),
+           |c$tag$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$tag$i GROUP BY centroid_id)""".stripMargin
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |e0 AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS v FROM base),
+         |e1 AS (SELECT vec_id, embedding[33:64]::DOUBLE[] AS v FROM base),
+         |c00 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT 4) t0),
+         |${lloydJ(0, 1, "c00")},
+         |${lloydJ(0, 2, "c01")},
+         |c10 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e1 ORDER BY vec_id LIMIT 4) t1),
+         |${lloydJ(1, 1, "c10")},
+         |${lloydJ(1, 2, "c11")},
+         |cb AS (SELECT 0 AS subspace, centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c02
+         |       UNION ALL SELECT 1, centroid_id, cent::FLOAT[]::DOUBLE[] FROM c12),
+         |parts AS (SELECT vec_id AS neighbor_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS sv FROM base
+         |          UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base),
+         |enc AS (SELECT neighbor_id, subspace, centroid_id AS code FROM (
+         |          SELECT p.neighbor_id, p.subspace, b.centroid_id,
+         |            row_number() OVER (PARTITION BY p.neighbor_id, p.subspace
+         |              ORDER BY round(list_dot_product(p.sv, b.centd)
+         |                / (sqrt(list_dot_product(p.sv, p.sv)) * sqrt(list_dot_product(b.centd, b.centd))), 6) DESC,
+         |              b.centroid_id) AS rk
+         |          FROM parts p JOIN cb b USING (subspace)) z WHERE rk = 1),
+         |pparts AS (SELECT vec_id AS query_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS qv FROM base WHERE vec_id < 5
+         |           UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base WHERE vec_id < 5),
+         |tbl AS (SELECT query_id, subspace, b.centroid_id AS code, list_dot_product(p.qv, b.centd) AS tscore
+         |        FROM pparts p JOIN cb b USING (subspace)),
+         |ax AS (SELECT t.query_id, e.neighbor_id, round(sum(t.tscore), 6) AS iscore
+         |       FROM enc e JOIN tbl t USING (subspace, code)
+         |       WHERE t.query_id <> e.neighbor_id
+         |       GROUP BY t.query_id, e.neighbor_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY iscore DESC, neighbor_id) AS crank FROM ax) z2
+         |         WHERE crank <= 20),
+         |x AS (SELECT c.query_id, c.neighbor_id,
+         |        round(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[])
+         |          / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+         |             * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6) AS score
+         |      FROM cand c JOIN base q ON q.vec_id = c.query_id JOIN base v ON v.vec_id = c.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, score, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rank FROM x)
+         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }) { c =>
+      val emb = c.resolve("embeddings")
+      Similarity
+        .pqTopK(emb, emb.where(col("vec_id") < 5),
+          m = 2, k = 4, iters = 2, topK = 5, candidateFactor = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // SQ8 scalar-quantized ANN: candidates ranked by the quantized dot
     // product (integer-valued doubles — EXACT, so the candidate order needs
     // no rounding quarantine), exact cosine re-rank on the 4k shortlist

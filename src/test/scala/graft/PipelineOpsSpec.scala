@@ -644,6 +644,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sq == exact, s"sq8=$sq exact=$exact")
   }
 
+  test("pqTopK: a full-corpus shortlist degenerates to exact brute force") {
+    // same law as sq8: ADC candidate ranking can only ever DROP candidates;
+    // with the shortlist covering the corpus the exact re-rank sees all
+    val vecs = (1L to 12L).map(i => (i, Array.tabulate(8)(d => math.cos(i * 1.9 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.where(col("vec_id") <= 2)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getInt(1))
+    val exact = Similarity.bruteForceTopK(df, probes, k = 3).collect().toSeq.sortBy(key)
+    val pq = Similarity
+      .pqTopK(df, probes, m = 2, k = 3, iters = 2, topK = 3, candidateFactor = 12)
+      .collect().toSeq.sortBy(key)
+    assert(pq == exact, s"pq=$pq exact=$exact")
+  }
+
   test("semDedup: intra-cluster near-dups drop to min id, clusters never compare") {
     val rows = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
