@@ -290,6 +290,43 @@ object PipelineQueries {
       TextOps.tfidfTopK(c.resolve("documents"), k = 3).orderBy("doc_id", "rank")
     },
 
+    // BM25 ranked retrieval for a 3-term query: scores rounded 6dp before
+    // ranking with a doc_id tie-break — a total order both engines
+    // reproduce (ln on both sides; literals cast to DOUBLE so DuckDB's
+    // DECIMAL defaults can't shift the arithmetic)
+    q("q_text_bm25",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |l AS (SELECT doc_id, CAST(length(toks) AS DOUBLE) AS dl FROM t),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM l),
+         |p AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf
+         |      FROM (SELECT doc_id, unnest(toks) AS w FROM t) u
+         |      WHERE w IN ('join', 'vector', 'stream') GROUP BY doc_id, w),
+         |df AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |s AS (SELECT p.doc_id,
+         |        ln((st.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |          * (p.tf * 2.2::DOUBLE)
+         |          / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / st.avgdl)) AS s
+         |      FROM p JOIN df USING (term) JOIN l USING (doc_id) CROSS JOIN st),
+         |sc AS (SELECT doc_id, round(sum(s), 6) AS score FROM s GROUP BY doc_id),
+         |r AS (SELECT doc_id, score,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT rank, doc_id, score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin) { c =>
+      TextOps
+        .bm25TopK(c.resolve("documents"), Seq("join", "vector", "stream"), topK = 10)
+        .orderBy("rank")
+    },
+
+    // exact frequent terms via SON two-phase candidates + recount: the
+    // oracle is the exact global HAVING — the candidate phase may only
+    // ever produce a superset, never change the verified answer
+    q("q_text_heavyhitters",
+      s"""WITH w AS (SELECT unnest($duckToks) AS term FROM documents)
+         |SELECT term, count(*) AS n FROM w GROUP BY term
+         |HAVING count(*) >= 500 ORDER BY term""".stripMargin) { c =>
+      TextOps.heavyHitters(c.resolve("documents"), minCount = 500L).orderBy("term")
+    },
+
     // benchmark decontamination: docs sharing ANY word 8-gram with the
     // benchmark slice (doc_id % 10 = 0) are scrubbed; the oracle recomputes
     // the exact surviving id set via the same md5 overlap keys
@@ -1057,6 +1094,75 @@ object PipelineQueries {
         .orderBy("column", "p")
     },
 
+    // data-quality expectations: every row-level rule folds into ONE
+    // conditional-aggregation pass (Unique included); the FK rule is a
+    // broadcast anti-join count. The oracle recomputes each rule's exact
+    // violation count independently. Range 1..45 and the single-column
+    // Unique are DESIGNED to fail (quantities run to 50; suppkeys repeat) —
+    // nonzero violation counts are the hard signal
+    q("q_profile_validate", {
+      def row(rule: String, target: String, viol: String) =
+        s"""SELECT '$rule' AS rule, '$target' AS target, n.n_rows,
+           |  CAST(($viol) AS BIGINT) AS n_violations,
+           |  round(CAST(($viol) AS DOUBLE) / n.n_rows, 6) AS violation_rate,
+           |  CAST(($viol) = 0 AS INT) AS passed FROM n""".stripMargin
+      s"""WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+         |${row("fk", "l_orderkey",
+          "SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)")}
+         |UNION ALL
+         |${row("not_null", "l_returnflag",
+          "SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL")}
+         |UNION ALL
+         |${row("range", "l_quantity",
+          "SELECT count(*) FROM lineitem WHERE l_quantity IS NOT NULL AND (l_quantity < 1.0::DOUBLE OR l_quantity > 45.0::DOUBLE)")}
+         |UNION ALL
+         |${row("regex", "l_linestatus",
+          "SELECT count(*) FROM lineitem WHERE l_linestatus IS NOT NULL AND NOT regexp_full_match(l_linestatus, '[OF]')")}
+         |UNION ALL
+         |${row("unique", "l_orderkey,l_linenumber",
+          "SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem")}
+         |UNION ALL
+         |${row("unique", "l_suppkey",
+          "SELECT count(*) - count(DISTINCT l_suppkey) FROM lineitem")}
+         |ORDER BY rule, target""".stripMargin
+    }) { c =>
+      import graft.operators.Profile
+      Profile
+        .validate(
+          c.resolve("lineitem"),
+          Seq(
+            Profile.NotNull("l_returnflag"),
+            Profile.InRange("l_quantity", 1.0, 45.0),
+            Profile.Matches("l_linestatus", "[OF]"),
+            Profile.Unique(Seq("l_orderkey", "l_linenumber")),
+            Profile.Unique(Seq("l_suppkey")),
+            Profile.RefIntegrity("l_orderkey", c.resolve("orders"), "o_orderkey")))
+        // int-rendered boolean: engines agree on 0/1, bool hashing varies
+        .withColumn("passed", col("passed").cast("int"))
+        .orderBy("rule", "target")
+    },
+
+    // Morton/Z-order interleave of (l_partkey, l_suppkey): the
+    // multi-dimensional clustering key behind OPTIMIZE ZORDER, as pure
+    // bit-arithmetic both engines evaluate identically on BIGINTs
+    q("q_layout_zorder", {
+      val zterms = (0 until 16)
+        .flatMap(i => Seq(
+          s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i})",
+          s"((((l_suppkey & 65535) >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, CAST($zterms AS BIGINT) AS zval
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }) { c =>
+      c.resolve("lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          graft.operators.Layout
+            .zOrderValue(col("l_partkey"), col("l_suppkey"), bits = 16).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ===== Multimodal plumbing (binary columns + batched stub decode) =====
     // no SQL oracle: mapPartitions feature extraction is not expressible in
     // DuckDB; the driver records a rows-only check, and MultimodalSpec pins
@@ -1286,6 +1392,48 @@ object PipelineQueries {
         |FROM g JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin) { c =>
       Events.retention(c.resolve("events")).orderBy("cohort_week", "week_offset")
+    },
+
+    // daily-volume anomaly detection: z-scores from EXACT integer sums
+    // (Σn, Σn² as longs) so σ is bit-identical in both engines — no
+    // streaming-stddev implementation drift; flags rendered as 0/1 ints
+    q("q_events_anomaly",
+      """WITH daily AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, sum(n) AS s1, sum(n * n) AS s2, count(*) AS d
+        |  FROM daily GROUP BY 1),
+        |sx AS (SELECT event_type, CAST(s1 AS DOUBLE) / d AS mu,
+        |    sqrt(greatest(CAST(s2 AS DOUBLE) / d
+        |      - (CAST(s1 AS DOUBLE) / d) * (CAST(s1 AS DOUBLE) / d), 0.0::DOUBLE)) AS sigma
+        |  FROM st),
+        |zz AS (SELECT daily.event_type, day, n,
+        |    CASE WHEN sigma > 0 THEN round((n - mu) / sigma, 6)
+        |         ELSE 0.0::DOUBLE END AS z
+        |  FROM daily JOIN sx USING (event_type))
+        |SELECT event_type, day, n, z, CAST(abs(z) >= 2.0::DOUBLE AS INT) AS is_anomaly
+        |FROM zz ORDER BY event_type, day""".stripMargin) { c =>
+      Events
+        .dailyAnomalies(c.resolve("events"), zThreshold = 2.0)
+        .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+        .orderBy("event_type", "day")
+    },
+
+    // first-order Markov transition matrix over per-user event sequences:
+    // counts are exact longs, the probability one exact division — the
+    // behavioral-model summary the reference's event surface can't express
+    q("q_events_transitions",
+      """WITH g AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |s AS (SELECT prev_type, event_type AS next_type, count(*) AS n FROM g
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n) AS total FROM s GROUP BY 1)
+        |SELECT s.prev_type, s.next_type, s.n,
+        |  round(CAST(s.n AS DOUBLE) / t.total, 6) AS p
+        |FROM s JOIN t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin) { c =>
+      Events.typeTransitions(c.resolve("events")).orderBy("prev_type", "next_type")
     },
 
     q("q_events_top_types",

@@ -193,6 +193,76 @@ object Events {
     }: _*)).as("r")).select(col("r.step"), col("r.event_type"), col("r.n_users"))
   }
 
+  /** Daily-volume anomaly detection: each (event_type, day) count is scored
+    * against that type's own history as a z-score, |z| ≥ threshold flags the
+    * day. The variance is computed from EXACT integer sums (Σn, Σn² as
+    * longs, σ = √(Σn²/d − μ²)) rather than a streaming stddev aggregate, so
+    * the score is bit-identical regardless of partitioning or engine — the
+    * determinism contract every float in this repo follows.
+    *
+    * Scale shape: the only corpus-sized work is the daily count (one
+    * shuffle); the per-type stats frame is days×types tiny and broadcasts
+    * back. Flat history (σ = 0) scores 0, not NaN. */
+  def dailyAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(
+        col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily
+      .groupBy("event_type")
+      .agg(
+        sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"),
+        count(lit(1)).as("d"))
+      .withColumn("mu", col("s1").cast("double") / col("d"))
+      .withColumn(
+        "sigma",
+        sqrt(greatest(
+          col("s2").cast("double") / col("d") - col("mu") * col("mu"),
+          lit(0.0))))
+      .select("event_type", "mu", "sigma")
+    daily
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn(
+        "z",
+        when(col("sigma") > 0, round((col("n") - col("mu")) / col("sigma"), 6))
+          .otherwise(lit(0.0)))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("n"),
+        col("z"),
+        (abs(col("z")) >= zThreshold).as("is_anomaly"))
+  }
+
+  /** First-order Markov transition matrix over each user's event sequence:
+    * count and probability of every (prev_type → next_type) step, ordered by
+    * (ts, event_id) within user. The behavioral-model summary (and a cheap
+    * bot-detector: improbable transition chains).
+    *
+    * Scale shape: one shuffle on user_id for the lag window, then the
+    * transition frame is types² tiny — the per-prev totals broadcast back
+    * for the probability. Counts are longs; the probability is one exact
+    * division rounded 6dp. */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy("prev_type").agg(sum("n").as("total"))
+    steps
+      .join(broadcast(totals), Seq("prev_type"))
+      .select(
+        col("prev_type"),
+        col("next_type"),
+        col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("p"))
+  }
+
   /** Change-detection with lag: count of events whose value strictly rose
     * versus the user's previous event (deterministic (ts, event_id) order). */
   def risingValueCounts(events: DataFrame): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout tools for 100 TB operation: skew-salted joins and
@@ -79,6 +79,46 @@ object Layout {
       rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Morton (Z-order) interleave of two non-negative integer keys, `bits`
+    * low bits each: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Sorting or range-partitioning by the z-value clusters rows that
+    * are close in BOTH dimensions into the same files, so min/max file
+    * statistics prune scans filtered on EITHER key — the multi-dimensional
+    * layout trick behind Delta/Iceberg OPTIMIZE ZORDER, expressed as a pure
+    * codegen'd bit-arithmetic column (no UDF, no shuffle of its own).
+    *
+    * Keys wider than `bits` are masked (callers with wider domains should
+    * rank-normalize first); 16+16 bits keeps the value well inside a long. */
+  def zOrderValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1
+    val am = a.cast("long").bitwiseAND(lit(mask))
+    val bm = b.cast("long").bitwiseAND(lit(mask))
+    (0 until bits)
+      .flatMap(i =>
+        Seq(
+          shiftleft(shiftright(am, i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(bm, i).bitwiseAND(lit(1L)), 2 * i + 1)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Range-partition `df` into `numFiles` splits by the z-value of the two
+    * keys — the write-side layout pass: each output file covers a compact
+    * z-range, i.e. a small rectangle in (a, b) space, which is what makes
+    * file skipping on either key effective. LayoutSpec pins the clustering
+    * effect (per-partition bounding boxes shrink vs. the unclustered
+    * layout). */
+  def zOrderRepartition(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      numFiles: Int,
+      bits: Int = 16): DataFrame =
+    df.withColumn("__z", zOrderValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
 
   /** True if the executed plan contains a shuffle exchange (plan audit
     * helper; used by specs to pin layout behavior). */

@@ -68,6 +68,97 @@ object Profile {
         StructField("avg_val", DoubleType))))
   }
 
+  /** Declarative data-quality expectations (the pre-ingest validation gate a
+    * pipeline runs on every new source drop). */
+  sealed trait Rule { def name: String; def target: String }
+  /** Column must be non-null. */
+  case class NotNull(column: String) extends Rule {
+    val name = "not_null"; val target = column
+  }
+  /** Non-null values must lie in [lo, hi]. */
+  case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+    val name = "range"; val target = column
+  }
+  /** Non-null values must fully match the regex. */
+  case class Matches(column: String, pattern: String) extends Rule {
+    val name = "regex"; val target = column
+  }
+  /** The column tuple must be unique across the table. */
+  case class Unique(columns: Seq[String]) extends Rule {
+    val name = "unique"; val target = columns.mkString(",")
+  }
+  /** Non-null values must exist in parent(parentKey) — referential
+    * integrity. */
+  case class RefIntegrity(column: String, parent: DataFrame, parentKey: String)
+      extends Rule {
+    val name = "fk"; val target = column
+  }
+
+  /** Run every rule against `df` and return one row per rule:
+    * (rule, target, n_rows, n_violations, violation_rate, passed).
+    *
+    * Execution shape: ALL row-level rules (not_null/range/regex) and every
+    * Unique rule fold into ONE conditional-aggregation pass over the table —
+    * adding a rule adds a column to the aggregate, never a scan. Each
+    * RefIntegrity rule is one more aggregate against a broadcast of the
+    * parent's distinct keys (dimension-sized by assumption — the FK check
+    * every warehouse runs). Violation counts are exact longs; the rate is
+    * one division rounded 6dp. The result is rule-count sized, assembled
+    * driver-side like profile()'s unpivot. */
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val spark = df.sparkSession
+    require(rules.nonEmpty, "validate needs at least one rule")
+    val rowRules = rules.zipWithIndex
+    val aggs = rowRules.flatMap {
+      case (NotNull(c), i) =>
+        Some(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__v$i"))
+      case (InRange(c, lo, hi), i) =>
+        Some(sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+          .otherwise(0L)).as(s"__v$i"))
+      case (Matches(c, p), i) =>
+        Some(sum(when(col(c).isNotNull && !col(c).rlike("^(?:" + p + ")$"), 1L)
+          .otherwise(0L)).as(s"__v$i"))
+      case (Unique(cs), i) =>
+        Some((count(lit(1)) - count_distinct(struct(cs.map(col): _*))).as(s"__v$i"))
+      case (_: RefIntegrity, _) => None
+    }
+    val base = df.agg(count(lit(1)).as("__n"), aggs: _*).head()
+    val nRows = base.getAs[Long]("__n")
+    val fkCounts: Map[Int, Long] = rowRules.collect {
+      case (RefIntegrity(c, parent, pk), i) =>
+        val orphans = df
+          .select(col(c))
+          .where(col(c).isNotNull)
+          .join(
+            broadcast(parent.select(col(pk).as(c)).distinct()),
+            Seq(c),
+            "left_anti")
+          .count()
+        i -> orphans
+    }.toMap
+    val rows = rowRules.map { case (r, i) =>
+      val v = r match {
+        case _: RefIntegrity => fkCounts(i)
+        case _               => base.getAs[Long](s"__v$i")
+      }
+      val rate =
+        if (nRows == 0) 0.0
+        else BigDecimal(v.toDouble / nRows)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Row(r.name, r.target, nRows, v, rate, v == 0L)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("rule", StringType),
+        StructField("target", StringType),
+        StructField("n_rows", LongType),
+        StructField("n_violations", LongType),
+        StructField("violation_rate", DoubleType),
+        StructField("passed", BooleanType))))
+  }
+
   /** Exact per-column quantiles, one (column, p, q) row per requested
     * percentile — ONE aggregation pass over all columns (each percentile
     * list comes back as an array, unpivoted lazily with posexplode).

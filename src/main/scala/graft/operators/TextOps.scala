@@ -197,6 +197,99 @@ object TextOps {
       .select(col(idCol), col("n_tokens"), col("nll"))
   }
 
+  /** BM25-ranked retrieval: top-k documents for a bag-of-words query.
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene/ATIRE variant —
+    * the +1 keeps idf positive for terms in over half the corpus).
+    *
+    * Scale shape: the term filter applies MAP-SIDE before anything shuffles,
+    * so the one (doc, term) aggregation carries only postings of the query's
+    * terms — query-sized, not corpus-sized. Document length rides along in
+    * the same pass (max of a per-doc constant), document frequencies and the
+    * corpus stats broadcast back, and the global top-k is a TakeOrdered
+    * (per-partition heads, no single-task window). Scores are rounded 6dp
+    * BEFORE ranking with a doc_id tie-break — a total order any engine
+    * reproduces. */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val stats = docs
+      .select(tokenCount(col(textCol)).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val postings = docs
+      .select(
+        col(idCol),
+        tokenCount(col(textCol)).cast("double").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), max("dl").as("dl"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "s",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum("s"), 6).as("score"))
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol)))) // topK rows only
+      .select(col("rank"), col(idCol), col("score"))
+  }
+
+  /** Exact frequent terms via the SON two-phase algorithm (Savasere–Omiecinski–
+    * Navathe; ch. 6 of Mining of Massive Datasets): phase 1 counts each
+    * partition in a local hash map and emits only terms reaching the local
+    * threshold ⌈minCount/P⌉ — by pigeonhole, any term with global count ≥
+    * minCount reaches it in at least one of the P partitions, so the
+    * candidate set has NO false negatives. Phase 2 recounts candidates
+    * exactly (broadcast semi-join, one aggregation) and applies the global
+    * threshold, removing the false positives.
+    *
+    * The point at 100 TB: the full vocabulary never shuffles. Phase 1 is
+    * map-side only, phase 2 shuffles candidate postings — bounded by
+    * P · (partitionRows/localMin) terms, not |V|. The output is exact and
+    * partitioning-invariant (the candidate superset varies with layout; the
+    * verified counts do not). mapPartitions is deliberate here — SURVEY
+    * §7.4's "genuine per-partition imperative logic" case. */
+  def heavyHitters(
+      docs: DataFrame,
+      minCount: Long,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs.select(explode(tokens(col(textCol))).as("term")).as[String]
+    val nPart = math.max(1, terms.rdd.getNumPartitions)
+    val localMin = (minCount + nPart - 1) / nPart // ceiling
+    val candidates = terms
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+        m.iterator.collect { case (t, c) if c >= localMin => t }
+      }
+      .toDF("term")
+      .distinct()
+    terms
+      .toDF("term")
+      .join(broadcast(candidates), Seq("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** Per-document top-k keyword extraction by smoothed TF-IDF
     * (tf × (ln((N+1)/(df+1)) + 1), sklearn's smooth-idf). Deterministic:
     * scores are rounded BEFORE ranking and ties break on the term, so the

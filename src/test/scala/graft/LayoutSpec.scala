@@ -55,6 +55,51 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zOrderValue: exact interleave, locality, and mask behavior") {
+    // bit i of a -> position 2i, bit i of b -> 2i+1
+    val z = Seq((3L, 1L)).toDF("a", "b")
+      .select(Layout.zOrderValue(col("a"), col("b"))).head().getLong(0)
+    // a=0b11 -> bits 0,2; b=0b1 -> bit 1 => 0b111 = 7
+    assert(z == 7L, s"interleave(3,1) = $z, want 7")
+    // symmetric: interleave(1,3) -> a bit0 + b bits1,3 = 0b1011 = 11
+    val z2 = Seq((1L, 3L)).toDF("a", "b")
+      .select(Layout.zOrderValue(col("a"), col("b"))).head().getLong(0)
+    assert(z2 == 11L)
+    // keys wider than `bits` are masked, not corrupted
+    val zm = Seq(((1L << 20) + 5L, 0L)).toDF("a", "b")
+      .select(Layout.zOrderValue(col("a"), col("b"), bits = 16)).head().getLong(0)
+    assert(zm == Seq((5L, 0L)).toDF("a", "b")
+      .select(Layout.zOrderValue(col("a"), col("b"), bits = 16)).head().getLong(0))
+  }
+
+  test("zOrderRepartition shrinks per-file bounding boxes on both dimensions") {
+    // a 64x64 grid: random single-dimension layout gives every partition a
+    // near-full-range bbox in the OTHER dimension; z-order layout must cover
+    // each key's range with a fraction per file in BOTH dimensions
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val parts = 16
+    def avgSpan(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = df
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(
+          (max("x") - min("x")).as("sx"),
+          (max("y") - min("y")).as("sy"))
+        .collect()
+      (spans.map(_.getLong(1)).sum.toDouble / spans.length,
+        spans.map(_.getLong(2)).sum.toDouble / spans.length)
+    }
+    val (zx, zy) = avgSpan(Layout.zOrderRepartition(grid, "x", "y", parts, bits = 6))
+    // sorting by x alone: x clusters perfectly but y spans the full range
+    val (_, sy) = avgSpan(grid.repartitionByRange(parts, col("x")))
+    // 256 z-consecutive points/partition = ~a 16x16 tile; sampled range
+    // boundaries can straddle tiles, so allow up to ~2 tiles of span
+    assert(zx < 40 && zy < 40, s"z-order bbox should be fractional: x=$zx y=$zy")
+    assert(sy > 60, s"single-dim layout leaves y unclustered: $sy")
+    assert(zy < sy / 2, s"z-order must beat single-dim on the other dim: $zy vs $sy")
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("id", "av")

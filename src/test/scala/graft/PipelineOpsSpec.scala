@@ -672,6 +672,84 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cl(1L) == cl(2L) && cl(10L) == cl(11L) && cl(1L) != cl(10L), s"clusters=$cl")
   }
 
+  test("bm25TopK: rarer term outranks commoner term; rank is total-ordered") {
+    // df(x)=1, df(y)=3 over 4 docs: doc 1 (only x carrier) must outrank the
+    // y-only carriers; ties among identical y docs break on doc_id
+    val corpus = docs((1, "x a b"), (2, "y a b"), (3, "y a b"), (4, "y a b"))
+    val r = TextOps.bm25TopK(corpus, Seq("x", "y"), topK = 4)
+      .orderBy("rank").collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(r.map(_._2).head == 1, s"rarest-term doc must rank first: $r")
+    assert(r == r.sortBy(_._1) && r.map(_._2).drop(1) == Seq(2, 3, 4), s"r=$r")
+    // non-matching docs never appear
+    val none = TextOps.bm25TopK(corpus, Seq("zzz"), topK = 4).count()
+    assert(none == 0)
+  }
+
+  test("heavyHitters: exact counts, invariant to partitioning (SON candidates)") {
+    val corpus = docs(
+      (1, "hot hot hot warm"), (2, "hot hot warm cold"), (3, "hot warm x"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      TextOps.heavyHitters(df, minCount = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val one = hits(corpus.repartition(1))
+    val many = hits(corpus.repartition(7))
+    assert(one == Set(("hot", 6L), ("warm", 3L)), s"one=$one")
+    assert(one == many, s"partitioning changed the answer: $one vs $many")
+  }
+
+  test("dailyAnomalies: spike day flagged, flat series scores zero") {
+    val rows =
+      (1 to 9).map(d => (d.toLong, "a", f"2024-01-0$d 10:00:00", 1)) ++ // 1/day
+        Seq((100L, "a", "2024-01-05 11:00:00", 9), // +9 extra on day 5
+          (200L, "b", "2024-01-01 10:00:00", 1), (201L, "b", "2024-01-02 10:00:00", 1))
+    val ev = rows
+      .flatMap { case (id, t, s, n) => (0 until n).map(i => (id * 100 + i, t, s)) }
+      .toSeq.toDF("event_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val r = Events.dailyAnomalies(ev, 2.0).orderBy("event_type", "day").collect()
+    val aFlags = r.filter(_.getString(0) == "a").map(x => x.getLong(2) -> x.getBoolean(4))
+    assert(aFlags.count(_._2) == 1 && aFlags.find(_._2).get._1 == 10L,
+      s"exactly the 10-count spike day flags: ${aFlags.toSeq}")
+    val b = r.filter(_.getString(0) == "b")
+    assert(b.forall(x => x.getDouble(3) == 0.0 && !x.getBoolean(4)),
+      "flat series has sigma 0 -> z 0, never NaN")
+  }
+
+  test("typeTransitions: per-user ordered bigrams with exact probabilities") {
+    val ev = Seq(
+      (1L, 1, "a", "2024-01-01 00:00:00"), (2L, 1, "b", "2024-01-01 00:01:00"),
+      (3L, 1, "a", "2024-01-01 00:02:00"), (4L, 2, "a", "2024-01-01 00:00:00"),
+      (5L, 2, "c", "2024-01-01 00:01:00"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val r = Events.typeTransitions(ev).orderBy("prev_type", "next_type")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    // from 'a': a->b once, a->c once (p=0.5 each); from 'b': b->a once (p=1)
+    assert(r.toSeq == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 1L, 1.0)), s"r=${r.toSeq}")
+  }
+
+  test("validate: rule matrix — violations counted exactly, one scan for row rules") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1, "ok", 10.0, "A"), (2, "ok", 99.0, "A"), // 99 out of range; dup (2,..) below
+      (2, null, 20.0, "B"), (4, "ok", 30.0, "zz") // null name; 'zz' fails regex
+    ).toDF("id", "name", "v", "code")
+    val parent = Seq("A", "B").toDF("k")
+    val r = Profile.validate(df, Seq(
+      Profile.NotNull("name"),
+      Profile.InRange("v", 0.0, 50.0),
+      Profile.Matches("code", "[A-Z]+"),
+      Profile.Unique(Seq("id")),
+      Profile.RefIntegrity("code", parent, "k")))
+      .collect().map(x => (x.getString(0), x.getLong(3), x.getBoolean(5))).toSeq
+    assert(r == Seq(
+      ("not_null", 1L, false), ("range", 1L, false), ("regex", 1L, false),
+      ("unique", 1L, false), ("fk", 1L, false)), s"r=$r")
+    val clean = Profile.validate(df.where(col("id") === 1), Seq(Profile.NotNull("name")))
+      .head()
+    assert(clean.getBoolean(5) && clean.getLong(3) == 0L)
+  }
+
   test("tfidfTopK: rounded scores rank, ties break on the term") {
     // N=2; df(x)=1, df(y)=df(z)=2 -> idf(x)=ln(1.5)+1, idf(y)=idf(z)=1
     val r = TextOps.tfidfTopK(docs((1, "x x y z"), (2, "y z")), k = 3)
