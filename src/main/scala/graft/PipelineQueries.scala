@@ -99,6 +99,66 @@ object PipelineQueries {
        |        (SELECT max(length(v)) FROM e) + 1)) AS i) ii GROUP BY centroid_id, i),
        |c$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$i GROUP BY centroid_id)""".stripMargin
 
+  // one Lloyd's iteration over a PQ SUBSPACE slice CTE e$tag (32-dim
+  // variant of duckLloyd, tagged to avoid CTE collisions) — shared by the
+  // q_ann_pq and q_ann_ivfpq oracles
+  private def duckLloydSub(tag: Int, i: Int, prev: String): String =
+    s"""s$tag$i AS (SELECT e.vec_id, e.v, c.centroid_id,
+       |        round(list_dot_product(e.v, c.cent)
+       |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cent, c.cent))), 6) AS sc
+       |      FROM e$tag e CROSS JOIN $prev c),
+       |a$tag$i AS (SELECT vec_id, v, centroid_id FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM s$tag$i) z
+       |      WHERE rk = 1),
+       |m$tag$i AS (SELECT centroid_id, i, round(avg(v[i]), 9) AS m
+       |      FROM a$tag$i CROSS JOIN (SELECT unnest(range(1, 33)) AS i) ii GROUP BY centroid_id, i),
+       |c$tag$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$tag$i GROUP BY centroid_id)""".stripMargin
+
+  // the PQ codebook/encode/ADC-table CTE chain (2 subspaces × 2 Lloyd
+  // iterations, fp32-snapped codebooks, rounded-argmax codes, per-query
+  // lookup tables) over `base` (vec_id, embedding) — the shared front half
+  // of the q_ann_pq and q_ann_ivfpq oracles
+  private lazy val duckPqCtes =
+    s"""e0 AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS v FROM base),
+       |e1 AS (SELECT vec_id, embedding[33:64]::DOUBLE[] AS v FROM base),
+       |c00 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+       |      FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT 4) t0),
+       |${duckLloydSub(0, 1, "c00")},
+       |${duckLloydSub(0, 2, "c01")},
+       |c10 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+       |      FROM (SELECT vec_id, v FROM e1 ORDER BY vec_id LIMIT 4) t1),
+       |${duckLloydSub(1, 1, "c10")},
+       |${duckLloydSub(1, 2, "c11")},
+       |cb AS (SELECT 0 AS subspace, centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c02
+       |       UNION ALL SELECT 1, centroid_id, cent::FLOAT[]::DOUBLE[] FROM c12),
+       |parts AS (SELECT vec_id AS neighbor_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS sv FROM base
+       |          UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base),
+       |enc AS (SELECT neighbor_id, subspace, centroid_id AS code FROM (
+       |          SELECT p.neighbor_id, p.subspace, b.centroid_id,
+       |            row_number() OVER (PARTITION BY p.neighbor_id, p.subspace
+       |              ORDER BY round(list_dot_product(p.sv, b.centd)
+       |                / (sqrt(list_dot_product(p.sv, p.sv)) * sqrt(list_dot_product(b.centd, b.centd))), 6) DESC,
+       |              b.centroid_id) AS rk
+       |          FROM parts p JOIN cb b USING (subspace)) z WHERE rk = 1),
+       |pparts AS (SELECT vec_id AS query_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS qv FROM base WHERE vec_id < 5
+       |           UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base WHERE vec_id < 5),
+       |tbl AS (SELECT query_id, subspace, b.centroid_id AS code, list_dot_product(p.qv, b.centd) AS tscore
+       |        FROM pparts p JOIN cb b USING (subspace))""".stripMargin
+
+  // exact-cosine re-rank of cand(query_id, neighbor_id) against `base`,
+  // emitting the final (query_id, rank, neighbor_id, score) top-5 — the
+  // shared tail of the q_ann_pq and q_ann_ivfpq oracles
+  private lazy val duckPqRerank =
+    """x AS (SELECT c.query_id, c.neighbor_id,
+      |        round(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[])
+      |          / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+      |             * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6) AS score
+      |      FROM cand c JOIN base q ON q.vec_id = c.query_id JOIN base v ON v.vec_id = c.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, score, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, neighbor_id) AS rank FROM x)
+      |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   // connected components over the >=0.5-jaccard minhash-candidate pair
   // graph, as named CTEs ending in grp(doc_id, group_id) — shared by the
   // q_dedup_groups and q_dedup_reps oracles (must follow WITH RECURSIVE)
@@ -327,6 +387,39 @@ object PipelineQueries {
       TextOps.heavyHitters(c.resolve("documents"), minCount = 500L).orderBy("term")
     },
 
+    // Gopher-style filter pipeline: per-doc keep/reject with the FIRST
+    // failing rule as the reason (rule order is the contract); thresholds
+    // chosen to reject on three different rules at sf0.01
+    q("q_text_filter",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, toks, CASE WHEN length(toks) >= 2
+         |    THEN list_transform(range(1, length(toks)), i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE [] END AS gs FROM t),
+         |m AS (SELECT doc_id, length(toks) AS nt,
+         |  round(CASE WHEN length(gs) > 0
+         |    THEN (length(gs) - length(list_distinct(gs))) / CAST(length(gs) AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS rep,
+         |  round(CASE WHEN length(toks) > 0
+         |    THEN ${duckStopHits(sqlList(TextOps.enStop))}::DOUBLE / length(toks)
+         |    ELSE 0.0 END, 6) AS sr
+         | FROM g),
+         |v AS (SELECT doc_id,
+         |  CASE WHEN NOT (nt >= 15) THEN 'too_short'
+         |       WHEN NOT (nt <= 100000) THEN 'too_long'
+         |       WHEN NOT (rep <= 0.05::DOUBLE) THEN 'repetitive'
+         |       WHEN NOT (sr >= 0.02::DOUBLE) THEN 'low_stopword'
+         |       ELSE NULL END AS reject_reason FROM m)
+         |SELECT doc_id, reject_reason,
+         |  CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END AS keep
+         |FROM v ORDER BY doc_id""".stripMargin) { c =>
+      TextOps
+        .filterReport(
+          c.resolve("documents"),
+          TextOps.gopherRules(col("text"), minTokens = 15, maxTokens = 100000,
+            maxRepetition = 0.05, minStopword = 0.02))
+        .orderBy("doc_id")
+    },
+
     // benchmark decontamination: docs sharing ANY word 8-gram with the
     // benchmark slice (doc_id % 10 = 0) are scrubbed; the oracle recomputes
     // the exact surviving id set via the same md5 overlap keys
@@ -362,6 +455,29 @@ object PipelineQueries {
         .stratifiedSample(c.resolve("documents"), "doc_id", "lang",
           Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
         .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // deterministic train/val/test split: membership = which cumulative-
+    // rate interval the md5 draw lands in; BOTH engines compare u against
+    // the bit-identical fold bounds (0.8 + 0.1 is 0.9000000000000001, not
+    // "0.9"), so the full assignment column matches row-for-row
+    q("q_sample_split", {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val bounds = graft.operators.Sampling.splitBounds(splits)
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(('0x' || substring(md5(doc_id || 'sp0'), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN u < ${bounds(0)}::DOUBLE THEN 'train'
+         |       WHEN u < ${bounds(1)}::DOUBLE THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { c =>
+      graft.operators.Sampling
+        .hashSplit(c.resolve("documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "sp0")
+        .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     },
 
@@ -684,44 +800,9 @@ object PipelineQueries {
     // vectors encode to per-subspace argmax codes, queries score via the
     // ADC lookup-table sum, shortlist re-ranks exact — the full billion-
     // scale recipe replayed end-to-end in SQL
-    q("q_ann_pq", {
-      def lloydJ(tag: Int, i: Int, prev: String): String =
-        s"""s$tag$i AS (SELECT e.vec_id, e.v, c.centroid_id,
-           |        round(list_dot_product(e.v, c.cent)
-           |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cent, c.cent))), 6) AS sc
-           |      FROM e$tag e CROSS JOIN $prev c),
-           |a$tag$i AS (SELECT vec_id, v, centroid_id FROM (
-           |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM s$tag$i) z
-           |      WHERE rk = 1),
-           |m$tag$i AS (SELECT centroid_id, i, round(avg(v[i]), 9) AS m
-           |      FROM a$tag$i CROSS JOIN (SELECT unnest(range(1, 33)) AS i) ii GROUP BY centroid_id, i),
-           |c$tag$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$tag$i GROUP BY centroid_id)""".stripMargin
+    q("q_ann_pq",
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-         |e0 AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS v FROM base),
-         |e1 AS (SELECT vec_id, embedding[33:64]::DOUBLE[] AS v FROM base),
-         |c00 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
-         |      FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT 4) t0),
-         |${lloydJ(0, 1, "c00")},
-         |${lloydJ(0, 2, "c01")},
-         |c10 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
-         |      FROM (SELECT vec_id, v FROM e1 ORDER BY vec_id LIMIT 4) t1),
-         |${lloydJ(1, 1, "c10")},
-         |${lloydJ(1, 2, "c11")},
-         |cb AS (SELECT 0 AS subspace, centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c02
-         |       UNION ALL SELECT 1, centroid_id, cent::FLOAT[]::DOUBLE[] FROM c12),
-         |parts AS (SELECT vec_id AS neighbor_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS sv FROM base
-         |          UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base),
-         |enc AS (SELECT neighbor_id, subspace, centroid_id AS code FROM (
-         |          SELECT p.neighbor_id, p.subspace, b.centroid_id,
-         |            row_number() OVER (PARTITION BY p.neighbor_id, p.subspace
-         |              ORDER BY round(list_dot_product(p.sv, b.centd)
-         |                / (sqrt(list_dot_product(p.sv, p.sv)) * sqrt(list_dot_product(b.centd, b.centd))), 6) DESC,
-         |              b.centroid_id) AS rk
-         |          FROM parts p JOIN cb b USING (subspace)) z WHERE rk = 1),
-         |pparts AS (SELECT vec_id AS query_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS qv FROM base WHERE vec_id < 5
-         |           UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base WHERE vec_id < 5),
-         |tbl AS (SELECT query_id, subspace, b.centroid_id AS code, list_dot_product(p.qv, b.centd) AS tscore
-         |        FROM pparts p JOIN cb b USING (subspace)),
+         |$duckPqCtes,
          |ax AS (SELECT t.query_id, e.neighbor_id, round(sum(t.tscore), 6) AS iscore
          |       FROM enc e JOIN tbl t USING (subspace, code)
          |       WHERE t.query_id <> e.neighbor_id
@@ -730,20 +811,54 @@ object PipelineQueries {
          |          SELECT *, row_number() OVER (PARTITION BY query_id
          |            ORDER BY iscore DESC, neighbor_id) AS crank FROM ax) z2
          |         WHERE crank <= 20),
-         |x AS (SELECT c.query_id, c.neighbor_id,
-         |        round(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[])
-         |          / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
-         |             * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6) AS score
-         |      FROM cand c JOIN base q ON q.vec_id = c.query_id JOIN base v ON v.vec_id = c.neighbor_id),
-         |r AS (SELECT query_id, neighbor_id, score, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, neighbor_id) AS rank FROM x)
-         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
-    }) { c =>
+         |$duckPqRerank""".stripMargin) { c =>
       val emb = c.resolve("embeddings")
       Similarity
         .pqTopK(emb, emb.where(col("vec_id") < 5),
           m = 2, k = 4, iters = 2, topK = 5, candidateFactor = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ (the composed FAISS IndexIVFPQ recipe, non-residual variant):
+    // the coarse quantizer (first-8 cells, as q_ann_ivf) restricts each
+    // query's ADC scan to its 2 probed cells' members; codes/tables are the
+    // same global-codebook chain as q_ann_pq; exact re-rank on the
+    // cell-restricted shortlist
+    q("q_ann_ivfpq",
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |$duckPqCtes,
+         |icent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |      FROM embeddings ORDER BY vec_id LIMIT 8),
+         |ica AS (SELECT e.vec_id, c.centroid_id,
+         |        round(list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[])
+         |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         |             * sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))), 6) AS cscore
+         |      FROM embeddings e CROSS JOIN icent c),
+         |iassigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ica) z WHERE rk = 1),
+         |iprobed AS (SELECT vec_id AS query_id, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ica WHERE vec_id < 5) z
+         |      WHERE rk <= 2),
+         |cpairs AS (SELECT p.query_id, a.neighbor_id
+         |      FROM iprobed p JOIN iassigned a USING (centroid_id)
+         |      WHERE p.query_id <> a.neighbor_id),
+         |ax AS (SELECT cp.query_id, cp.neighbor_id, round(sum(t.tscore), 6) AS iscore
+         |       FROM cpairs cp
+         |       JOIN enc e ON e.neighbor_id = cp.neighbor_id
+         |       JOIN tbl t ON t.query_id = cp.query_id
+         |         AND t.subspace = e.subspace AND t.code = e.code
+         |       GROUP BY cp.query_id, cp.neighbor_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY iscore DESC, neighbor_id) AS crank FROM ax) z2
+         |         WHERE crank <= 20),
+         |$duckPqRerank""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      Similarity
+        .ivfpqTopK(emb, emb.where(col("vec_id") < 5),
+          nlist = 8, nprobe = 2, m = 2, k = 4, iters = 2, topK = 5, candidateFactor = 4)
         .orderBy("query_id", "rank")
     },
 

@@ -41,6 +41,35 @@ object Sampling {
     df.where(uniformDraw(col(keyCol), seed) < rate)
   }
 
+  /** Deterministic train/val/test assignment: each row lands in the split
+    * whose cumulative-rate interval contains its uniform draw — the
+    * dataset-release primitive (published splits are DEFINED by the hash
+    * recipe, so any engine, any day, any partitioning reproduces them;
+    * membership is decided per-row, so a later corpus append never
+    * reshuffles earlier assignments). Fractions must sum to 1; the last
+    * split absorbs the draw's top end, so every row is assigned. Pure
+    * map-side CASE chain — zero shuffle at any scale. */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      seed: String = "sp0"): DataFrame = {
+    require(splits.size >= 2, "hashSplit needs at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val u = uniformDraw(col(keyCol), seed)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail // cumulative upper bounds
+    val assigned = splits.zip(bounds).dropRight(1).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), ub), acc) => when(u < lit(ub), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** The exact double upper bounds hashSplit compares against, for oracle
+    * mirrors: both engines must test u against bit-identical constants
+    * (0.8 + 0.1 is 0.9000000000000001 — the fold's value, not "0.9"). */
+  private[graft] def splitBounds(splits: Seq[(String, Double)]): Seq[Double] =
+    splits.scanLeft(0.0)(_ + _._2).tail
+
   /** Upper bound on the quota-th smallest of n uniform [0,1) draws.
     *
     * The quota-th order statistic concentrates at quota/n with standard

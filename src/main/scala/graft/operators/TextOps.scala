@@ -145,6 +145,44 @@ object TextOps {
       regexp_replace(c, pat, tag)
     }
 
+  /** Gopher/C4-style quality-filter pipeline: named pass/fail rules
+    * evaluated in order, each doc labeled with keep ∈ {0,1} and the FIRST
+    * failing rule as reject_reason (null when kept) — the auditable form a
+    * corpus release needs (per-rule rejection counts fall out of one
+    * groupBy on the reason).
+    *
+    * Rules are (name, pass-predicate) pairs over the doc row, so callers
+    * compose any signal in this file (token counts, repetition, stopword
+    * density, langId, lm nll…). The whole report is ONE map-side pass —
+    * the when-chain compiles into the same whole-stage-codegen stage as
+    * the signals it reads; no shuffle at any scale. */
+  def filterReport(
+      docs: DataFrame,
+      rules: Seq[(String, Column)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(rules.nonEmpty, "filterReport needs at least one rule")
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((name, pass), acc) => when(!pass, lit(name)).otherwise(acc)
+    }
+    docs.select(
+      col(idCol),
+      reason.as("reject_reason"),
+      when(reason.isNull, 1).otherwise(0).as("keep"))
+  }
+
+  /** The standard pre-training heuristic rule set (Gopher rules §A1.1 /
+    * C4 shapes) over a text column, ready for [[filterReport]]. */
+  def gopherRules(
+      textCol: Column,
+      minTokens: Int = 15,
+      maxTokens: Int = 100000,
+      maxRepetition: Double = 0.05,
+      minStopword: Double = 0.02): Seq[(String, Column)] = Seq(
+    "too_short" -> (tokenCount(textCol) >= minTokens),
+    "too_long" -> (tokenCount(textCol) <= maxTokens),
+    "repetitive" -> (round(repetitionRatio(textCol, 2), 6) <= maxRepetition),
+    "low_stopword" -> (round(stopwordRatio(textCol), 6) >= minStopword))
+
   /** Per-document text-feature frame (the map-side feature extraction pass
     * of a corpus pipeline). */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -672,6 +672,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cl(1L) == cl(2L) && cl(10L) == cl(11L) && cl(1L) != cl(10L), s"clusters=$cl")
   }
 
+  test("ivfpqTopK: probing every cell degenerates to flat PQ") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probes = emb.where(col("vec_id") < 3)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1))
+    val flat = Similarity.pqTopK(emb, probes, m = 2, k = 4, iters = 1, topK = 3)
+      .collect().toSeq.sortBy(key)
+    val full = Similarity.ivfpqTopK(emb, probes, nlist = 4, nprobe = 4,
+      m = 2, k = 4, iters = 1, topK = 3)
+      .collect().toSeq.sortBy(key)
+    assert(full == flat, s"nprobe=nlist must equal the flat PQ scan")
+    // a restricted probe returns a subset of cells' members — never more
+    // rows than the flat scan, and every row still exactly re-ranked
+    val narrow = Similarity.ivfpqTopK(emb, probes, nlist = 4, nprobe = 1,
+      m = 2, k = 4, iters = 1, topK = 3).collect()
+    assert(narrow.length <= flat.length && narrow.nonEmpty)
+  }
+
+  test("filterReport: first failing rule wins; keep iff all rules pass") {
+    val corpus = docs(
+      (1, "the cat and the dog of it is that a fine day outside today ok"), // passes all
+      (2, "x y"), // too_short AND low_stopword -> first rule reported
+      (3, "the of a an to in is it that and " * 3)) // long enough, repetitive
+    val rules = TextOps.gopherRules(col("text"), minTokens = 5,
+      maxTokens = 100, maxRepetition = 0.3, minStopword = 0.05)
+    val r = TextOps.filterReport(corpus, rules).orderBy("doc_id")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getInt(2))).toSeq
+    assert(r == Seq((1, null, 1), (2, "too_short", 0), (3, "repetitive", 0)), s"r=$r")
+  }
+
+  test("hashSplit: exhaustive, disjoint, partitioning-invariant, ~right fractions") {
+    import graft.operators.Sampling
+    val d = (0 until 2000).map(_.toLong).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSplit(df, "doc_id", splits).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = asMap(d.repartition(1))
+    val b = asMap(d.repartition(13))
+    assert(a == b, "split assignment must not depend on layout")
+    assert(a.size == 2000, "every row assigned exactly once")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 120 && counts("val") > 100 &&
+      counts("test") > 100, s"counts=$counts")
+  }
+
   test("bm25TopK: rarer term outranks commoner term; rank is total-ordered") {
     // df(x)=1, df(y)=3 over 4 docs: doc 1 (only x carrier) must outrank the
     // y-only carriers; ties among identical y docs break on doc_id
