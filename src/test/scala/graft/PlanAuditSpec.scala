@@ -128,6 +128,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(winIdx < bjIdx, s"window must consume the pre-filter output:\n$plan")
   }
 
+  test("map-side text ops plan zero shuffles (filter pipeline, split, z-order)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    val fr = graft.operators.TextOps.filterReport(
+      docs, graft.operators.TextOps.gopherRules(col("text")))
+    assert(exchanges(fr).isEmpty, s"filterReport must stay map-side:\n${physical(fr)}")
+    val sp = graft.operators.Sampling.hashSplit(
+      docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+    assert(exchanges(sp).isEmpty, s"hashSplit must stay map-side:\n${physical(sp)}")
+    val zv = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(graft.operators.Layout.zOrderValue(col("l_partkey"), col("l_suppkey")))
+    assert(exchanges(zv).isEmpty, s"zOrderValue must stay map-side:\n${physical(zv)}")
+  }
+
+  test("bm25 global top-k is a TakeOrdered, and the term filter precedes the shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.TextOps.bm25TopK(docs, Seq("join", "vector"), topK = 10)
+    val plan = physical(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be a distributed TakeOrdered, not a single-task window:\n$plan")
+    // the query-term filter must run below the first exchange: postings of
+    // non-query terms never shuffle (the plan's generate+filter sits in the
+    // scan stage)
+    val firstEx = plan.indexOf("Exchange hashpartitioning")
+    val filterIdx = plan.lastIndexOf("Filter")
+    assert(firstEx >= 0 && filterIdx > firstEx,
+      s"term filter should sit under (after, in print order) the first exchange:\n$plan")
+  }
+
+  test("anomaly/transition stats join back by BROADCAST, never sort-merge") {
+    val events = new Catalog(spark, sfDir).resolve("events")
+    val an = graft.operators.Events.dailyAnomalies(events)
+    assert(physical(an).contains("BroadcastHashJoin"))
+    assert(!physical(an).contains("SortMergeJoin"),
+      s"tiny stats frame must broadcast:\n${physical(an)}")
+    val tr = graft.operators.Events.typeTransitions(events)
+    assert(!physical(tr).contains("SortMergeJoin"),
+      s"per-prev totals must broadcast:\n${physical(tr)}")
+  }
+
   test("k-means iteration carries no ScalaUDF (native double-array kernels)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = graft.operators.Similarity.kmeansCentroids(emb, k = 2, iters = 1)
