@@ -226,6 +226,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // per-source top-k by quality — the salted two-level tournament: a
+    // local top-k per (source, hash(doc_id)%salts) bounds any one task's
+    // sort even when one source owns half the corpus, then the ≤ salts·k
+    // survivors meet in the exact final window the oracle mirrors
+    q("q_text_topk",
+      s"""WITH t AS (SELECT doc_id, source, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id, source,
+         |  CASE WHEN length(toks) > 0
+         |       THEN ${duckStopHits(sqlList(TextOps.enStop))}::DOUBLE / length(toks)
+         |       ELSE 0.0 END AS sr,
+         |  CASE WHEN length(text) > 0
+         |       THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))::DOUBLE / length(text)
+         |       ELSE 0.0 END AS pr,
+         |  length(toks) AS ntok
+         | FROM t),
+         |sc AS (SELECT doc_id, source,
+         |  round((least(ntok / 50.0, 1.0) + greatest(1.0 - pr * 5.0, 0.0)
+         |         + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality FROM m),
+         |r AS (SELECT source, doc_id, quality,
+         |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank FROM sc)
+         |SELECT source, rank, doc_id, quality FROM r WHERE rank <= 3
+         |ORDER BY source, rank""".stripMargin) { c =>
+      val scored = c.resolve("documents")
+        .select(
+          col("doc_id"),
+          col("source"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      graft.operators.Sampling
+        .topKPerGroup(scored, "source", "quality", k = 3, idCol = "doc_id", salts = 8)
+        .select(col("source"), col("rank"), col("doc_id"), col("quality"))
+        .orderBy("source", "rank")
+    },
+
     q("q_text_langid",
       s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
          |h AS (SELECT doc_id, lang,
@@ -1027,6 +1060,39 @@ object PipelineQueries {
     // for IVF-kmeans) against exact brute force; sign-LSH on this corpus
     // needs ~69% candidate volume for recall 0.8, while IVF with 12 learned
     // centroids probing 4 reaches recall >= 0.8 on EVERY probe (avg 0.96)
+    // cluster-structure curation readout: k-means (same rounded-argmax
+    // Lloyd replay as q_ann_ivf_kmeans), hard-assign every vector with the
+    // fp32-snapped centroids, then per-cluster size / dominant label /
+    // label purity — "does the corpus's latent structure agree with its
+    // declared categories". The oracle replays training AND assignment.
+    q("q_embed_clusters", {
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+         |${duckLloyd(1, "c0")},
+         |${duckLloyd(2, "c1")},
+         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+         |ca AS (SELECT e.vec_id, f.centroid_id,
+         |        round(list_dot_product(e.v, f.centd)
+         |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+         |      FROM e CROSS JOIN cf f),
+         |asg AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) z WHERE rk = 1),
+         |lab AS (SELECT a.cluster_id, b.label FROM asg a JOIN embeddings b USING (vec_id)),
+         |pl AS (SELECT cluster_id, label, count(*) AS ln FROM lab GROUP BY 1, 2),
+         |rkd AS (SELECT cluster_id, label, ln,
+         |        row_number() OVER (PARTITION BY cluster_id ORDER BY ln DESC, label) AS r,
+         |        sum(ln) OVER (PARTITION BY cluster_id) AS n FROM pl)
+         |SELECT cluster_id, CAST(n AS BIGINT) AS n, label AS top_label,
+         |  round(CAST(ln AS DOUBLE) / n, 6) AS purity
+         |FROM rkd WHERE r = 1 ORDER BY cluster_id""".stripMargin
+    }) { c =>
+      Similarity
+        .clusterProfile(c.resolve("embeddings"), labelCol = "label", k = 4, iters = 2)
+        .orderBy("cluster_id")
+    },
+
     // scanning ~1/3 of the corpus — the config this row pins. The oracle
     // replays Lloyd's + assign/probe/top-k + the recall join end-to-end.
     q("q_ann_recall_tuned", {
@@ -1276,6 +1342,62 @@ object PipelineQueries {
           graft.operators.Layout
             .zOrderValue(col("l_partkey"), col("l_suppkey"), bits = 16).as("zval"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // join/agg-key skew diagnosis: heaviest keys, their share, skew factor
+    // vs the mean key, and the salt-bucket count saltedJoin would need —
+    // the measurement that decides between plain shuffle / AQE / salting
+    q("q_layout_skew",
+      """WITH c AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c),
+        |top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 5)
+        |SELECT key, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(n AS DOUBLE) * n_keys / total, 6) AS skew,
+        |  CAST(greatest(1, ceil(CAST(n AS DOUBLE) * n_keys / total)) AS INT) AS salt_buckets
+        |FROM top CROSS JOIN t ORDER BY n DESC, key""".stripMargin) { c =>
+      graft.operators.Layout
+        .skewReport(c.resolve("events"), "event_type", topN = 5)
+        .orderBy(col("n").desc, col("key"))
+    },
+
+    // equi-depth quantile binning: the cut points are ONE percentile agg
+    // (6dp-rounded, same quantile_cont interpolation both engines), the
+    // label a broadcast CASE chain — distributed ntile without the single
+    // global sort task; ties at a cut go to the lower bin in both engines
+    q("q_profile_bins",
+      """WITH c AS (SELECT list_transform(quantile_cont(n_chars, [0.25, 0.5, 0.75]),
+        |    x -> round(x, 6)) AS cuts FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars <= cuts[1] THEN 0
+        |       WHEN n_chars <= cuts[2] THEN 1
+        |       WHEN n_chars <= cuts[3] THEN 2
+        |       ELSE 3 END AS bin
+        |FROM documents CROSS JOIN c ORDER BY doc_id""".stripMargin) { c =>
+      graft.operators.Profile
+        .equiDepthBins(c.resolve("documents"), "n_chars", nBins = 4, idCol = "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // cross-source overlap matrix: distinct 8-gram window-hash sets per
+    // source, pairwise shared counts + Jaccard — the "do these two dumps
+    // cover the same material" curation signal; the oracle recomputes the
+    // exact pair matrix (22 non-empty pairs, 1125 shared grams at sf0.01)
+    q("q_dedup_cross_source",
+      s"""WITH t AS (SELECT source, $duckToks AS toks FROM documents),
+         |g AS (SELECT source, unnest(CASE WHEN length(toks) >= 8
+         |    THEN list_transform(range(1, length(toks) - 6), i -> md5(array_to_string(toks[i:i+7], ' ')))
+         |    ELSE [] END) AS h FROM t),
+         |d AS (SELECT DISTINCT source, h FROM g),
+         |sz AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+         |sh AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+         |SELECT sh.source_a, sh.source_b, CAST(sh.n_shared AS BIGINT) AS n_shared,
+         |  round(CAST(sh.n_shared AS DOUBLE) / (sa.n + sb.n - sh.n_shared), 6) AS jaccard
+         |FROM sh JOIN sz sa ON sa.source = sh.source_a
+         |JOIN sz sb ON sb.source = sh.source_b
+         |ORDER BY source_a, source_b""".stripMargin) { c =>
+      Dedup.crossSourceOverlap(c.resolve("documents"), n = 8).orderBy("source_a", "source_b")
     },
 
     // ===== Multimodal plumbing (binary columns + batched stub decode) =====

@@ -520,6 +520,40 @@ object StixQueries {
       graft.operators.Graph.pageRank(edges, iters = 3).orderBy("id")
     },
 
+    // ----- per-node triangle counts over the same reference graph plus
+    //       __contains edges (observed-data→SCO containment closes the
+    //       observed-data / network-traffic / address triangles): the
+    //       local-clustering complement to PageRank — hubs that fan out
+    //       rank high but sit in no triangle; infrastructure cliques light
+    //       up here. The oracle enumerates each triangle once as a < b < c.
+    q("q_stix_triangles",
+      s"""WITH edges AS (
+         |  SELECT source_ref AS src, target_ref AS dst FROM ${t("__reflist")}
+         |  UNION
+         |  SELECT id, src_ref FROM ${t("network-traffic")} WHERE src_ref IS NOT NULL
+         |  UNION
+         |  SELECT id, dst_ref FROM ${t("network-traffic")} WHERE dst_ref IS NOT NULL
+         |  UNION
+         |  SELECT source_ref, target_ref FROM ${t("__contains")}),
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+         |      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         |w AS (SELECT e1.a, e1.b, e2.b AS c FROM u e1 JOIN u e2 ON e1.b = e2.a),
+         |tri AS (SELECT w.a, w.b, w.c FROM w JOIN u e3 ON e3.a = w.a AND e3.b = w.c),
+         |n AS (SELECT unnest([a, b, c]) AS id FROM tri)
+         |SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM n GROUP BY id
+         |ORDER BY id""".stripMargin) { st =>
+      val rl = st.catalog.resolve("__reflist")
+        .select(col("source_ref").as("src"), col("target_ref").as("dst"))
+      val ct = st.catalog.resolve("__contains")
+        .select(col("source_ref").as("src"), col("target_ref").as("dst"))
+      val nt = st.catalog.resolve("network-traffic")
+      val edges = rl
+        .unionByName(nt.select(col("id").as("src"), col("src_ref").as("dst")))
+        .unionByName(nt.select(col("id").as("src"), col("dst_ref").as("dst")))
+        .unionByName(ct)
+      graft.operators.Graph.triangleCounts(edges).orderBy("id")
+    },
+
     // ----- payload_bin decoders through the pattern compiler: LIKE routes
     //       to like_bin, MATCHES to match_bin (base64-decode then match —
     //       sqlitestorage.py:78-87 match_bin/like_bin). The oracle decodes

@@ -240,6 +240,43 @@ object Dedup {
   private def ngramFrame(df: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
     spread(df).select(col(idCol), explode(ngramMd5Udf(col(textCol), lit(n))).as("__h"))
 
+  /** Cross-SOURCE overlap matrix: for every source pair, how many distinct
+    * n-token window hashes they share, plus the Jaccard of their window
+    * sets — the corpus-curation signal for "these two crawls/dumps cover
+    * the same material" that decides dedup order and mix weights before
+    * any row-level work runs.
+    *
+    * Scale shape: one distinct aggregation to (source, hash) — the same
+    * compiled n-gram kernel every span op uses — then an equi-self-join on
+    * the hash whose fan-out is bounded by sources², never docs²; per-source
+    * set sizes are a sources-sized frame that broadcasts back for the
+    * Jaccard. */
+  def crossSourceOverlap(
+      docs: DataFrame,
+      n: Int = 8,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val grams = ngramFrame(docs, n, sourceCol, textCol)
+      .select(col(sourceCol).as("src"), col("__h"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.as("b"), col("a.__h") === col("b.__h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("src").as("source_a"), col("n_grams").as("__na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("src").as("source_b"), col("n_grams").as("__nb"))),
+        Seq("source_b"))
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") / (col("__na") + col("__nb") - col("n_shared")), 6)
+          .as("jaccard"))
+  }
+
   /** Cross-document duplicate-SPAN measurement — the substring-level
     * signal whole-document dedup misses (boilerplate, license blocks,
     * templated passages repeated across otherwise-distinct documents):

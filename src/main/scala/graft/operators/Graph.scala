@@ -54,4 +54,68 @@ object Graph {
     }
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Per-node triangle participation counts over the undirected view of an
+    * edge frame — the local-clustering signal that separates "hub that
+    * fans out" (PageRank-high, triangle-low) from "member of a tight
+    * cluster" (an infrastructure clique in a hunt graph: observed-data,
+    * network-traffic and its addresses all mutually linked).
+    *
+    * Scale shape: edges are oriented low→high by the (degree, id) total
+    * order, so every triangle is enumerated exactly once from its
+    * lowest-degree corner and the wedge self-join fans out per vertex as
+    * C(out-deg, 2) where out-deg counts only HIGHER-degree neighbors —
+    * O(E^1.5) wedges in the worst case instead of the Θ(Σ deg²) a naive
+    * id-ordering hits on hub-heavy graphs (a 10⁶-degree hub contributes
+    * zero wedges here; with id-ordering it contributes ~5·10¹¹). Both
+    * joins are hash-partitioned equi-joins on vertex ids; no state beyond
+    * the edge list itself. Orientation changes only the join order, never
+    * the triangle set, so results are layout- and degree-independent. */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val deg = und
+      .select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(
+          struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(
+            col("a").as("u"),
+            col("b").as("v"),
+            struct(col("db").as("kd"), col("b").as("kid")).as("kv")))
+          .otherwise(
+            struct(
+              col("b").as("u"),
+              col("a").as("v"),
+              struct(col("da").as("kd"), col("a").as("kid")).as("kv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.kv").as("kv"))
+    // wedge (u, v1, v2): two out-edges of u with kv1 < kv2; closed iff the
+    // oriented edge v1→v2 exists (it is oriented that way because the
+    // orientation key order kv1 < kv2 is total and orientation-consistent)
+    val wedges = oriented
+      .select(col("u"), col("v").as("v1"), col("kv").as("k1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("kv").as("k2")), Seq("u"))
+      .where(col("k1") < col("k2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")),
+      Seq("v1", "v2"))
+    tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("triangles"))
+  }
 }

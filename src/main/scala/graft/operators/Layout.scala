@@ -120,6 +120,33 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
 
+  /** Key-skew diagnosis for a join/aggregation key: the `topN` heaviest
+    * keys with their row counts, share of the table, skew factor (count ÷
+    * mean count over all keys) and a suggested salt-bucket count
+    * (⌈skew⌉ — spread the hot key over that many reducers and each carries
+    * about the mean). This is the measurement that decides BETWEEN the
+    * layout tools above: skew ≈ 1 → plain shuffle; moderate → AQE handles
+    * it; pathological → saltedJoin with the suggested factor.
+    *
+    * Cost: one hash aggregate to per-key counts, a 2-row global aggregate,
+    * and a topN sort over the (already tiny) counts frame — the corpus
+    * itself is scanned once and never re-shuffled. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    val skew = col("n").cast("double") * col("n_keys") / col("total")
+    counts
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topN)
+      .crossJoin(broadcast(totals))
+      .select(
+        col("key"),
+        col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round(skew, 6).as("skew"),
+        greatest(lit(1), ceil(skew).cast("int")).as("salt_buckets"))
+  }
+
   /** True if the executed plan contains a shuffle exchange (plan audit
     * helper; used by specs to pin layout behavior). */
   def hasShuffle(df: DataFrame): Boolean =

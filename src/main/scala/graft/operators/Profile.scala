@@ -159,6 +159,37 @@ object Profile {
         StructField("passed", BooleanType))))
   }
 
+  /** Equi-depth (quantile) binning: rows are labeled 0..nBins-1 by which
+    * inter-quantile interval their value falls in — the distributed form of
+    * ntile() without ntile's single global sort task (curriculum buckets,
+    * length-balanced mixing, histogram prep all want this).
+    *
+    * Two-phase: ONE percentile aggregation computes the nBins-1 cut points
+    * (6dp-rounded so engines agree), then assignment is a broadcast
+    * crossJoin + codegen CASE chain — pure map-side work, zero shuffle of
+    * the corpus. Ties at a cut point go to the lower bin (first matching
+    * CASE arm) in every engine. Unlike ntile, bin populations follow the
+    * value distribution (heavy ties land together) — that value-determinism
+    * is what makes the label reproducible across engines and layouts. */
+  def equiDepthBins(
+      df: DataFrame,
+      colName: String,
+      nBins: Int,
+      idCol: String): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = df.agg(
+      expr(s"transform(percentile(`$colName`, array(${ps.mkString(", ")})), x -> round(x, 6))")
+        .as("cuts"))
+    val v = col(colName).cast("double")
+    val bin = (0 until nBins - 1).foldRight(lit(nBins - 1)) { case (i, acc) =>
+      when(v <= element_at(col("cuts"), i + 1), lit(i)).otherwise(acc)
+    }
+    df.select(col(idCol), col(colName))
+      .crossJoin(broadcast(cuts))
+      .select(col(idCol), col(colName), bin.as("bin"))
+  }
+
   /** Exact per-column quantiles, one (column, p, q) row per requested
     * percentile — ONE aggregation pass over all columns (each percentile
     * list comes back as an array, unpivoted lazily with posexplode).

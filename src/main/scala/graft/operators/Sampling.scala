@@ -208,6 +208,43 @@ object Sampling {
       .map { case ((df, rate), i) => sample(df, keyCol, rate, s"$seed-$i") }
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Exact top-k rows per group by a score column, without ever sorting a
+    * whole group in one task — "keep the k best documents per source" is
+    * the selection face of quality filtering, and groups in a crawl are
+    * wildly skewed (one domain can be half the corpus).
+    *
+    * Salted two-level tournament: rows first shuffle by (group,
+    * hash(id) % salts) — the hot group spreads over `salts` tasks, each
+    * sorting ~n_g/salts rows for a local top-k — then the ≤ salts·k
+    * survivors per group meet in an exact final top-k. Both levels are
+    * row_number windows with a total (score DESC, id ASC) order, so the
+    * result is deterministic and layout-invariant: any row in the true
+    * global top-k is in its salt-bucket's top-k regardless of how ids
+    * hash. Output = input columns + `rank` (1-based). At 100 TB, size
+    * `salts` so n_max/salts rows fit one task's sort buffer. */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      k: Int,
+      idCol: String,
+      salts: Int = 64): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(salts >= 1, "salts must be positive")
+    val w1 = Window
+      .partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val local = df
+      .withColumn("__salt", pmod(xxhash64(col(idCol).cast("string")), lit(salts)))
+      .withColumn("__r", row_number().over(w1))
+      .where(col("__r") <= k)
+      .drop("__r", "__salt")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
+    local
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+  }
+
   /** Assign documents to fixed-token-budget training shards: shard_id =
     * floor(cumulative_tokens_before / shardTokens) in `keyCol` order.
     *

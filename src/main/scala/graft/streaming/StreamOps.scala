@@ -75,6 +75,38 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
   }
 
+  /** Stream-stream interval join: pair each left event with every right
+    * event for the same key arriving within [left.ts, left.ts + within] —
+    * the "click joined to the impressions of the preceding window" shape,
+    * here "alert joined to the observations that followed it". Both sides
+    * carry a watermark AND the join condition bounds the two event times
+    * relative to each other, which is exactly what Spark needs to compute
+    * a state-eviction horizon per side: state is (watermark + within)-
+    * bounded on both sides, sharded by the equi-key, so a 1000-executor
+    * run holds a bounded window of each stream per key shard — no unbounded
+    * buffering. Output columns: key, l_ts, l_type, r_ts, r_type. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      within: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+      .select(
+        col(s"l.$keyCol").as(keyCol),
+        col("l.ts").as("l_ts"),
+        col(s"l.$typeCol").as("l_type"),
+        col("r.ts").as("r_ts"),
+        col(s"r.$typeCol").as("r_type"))
+  }
+
   /** Per-user running event counter via mapGroupsWithState — the custom-state
     * escape hatch (reference has no streaming; SURVEY §2.7). Emits one
     * updated (user_id, count) row per user per micro-batch. */

@@ -672,6 +672,79 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cl(1L) == cl(2L) && cl(10L) == cl(11L) && cl(1L) != cl(10L), s"clusters=$cl")
   }
 
+  test("equiDepthBins: quantile cut points, lower-bin ties, layout-invariant") {
+    import graft.operators.Profile
+    val d = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      Profile.equiDepthBins(df, "v", nBins = 4, idCol = "id")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val b = bins(d)
+    // cuts for 1..100 at .25/.5/.75 = 25.75, 50.5, 75.25
+    assert(b(25) == 0 && b(26) == 1 && b(50) == 1 && b(51) == 2 && b(76) == 3)
+    assert(b == bins(d.repartition(9)), "bin labels must not depend on layout")
+    assert(b.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+  }
+
+  test("topKPerGroup: exact per-group top-k, tie-break on id, salt-invariant") {
+    import graft.operators.Sampling
+    val d = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0), ("b", 6L, 3.0)).toDF("g", "id", "score")
+    def run(salts: Int) =
+      Sampling.topKPerGroup(d, "g", "score", k = 2, idCol = "id", salts = salts)
+        .select("g", "rank", "id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val r = run(4)
+    // 9.0 tie: doc 2 outranks doc 3 (id ascending)
+    assert(r == Set(("a", 1, 2L), ("a", 2, 3L), ("b", 1, 6L), ("b", 2, 5L)), s"r=$r")
+    assert(run(1) == r && run(16) == r, "salt count must not change the result")
+  }
+
+  test("skewReport: hot keys ranked with share, skew factor and salt hint") {
+    import graft.operators.Layout
+    // counts 8/2/1/1 over 4 keys -> total 12, mean 3
+    val d = (Seq.fill(8)("k1") ++ Seq.fill(2)("k2") ++ Seq("k3", "k4")).toDF("k")
+    val rows = Layout.skewReport(d, "k", topN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.toSeq == Seq(
+      ("k1", 8L, 0.666667, 2.666667, 3),
+      ("k2", 2L, 0.166667, 0.666667, 1)), s"rows=${rows.toSeq}")
+  }
+
+  test("triangleCounts: per-node membership; direction, dups and loops ignored") {
+    import graft.operators.Graph
+    // triangles abc and abd (edge c-d absent); reversed dup edges + a loop
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"),
+      ("a", "d"), ("d", "b"), ("a", "a")).toDF("src", "dst")
+    val r = Graph.triangleCounts(e).collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L), s"r=$r")
+  }
+
+  test("clusterProfile: separable clusters report size, dominant label, purity") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0), (3L, Array(0.95f, 0.05f), 1),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(0.1f, 0.9f), 1), (6L, Array(0.05f, 0.95f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterProfile(rows, labelCol = "label", k = 2, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3))).toSet
+    // axis clusters {1,2,3} (labels 0,0,1) and {4,5,6} (all 1)
+    assert(r == Set((1L, 3L, 0, 0.666667), (2L, 3L, 1, 1.0)), s"r=$r")
+  }
+
+  test("crossSourceOverlap: shared n-gram windows counted per pair with jaccard") {
+    val d = Seq(
+      (1, "srcA", "a b c d e f g h i j"), // shares the a..h window with srcB
+      (2, "srcB", "a b c d e f g h x y"),
+      (3, "srcC", "p q r s t u v w")) // disjoint
+      .toDF("doc_id", "source", "text")
+    val r = Dedup.crossSourceOverlap(d, n = 8, sourceCol = "source")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    // srcA has 3 windows, srcB has 3, shared = 1 -> jaccard 1/5
+    assert(r.toSeq == Seq(("srcA", "srcB", 1L, 0.2)), s"r=${r.toSeq}")
+  }
+
   test("ivfpqTopK: probing every cell degenerates to flat PQ") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -121,6 +121,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless pipeline ops (filter report) run unchanged under streaming") {
+    // the map-side corpus ops are stateless selects, so the SAME operator
+    // code drives a readStream: the continuous-ingest quality gate needs no
+    // streaming-specific variant
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val rules = graft.operators.TextOps.gopherRules(
+      org.apache.spark.sql.functions.col("text"),
+      minTokens = 3, maxTokens = 100, maxRepetition = 0.5, minStopword = 0.0)
+    val q = graft.operators.TextOps.filterReport(docs, rules)
+      .writeStream
+      .format("memory")
+      .queryName("stream_filter")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((1L, "the quick brown fox jumps"), (2L, "x y"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_filter").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(rows == Set((1L, null, 1), (2L, "too_short", 0)), s"rows=$rows")
+    } finally q.stop()
+  }
+
+  test("intervalJoin pairs same-key events within the window across two streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val ri = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamOps.intervalJoin(
+      li.toDF().toDF("ts", "user_id", "event_type"),
+      ri.toDF().toDF("ts", "user_id", "event_type"),
+      within = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      li.addData((t(0), 1L, "alert"), (t(30), 2L, "alert"))
+      // t(20) is outside alert-1's 10-minute window; user 2's obs is inside
+      ri.addData((t(5), 1L, "obs"), (t(20), 1L, "obs"), (t(31), 2L, "obs"))
+      q.processAllAvailable()
+      val rows = spark.table("ij").collect()
+        .map(x => (x.getLong(0), x.getTimestamp(1), x.getTimestamp(3))).toSet
+      assert(rows == Set((1L, t(0), t(5)), (2L, t(30), t(31))), s"rows=$rows")
+    } finally q.stop()
+  }
+
   test("dedupAgainstCorpus drops already-ingested fingerprints and in-stream dups") {
     implicit val sqlCtx = spark.sqlContext
     val seen = Seq("already ingested doc").toDF("text")
