@@ -327,6 +327,51 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // PII density inventory per source (the measurement BEFORE the scrub):
+    // both sides synthesize class-varying PII from the corpus, then count
+    // each class with redact's masked precedence — card digit runs can't
+    // double-count as phones, an email's digits can't count as anything
+    q("q_text_pii", {
+      val names = Seq("emails", "ips", "ssns", "cards", "phones")
+      // single line: this gets interpolated into a stripMargin block below,
+      // so a line starting with || would lose its first pipe to the margin
+      val synth = "substring(text, 1, 40)" +
+        " || CASE WHEN doc_id % 2 = 0 THEN ' mail u' || doc_id || '@corp.example.com' ELSE '' END" +
+        " || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.2.3.9' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END" +
+        " || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END" +
+        " || CASE WHEN doc_id % 11 = 0 THEN ' tel +1 555 123 4567' ELSE '' END"
+      var running = "t"
+      val countCols = TextOps.redactions.zip(names).map { case ((pat, tag), name) =>
+        val p = pat.replace("'", "''")
+        val c = s"len(regexp_extract_all($running, '$p')) AS $name"
+        running = s"regexp_replace($running, '$p', '$tag', 'g')"
+        c
+      }
+      s"""WITH s AS (SELECT source, $synth AS t FROM documents),
+         |pc AS (SELECT source, ${countCols.mkString(", ")} FROM s)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN emails + ips + ssns + cards + phones > 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |  CAST(sum(emails) AS BIGINT) AS emails, CAST(sum(ips) AS BIGINT) AS ips,
+         |  CAST(sum(ssns) AS BIGINT) AS ssns, CAST(sum(cards) AS BIGINT) AS cards,
+         |  CAST(sum(phones) AS BIGINT) AS phones
+         |FROM pc GROUP BY source ORDER BY source""".stripMargin
+    }) { c =>
+      val synth = concat(
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" mail u"), col("doc_id").cast("string"), lit("@corp.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(" ip 10.2.3.9")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" card 4111 1111 1111 1111")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" tel +1 555 123 4567")).otherwise(lit("")))
+      TextOps
+        .piiStats(c.resolve("documents").select(col("source"), synth.as("text")))
+        .orderBy("source")
+    },
+
     // Gopher-style repetition quality: duplicate word-2-gram fraction per
     // doc — pure map-side codegen, the pre-training filter signal
     q("q_text_repetition",
@@ -1629,6 +1674,23 @@ object PipelineQueries {
         |FROM g JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin) { c =>
       Events.retention(c.resolve("events")).orderBy("cohort_week", "week_offset")
+    },
+
+    // time-decayed trending per type: base-2 decay over ⌊age_days/7⌋
+    // buckets makes every addend a dyadic rational doubles store EXACTLY —
+    // the sums compare bit-equal across engines with no rounding and no
+    // libm exp() in either plan
+    q("q_events_decay",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(day) AS max_day FROM d)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+        |  sum(n / pow(2.0, floor(date_diff('day', day, max_day) / 7))) AS trend_score
+        |FROM d CROSS JOIN m GROUP BY event_type
+        |ORDER BY trend_score DESC, event_type""".stripMargin) { c =>
+      Events
+        .decayedTypeCounts(c.resolve("events"), halfLifeDays = 7)
+        .orderBy(col("trend_score").desc, col("event_type"))
     },
 
     // daily-volume anomaly detection: z-scores from EXACT integer sums

@@ -314,4 +314,33 @@ object Events {
         col("cohort_size"),
         round(col("n_users") / col("cohort_size").cast("double"), 6).as("retention"))
   }
+
+  /** Time-decayed trending scores per event type — "what's hot NOW",
+    * where a day's count contributes n / 2^⌊age_days / halfLifeDays⌋ and
+    * age counts back from the newest day in the data.
+    *
+    * The decay base is deliberately 2, never e: every addend is n·2⁻ᵏ, a
+    * dyadic rational a double represents EXACTLY, so the per-type sum is
+    * exact, order-independent and engine-portable with no rounding —
+    * libm's exp()/pow() last-ulp platform variance never enters the
+    * result. Corpus-sized work is one (type, day) count aggregate; the
+    * weighting and final sum run over the tiny types×days frame with the
+    * 1-row max-day broadcast. */
+  def decayedTypeCounts(events: DataFrame, halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be positive")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val latest = broadcast(daily.agg(max(col("day")).as("max_day")))
+    daily
+      .crossJoin(latest)
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("n").cast("double") /
+          pow(lit(2.0), floor(datediff(col("max_day"), col("day")) / lit(halfLifeDays))))
+          .as("c"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_total"), sum(col("c")).as("trend_score"))
+  }
 }

@@ -145,6 +145,36 @@ object TextOps {
       regexp_replace(c, pat, tag)
     }
 
+  /** Per-source PII density inventory — the measurement BEFORE `redact`:
+    * occurrence counts per PII class, plus how many documents carry any,
+    * so a curation run can rank sources by leak risk and verify after the
+    * scrub that the counts actually hit zero.
+    *
+    * Classes are counted with `redactions`' precedence: each class counts
+    * matches AFTER earlier classes are masked (an email's digits can't
+    * double-count as a phone, card digit runs can't count as phones) —
+    * exactly the matches `redact` would replace. One map-side codegen
+    * pass per document, then a single source-keyed aggregate; nothing
+    * wider than |sources| rows ever shuffles. */
+  def piiStats(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val names = Seq("emails", "ips", "ssns", "cards", "phones")
+    val (counts, _) = redactions.zip(names).foldLeft((Seq.empty[Column], col(textCol))) {
+      case ((acc, running), ((pat, tag), name)) =>
+        (acc :+ regexp_count(running, lit(pat)).as(name), regexp_replace(running, pat, tag))
+    }
+    val perDoc = docs.select((col(sourceCol) +: counts): _*)
+    val anyPii = names.map(col).reduce(_ + _) > 0
+    perDoc
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(when(anyPii, 1L).otherwise(0L)).as("docs_with_pii") +:
+          names.map(n => sum(col(n)).as(n))): _*)
+  }
+
   /** Gopher/C4-style quality-filter pipeline: named pass/fail rules
     * evaluated in order, each doc labeled with keep ∈ {0,1} and the FIRST
     * failing rule as reject_reason (null when kept) — the auditable form a

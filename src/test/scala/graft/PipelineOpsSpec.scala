@@ -733,6 +733,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r == Set((1L, 3L, 0, 0.666667), (2L, 3L, 1, 1.0)), s"r=$r")
   }
 
+  test("decayedTypeCounts: base-2 day-bucket decay, exact dyadic sums") {
+    import graft.operators.Events
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2026-01-${d + 1}%02d 09:00:00")
+    // type a: 1 event on the newest day, 2 a week old, 4 two weeks old
+    val e = (Seq.fill(1)(t(14)) ++ Seq.fill(2)(t(7)) ++ Seq.fill(4)(t(0))).map(("a", _)) ++
+      Seq.fill(3)(("b", t(7)))
+    val df = e.toDF("event_type", "ts")
+    val r = Events.decayedTypeCounts(df, halfLifeDays = 7).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSet
+    // a: 1 + 2/2 + 4/4 = 3.0 exactly; b: 3/2 = 1.5 exactly
+    assert(r == Set(("a", 7L, 3.0), ("b", 3L, 1.5)), s"r=$r")
+  }
+
+  test("piiStats: masked-precedence counts; card digits never count as phones") {
+    import graft.operators.TextOps
+    val d = Seq(
+      ("s1", "mail a@b.co and card 4111 1111 1111 1111"),
+      ("s1", "ip 10.0.0.1 appears at 10.0.0.1 twice"),
+      ("s2", "clean text with no identifiers")).toDF("source", "text")
+    val r = TextOps.piiStats(d).collect().map(x =>
+      (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getLong(6), x.getLong(7))).toSet
+    // (source, n_docs, docs_with_pii, emails, ips, ssns, cards, phones)
+    assert(r == Set(
+      ("s1", 2L, 2L, 1L, 2L, 0L, 1L, 0L),
+      ("s2", 1L, 0L, 0L, 0L, 0L, 0L, 0L)), s"r=$r")
+  }
+
   test("crossSourceOverlap: shared n-gram windows counted per pair with jaccard") {
     val d = Seq(
       (1, "srcA", "a b c d e f g h i j"), // shares the a..h window with srcB

@@ -182,6 +182,54 @@ class PlanAuditSpec extends SparkSpec {
       s"expected native dot kernel in plan:\n$plan")
   }
 
+  test("topKPerGroup never funnels a group through one task's sort") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Sampling
+      .topKPerGroup(docs, "source", "n_chars", k = 3, idCol = "doc_id", salts = 8)
+    val plan = physical(df)
+    // both tournament levels are hash-partitioned windows; a global sort
+    // or single-partition exchange would mean the salt did nothing
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"top-k per group must not single-task:\n$plan")
+    assert("(?s)Window".r.findAllIn(plan).size >= 2 &&
+      plan.contains("__salt"), s"expected salted local level + exact final level:\n$plan")
+  }
+
+  test("triangleCounts plans only equi hash joins, no cartesian products") {
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val df = graft.operators.Graph.triangleCounts(e)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), s"wedge join degenerated:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"wedge join degenerated:\n$plan")
+  }
+
+  test("kmeansAssign is a broadcast argmax aggregate, not a window") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // localCheckpoint truncates the training lineage (whose deterministic
+    // init legitimately uses a tiny k-row window) so the audit covers the
+    // assignment plan alone — the pipeline shape when centroids are reused
+    val cents = graft.operators.Similarity
+      .kmeansCentroids(emb, k = 2, iters = 1)
+      .localCheckpoint()
+    val df = graft.operators.Similarity.kmeansAssign(emb, cents)
+    val plan = physical(df)
+    assert(!plan.contains("ScalaUDF"), s"assignment boxes through a UDF:\n$plan")
+    assert(!plan.contains("Window"),
+      s"argmax must be the min_by partial aggregate, not a row_number sort:\n$plan")
+  }
+
+  test("piiStats is one map-side pass plus a single source-keyed shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.TextOps.piiStats(docs)
+    // string-count: under AQE the executed plan is an AdaptiveSparkPlanExec
+    // leaf, so collecting ShuffleExchangeExec nodes sees nothing
+    val plan = physical(df)
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1 && plan.contains("Exchange hashpartitioning(source"),
+      s"expected exactly the final aggregate's shuffle:\n$plan")
+  }
+
   test("auto-deref over translated tables: left joins on ids, no cartesian") {
     val st = TranslateCorpus.ensure(spark)
     st.extract("pa_conns", "network-traffic", "xq1", "[network-traffic:dst_port = 443]")
