@@ -73,7 +73,13 @@ object Cli {
       catch { case _: com.fasterxml.jackson.core.JacksonException => None }
     // RFC-4180 record tokenizer with csv.DictReader semantics: the quote
     // char is special only at FIELD START; quoted fields may contain
-    // commas, doubled quotes, and embedded newlines; blank lines skip
+    // commas, doubled quotes, and embedded newlines; blank lines skip.
+    // Two knowing divergences from csv.DictReader on MALFORMED input
+    // (well-formed files are identical): (1) rows wider than the header
+    // drop the extra fields — DictReader piles them into restkey (None),
+    // which the dict-of-columns load contract has no column for anyway;
+    // (2) a lone \r inside an unquoted field terminates the row —
+    // DictReader in default newline handling keeps it as field text
     def parseCsv(t: String): Seq[Seq[String]] = {
       val rows = Seq.newBuilder[Seq[String]]
       var fields = Seq.newBuilder[String]
@@ -137,8 +143,14 @@ object Cli {
     * unrecognized --option on an option-taking command is a usage error,
     * not a silent drop. */
   private val knownOpts: Map[String, Set[String]] = Map(
-    "lookup" -> Set("--columns"),
+    "lookup" -> Set("--columns", "--limit"),
     "load" -> Set("--sco-type", "--query-id", "--preserve-ids"))
+
+  /** Interactive-safety cap on `lookup` output: an unbounded lookup of a
+    * huge view would fetchall into the driver (the reference CLI does too,
+    * cli.py lookup -> fetchall; this engine's views can be far larger).
+    * Override per call with --limit=N; --limit=0 means unlimited. */
+  private val DefaultLookupLimit = 1000
 
   def run(spark: SparkSession, args: Seq[String]): Unit = {
     if (args.length < 2) usage()
@@ -182,9 +194,14 @@ object Cli {
           limit = rest.lift(5).map(_.toInt))
       case "join"   => s.join(rest(0), rest(1), rest(2), rest(3), rest(4))
       case "lookup" =>
+        // positional limit (reference arg order) beats --limit beats the
+        // 1000-row interactive default; 0 = unlimited
+        val limit = rest.lift(1).map(_.toInt)
+          .orElse(opt("--limit").map(_.toInt))
+          .getOrElse(DefaultLookupLimit)
         printRows(s.lookup(rest.head,
           cols = columns,
-          limit = rest.lift(1).map(_.toInt),
+          limit = Some(limit).filter(_ > 0),
           offset = rest.lift(2).map(_.toInt).getOrElse(0)))
       case "values"  => s.values(rest(0), rest(1)).foreach(println)
       case "tables"  => s.tables().foreach(println)
@@ -220,7 +237,10 @@ object Cli {
         println(s"number_observed\t$n")
       case "timestamped" =>
         val df = s.timestamped(rest.head, rest.lift(1).orNull, rest.lift(2).orNull)
-        df.toJSON.collect().foreach(println)
+        // stream partitions through the driver one at a time instead of
+        // materializing the whole result (collect) — timestamped output is
+        // observation-sized and unbounded
+        df.toJSON.toLocalIterator().forEachRemaining(println(_))
       // validated SQL passthrough (reference cli.py:229-235 runs raw SQL;
       // here every workdir table + view registers as a temp view — dashes
       // become underscores, e.g. network_traffic — and only read-only

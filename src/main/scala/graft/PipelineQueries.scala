@@ -22,6 +22,10 @@ import Queries.{q, qNoOracle, Q}
   */
 object PipelineQueries {
 
+  // media-corpus parquet as seen by the DuckDB oracle (see MediaCorpus)
+  private val mediaT =
+    s"read_parquet('${MediaCorpus.table}/*.parquet', hive_partitioning=0)"
+
   // DuckDB-side shared fragments (mirrors of TextOps/Dedup column builders)
   private val duckNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"list_filter(string_split($duckNorm, ' '), x -> length(x) > 0)"
@@ -1474,6 +1478,91 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ===== Real image decode + perceptual hashing =========================
+    // the media corpus stores BOTH the PNG bytes and the ground-truth pixel
+    // matrix; Spark decodes ONLY the PNG (javax.imageio), the oracle hashes
+    // ONLY the pixels — hash parity proves the decode recovered the exact
+    // pixel matrix. All comparisons are integer cross-multiplications
+    // (sumA*cntB < sumB*cntA), so there is no float-rounding caveat.
+    q("q_multimodal_phash",
+      s"""WITH px AS (
+         |  SELECT media_id, width, height,
+         |         CAST((i-1) // width AS INT) AS y, CAST((i-1) % width AS INT) AS x, p
+         |  FROM (SELECT media_id, width, height, unnest(pixels) AS p,
+         |               generate_subscripts(pixels, 1) AS i FROM $mediaT)
+         |),
+         |d AS (SELECT media_id, (y*8)//height AS gy, (x*9)//width AS gx,
+         |             CAST(sum(p) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+         |      FROM px GROUP BY 1,2,3),
+         |dbits AS (
+         |  SELECT a.media_id, a.gy, a.gx,
+         |    CASE WHEN a.s * b.c < b.s * a.c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM d a JOIN d b ON a.media_id=b.media_id AND a.gy=b.gy AND b.gx=a.gx+1
+         |  WHERE a.gx < 8),
+         |dh AS (SELECT media_id,
+         |   CAST(sum(CASE WHEN gy<4 THEN bit << (31 - (gy*8+gx)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+         |   CAST(sum(CASE WHEN gy>=4 THEN bit << (31 - ((gy-4)*8+gx)) ELSE 0 END) AS BIGINT) AS dhash_lo
+         | FROM dbits GROUP BY media_id),
+         |g AS (SELECT media_id, (y*8)//height AS gy, (x*8)//width AS gx,
+         |             CAST(sum(p) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+         |      FROM px GROUP BY 1,2,3),
+         |t AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM g GROUP BY media_id),
+         |abits AS (
+         |  SELECT g.media_id, gy, gx,
+         |    CASE WHEN g.s * t.tc > t.ts * g.c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM g JOIN t ON g.media_id = t.media_id),
+         |ah AS (SELECT media_id,
+         |   CAST(sum(CASE WHEN gy<4 THEN bit << (31 - (gy*8+gx)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+         |   CAST(sum(CASE WHEN gy>=4 THEN bit << (31 - ((gy-4)*8+gx)) ELSE 0 END) AS BIGINT) AS ahash_lo
+         | FROM abits GROUP BY media_id)
+         |SELECT dh.media_id, dhash_hi, dhash_lo, ahash_hi, ahash_lo
+         |FROM dh JOIN ah ON dh.media_id = ah.media_id ORDER BY dh.media_id""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      MediaCorpus.ensure(c.spark)
+      Multimodal
+        .imageHashes(
+          c.spark.read.parquet(MediaCorpus.table), idCol = "media_id", binCol = "png")
+        .orderBy("media_id")
+    },
+
+    // near-duplicate pairs by dHash Hamming distance: Spark candidates come
+    // from the 4x16-bit pigeonhole block join (exact for dist <= 3, never
+    // all-pairs); the oracle brute-forces all pairs over the pixel-derived
+    // hashes — finding exactly the 8 planted perturbed copies
+    q("q_multimodal_neardup",
+      s"""WITH px AS (
+         |  SELECT media_id, width, height,
+         |         CAST((i-1) // width AS INT) AS y, CAST((i-1) % width AS INT) AS x, p
+         |  FROM (SELECT media_id, width, height, unnest(pixels) AS p,
+         |               generate_subscripts(pixels, 1) AS i FROM $mediaT)
+         |),
+         |d AS (SELECT media_id, (y*8)//height AS gy, (x*9)//width AS gx,
+         |             CAST(sum(p) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+         |      FROM px GROUP BY 1,2,3),
+         |dbits AS (
+         |  SELECT a.media_id, a.gy, a.gx,
+         |    CASE WHEN a.s * b.c < b.s * a.c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM d a JOIN d b ON a.media_id=b.media_id AND a.gy=b.gy AND b.gx=a.gx+1
+         |  WHERE a.gx < 8),
+         |dh AS (SELECT media_id,
+         |   CAST(sum(CASE WHEN gy<4 THEN bit << (31 - (gy*8+gx)) ELSE 0 END) AS BIGINT) AS hi,
+         |   CAST(sum(CASE WHEN gy>=4 THEN bit << (31 - ((gy-4)*8+gx)) ELSE 0 END) AS BIGINT) AS lo
+         | FROM dbits GROUP BY media_id)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+         |FROM dh a JOIN dh b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      MediaCorpus.ensure(c.spark)
+      Multimodal
+        .nearDupImages(
+          Multimodal.imageHashes(
+            c.spark.read.parquet(MediaCorpus.table), idCol = "media_id", binCol = "png"),
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ===== Event analytics (windows — beyond the reference, SURVEY §2.7) ==
 
     q("q_events_window",
@@ -1637,6 +1726,52 @@ object PipelineQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // stream-stream interval join drained with availableNow: signup events
+    // joined to the same user's purchases within the following 2 hours.
+    // Inner stream-stream matches emit as soon as both sides arrive (the
+    // watermark only bounds state), so the availableNow drain is complete;
+    // the oracle is the equivalent batch interval join.
+    q("q_stream_interval",
+      """WITH l AS (SELECT user_id, ts, event_type FROM events WHERE event_type = 'signup'),
+        |r AS (SELECT user_id, ts, event_type FROM events WHERE event_type = 'purchase')
+        |SELECT l.user_id AS user_id,
+        |  strftime(CAST(l.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS l_ts,
+        |  l.event_type AS l_type,
+        |  strftime(CAST(r.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS r_ts,
+        |  r.event_type AS r_type
+        |FROM l JOIN r ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '2 hours'
+        |ORDER BY 1, 2, 4""".stripMargin) { c =>
+      val spark = c.spark
+      val path = s"${c.dataDir}/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      def src() = {
+        var s = spark.readStream.schema(schema)
+          .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}")
+        if (schema.fields.exists(f => f.name == "ts" &&
+            f.dataType == org.apache.spark.sql.types.LongType))
+          s = s.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        s
+      }
+      val sinkName = s"q_stream_interval_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.intervalJoin(
+          src().where(col("event_type") === "signup"),
+          src().where(col("event_type") === "purchase"),
+          within = "2 hours", watermark = "100 days")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(sinkName)
+        .select(
+          col("user_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"),
+          col("l_type"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts"),
+          col("r_type"))
+        .orderBy("user_id", "l_ts", "r_ts")
+    },
+
     q("q_events_sessions",
       """WITH g AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -1677,15 +1812,16 @@ object PipelineQueries {
     },
 
     // time-decayed trending per type: base-2 decay over ⌊age_days/7⌋
-    // buckets makes every addend a dyadic rational doubles store EXACTLY —
-    // the sums compare bit-equal across engines with no rounding and no
-    // libm exp() in either plan
+    // buckets makes every addend a dyadic rational doubles store EXACTLY
+    // (no libm exp() in either plan); the SUM still rounds to 6dp on both
+    // sides — addend exactness doesn't survive a mantissa-overflowing
+    // corpus, and hash-compared floats always round in this inventory
     q("q_events_decay",
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |           FROM events GROUP BY 1, 2),
         |m AS (SELECT max(day) AS max_day FROM d)
         |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
-        |  sum(n / pow(2.0, floor(date_diff('day', day, max_day) / 7))) AS trend_score
+        |  round(sum(n / pow(2.0, floor(date_diff('day', day, max_day) / 7))), 6) AS trend_score
         |FROM d CROSS JOIN m GROUP BY event_type
         |ORDER BY trend_score DESC, event_type""".stripMargin) { c =>
       Events

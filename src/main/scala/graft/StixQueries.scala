@@ -416,6 +416,62 @@ object StixQueries {
         .orderBy("name")
     },
 
+    // ----- rename_view: the rename is journaled (read_json round-trip) AND
+    //       the renamed view's rows stay reachable under the new name — the
+    //       data side replays the source extract's predicate + provenance
+    //       semi-join in SQL (sqlstorage.py rename_view)
+    q("q_stix_rename",
+      s"""WITH j AS (SELECT verb, args FROM read_json('$WD/__symtable.jsonl',
+         |      format='newline_delimited', columns={'verb': 'VARCHAR', 'args': 'JSON[]'})),
+         |ren AS (SELECT DISTINCT args->>1 AS name FROM j
+         |      WHERE verb = 'rename' AND (args->>0) = 'rnm_src')
+         |SELECT ren.name, u.id, u.value
+         |FROM ren CROSS JOIN (
+         |  SELECT id, value FROM ${t("url")}
+         |  WHERE value LIKE '%page/1%' AND id IN ${prov("q1")}) u
+         |ORDER BY u.id""".stripMargin) { st =>
+      st.extract("rnm_src", "url", "q1", "[url:value LIKE '%page/1%']")
+      st.renameView("rnm_src", "rnm_dst") // clobbers any rnm_dst from a prior run
+      st.catalog.resolve("rnm_dst")
+        .select(lit("rnm_dst").as("name"), col("id"), col("value"))
+        .orderBy("id")
+    },
+
+    // ----- summarize_pattern (stix20.py:162-208): per journaled probe
+    //       pattern, the (sco_type, path) set the compiler reports it
+    //       touches. The oracle re-derives the set from the engine's OWN
+    //       journal by lexing type:path tokens out of the persisted pattern
+    //       text — exact for these union-semantics probes (observation-level
+    //       AND intersection is pinned separately by StixCoreSpec).
+    q("q_stix_summarize",
+      s"""WITH j AS (SELECT verb, args FROM read_json('$WD/__symtable.jsonl',
+         |      format='newline_delimited', columns={'verb': 'VARCHAR', 'args': 'JSON[]'})),
+         |e AS (SELECT DISTINCT args->>0 AS name, args->>3 AS pattern FROM j
+         |      WHERE verb = 'extract' AND (args->>0) LIKE 'smp%'),
+         |tok AS (SELECT name,
+         |      unnest(regexp_extract_all(pattern, '[a-z0-9-]+:[A-Za-z0-9_.]+')) AS t
+         |   FROM e)
+         |SELECT DISTINCT name, string_split(t, ':')[1] AS sco_type, string_split(t, ':')[2] AS path
+         |FROM tok ORDER BY name, sco_type, path""".stripMargin) { st =>
+      val spark = st.spark
+      import spark.implicits._
+      val pats = Seq(
+        "smp_a" -> ("url", "[url:value LIKE '%page/1%']"),
+        "smp_b" -> ("network-traffic",
+          "[network-traffic:src_ref.value ISSUBSET '192.168.0.0/16' AND network-traffic:dst_port = 22]"),
+        "smp_c" -> ("ipv4-addr",
+          "[ipv4-addr:value = '192.168.1.1' OR ipv4-addr:value ISSUBSET '10.0.0.0/8']"))
+      pats.foreach { case (n, (tpe, p)) => st.extract(n, tpe, "q1", p) }
+      pats
+        .flatMap { case (n, (_, p)) =>
+          graft.pattern.Pattern.summarize(p).toSeq.flatMap { case (tpe, paths) =>
+            paths.toSeq.map(path => (n, tpe, path))
+          }
+        }
+        .toDF("name", "sco_type", "path")
+        .orderBy("name", "sco_type", "path")
+    },
+
     // ----- funnel over the STIX data model: the hunting surface composed
     //       with the pipeline operators — per-source-address ordered
     //       progression web (443) -> SMB (445) -> SSH (22) over

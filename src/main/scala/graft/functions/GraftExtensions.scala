@@ -68,12 +68,15 @@ object GraftExtensions {
         info("norm_f", "norm_f(a) - L2 norm of an array<float|double> vector"),
         (args: Seq[Expression]) => NormF(args(0))))
 
-  /** Same registrations on a live session. Idempotent — a session that
-    * already carries the surface is left alone (re-registration would only
-    * replace identical builders, with a registry warning per name). */
+  /** Same registrations on a live session. Idempotent PER FUNCTION — each
+    * name is checked individually, so a session that already carries part
+    * of the surface (a user-registered in_subnet, an interrupted install)
+    * still gets every missing function rather than silently keeping a
+    * partial surface; names that exist are left alone (re-registration
+    * would only replace identical builders, with a registry warning). */
   def install(spark: SparkSession): Unit =
-    if (!spark.catalog.functionExists(registrations.head._1.funcName))
-      registrations.foreach { case (id, inf, builder) =>
+    registrations.foreach { case (id, inf, builder) =>
+      if (!spark.catalog.functionExists(id.funcName))
         GraftBridge.registerFunction(spark, id.funcName, inf, builder)
-      }
+    }
 }

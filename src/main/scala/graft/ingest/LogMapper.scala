@@ -1,6 +1,7 @@
 package graft.ingest
 
 import graft.model.StixId
+import scala.jdk.CollectionConverters._
 
 /** Raw log records -> STIX observation bundles — the capability surface of
   * the reference's woodchipper (firepit/woodchipper.py): a Mapper turns one
@@ -445,8 +446,13 @@ object LogMapper {
   /** File-level conversion entry (splint `convert` -> woodchipper.convert,
     * firepit/woodchipper.py:871-935): detect the file format by extension /
     * leading bytes, read records, pick the first mapper that recognizes a
-    * record, emit a STIX 2.0 bundle JSON. */
+    * record, emit a STIX 2.0 bundle JSON.
+    *
+    * `.zip` archives follow the reference's semantics
+    * (woodchipper.py:896-905): the FIRST entry whose name has a convertible
+    * extension is extracted and converted; other entries are ignored. */
   def convert(path: String): String = {
+    if (path.endsWith(".zip")) return convertZip(path)
     val records =
       if (path.endsWith(".csv")) recordsFromCsv(path)
       else {
@@ -461,5 +467,29 @@ object LogMapper {
       case Some(m) => toBundleJson(records, m)
       case None    => toBundleJson(records) // generic flat network-JSON fallback
     }
+  }
+
+  private val convertibleExts = Seq(".csv", ".tsv", ".json", ".jsonl", ".log")
+
+  /** Extract the first convertible entry of a zip archive to a temp file
+    * and run it through the normal single-file dispatch. */
+  private def convertZip(path: String): String = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val entry = zf.entries().asScala
+        .find(e => !e.isDirectory && convertibleExts.exists(e.getName.endsWith))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no convertible entry (${convertibleExts.mkString("/")}) in $path"))
+      val name = entry.getName
+      val suffix = name.substring(name.lastIndexOf('.'))
+      val tmp = java.nio.file.Files.createTempFile("graft-zip-entry", suffix)
+      try {
+        val in = zf.getInputStream(entry)
+        try java.nio.file.Files.copy(
+          in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        convert(tmp.toString)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } finally zf.close()
   }
 }

@@ -41,6 +41,36 @@ import scala.jdk.CollectionConverters._
   * steady-state ingest touches only its own buckets. Uniform schemas keep
   * reads trivially globbable by ANY engine — no Spark mergeSchema pass, no
   * per-file footer reconciliation at 100 TB.
+  *
+  * == Bucket-local delta files ==
+  *
+  * Rewriting a whole bucket per touched batch is still O(bucket) write
+  * amplification — ~25 GB per trickled row at the documented 100 TB shape
+  * (4096 buckets). So the write verbs split every batch by what the rows
+  * actually DO to the stored table:
+  *
+  *  - rows that are PURE INSERTS against the current table state (new ids /
+  *    new key tuples / not-yet-stored distinct rows) are APPENDED as small
+  *    `__bucket=K/delta-*.parquet` files — O(batch) bytes written, the
+  *    untouched base files stay byte-stable;
+  *  - rows that genuinely MERGE with a stored row (upsert of an existing
+  *    id) rewrite their bucket as before — which also compacts that
+  *    bucket's accumulated deltas for free.
+  *
+  * Deltas here are NOT shadowing deltas (Hudi/Iceberg merge-on-read): a
+  * delta row never supersedes a base row, it IS a table row that happens to
+  * live in a small file. That keeps the raw-glob contract exact — any
+  * engine reading `table.parquet/&#42;&#42;/&#42;.parquet` sees precisely the
+  * table, no reconciliation pass — at the cost of updates (the rare verb at
+  * ingest steady state) paying one bucket rewrite. Delta files per bucket
+  * are capped ([[DeltaFilesMax]]): past the threshold the bucket is
+  * compacted back to its one-file form.
+  *
+  * Every multi-file publish (bucket swaps and delta appends) stages under a
+  * sibling tmp dir and records a `_graft_pending` intent marker before
+  * moving files into the live tree; [[repairPending]] (run by every verb
+  * and by [[readTable]]) finishes an interrupted publish, so a JVM death
+  * mid-move can't leave a silently torn table.
   */
 object UpsertWriter {
 
@@ -95,7 +125,12 @@ object UpsertWriter {
 
   private def pathOf(dir: String, table: String): Path = Paths.get(dir, s"$table.parquet")
 
-  def exists(dir: String, table: String): Boolean = Files.exists(pathOf(dir, table))
+  def exists(dir: String, table: String): Boolean = {
+    // a crashed whole-dir swap can leave the table existing only as its
+    // staged tmp + sibling marker; repair first so existence is truthful
+    repairPending(pathOf(dir, table))
+    Files.exists(pathOf(dir, table))
+  }
 
   def tables(dir: String): Seq[String] =
     if (!Files.exists(Paths.get(dir))) Nil
@@ -111,9 +146,12 @@ object UpsertWriter {
 
   /** Read a stored table WITHOUT the bucketing partition column — the one
     * read entry point callers should use (flat legacy dirs read
-    * identically: drop of an absent column is a no-op). */
-  def readTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    * identically: drop of an absent column is a no-op). Finishes any
+    * interrupted publish first (one cheap local Files.exists probe). */
+  def readTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    repairPending(pathOf(dir, table))
     spark.read.parquet(pathOf(dir, table).toString).drop(BucketCol)
+  }
 
   // ----- bucket layout bookkeeping ----------------------------------------
 
@@ -137,6 +175,87 @@ object UpsertWriter {
       .unionByName(incoming.limit(0), allowMissingColumns = true).schema
     def key(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSet
     key(target) != key(stored.schema)
+  }
+
+  // ----- crash-atomic publish ----------------------------------------------
+  //
+  // A multi-file publish (N bucket-dir swaps, or M delta-file moves) is not
+  // atomic on a plain filesystem: a JVM death mid-loop would leave some
+  // buckets new and others stale with nothing to say so. So every publish
+  // (a) fully stages its output under a sibling tmp dir, (b) writes a
+  // `_graft_pending` intent marker inside the live table dir listing every
+  // pending move, (c) performs the moves, (d) removes the marker, (e)
+  // removes the tmp dir. Each move is idempotent (skip if src gone), so a
+  // crash anywhere in (c)-(e) is FINISHED — not rolled back — by the next
+  // repairPending(): the staged files are complete by construction, rolling
+  // forward is always safe. Single-writer per table, like the reference.
+
+  private def pendingOf(p: Path): Path = p.resolve("_graft_pending")
+
+  /** One pending move: swap a whole bucket dir, or add one delta file. */
+  private def applyEntry(p: Path, tmp: Path, entry: String): Unit =
+    entry.split('|') match {
+      case Array("swap", rel) =>
+        val src = tmp.resolve(rel)
+        if (Files.exists(src)) { // already moved => done
+          val dst = p.resolve(rel)
+          if (Files.exists(dst)) FsUtil.deleteTree(dst)
+          Files.move(src, dst)
+        }
+      case Array("file", srcRel, dstRel) =>
+        val src = tmp.resolve(srcRel)
+        if (Files.exists(src)) {
+          val dst = p.resolve(dstRel)
+          Files.createDirectories(dst.getParent)
+          Files.deleteIfExists(dst) // re-run after crash mid-move
+          Files.move(src, dst)
+        }
+      case other =>
+        throw new IllegalStateException(s"corrupt _graft_pending entry: ${other.mkString("|")}")
+    }
+
+  /** Record the intent marker, perform the moves, clean up — the only code
+    * path that mutates a live table tree. */
+  private def publishStaged(p: Path, tmp: Path, entries: Seq[String], n: Int): Unit = {
+    Files.createDirectories(p)
+    Files.write(pendingOf(p),
+      (tmp.getFileName.toString +: entries).mkString("", "\n", "\n").getBytes("UTF-8"))
+    entries.foreach(applyEntry(p, tmp, _))
+    if (!Files.exists(markerOf(p)))
+      Files.write(markerOf(p), s"$n\n".getBytes("UTF-8"))
+    Files.deleteIfExists(pendingOf(p))
+    if (Files.exists(tmp)) FsUtil.deleteTree(tmp)
+  }
+
+  private def swapMarkerOf(p: Path): Path =
+    p.resolveSibling(p.getFileName.toString + ".swap_pending")
+
+  /** Finish an interrupted publish (no-op in the common case: two local
+    * Files.exists probes). The marker's moves are idempotent; if the staged
+    * tmp dir is already gone every move already happened and only the
+    * cleanup was lost. */
+  def repairPending(p: Path): Unit = {
+    // interrupted whole-dir swap (sibling marker — the table dir itself may
+    // be mid-replacement): the staged tmp is complete, roll forward
+    val swp = swapMarkerOf(p)
+    if (Files.exists(swp)) {
+      val tmpName = new String(Files.readAllBytes(swp), "UTF-8").trim
+      val tmp = p.resolveSibling(tmpName)
+      if (tmpName.nonEmpty && Files.exists(tmp)) {
+        if (Files.exists(p)) FsUtil.deleteTree(p)
+        Files.move(tmp, p)
+      }
+      Files.deleteIfExists(swp)
+    }
+    // interrupted per-bucket / delta publish (marker inside the table dir)
+    if (Files.exists(pendingOf(p))) {
+      val lines = new String(Files.readAllBytes(pendingOf(p)), "UTF-8")
+        .split('\n').filter(_.nonEmpty).toSeq
+      val tmp = p.resolveSibling(lines.head)
+      if (Files.exists(tmp)) lines.tail.foreach(applyEntry(p, tmp, _))
+      Files.deleteIfExists(pendingOf(p))
+      if (Files.exists(tmp)) FsUtil.deleteTree(tmp)
+    }
   }
 
   /** Write `content` (rows for the `touched` buckets only, no bucket
@@ -170,18 +289,70 @@ object UpsertWriter {
         s"bucketed write produced rows outside the touched bucket set ($strays); " +
           "is the incoming DataFrame nondeterministic?")
     }
-    Files.createDirectories(p)
-    touched.foreach { k =>
-      val src = tmp.resolve(s"$BucketCol=$k")
-      val dst = p.resolve(s"$BucketCol=$k")
-      if (Files.exists(src)) {
-        if (Files.exists(dst)) FsUtil.deleteTree(dst)
-        Files.move(src, dst)
+    val entries = touched
+      .filter(k => Files.exists(tmp.resolve(s"$BucketCol=$k")))
+      .map(k => s"swap|$BucketCol=$k")
+    publishStaged(p, tmp, entries, n)
+  }
+
+  // ----- bucket-local delta appends ----------------------------------------
+
+  /** Delta files a bucket may accumulate before it is compacted back to its
+    * one-file form. Bounds read-side file counts: at the 100 TB shape a
+    * bucket is ~25 GB base + up to this many O(batch)-sized deltas. */
+  val DeltaFilesMax: Int =
+    sys.env.get("SPARK_GRAFT_BUCKET_DELTA_MAX").flatMap(_.trim.toIntOption)
+      .filter(_ > 0).getOrElse(8)
+
+  private def isDeltaFile(name: String): Boolean =
+    name.startsWith("delta-") && name.endsWith(".parquet")
+
+  /** Append `content` — rows that are PURE INSERTS w.r.t. the live table,
+    * already aligned to the stored schema — as `delta-*.parquet` files
+    * inside their bucket dirs. Writes O(batch) bytes; every base file stays
+    * byte-stable. Returns the buckets that received a delta. */
+  private def appendDeltaFiles(
+      content: DataFrame, p: Path, keys: Seq[String], n: Int): Seq[Int] = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".delta.tmp")
+    content
+      .withColumn(BucketCol, bucketOf(keys, n))
+      .repartition(col(BucketCol)) // one task per non-empty bucket => one file each
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(tmp.toString)
+    val stamp = java.util.UUID.randomUUID().toString.take(12)
+    val staged = {
+      val s = Files.walk(tmp)
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+        .map(tmp.relativize)
+        .toList
+      finally s.close()
+    }
+    if (staged.isEmpty) { FsUtil.deleteTree(tmp); return Nil }
+    val entries = staged.zipWithIndex.map { case (rel, i) =>
+      s"file|$rel|${rel.getParent}/delta-$stamp-$i.parquet"
+    }
+    publishStaged(p, tmp, entries, n)
+    staged.map(_.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt).distinct
+  }
+
+  /** Compact any bucket whose delta-file count exceeds [[DeltaFilesMax]]
+    * back to its one-file form (a plain rewrite of just those buckets —
+    * delta rows are ordinary table rows, so no merge logic is needed). */
+  private def compactIfNeeded(
+      spark: SparkSession, p: Path, keys: Seq[String], n: Int, candidates: Seq[Int]): Unit = {
+    val over = candidates.filter { k =>
+      val b = p.resolve(s"$BucketCol=$k")
+      Files.exists(b) && {
+        val s = Files.list(b)
+        try s.iterator().asScala.count(f => isDeltaFile(f.getFileName.toString)) > DeltaFilesMax
+        finally s.close()
       }
     }
-    FsUtil.deleteTree(tmp)
-    if (!Files.exists(markerOf(p)))
-      Files.write(markerOf(p), s"$n\n".getBytes("UTF-8"))
+    if (over.nonEmpty) {
+      val rows = spark.read.parquet(p.toString)
+        .where(col(BucketCol).isin(over: _*)).drop(BucketCol)
+      swapTouchedBuckets(rows, p, keys, n, over)
+    }
   }
 
   /** Files written per bucket on a full-table write. 1 keeps local test
@@ -208,8 +379,14 @@ object UpsertWriter {
         pmod(hash(keys.map(k => col(s"`$k`")) :+ lit("fanout"): _*), lit(f)))
     spread.write.partitionBy(BucketCol).mode("overwrite").parquet(tmp.toString)
     Files.write(tmp.resolve("_graft_buckets"), s"$n\n".getBytes("UTF-8"))
+    // the delete-then-move pair is its own torn window (a crash between
+    // them loses the table); the staged tmp is complete, so a sibling
+    // intent marker lets repairPending roll the swap forward
+    val pend = swapMarkerOf(p)
+    Files.write(pend, (tmp.getFileName.toString + "\n").getBytes("UTF-8"))
     if (Files.exists(p)) FsUtil.deleteTree(p)
     Files.move(tmp, p)
+    Files.deleteIfExists(pend)
   }
 
   /** The distinct bucket ids `incoming` lands in (one tiny agg over the
@@ -246,6 +423,7 @@ object UpsertWriter {
       numBuckets: Int = DefaultBuckets): Unit = {
     rejectReserved(incoming)
     val p = pathOf(dir, table)
+    repairPending(p)
     val inc = incoming.withColumn("__seq", monotonically_increasing_id())
     if (!Files.exists(p))
       swapAllBuckets(mergeById(inc), p, Seq("id"), numBuckets)
@@ -263,13 +441,49 @@ object UpsertWriter {
         // table) must hash the bucket on the value that gets written
         val aligned = alignTo(stored, incoming)
           .withColumn("__seq", monotonically_increasing_id())
-        val touched = touchedBuckets(aligned, Seq("id"), nb)
-        val old = spark.read.parquet(p.toString)
-          .where(col(BucketCol).isin(touched: _*)) // partition-pruned scan
-          .drop(BucketCol)
-          .withColumn("__seq", lit(-1L))
-        val merged = mergeById(old.unionByName(aligned))
-        swapTouchedBuckets(merged, p, Seq("id"), nb, touched)
+        // Pre-merge the batch against itself, then split it by what each
+        // row DOES to the stored table: ids already stored genuinely merge
+        // (their buckets pay a rewrite, which also compacts them); new ids
+        // are pure inserts and append as O(batch) delta files. The select
+        // pins the stored column order — delta files must be byte-schema-
+        // identical to base files for the raw-glob contract.
+        val batch = mergeById(aligned)
+          .select(stored.columns.map(c => col(s"`$c`")): _*)
+          .persist() // reused across 4 jobs; also pins a nondeterministic
+                     // source so split/write see one consistent batch
+        try {
+          val touched = touchedBuckets(batch, Seq("id"), nb)
+          val old = spark.read.parquet(p.toString)
+            .where(col(BucketCol).isin(touched: _*)) // partition-pruned scan
+            .drop(BucketCol)
+          val updBuckets =
+            touchedBuckets(batch.join(old.select("id"), Seq("id"), "left_semi"),
+              Seq("id"), nb)
+          // materialize the inserts BEFORE any bucket rewrite: their plan
+          // reads the pre-rewrite file listing, which the swap deletes
+          val inserts = batch
+            .join(old.select("id"), Seq("id"), "left_anti")
+            .where(!bucketOf(Seq("id"), nb).isin(updBuckets :+ -1: _*))
+            .persist()
+          inserts.count()
+          if (updBuckets.nonEmpty) {
+            // rewrite buckets containing at least one genuine merge, folding
+            // the batch's inserts for those buckets into the same rewrite
+            val oldUpd = spark.read.parquet(p.toString)
+              .where(col(BucketCol).isin(updBuckets: _*)).drop(BucketCol)
+              .withColumn("__seq", lit(-1L))
+            val batchUpd = batch
+              .where(bucketOf(Seq("id"), nb).isin(updBuckets: _*))
+              .withColumn("__seq", lit(0L))
+            swapTouchedBuckets(
+              mergeById(oldUpd.unionByName(batchUpd))
+                .select(stored.columns.map(c => col(s"`$c`")): _*),
+              p, Seq("id"), nb, updBuckets)
+          }
+          val deltaBuckets = appendDeltaFiles(inserts, p, Seq("id"), nb)
+          inserts.unpersist()
+          compactIfNeeded(spark, p, Seq("id"), nb, deltaBuckets)
+        } finally batch.unpersist()
       }
     }
   }
@@ -281,6 +495,7 @@ object UpsertWriter {
       numBuckets: Int = DefaultBuckets): Unit = {
     rejectReserved(incoming)
     val p = pathOf(dir, table)
+    repairPending(p)
     val dedupedNew = incoming.dropDuplicates("id")
     if (!Files.exists(p))
       swapAllBuckets(dedupedNew, p, Seq("id"), numBuckets)
@@ -294,13 +509,18 @@ object UpsertWriter {
           p, Seq("id"), n.getOrElse(numBuckets))
       } else {
         val nb = n.get
-        val aligned = alignTo(stored, dedupedNew)
-        val touched = touchedBuckets(aligned, Seq("id"), nb)
-        val old = spark.read.parquet(p.toString)
-          .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
-        // same id => same bucket, so the pruned anti-join is exact
-        val fresh = aligned.join(old.select("id"), Seq("id"), "left_anti")
-        swapTouchedBuckets(old.unionByName(fresh), p, Seq("id"), nb, touched)
+        val aligned = alignTo(stored, dedupedNew).persist()
+        try {
+          val touched = touchedBuckets(aligned, Seq("id"), nb)
+          val old = spark.read.parquet(p.toString)
+            .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
+          // same id => same bucket, so the pruned anti-join is exact; every
+          // surviving row is a pure insert — no bucket rewrite at all, just
+          // O(batch) delta appends
+          val fresh = aligned.join(old.select("id"), Seq("id"), "left_anti")
+          val deltaBuckets = appendDeltaFiles(fresh, p, Seq("id"), nb)
+          compactIfNeeded(spark, p, Seq("id"), nb, deltaBuckets)
+        } finally aligned.unpersist()
       }
     }
   }
@@ -314,6 +534,7 @@ object UpsertWriter {
       numBuckets: Int = DefaultBuckets): Unit = {
     rejectReserved(incoming)
     val p = pathOf(dir, table)
+    repairPending(p)
     def keysOf(df: DataFrame): Seq[String] = df.columns.toSeq.sorted
     if (!Files.exists(p))
       swapAllBuckets(incoming.distinct(), p, keysOf(incoming), numBuckets)
@@ -331,11 +552,19 @@ object UpsertWriter {
         // align FIRST: a batch with a subset of the stored columns or a
         // coercible type (long -> stored double) must hash the bucket keys
         // on the values that will actually be written
-        val aligned = alignTo(stored, incoming)
-        val touched = touchedBuckets(aligned, keys, nb)
-        val old = spark.read.parquet(p.toString)
-          .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
-        swapTouchedBuckets(old.unionByName(aligned).distinct(), p, keys, nb, touched)
+        val aligned = alignTo(stored, incoming).distinct().persist()
+        try {
+          val touched = touchedBuckets(aligned, keys, nb)
+          val old = spark.read.parquet(p.toString)
+            .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
+          // not-yet-stored rows are pure inserts => delta append. The anti
+          // join must be NULL-SAFE on every column (plain equality would
+          // re-append any row containing a null, duplicating it forever)
+          val cond = keys.map(k => old.col(s"`$k`") <=> aligned.col(s"`$k`")).reduce(_ && _)
+          val fresh = aligned.join(old, cond, "left_anti")
+          val deltaBuckets = appendDeltaFiles(fresh, p, keys, nb)
+          compactIfNeeded(spark, p, keys, nb, deltaBuckets)
+        } finally aligned.unpersist()
       }
     }
   }
@@ -351,6 +580,7 @@ object UpsertWriter {
       numBuckets: Int = DefaultBuckets): Unit = {
     rejectReserved(incoming)
     val p = pathOf(dir, table)
+    repairPending(p)
     if (!Files.exists(p))
       swapAllBuckets(incoming, p, keys, numBuckets)
     else {
@@ -365,12 +595,16 @@ object UpsertWriter {
           p, keys, n.getOrElse(numBuckets))
       else {
         val nb = n.get
-        val aligned = alignTo(stored, incoming)
-        val touched = touchedBuckets(aligned, keys, nb)
-        val old = spark.read.parquet(p.toString)
-          .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
-        swapTouchedBuckets(
-          old.unionByName(freshOf(old, aligned)), p, keys, nb, touched)
+        val aligned = alignTo(stored, incoming).persist()
+        try {
+          val touched = touchedBuckets(aligned, keys, nb)
+          val old = spark.read.parquet(p.toString)
+            .where(col(BucketCol).isin(touched: _*)).drop(BucketCol)
+          // first sighting wins: a not-yet-stored key tuple is a pure
+          // insert => delta append; conflicting re-sightings just vanish
+          val deltaBuckets = appendDeltaFiles(freshOf(old, aligned), p, keys, nb)
+          compactIfNeeded(spark, p, keys, nb, deltaBuckets)
+        } finally aligned.unpersist()
       }
     }
   }

@@ -299,11 +299,16 @@ object Events {
     val sz = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
     active
       .join(cohort, userCol)
-      // active weeks never precede the first-event week, and both keys are
-      // week-truncated, so the offset is an exact non-negative multiple of 7d
+      // offset by CALENDAR week distance (datediff of the truncated dates
+      // / 7), not epoch-seconds / 604800: in a DST session timezone two
+      // week starts can be 604800±3600 s apart, and Spark's cast truncates
+      // where other engines round — date arithmetic has no such edge
       .select(
         col("cohort_week"),
-        ((col("act_week") - col("cohort_week")) / 604800L).cast("long").as("week_offset"))
+        (datediff(
+          to_date(timestamp_seconds(col("act_week"))),
+          to_date(timestamp_seconds(col("cohort_week")))) / 7)
+          .cast("long").as("week_offset"))
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users")) // one row per user post-distinct
       .join(broadcast(sz), Seq("cohort_week"))
@@ -320,12 +325,15 @@ object Events {
     * age counts back from the newest day in the data.
     *
     * The decay base is deliberately 2, never e: every addend is n·2⁻ᵏ, a
-    * dyadic rational a double represents EXACTLY, so the per-type sum is
-    * exact, order-independent and engine-portable with no rounding —
-    * libm's exp()/pow() last-ulp platform variance never enters the
-    * result. Corpus-sized work is one (type, day) count aggregate; the
-    * weighting and final sum run over the tiny types×days frame with the
-    * 1-row max-day broadcast. */
+    * dyadic rational a double represents EXACTLY — no libm exp()/pow()
+    * last-ulp platform variance enters the addends. The SUM itself is only
+    * exact while log2(max n) + the deepest decay bucket stays inside the
+    * 53-bit mantissa, so the score still rounds to 6dp like every other
+    * float output (a corpus spanning many half-lives with large daily
+    * counts would otherwise leak partial-sum-order ulps into a
+    * hash-compared column). Corpus-sized work is one (type, day) count
+    * aggregate; the weighting and final sum run over the tiny types×days
+    * frame with the 1-row max-day broadcast. */
   def decayedTypeCounts(events: DataFrame, halfLifeDays: Int = 7): DataFrame = {
     require(halfLifeDays >= 1, "halfLifeDays must be positive")
     val daily = events
@@ -341,6 +349,6 @@ object Events {
           pow(lit(2.0), floor(datediff(col("max_day"), col("day")) / lit(halfLifeDays))))
           .as("c"))
       .groupBy("event_type")
-      .agg(sum(col("n")).as("n_total"), sum(col("c")).as("trend_score"))
+      .agg(sum(col("n")).as("n_total"), round(sum(col("c")), 6).as("trend_score"))
   }
 }

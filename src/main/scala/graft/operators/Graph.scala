@@ -20,14 +20,19 @@ object Graph {
     * Scale shape per iteration: one (edge ⋈ outdeg ⋈ rank) join keyed on
     * src, one contribution sum keyed on dst — both hash-partitioned on node
     * ids, rank state is nodes-sized (≪ edges). The loop builds a linear
-    * lazy DAG; at cluster scale checkpoint `ranks` every few iterations,
-    * exactly as the k-means scaladoc prescribes for iterative plans. */
+    * lazy DAG, so `checkpointEvery` > 0 truncates the lineage every that
+    * many iterations (eager localCheckpoint — the rank state is nodes-sized
+    * and already materialized by the iteration's shuffle): without it,
+    * analysis/optimization cost grows linearly with iters and a lost
+    * executor replays the entire chain. Ranks round per iteration, so the
+    * checkpointed and uncheckpointed iterates are bit-identical. */
   def pageRank(
       edges: DataFrame,
       iters: Int = 3,
       damping: Double = 0.85,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      checkpointEvery: Int = 0): DataFrame = {
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -36,7 +41,7 @@ object Graph {
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = nodes.crossJoin(nn).select(col("id"), round(lit(1.0) / col("n"), 9).as("rank"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contribs = e
         .join(outdeg, "src")
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
@@ -51,6 +56,8 @@ object Graph {
           round(
             lit(1.0 - damping) / col("n") + lit(damping) * coalesce(col("s"), lit(0.0)),
             9).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
   }

@@ -3,16 +3,24 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import javax.imageio.ImageIO
 
 /** Multimodal-column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, decoded/feature-extracted in batched partition-local
   * passes.
   *
-  * The decode step is a STUB — no image/audio codecs exist in this
-  * environment — implemented as a deterministic fake (byte histogram) so
-  * the Spark-side contract is real and testable: binary schema, metadata
-  * struct, batch shape (fixed-size batches inside mapPartitions, the JVM
-  * analogue of a Pandas-UDF batch), and decode-cost partitioning.
+  * The IMAGE modality is real: [[decodeGray]] decodes PNG/JPEG/GIF/BMP via
+  * javax.imageio (public JDK), [[imageHashes]] computes dHash/aHash
+  * perceptual fingerprints, and [[nearDupImages]] finds near-duplicate
+  * pairs with a Hamming pigeonhole block join — oracle-checked against
+  * ground-truth pixel matrices (q_multimodal_phash / q_multimodal_neardup).
+  *
+  * The audio/video decode step remains a STUB — no audio/video codecs exist
+  * in this environment — implemented as a deterministic fake (byte
+  * histogram) so the Spark-side contract is real and testable: binary
+  * schema, metadata struct, batch shape (fixed-size batches inside
+  * mapPartitions, the JVM analogue of a Pandas-UDF batch), and decode-cost
+  * partitioning.
   *
   * Scale notes: feature extraction is embarrassingly parallel; the only
   * planning decision is spreading decode cost evenly — `repartitionForDecode`
@@ -102,6 +110,175 @@ object Multimodal {
           col("meta.mime").as("mime"),
           length(col("content")).cast("long").as("n_bytes"),
           col("meta.source").as("source")))
+
+  // ===== Real image decode + perceptual hashing ============================
+  //
+  // The image modality is NOT stubbed: PNG/JPEG/GIF/BMP bytes are decoded
+  // with javax.imageio (public JDK, headless-safe), reduced to a grayscale
+  // grid, and hashed with dHash (gradient) + aHash (mean) — the standard
+  // perceptual-dedup pair. All grid comparisons use integer cross-
+  // multiplication (sumA*cntB < sumB*cntA instead of meanA < meanB), so the
+  // hashes are exact integer functions of the pixel matrix: any engine with
+  // the pixels reproduces them bit-for-bit with no float-rounding caveats.
+
+  /** Decode an encoded image to (width, height, row-major grayscale 0-255).
+    * Single-band rasters (gray PNG) read their band exactly; multi-band
+    * images reduce by integer-truncated band mean. Returns None for
+    * undecodable bytes (callers keep the row with null hashes). */
+  private[graft] def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null) return None
+    val img =
+      try Option(ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val raster = im.getRaster
+      val bands = raster.getNumBands
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (bands == 1) out(y * w + x) = raster.getSample(x, y, 0)
+          else {
+            var s = 0
+            var b = 0
+            while (b < math.min(bands, 3)) { s += raster.getSample(x, y, b); b += 1 }
+            out(y * w + x) = s / math.min(bands, 3)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
+  /** Per-cell (sum, count) of a gw x gh partition of the pixel matrix; the
+    * cell of pixel (x,y) is (x*gw/w, y*gh/h) — exact integer area blocks
+    * when divisible, near-equal blocks otherwise. */
+  private def gridSums(px: Array[Int], w: Int, h: Int, gw: Int, gh: Int)
+      : (Array[Long], Array[Long]) = {
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cell = gy * gw + x * gw / w
+        sums(cell) += px(y * w + x)
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sums, cnts)
+  }
+
+  /** dHash: 9x8 grid, bit (gy,gx) = mean(cell) < mean(right neighbor),
+    * packed row-major into two unsigned-32-bit halves (hi = rows 0-3). */
+  private[graft] def dHash(px: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val (s, c) = gridSums(px, w, h, 9, 8)
+    var hi = 0L
+    var lo = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val a = gy * 9 + gx
+        val b = a + 1
+        val bit = if (s(a) * c(b) < s(b) * c(a)) 1L else 0L
+        if (gy < 4) hi |= bit << (31 - (gy * 8 + gx))
+        else lo |= bit << (31 - ((gy - 4) * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    (hi, lo)
+  }
+
+  /** aHash: 8x8 grid, bit = mean(cell) > mean(image), same packing. */
+  private[graft] def aHash(px: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val (s, c) = gridSums(px, w, h, 8, 8)
+    val totS = s.sum
+    val totC = c.sum
+    var hi = 0L
+    var lo = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val cell = gy * 8 + gx
+        val bit = if (s(cell) * totC > totS * c(cell)) 1L else 0L
+        if (gy < 4) hi |= bit << (31 - (gy * 8 + gx))
+        else lo |= bit << (31 - ((gy - 4) * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    (hi, lo)
+  }
+
+  /** Decode + hash a binary image column, batched per partition like
+    * [[extractFeatures]] (codec setup amortizes per batch; decode is
+    * embarrassingly parallel, so the only plan decision is the upstream
+    * [[repartitionForDecode]]). Output: id, dhash_hi/lo, ahash_hi/lo
+    * (unsigned-32-bit halves as longs — two-halves form keeps every
+    * downstream consumer, including non-JVM engines, free of int64 sign
+    * traps), null for undecodable bytes. */
+  def imageHashes(
+      media: DataFrame, idCol: String = "media_id", binCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash_hi", LongType, nullable = true),
+      StructField("dhash_lo", LongType, nullable = true),
+      StructField("ahash_hi", LongType, nullable = true),
+      StructField("ahash_lo", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col(idCol).cast("long").as("media_id"), col(binCol).as("content"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            decodeGray(r.getAs[Array[Byte]]("content")) match {
+              case Some((w, h, px)) =>
+                val (dh, dl) = dHash(px, w, h)
+                val (ah, al) = aHash(px, w, h)
+                Row(r.getLong(0), dh, dl, ah, al)
+              case None => Row(r.getLong(0), null, null, null, null)
+            }
+          }
+        }
+      }(encoder)
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance, via the 16-bit
+    * pigeonhole block join (same shape as Dedup.simhashPairs): a pair
+    * within distance <= 3 must agree on at least one of the four 16-bit
+    * blocks, so candidates come from 4 equi-joins on (block_idx, block_val)
+    * — never an all-pairs product. */
+  def nearDupImages(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-block pigeonhole is only exact for maxDist <= 3")
+    val h64 = hashes
+      .where(col("dhash_hi").isNotNull)
+      .select(
+        col("media_id"),
+        (shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo"))).as("h"))
+    val ex = h64
+      .select(col("media_id"), col("h"), explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .withColumn(
+        "block_val",
+        expr("shiftrightunsigned(h, cast(block_idx * 16 as int)) & 65535"))
+    val a = ex.select(col("media_id").as("id_a"), col("h").as("h_a"), col("block_idx"), col("block_val"))
+    val b = ex.select(col("media_id").as("id_b"), col("h").as("h_b"), col("block_idx"), col("block_val"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), expr("cast(bit_count(h_a ^ h_b) as bigint)").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
 
   /** "Frame sampling" for video-like payloads: split the binary into
     * `frames` evenly-spaced fixed-width slices (stub of keyframe extract;

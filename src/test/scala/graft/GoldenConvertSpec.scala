@@ -49,6 +49,28 @@ class GoldenConvertSpec extends AnyFunSuite {
     }
   }
 
+  test("convert: .zip archive -> same bundle as its unzipped log (woodchipper.py:896-905)") {
+    // zip the Zeek fixture (plus a decoy entry the reference would skip)
+    // and assert the converted observations equal the unzipped conversion
+    val zip = java.nio.file.Files.createTempFile("graft-zip", ".zip")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(zip))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry("README.txt"))
+      zos.write("not a log".getBytes("UTF-8"))
+      zos.closeEntry()
+      zos.putNextEntry(new java.util.zip.ZipEntry("zeek_example.log"))
+      zos.write(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fixture("zeek_example.log"))))
+      zos.closeEntry()
+    } finally zos.close()
+    def strip(obs: Seq[Map[String, Any]]) = obs.map(_ - "id") // ids are uuid4
+    try
+      assert(
+        strip(obsOf(LogMapper.convert(zip.toString))) ==
+          strip(obsOf(LogMapper.convert(fixture("zeek_example.log")))))
+    finally java.nio.file.Files.deleteIfExists(zip)
+  }
+
   test("convert: Zeek JSON conn log -> 2 observations (test_splint.py:52-62)") {
     val obs = obsOf(LogMapper.convert(fixture("zeek_example.log")))
     assert(obs.length == 2)

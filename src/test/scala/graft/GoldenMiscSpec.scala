@@ -114,6 +114,22 @@ class GoldenMiscSpec extends SparkSpec {
     assert(parsed.forall(_.keySet == Set("value")))
   }
 
+  test("cli: lookup caps output at the interactive default, --limit overrides") {
+    val wd = tmpDir()
+    Cli.run(spark, Seq(wd, "cache", "test-id", fixture("test_bundle.json")))
+    Cli.run(spark, Seq(wd, "extract", "ips", "ipv4-addr", "test-id", "[ipv4-addr:value LIKE '%']"))
+    def lookupLines(args: String*): Int = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        Cli.run(spark, Seq(wd, "lookup", "ips") ++ args)
+      }
+      out.toString("UTF-8").linesIterator.count(_.nonEmpty)
+    }
+    assert(lookupLines("--limit=5") == 5)
+    assert(lookupLines("--limit=0") == 70) // 0 = unlimited (all 70 addrs)
+    assert(lookupLines() == 70) // default cap (1000) doesn't bite small views
+  }
+
   test("cli: convert a zeek log then delete the store") {
     val wd = tmpDir()
     Cli.run(spark, Seq(wd, "convert", fixture("zeek_example.log"), "zq1"))

@@ -48,6 +48,52 @@ class MultimodalSpec extends SparkSpec {
     assert(small(0).getAs[Array[Byte]]("content").length == 11)
   }
 
+  test("decodeGray round-trips the exact pixel matrix through PNG encode/decode") {
+    MediaCorpus.allPixels.take(3).foreach { case (_, px) =>
+      val png = MediaCorpus.pngOf(px)
+      val Some((w, h, decoded)) = Multimodal.decodeGray(png)
+      assert(w == MediaCorpus.W && h == MediaCorpus.H)
+      assert(decoded.sameElements(px), "lossless PNG round-trip must be exact")
+    }
+    // undecodable bytes -> None, not an exception
+    assert(Multimodal.decodeGray("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeGray(null).isEmpty)
+  }
+
+  test("dHash is invariant to exact upscaling (perceptual, not byte, identity)") {
+    val (_, px) = MediaCorpus.allPixels.head
+    val w = MediaCorpus.W; val h = MediaCorpus.H
+    // 2x nearest-neighbor upscale: every grid cell's mean is unchanged
+    val up = new Array[Int](w * 2 * h * 2)
+    for (y <- 0 until h * 2; x <- 0 until w * 2)
+      up(y * w * 2 + x) = px((y / 2) * w + (x / 2))
+    assert(Multimodal.dHash(px, w, h) == Multimodal.dHash(up, w * 2, h * 2))
+    // aHash uses an 8x8 grid, and 36 % 8 != 0: upscaling re-partitions the
+    // near-equal cells, so exact invariance only holds on a divisible
+    // geometry — check it on the 32x32 crop (32 % 8 == 0)
+    val crop = Array.tabulate(32 * 32)(i => px((i / 32) * w + i % 32))
+    val cropUp = new Array[Int](64 * 64)
+    for (y <- 0 until 64; x <- 0 until 64)
+      cropUp(y * 64 + x) = crop((y / 2) * 32 + (x / 2))
+    assert(Multimodal.aHash(crop, 32, 32) == Multimodal.aHash(cropUp, 64, 64))
+  }
+
+  test("imageHashes: batch-size invariant; nearDupImages finds exactly the planted pairs") {
+    MediaCorpus.ensure(spark)
+    val images = spark.read.parquet(MediaCorpus.table)
+    val h1 = Multimodal.imageHashes(images, binCol = "png", batchSize = 1)
+      .orderBy("media_id").collect()
+    val h64 = Multimodal.imageHashes(images, binCol = "png", batchSize = 64)
+      .orderBy("media_id").collect()
+    assert(h1.length == 48 && (h1 zip h64).forall { case (a, b) => a == b })
+    val pairs = Multimodal
+      .nearDupImages(Multimodal.imageHashes(images, binCol = "png"), maxDist = 3)
+      .orderBy("id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == (0 until 8).map(i => (i.toLong, (40 + i).toLong)),
+      s"expected the 8 planted near-dup pairs, got ${pairs.toSeq}")
+  }
+
   test("sampleFrames explodes evenly-spaced slices") {
     val frames = Multimodal.sampleFrames(media, frames = 2, frameBytes = 4)
       .where(col("media_id") === 1L)

@@ -632,6 +632,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(r("c") - 0.234167) < 1e-9, s"c=${r("c")}")
   }
 
+  test("checkpointEvery truncates iterative lineage without changing results") {
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case n => n }.size
+    // pageRank at iters=12: the unchecked plan is a 12-deep join chain; the
+    // checkpointed one bottoms out in a LogicalRDD every 3 iterations
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "a"))
+      .toDF("src", "dst")
+    val plain = graft.operators.Graph.pageRank(edges, iters = 12)
+    val ckpt = graft.operators.Graph.pageRank(edges, iters = 12, checkpointEvery = 3)
+    assert(planNodes(ckpt) * 2 < planNodes(plain),
+      s"checkpointed plan (${planNodes(ckpt)} nodes) should be a fraction of " +
+        s"the unchecked chain (${planNodes(plain)} nodes)")
+    val a = plain.orderBy("id").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val b = ckpt.orderBy("id").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(a == b, "checkpointing must not change the iterate")
+
+    // kmeans: same law on the centroid frame
+    val vecs = (1L to 12L).map(i => (i, Array.tabulate(4)(d => math.sin(i * 2.7 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cPlain = Similarity.kmeansCentroids(df, k = 2, iters = 12)
+    val cCkpt = Similarity.kmeansCentroids(df, k = 2, iters = 12, checkpointEvery = 3)
+    assert(planNodes(cCkpt) * 2 < planNodes(cPlain))
+    def mat(d: org.apache.spark.sql.DataFrame) = d.orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(mat(cPlain) == mat(cCkpt))
+  }
+
   test("sq8TopK: a full-corpus shortlist degenerates to exact brute force") {
     // law: when candidateFactor covers the whole corpus, quantized candidate
     // ranking cannot drop a true neighbor — results equal bruteForceTopK

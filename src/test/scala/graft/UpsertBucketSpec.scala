@@ -177,6 +177,129 @@ class UpsertBucketSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  /** Total bytes of files under `table` whose name starts with delta-. */
+  private def deltaBytes(table: Path): Long = {
+    val s = Files.walk(table)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith("delta-"))
+      .map(Files.size).sum
+    finally s.close()
+  }
+
+  test("new-id upsert appends an O(KB) delta file; every base file stays byte-stable") {
+    val dir = Files.createTempDirectory("graft-delta").toString
+    val table = java.nio.file.Paths.get(dir, "t.parquet")
+    UpsertWriter.upsert(spark, dir, "t",
+      df((0 until 200).map(i => (s"id-$i", s"n$i", 1L))))
+    val before = filesByBucket(table)
+    val baseBytes = Files.walk(table).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+
+    UpsertWriter.upsert(spark, dir, "t", df(Seq(("id-brand-new", "x", 1L))))
+    val after = filesByBucket(table)
+    // every pre-existing file is untouched — the write was a pure append
+    before.foreach { case (b, files) =>
+      files.foreach { case (f, mtime) =>
+        assert(after(b).get(f).contains(mtime), s"base file $f was rewritten")
+      }
+    }
+    // and the append cost is O(row), not O(bucket)
+    val db = deltaBytes(table)
+    assert(db > 0, "expected a delta file")
+    assert(db < 64 * 1024 && db < baseBytes,
+      s"1-row delta should be O(KB), wrote $db bytes (base $baseBytes)")
+    val out = UpsertWriter.readTable(spark, dir, "t")
+    assert(out.count() == 201)
+    assert(out.where(col("id") === "id-brand-new").head().getAs[String]("name") == "x")
+    // a later upsert MERGING that delta-resident id still works (rewrites
+    // its bucket, compacting the delta away)
+    UpsertWriter.upsert(spark, dir, "t", df(Seq(("id-brand-new", "y", 2L))))
+    val m = UpsertWriter.readTable(spark, dir, "t")
+      .where(col("id") === "id-brand-new").head()
+    assert(m.getAs[String]("name") == "y" && m.getAs[Long]("number_observed") == 3L)
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("delta pile-up past the threshold compacts the bucket back to one file") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val table = java.nio.file.Paths.get(dir, "t.parquet")
+    UpsertWriter.insertIgnore(spark, dir, "t",
+      df((0 until 50).map(i => (s"seed-$i", s"n$i", 1L))))
+    // find one id per batch all landing in the SAME bucket, so each append
+    // adds one more delta file to that bucket
+    val n = UpsertWriter.DefaultBuckets
+    val sp = spark
+    import sp.implicits._
+    val sameBucket = (0 until 2000).map(i => s"x-$i").toDF("id")
+      .where(pmod(hash(col("id")), lit(n)) === 0)
+      .collect().map(_.getString(0)).toSeq
+    assert(sameBucket.size > UpsertWriter.DeltaFilesMax + 2)
+    sameBucket.take(UpsertWriter.DeltaFilesMax + 2).foreach { id =>
+      UpsertWriter.insertIgnore(spark, dir, "t", df(Seq((id, "v", 1L))))
+    }
+    val bucket0 = table.resolve("__bucket=0")
+    val files = Files.list(bucket0).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toList
+    assert(files.count(_.startsWith("delta-")) <= UpsertWriter.DeltaFilesMax,
+      s"compaction should have bounded delta files, got $files")
+    // all rows survived the compaction
+    val out = UpsertWriter.readTable(spark, dir, "t")
+    assert(out.count() == 50 + UpsertWriter.DeltaFilesMax + 2)
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("appendDistinct null-containing rows are not re-appended (null-safe anti-join)") {
+    val dir = Files.createTempDirectory("graft-nullsafe").toString
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(("a", Some("x")), ("b", None)).toDF("k", "v")
+    UpsertWriter.appendDistinct(spark, dir, "e", rows)
+    UpsertWriter.appendDistinct(spark, dir, "e", rows) // re-append identical batch
+    assert(UpsertWriter.readTable(spark, dir, "e").count() == 2,
+      "null-valued row duplicated: anti-join is not null-safe")
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("an interrupted publish is rolled forward by the next read (crash repair)") {
+    val dir = Files.createTempDirectory("graft-repair").toString
+    val table = java.nio.file.Paths.get(dir, "t.parquet")
+    UpsertWriter.upsert(spark, dir, "t",
+      df((0 until 100).map(i => (s"id-$i", s"n$i", 1L))))
+    // simulate a JVM death between the intent marker and the moves: stage a
+    // delta file under the sibling tmp dir + a _graft_pending marker, as
+    // publishStaged would have left them
+    val bucket = Files.list(table).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("__bucket=")).toSeq.sorted.head
+    val srcFile = Files.list(table.resolve(bucket)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val tmp = table.resolveSibling("t.parquet.delta.tmp")
+    Files.createDirectories(tmp.resolve(bucket))
+    Files.copy(srcFile, tmp.resolve(bucket).resolve("part-staged.parquet"))
+    Files.write(table.resolve("_graft_pending"),
+      (s"t.parquet.delta.tmp\nfile|$bucket/part-staged.parquet|$bucket/delta-repair-0.parquet\n")
+        .getBytes("UTF-8"))
+    // any read finishes the publish
+    UpsertWriter.readTable(spark, dir, "t").count()
+    assert(Files.exists(table.resolve(bucket).resolve("delta-repair-0.parquet")),
+      "staged delta file was not published by repair")
+    assert(!Files.exists(table.resolve("_graft_pending")), "marker not cleared")
+    assert(!Files.exists(tmp), "staged tmp dir not cleaned up")
+
+    // simulate a crash mid whole-dir swap: staged full tmp + sibling
+    // marker, live dir already deleted
+    val tmp2 = table.resolveSibling("t.parquet.tmp")
+    graft.ingest.FsUtil.deleteTree(tmp2) // in case
+    Files.move(table, tmp2) // "staged" content is the complete table
+    Files.write(table.resolveSibling("t.parquet.swap_pending"),
+      "t.parquet.tmp\n".getBytes("UTF-8"))
+    assert(UpsertWriter.exists(dir, "t"), "repair should roll the swap forward")
+    assert(Files.exists(table) && !Files.exists(tmp2))
+    assert(!Files.exists(table.resolveSibling("t.parquet.swap_pending")))
+    assert(UpsertWriter.readTable(spark, dir, "t").count() > 100) // + repair delta rows
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("insertIgnore keeps stored rows and rewrites only touched buckets") {
     val dir = Files.createTempDirectory("graft-bucket-ii").toString
     val table = java.nio.file.Paths.get(dir, "o.parquet")
