@@ -25,6 +25,7 @@ object Bench {
     try {
       StixCorpus.ensure(spark); TranslateCorpus.ensure(spark)
       WoodCorpus.ensure(spark); MediaCorpus.ensure(spark)
+      AudioCorpus.ensure(spark)
     } catch { case _: Throwable => () }
     // min of `reps` repetitions per query: a co-tenant load spike during
     // one rep cannot fake an across-the-board regression in the record

@@ -25,6 +25,9 @@ object PipelineQueries {
   // media-corpus parquet as seen by the DuckDB oracle (see MediaCorpus)
   private val mediaT =
     s"read_parquet('${MediaCorpus.table}/*.parquet', hive_partitioning=0)"
+  // audio-corpus parquet as seen by the DuckDB oracle (see AudioCorpus)
+  private val audioT =
+    s"read_parquet('${AudioCorpus.table}/*.parquet', hive_partitioning=0)"
 
   // DuckDB-side shared fragments (mirrors of TextOps/Dedup column builders)
   private val duckNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -289,6 +292,26 @@ object PipelineQueries {
       c.resolve("documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // fixed-token chunking with overlap (chunkSize=32, overlap=8): the
+    // standard pre-training windowing step; all arithmetic integer, slices
+    // replayed exactly by DuckDB 1-based inclusive list slicing
+    q("q_text_chunk",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, length(toks) AS n FROM t WHERE length(toks) > 0),
+         |c AS (SELECT doc_id, toks,
+         |        CASE WHEN n <= 32 THEN 1
+         |             ELSE CAST(ceil((n - 32)::DOUBLE / 24) AS INT) + 1 END AS n_chunks
+         |      FROM d),
+         |e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(length(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS INT) AS n_tokens,
+         |  array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin) { c =>
+      TextOps
+        .chunk(c.resolve("documents"), chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
     },
 
     // winnowing (rolling-hash) fingerprints: min of each 4-window of word
@@ -633,6 +656,31 @@ object PipelineQueries {
       graft.operators.Sampling.packShards(withTokens, "doc_id", "n_tokens", 4096L)
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))
         .orderBy("doc_id")
+    },
+
+    // GPT-style sequence packing: concatenate all docs' tokens in doc_id
+    // order, cut every 64; one row per (sequence, doc) overlap. The oracle
+    // replays the global running offset with a window cumsum (fine at
+    // oracle scale); the engine uses the two-pass no-global-window path
+    q("q_text_pack",
+      s"""WITH t AS (SELECT doc_id, length($duckToks) AS n FROM documents),
+         |c AS (SELECT doc_id, n,
+         |    coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM t),
+         |e AS (SELECT doc_id, n, off,
+         |        unnest(range(CAST(off // 64 AS BIGINT),
+         |                     CAST((off + n - 1) // 64 + 1 AS BIGINT))) AS seq_id
+         |      FROM c WHERE n > 0)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         |  CAST(greatest(off, seq_id * 64) - off AS INT) AS start_in_doc,
+         |  CAST(least(off + n, (seq_id + 1) * 64)
+         |       - greatest(off, seq_id * 64) AS INT) AS n_tokens
+         |FROM e ORDER BY seq_id, doc_id""".stripMargin) { c =>
+      val withTokens = c.resolve("documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.packSequences(withTokens, "doc_id", "n_tokens", 64L)
+        .orderBy("seq_id", "doc_id")
     },
 
     // ===== Deduplication ==================================================
@@ -1428,6 +1476,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // KMV distinct-count sketch (native TypedImperativeAggregate, O(k)
+    // mergeable state — the cardinality shape that replaces the distinct
+    // shuffle at 100 TB): estimate distinct l_partkey per return flag with
+    // k=32; the oracle recomputes the estimator from the k smallest
+    // distinct 60-bit md5 hashes — every double derives from exactly-
+    // representable integers, so the estimates agree bit-for-bit
+    q("q_profile_kmv",
+      """WITH h AS (SELECT DISTINCT l_returnflag AS grp,
+        |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+        |             count(*) OVER (PARTITION BY grp) AS nd FROM h)
+        |SELECT grp AS l_returnflag,
+        |  round(CASE WHEN max(nd) < 32 THEN CAST(max(nd) AS DOUBLE)
+        |        ELSE 31.0 * 1152921504606846976
+        |             / CAST(max(CASE WHEN rn = 32 THEN hv END) AS DOUBLE) END, 6) AS est_distinct
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin) { c =>
+      c.resolve("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(
+          graft.functions.KmvSketch.kmvDistinct(col("l_partkey"), 32), 6)
+          .as("est_distinct"))
+        .orderBy("l_returnflag")
+    },
+
     // cross-source overlap matrix: distinct 8-gram window-hash sets per
     // source, pairwise shared counts + Jaccard — the "do these two dumps
     // cover the same material" curation signal; the oracle recomputes the
@@ -1561,6 +1634,122 @@ object PipelineQueries {
             c.spark.read.parquet(MediaCorpus.table), idCol = "media_id", binCol = "png"),
           maxDist = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // real image resize: exact area-average downscale of the DECODED png to
+    // 9x8, one output row per resized pixel; the oracle computes the same
+    // integer-truncated block means from the stored ground-truth pixels —
+    // parity proves decode + resample together
+    q("q_multimodal_resize",
+      s"""WITH px AS (
+         |  SELECT media_id, width, height,
+         |         CAST((i-1) // width AS INT) AS y, CAST((i-1) % width AS INT) AS x, p
+         |  FROM (SELECT media_id, width, height, unnest(pixels) AS p,
+         |               generate_subscripts(pixels, 1) AS i FROM $mediaT)
+         |),
+         |g AS (SELECT media_id, (y*8)//height AS gy, (x*9)//width AS gx,
+         |             CAST(sum(p) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+         |      FROM px GROUP BY 1,2,3)
+         |SELECT media_id, CAST(gy*9+gx AS INT) AS pos, CAST(s // c AS INT) AS v
+         |FROM g ORDER BY media_id, pos""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      MediaCorpus.ensure(c.spark)
+      Multimodal
+        .resizeImages(
+          c.spark.read.parquet(MediaCorpus.table), outW = 9, outH = 8, binCol = "png")
+        .select(col("media_id"), posexplode(col("pixels")).as(Seq("pos", "v")))
+        .orderBy("media_id", "pos")
+    },
+
+    // ===== Real audio decode + integer features + energy fingerprint ======
+    // the audio corpus stores BOTH the WAV bytes and the ground-truth PCM
+    // sample array; Spark decodes ONLY the WAV (javax.sound.sampled), the
+    // oracle computes ONLY from the samples — parity proves the decode
+    // recovered the exact PCM stream. Features and fingerprint are all
+    // integer arithmetic (sum-of-squares energy, cross-multiplied frame
+    // comparisons), so there is no float-rounding caveat.
+    q("q_multimodal_audio",
+      s"""WITH s AS (
+         |  SELECT media_id, sample_rate, generate_subscripts(samples,1)-1 AS i,
+         |         CAST(unnest(samples) AS BIGINT) AS v, len(samples) AS n
+         |  FROM $audioT),
+         |z AS (SELECT media_id, sample_rate, v,
+         |        CASE WHEN (v >= 0) != (lag(v) OVER (PARTITION BY media_id ORDER BY i) >= 0)
+         |             THEN 1 ELSE 0 END AS zc
+         |      FROM s),
+         |f AS (SELECT media_id, CAST(i*33//n AS INT) AS frame, sum(v*v) AS e, count(*) AS c
+         |      FROM s GROUP BY 1,2),
+         |bits AS (SELECT a.media_id, a.frame AS j,
+         |           CASE WHEN a.e*b.c < b.e*a.c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |         FROM f a JOIN f b ON a.media_id = b.media_id AND b.frame = a.frame+1),
+         |fps AS (SELECT media_id, CAST(sum(bit << (31 - j)) AS BIGINT) AS fp
+         |        FROM bits GROUP BY media_id)
+         |SELECT z.media_id, CAST(max(sample_rate) AS INT) AS sample_rate,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(max(abs(v)) AS INT) AS peak,
+         |  CAST(sum(v*v) AS BIGINT) AS sum_sq,
+         |  CAST(sum(zc) AS BIGINT) AS zero_cross,
+         |  CAST(sum(CASE WHEN abs(v) < 512 THEN 1 ELSE 0 END) AS BIGINT) AS silence_n,
+         |  max(fps.fp) AS fp
+         |FROM z JOIN fps ON z.media_id = fps.media_id
+         |GROUP BY z.media_id ORDER BY z.media_id""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      AudioCorpus.ensure(c.spark)
+      Multimodal
+        .audioStats(c.spark.read.parquet(AudioCorpus.table), binCol = "wav")
+        .orderBy("media_id")
+    },
+
+    // near-duplicate pairs by energy-fingerprint Hamming distance: Spark
+    // candidates come from the 4x8-bit pigeonhole block join (exact for
+    // dist <= 3, never all-pairs); the oracle brute-forces all pairs over
+    // the sample-derived fingerprints — finding the planted perturbed clips
+    q("q_multimodal_audio_neardup",
+      s"""WITH s AS (
+         |  SELECT media_id, generate_subscripts(samples,1)-1 AS i,
+         |         CAST(unnest(samples) AS BIGINT) AS v, len(samples) AS n
+         |  FROM $audioT),
+         |f AS (SELECT media_id, CAST(i*33//n AS INT) AS frame, sum(v*v) AS e, count(*) AS c
+         |      FROM s GROUP BY 1,2),
+         |bits AS (SELECT a.media_id, a.frame AS j,
+         |           CASE WHEN a.e*b.c < b.e*a.c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |         FROM f a JOIN f b ON a.media_id = b.media_id AND b.frame = a.frame+1),
+         |fps AS (SELECT media_id, CAST(sum(bit << (31 - j)) AS BIGINT) AS fp
+         |        FROM bits GROUP BY media_id)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+         |FROM fps a JOIN fps b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      AudioCorpus.ensure(c.spark)
+      Multimodal
+        .nearDupAudio(
+          Multimodal.audioStats(c.spark.read.parquet(AudioCorpus.table), binCol = "wav"),
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // real audio resample: truncated-mean block downsample of the DECODED
+    // wav to 32 samples, one output row per resampled value; the oracle
+    // computes the same truncating block means from the ground-truth
+    // samples (DuckDB `//` and JVM long division both truncate toward
+    // zero, so negative means agree exactly)
+    q("q_multimodal_audio_resample",
+      s"""WITH s AS (
+         |  SELECT media_id, generate_subscripts(samples,1)-1 AS i,
+         |         CAST(unnest(samples) AS BIGINT) AS v, len(samples) AS n
+         |  FROM $audioT),
+         |g AS (SELECT media_id, CAST(i*32//n AS INT) AS pos, sum(v) AS sv, count(*) AS c
+         |      FROM s GROUP BY 1,2)
+         |SELECT media_id, pos, CAST(sv // c AS INT) AS v
+         |FROM g ORDER BY media_id, pos""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      AudioCorpus.ensure(c.spark)
+      Multimodal
+        .resampleAudio(c.spark.read.parquet(AudioCorpus.table), outN = 32, binCol = "wav")
+        .select(col("media_id"), posexplode(col("samples")).as(Seq("pos", "v")))
+        .orderBy("media_id", "pos")
     },
 
     // ===== Event analytics (windows — beyond the reference, SURVEY §2.7) ==

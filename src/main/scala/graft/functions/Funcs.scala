@@ -55,6 +55,13 @@ object Funcs {
   def like_bin(pattern: String, b64: Column): Column =
     decode(unbase64(b64), "UTF-8").like(pattern.replace("\\", "\\\\"))
 
+  /** 60-bit integer hash from the first 15 md5 hex chars of the value's
+    * string rendering — the engine-portable hash domain shared by minhash
+    * (Dedup) and the KMV cardinality sketch: any engine with md5 computes
+    * the identical integer. Codegen'd built-ins throughout. */
+  def md5Hash60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** RFC-3339 text rendering of a timestamp column — the reference stores
     * timestamps as ISO text with millisecond precision + 'Z'
     * (firepit/timestamp.py:16-34); we keep TimestampType at rest and render

@@ -15,12 +15,18 @@ import javax.imageio.ImageIO
   * pairs with a Hamming pigeonhole block join — oracle-checked against
   * ground-truth pixel matrices (q_multimodal_phash / q_multimodal_neardup).
   *
-  * The audio/video decode step remains a STUB — no audio/video codecs exist
-  * in this environment — implemented as a deterministic fake (byte
-  * histogram) so the Spark-side contract is real and testable: binary
-  * schema, metadata struct, batch shape (fixed-size batches inside
-  * mapPartitions, the JVM analogue of a Pandas-UDF batch), and decode-cost
-  * partitioning.
+  * The AUDIO modality is real too: [[decodePcm]] decodes WAV PCM via
+  * javax.sound.sampled (public JDK), [[audioStats]] computes integer-exact
+  * features plus a 32-bit energy-delta perceptual fingerprint, and
+  * [[nearDupAudio]] finds near-duplicate pairs — oracle-checked against
+  * ground-truth sample arrays (q_multimodal_audio*).
+  *
+  * Only the VIDEO decode step remains a STUB — no video codecs exist in
+  * this environment (or the plain JDK) — implemented as a deterministic
+  * fake (byte histogram / frame slicing) so the Spark-side contract is
+  * real and testable: binary schema, metadata struct, batch shape
+  * (fixed-size batches inside mapPartitions, the JVM analogue of a
+  * Pandas-UDF batch), and decode-cost partitioning.
   *
   * Scale notes: feature extraction is embarrassingly parallel; the only
   * planning decision is spreading decode cost evenly — `repartitionForDecode`
@@ -254,6 +260,38 @@ object Multimodal {
       }(encoder)
   }
 
+  /** REAL image resize: decode, exact area-average downscale to gw x gh
+    * (the cell partition of [[gridSums]] — integer-truncated means, so any
+    * engine holding the pixels reproduces the output bit-for-bit), emitted
+    * as the resized grayscale matrix. Batched per partition like every
+    * decode pass. Output: id, out_w, out_h, pixels (row-major ints; null
+    * for undecodable bytes). */
+  def resizeImages(
+      media: DataFrame, outW: Int, outH: Int,
+      idCol: String = "media_id", binCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("pixels", ArrayType(IntegerType), nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col(idCol).cast("long").as("media_id"), col(binCol).as("content"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            decodeGray(r.getAs[Array[Byte]]("content")) match {
+              case Some((w, h, px)) =>
+                val (s, c) = gridSums(px, w, h, outW, outH)
+                val out = Array.tabulate(outW * outH)(i => (s(i) / c(i)).toInt)
+                Row(r.getLong(0), outW, outH, out.toSeq)
+              case None => Row(r.getLong(0), outW, outH, null)
+            }
+          }
+        }
+      }(encoder)
+  }
+
   /** Near-duplicate image pairs by dHash Hamming distance, via the 16-bit
     * pigeonhole block join (same shape as Dedup.simhashPairs): a pair
     * within distance <= 3 must agree on at least one of the four 16-bit
@@ -278,6 +316,195 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), expr("cast(bit_count(h_a ^ h_b) as bigint)").as("dist"))
       .where(col("dist") <= maxDist)
       .distinct()
+  }
+
+  // ===== Real audio decode + integer features + energy fingerprint ========
+  //
+  // The audio modality is NOT stubbed either: WAV PCM bytes are decoded
+  // with javax.sound.sampled (public JDK, headless-safe), reduced to a
+  // mono 16-bit sample stream, and summarized with integer-exact features
+  // (peak, sum-of-squares, zero crossings, silence run length) plus a
+  // 32-bit energy-delta perceptual fingerprint — the Shazam-family idea
+  // (frame the clip, hash the direction of energy change between adjacent
+  // frames) reduced to its integer core. Every comparison is integer
+  // cross-multiplied, so any engine holding the PCM samples reproduces the
+  // features and fingerprint bit-for-bit (q_multimodal_audio* oracles).
+
+  /** Decode WAV/AIFF-style PCM bytes to (sampleRate, mono samples).
+    * 16-bit PCM only (the lossless interchange format); multi-channel
+    * input mixes down by truncated integer mean. Returns None for
+    * undecodable or non-16-bit payloads (callers keep the row, null
+    * features). */
+  private[graft] def decodePcm(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (bytes == null) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16) None
+      else {
+        val data = ais.readAllBytes()
+        val ch = fmt.getChannels.max(1)
+        val nFrames = data.length / (2 * ch)
+        val out = new Array[Int](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var s = 0
+          var c = 0
+          while (c < ch) {
+            val o = (f * ch + c) * 2
+            val v =
+              if (fmt.isBigEndian) (data(o) << 8) | (data(o + 1) & 0xff)
+              else (data(o + 1) << 8) | (data(o) & 0xff)
+            s += v
+            c += 1
+          }
+          // floorDiv, NOT /: the mixdown must be one well-defined integer
+          // function of the channel samples (negative sums round down)
+          out(f) = Math.floorDiv(s, ch)
+          f += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Number of energy frames in [[audioFingerprints]]; 33 frames yield a
+    * 32-bit adjacent-comparison fingerprint. */
+  val FpFrames = 33
+
+  /** fp = 32 bits, bit j = 1 iff frame j+1 carries more energy per sample
+    * than frame j (integer cross-multiplied: e_j*c_{j+1} < e_{j+1}*c_j).
+    * Frame of sample i is i*33/n — near-equal blocks, exact for any n. */
+  private[graft] def energyFingerprint(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n < FpFrames) return 0L
+    val e = new Array[Long](FpFrames)
+    val c = new Array[Long](FpFrames)
+    var i = 0
+    while (i < n) {
+      val f = (i.toLong * FpFrames / n).toInt
+      e(f) += samples(i).toLong * samples(i)
+      c(f) += 1
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < FpFrames - 1) {
+      if (e(j) * c(j + 1) < e(j + 1) * c(j)) fp |= 1L << (31 - j)
+      j += 1
+    }
+    fp
+  }
+
+  /** Decode + summarize a binary audio column, batched per partition like
+    * [[imageHashes]]. Output per row: sample_rate, n_samples, peak
+    * (max |s|), sum_sq (Σ s², the un-normalized energy — exact integer,
+    * callers derive RMS), zero_cross (sign changes, 0 counts as
+    * non-negative), silence_n (samples with |s| < silenceThreshold), and
+    * the 32-bit energy fingerprint; all null for undecodable bytes. */
+  def audioStats(
+      media: DataFrame, idCol: String = "media_id", binCol: String = "content",
+      silenceThreshold: Int = 512, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true),
+      StructField("zero_cross", LongType, nullable = true),
+      StructField("silence_n", LongType, nullable = true),
+      StructField("fp", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col(idCol).cast("long").as("media_id"), col(binCol).as("content"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            decodePcm(r.getAs[Array[Byte]]("content")) match {
+              case Some((rate, s)) =>
+                var peak = 0
+                var sumSq = 0L
+                var zc = 0L
+                var sil = 0L
+                var i = 0
+                while (i < s.length) {
+                  val v = s(i)
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  sumSq += v.toLong * v
+                  if (i > 0 && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+                  if (a < silenceThreshold) sil += 1
+                  i += 1
+                }
+                Row(r.getLong(0), rate, s.length.toLong, peak, sumSq, zc, sil,
+                  energyFingerprint(s))
+              case None =>
+                Row(r.getLong(0), null, null, null, null, null, null, null)
+            }
+          }
+        }
+      }(encoder)
+  }
+
+  /** Near-duplicate audio pairs by energy-fingerprint Hamming distance:
+    * 8-bit pigeonhole on the 32-bit fp (a pair within distance <= 3 must
+    * agree on one of the four 8-bit blocks), candidates from 4 equi-joins
+    * — same scale shape as [[nearDupImages]], never all-pairs. */
+  def nearDupAudio(stats: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-block pigeonhole is only exact for maxDist <= 3")
+    val ex = stats
+      .where(col("fp").isNotNull)
+      .select(col("media_id"), col("fp"), explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .withColumn(
+        "block_val",
+        expr("shiftrightunsigned(fp, cast(block_idx * 8 as int)) & 255"))
+    val a = ex.select(col("media_id").as("id_a"), col("fp").as("fp_a"), col("block_idx"), col("block_val"))
+    val b = ex.select(col("media_id").as("id_b"), col("fp").as("fp_b"), col("block_idx"), col("block_val"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), expr("cast(bit_count(fp_a ^ fp_b) as bigint)").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** REAL audio resample: decode, truncated-mean block downsample to
+    * `outN` samples (block of output j = input [j*n/outN, (j+1)*n/outN);
+    * truncating integer division both sides, so any engine holding the
+    * samples reproduces it exactly — including negative means). Output:
+    * id, out_n, samples (null for undecodable bytes). */
+  def resampleAudio(
+      media: DataFrame, outN: Int,
+      idCol: String = "media_id", binCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("out_n", IntegerType, nullable = false),
+      StructField("samples", ArrayType(IntegerType), nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col(idCol).cast("long").as("media_id"), col(binCol).as("content"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            decodePcm(r.getAs[Array[Byte]]("content")) match {
+              case Some((_, s)) if s.length >= outN =>
+                val sums = new Array[Long](outN)
+                val cnts = new Array[Long](outN)
+                var i = 0
+                while (i < s.length) {
+                  val b = (i.toLong * outN / s.length).toInt
+                  sums(b) += s(i)
+                  cnts(b) += 1
+                  i += 1
+                }
+                // truncating division on purpose — matches SQL integer `//`
+                val out = Array.tabulate(outN)(j => (sums(j) / cnts(j)).toInt)
+                Row(r.getLong(0), outN, out.toSeq)
+              case _ => Row(r.getLong(0), outN, null)
+            }
+          }
+        }
+      }(encoder)
   }
 
   /** "Frame sampling" for video-like payloads: split the binary into

@@ -279,6 +279,24 @@ object Sampling {
       tokensCol: String,
       shardTokens: Long,
       numPartitions: Int = 0,
+      pin: String = "local"): DataFrame =
+    runningOffset(df, keyCol, tokensCol, "__offset", numPartitions, pin)
+      // `div`, not `/`: true long division (a double quotient silently
+      // loses exactness past 2^53 cumulative tokens)
+      .withColumn("shard_id", expr(s"__offset div ${shardTokens}L"))
+      .drop("__offset")
+
+  /** The two-pass exact prefix sum behind [[packShards]] / [[packSequences]]:
+    * appends `outCol` = Σ tokens of all strictly-preceding rows in `keyCol`
+    * order, computed without a global-order window (range-sort shuffle,
+    * per-partition subtotals → broadcast offsets, map-side running sum —
+    * see the [[packShards]] doc for the full rationale and `pin` modes). */
+  def runningOffset(
+      df: DataFrame,
+      keyCol: String,
+      tokensCol: String,
+      outCol: String,
+      numPartitions: Int = 0,
       pin: String = "local"): DataFrame = {
     val spark = df.sparkSession
     val parts =
@@ -292,7 +310,7 @@ object Sampling {
       case "persist" =>
         sorted.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       case other => throw new IllegalArgumentException(
-        s"packShards pin must be 'local' or 'persist', got '$other'")
+        s"pin must be 'local' or 'persist', got '$other'")
     }
     // pass 1: token subtotal per physical partition (tiny result)
     val subtotals = ranged
@@ -309,19 +327,63 @@ object Sampling {
     val bc = spark.sparkContext.broadcast(offsets)
     // pass 2: map-side running sum seeded with the partition offset
     val tokIdx = ranged.schema.fieldIndex(tokensCol)
-    val outSchema = ranged.schema.add("shard_id", LongType, nullable = false)
+    val outSchema = ranged.schema.add(outCol, LongType, nullable = false)
     val outRdd = ranged.rdd.mapPartitionsWithIndex(
       { (pid, it) =>
         var cum = bc.value(pid)
         it.map { row =>
-          val shard = cum / shardTokens
+          val off = cum
           if (!row.isNullAt(tokIdx))
             cum += row.get(tokIdx).asInstanceOf[Number].longValue()
-          Row.fromSeq(row.toSeq :+ shard)
+          Row.fromSeq(row.toSeq :+ off)
         }
       },
       preservesPartitioning = true)
     spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** GPT-style sequence packing — concatenate every document's tokens in
+    * `keyCol` order and cut the stream every `seqLen` tokens. Unlike
+    * [[packShards]] (whole docs to shards), a document STRADDLES sequence
+    * boundaries: the output is the occupancy map, one row per
+    * (sequence, document) overlap — `seq_id`, the key, `start_in_doc`
+    * (first contributed token, 0-based) and `n_tokens` contributed. Every
+    * sequence is exactly seqLen tokens except the last; downstream "gather
+    * the token slices of sequence s" is then an equi-join on seq_id.
+    *
+    * Built on [[runningOffset]], so the global order costs one range-sort
+    * shuffle and no single-task window; the boundary explode is a codegen
+    * Generate over at most n/seqLen+1 rows per doc — the same linear
+    * output any packer pays. Zero-token docs contribute no rows. */
+  def packSequences(
+      df: DataFrame,
+      keyCol: String,
+      tokensCol: String,
+      seqLen: Long,
+      numPartitions: Int = 0,
+      pin: String = "local"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    runningOffset(
+      df.select(col(keyCol), col(tokensCol).cast("long").as("__n")),
+      keyCol, "__n", "__off", numPartitions, pin)
+      .where(col("__n") > 0)
+      .select(
+        col(keyCol),
+        col("__n"),
+        col("__off"),
+        explode(
+          sequence(
+            expr(s"__off div ${seqLen}L"),
+            expr(s"(__off + __n - 1) div ${seqLen}L")))
+          .as("seq_id"))
+      .select(
+        col("seq_id"),
+        col(keyCol),
+        (greatest(col("__off"), col("seq_id") * seqLen) - col("__off"))
+          .cast("int").as("start_in_doc"),
+        (least(col("__off") + col("__n"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("__off"), col("seq_id") * seqLen))
+          .cast("int").as("n_tokens"))
   }
 
   /** Per-stratum shard packing: pack each (source, date, …) stratum

@@ -125,6 +125,46 @@ object TextOps {
     * any engine with md5 — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Fixed-size token chunks with overlap — the standard pre-training
+    * chunking step (split long documents into window-sized training
+    * sequences; adjacent chunks share `overlap` tokens of context).
+    *
+    * Chunk i covers tokens [i*(chunkSize-overlap), +chunkSize); a document
+    * of n tokens yields 1 chunk when n <= chunkSize, else
+    * ceil((n-chunkSize)/step)+1 so the tail is always covered and no chunk
+    * starts past the text. All arithmetic is integer and the explode is a
+    * codegen'd per-row Generate over a computed start sequence — zero
+    * shuffle, zero UDF; output size is corpus tokens x (1 + overlap/step),
+    * the same linear blow-up any chunker pays. Empty docs yield no rows. */
+  def chunk(
+      docs: DataFrame, chunkSize: Int = 128, overlap: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0, "need chunkSize > overlap >= 0")
+    val step = chunkSize - overlap
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .withColumn(
+        "n_chunks",
+        when(col("n") <= chunkSize, lit(1))
+          .otherwise(ceil((col("n") - chunkSize).cast("double") / step).cast("int") + 1))
+      .select(
+        col(idCol),
+        col("toks"),
+        posexplode(sequence(lit(0), col("n_chunks") - 1)).as(Seq("chunk_idx", "start")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        // slice() is 1-based; the tail chunk is naturally shorter
+        slice(col("toks"), col("chunk_idx") * step + 1, lit(chunkSize)).as("ctoks"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        size(col("ctoks")).as("n_tokens"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+  }
+
   /** PII redaction patterns, applied in order (emails before bare numbers so
     * an address is one `<EMAIL>`, not a mangled number). Engine-portable
     * POSIX-ish regexes — no lookarounds — so an external auditor can rerun

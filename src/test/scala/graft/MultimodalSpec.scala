@@ -94,6 +94,99 @@ class MultimodalSpec extends SparkSpec {
       s"expected the 8 planted near-dup pairs, got ${pairs.toSeq}")
   }
 
+  test("resizeImages: exact area means, invariant to exact upscaling") {
+    MediaCorpus.ensure(spark)
+    val images = spark.read.parquet(MediaCorpus.table)
+    val out = Multimodal.resizeImages(images, outW = 9, outH = 8, binCol = "png")
+      .orderBy("media_id").collect()
+    assert(out.length == 48)
+    // hand-check one cell of image 0: mean of the top-left 4x4 block
+    val (_, px) = MediaCorpus.allPixels.head
+    val expected0 =
+      (for (y <- 0 until 4; x <- 0 until 4) yield px(y * MediaCorpus.W + x).toLong)
+        .sum / 16
+    assert(out(0).getSeq[Int](3).head == expected0.toInt)
+    // undecodable bytes yield a null matrix, not a crash
+    val sp = spark
+    import sp.implicits._
+    val bad = Multimodal.resizeImages(
+      Seq((9L, "junk".getBytes)).toDF("media_id", "png"), 9, 8, binCol = "png").head()
+    assert(bad.isNullAt(3))
+  }
+
+  test("decodePcm round-trips the exact sample array through WAV encode/decode") {
+    AudioCorpus.allSamples.take(3).foreach { case (_, s) =>
+      val wav = AudioCorpus.wavOf(s)
+      val Some((rate, decoded)) = Multimodal.decodePcm(wav)
+      assert(rate == AudioCorpus.Rate)
+      assert(decoded.sameElements(s), "lossless PCM round-trip must be exact")
+    }
+    // undecodable bytes -> None, not an exception
+    assert(Multimodal.decodePcm("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodePcm(null).isEmpty)
+  }
+
+  test("audioStats: integer features match a hand computation; batch-size invariant") {
+    AudioCorpus.ensure(spark)
+    val audio = spark.read.parquet(AudioCorpus.table)
+    val s1 = Multimodal.audioStats(audio, binCol = "wav", batchSize = 1)
+      .orderBy("media_id").collect()
+    val s64 = Multimodal.audioStats(audio, binCol = "wav", batchSize = 64)
+      .orderBy("media_id").collect()
+    assert(s1.length == 48 && s64.length == 48)
+    (s1 zip s64).foreach { case (a, b) => assert(a == b) }
+    // hand-check clip 0 against the ground-truth samples
+    val (_, gt) = AudioCorpus.allSamples.head
+    val r = s1(0)
+    assert(r.getAs[Long]("n_samples") == gt.length.toLong)
+    assert(r.getAs[Int]("peak") == gt.map(math.abs).max)
+    assert(r.getAs[Long]("sum_sq") == gt.map(v => v.toLong * v).sum)
+    val zc = gt.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+    assert(r.getAs[Long]("zero_cross") == zc.toLong)
+    // undecodable bytes yield null features, not a crash
+    val sp = spark
+    import sp.implicits._
+    val bad = Multimodal.audioStats(
+      Seq((9L, "junk".getBytes)).toDF("media_id", "wav"), binCol = "wav").head()
+    assert(bad.isNullAt(4) && bad.isNullAt(7))
+  }
+
+  test("nearDupAudio finds the planted perturbed clips and nothing spurious") {
+    AudioCorpus.ensure(spark)
+    val stats = Multimodal.audioStats(spark.read.parquet(AudioCorpus.table), binCol = "wav")
+    val pairs = Multimodal.nearDupAudio(stats, maxDist = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val planted = (0 until 8).map(i => (i.toLong, (40 + i).toLong)).toSet
+    assert(planted.subsetOf(pairs.toSet),
+      s"all 8 planted near-dup pairs must surface, got ${pairs.toSeq}")
+    assert(pairs.toSet.subsetOf(planted),
+      s"no spurious pairs among independent clips, got ${pairs.toSeq}")
+    // and the perturbation must be audible to the fingerprint for at least
+    // one pair (true NEAR-duplicates, not only hash-identical copies)
+    val dists = Multimodal.nearDupAudio(stats, maxDist = 3).collect().map(_.getLong(2))
+    assert(dists.forall(_ <= 3))
+  }
+
+  test("resampleAudio: truncated block means, batch-invariant, null on junk") {
+    AudioCorpus.ensure(spark)
+    val audio = spark.read.parquet(AudioCorpus.table)
+    val out = Multimodal.resampleAudio(audio, outN = 32, binCol = "wav")
+      .orderBy("media_id").collect()
+    assert(out.length == 48)
+    // hand-check clip 0, block 0: truncated mean of samples [0, n/32-ish)
+    val (_, gt) = AudioCorpus.allSamples.head
+    val n = gt.length
+    val block0 = gt.zipWithIndex.filter { case (_, i) => i.toLong * 32 / n == 0 }.map(_._1)
+    val expected0 = (block0.map(_.toLong).sum / block0.length).toInt
+    assert(out(0).getSeq[Int](2).head == expected0)
+    val sp = spark
+    import sp.implicits._
+    val bad = Multimodal.resampleAudio(
+      Seq((9L, "junk".getBytes)).toDF("media_id", "wav"), outN = 32, binCol = "wav").head()
+    assert(bad.isNullAt(2))
+  }
+
   test("sampleFrames explodes evenly-spaced slices") {
     val frames = Multimodal.sampleFrames(media, frames = 2, frameBytes = 4)
       .where(col("media_id") === 1L)

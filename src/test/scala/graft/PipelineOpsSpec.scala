@@ -19,6 +19,71 @@ class PipelineOpsSpec extends SparkSpec {
     assert(t == Seq("hello", "world", "x"))
   }
 
+  test("chunk: overlapping fixed-token windows, short tail, empty docs vanish") {
+    val d = docs(
+      (1, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2, "a b c"),                                   // fits one chunk
+      (3, "   "))                                     // empty after normalize
+    val out = TextOps.chunk(d, chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1: step=3, n=10 -> ceil((10-4)/3)+1 = 3 chunks, tail full here
+    assert(out.toSeq == Seq(
+      (1, 0, 4, "t1 t2 t3 t4"),
+      (1, 1, 4, "t4 t5 t6 t7"),
+      (1, 2, 4, "t7 t8 t9 t10"),
+      (2, 0, 3, "a b c")))
+    // coverage law: every token index appears in some chunk
+    val n = 10; val size = 4; val step = 3
+    val covered = (0 until 3).flatMap(i => i * step until math.min(i * step + size, n)).toSet
+    assert(covered == (0 until n).toSet)
+  }
+
+  test("packSequences: straddling docs split exactly, every seq full but the last") {
+    val sp = spark
+    import sp.implicits._
+    // token counts 5, 9, 3, 7 -> stream of 24 tokens, seqLen 8 -> 3 seqs
+    val d = Seq((1L, 5L), (2L, 9L), (3L, 3L), (4L, 7L), (5L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val out = graft.operators.Sampling
+      .packSequences(d, "doc_id", "n_tokens", 8L, numPartitions = 3)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0, 5), (0L, 2L, 0, 3),   // seq 0: doc1[0,5) + doc2[0,3)
+      (1L, 2L, 3, 6), (1L, 3L, 0, 2),   // seq 1: doc2[3,9) + doc3[0,2)
+      (2L, 3L, 2, 1), (2L, 4L, 0, 7)))  // seq 2: doc3[2,3) + doc4 whole
+    // laws: zero-token docs vanish; all seqs sum to seqLen except the last
+    val bySeq = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(bySeq == Map(0L -> 8, 1L -> 8, 2L -> 8))
+    // partitioning-invariance: one partition == three partitions
+    val out1 = graft.operators.Sampling
+      .packSequences(d, "doc_id", "n_tokens", 8L, numPartitions = 1)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out1.toSeq == out.toSeq)
+  }
+
+  test("kmvDistinct: exact under k, close over k, partitioning-invariant") {
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.KmvSketch.kmvDistinct
+    // 10 distinct values, k=32 -> sketch not full -> exact count
+    val small = (1 to 100).map(i => i % 10).toDF("v")
+    assert(small.agg(kmvDistinct(col("v"), 32)).head().getDouble(0) == 10.0)
+    // 5000 distinct, k=64 -> estimate within 25% (k=64 stderr ~ 1/8)
+    val big = (1 to 5000).toDF("v")
+    val est = big.agg(kmvDistinct(col("v"), 64)).head().getDouble(0)
+    assert(math.abs(est - 5000) / 5000 < 0.25, s"estimate $est too far from 5000")
+    // merge path: same estimate whatever the physical layout
+    val est1 = big.repartition(1).agg(kmvDistinct(col("v"), 64)).head().getDouble(0)
+    val est8 = big.repartition(8).agg(kmvDistinct(col("v"), 64)).head().getDouble(0)
+    assert(est1 == est && est8 == est)
+    // duplicates never change the sketch
+    val dup = big.union(big).agg(kmvDistinct(col("v"), 64)).head().getDouble(0)
+    assert(dup == est)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fps = docs((1, "a  b\tc"), (2, "A B C"), (3, "a b d"))
       .select(TextOps.fingerprint(col("text")))

@@ -204,6 +204,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"wedge join degenerated:\n$plan")
   }
 
+  test("nearDupImages candidates come from an equi block join, never all-pairs") {
+    MediaCorpus.ensure(spark)
+    val hashes = graft.operators.Multimodal
+      .imageHashes(spark.read.parquet(MediaCorpus.table), binCol = "png")
+      .localCheckpoint(true) // audit the pair join, not the decode pass
+    val plan = physical(graft.operators.Multimodal.nearDupImages(hashes))
+    assert(!plan.contains("CartesianProduct"), s"pair join degenerated:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"pair join degenerated:\n$plan")
+    assert(plan.contains("block_idx") && plan.contains("block_val"),
+      s"expected the pigeonhole equi keys in the join:\n$plan")
+  }
+
+  test("nearDupAudio candidates come from an equi block join, never all-pairs") {
+    AudioCorpus.ensure(spark)
+    val stats = graft.operators.Multimodal
+      .audioStats(spark.read.parquet(AudioCorpus.table), binCol = "wav")
+      .localCheckpoint(true) // audit the pair join, not the decode pass
+    val plan = physical(graft.operators.Multimodal.nearDupAudio(stats))
+    assert(!plan.contains("CartesianProduct"), s"pair join degenerated:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"pair join degenerated:\n$plan")
+    assert(plan.contains("block_idx") && plan.contains("block_val"),
+      s"expected the pigeonhole equi keys in the join:\n$plan")
+  }
+
   test("kmeansAssign is a broadcast argmax aggregate, not a window") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // localCheckpoint truncates the training lineage (whose deterministic

@@ -249,6 +249,28 @@ class UpsertBucketSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("delta append into a bucket with no base files yet creates the bucket dir") {
+    val dir = Files.createTempDirectory("graft-newbucket").toString
+    val table = java.nio.file.Paths.get(dir, "t.parquet")
+    // a 2-row table populates at most 2 of the 16 buckets
+    UpsertWriter.insertIgnore(spark, dir, "t", df(Seq(("a", "x", 1L), ("b", "y", 1L))))
+    val before = filesByBucket(table).keySet
+    // find an id landing in a bucket that has no dir yet
+    val sp = spark
+    import sp.implicits._
+    val empty = (0 until 500).map(i => s"n-$i").toDF("id")
+      .withColumn("b", pmod(hash(col("id")), lit(UpsertWriter.DefaultBuckets)))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .find { case (_, b) => !before.contains(s"__bucket=$b") }
+    val (newId, newBucket) = empty.get
+    UpsertWriter.insertIgnore(spark, dir, "t", df(Seq((newId, "z", 1L))))
+    assert(Files.exists(table.resolve(s"__bucket=$newBucket")))
+    val out = UpsertWriter.readTable(spark, dir, "t")
+    assert(out.count() == 3)
+    assert(out.where(col("id") === newId).head().getAs[String]("name") == "z")
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("appendDistinct null-containing rows are not re-appended (null-safe anti-join)") {
     val dir = Files.createTempDirectory("graft-nullsafe").toString
     val sp = spark
