@@ -658,6 +658,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // weighted sampling without replacement (bottom-k of replicated
+    // hashes): odds proportional to an integer quality weight, integer
+    // arithmetic end to end — the oracle recomputes the same min-of-w
+    // 60-bit hashes and takes the same bottom 50
+    q("q_sample_weighted",
+      """WITH t AS (SELECT doc_id, least(1 + n_chars // 500, 8) AS w FROM documents),
+        |keys AS (SELECT doc_id, w,
+        |    list_aggregate(list_transform(range(0, w), j ->
+        |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR) || '|' || 's0'),
+        |                         1, 15))::BIGINT), 'min') AS key
+        |  FROM t)
+        |SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS INT) AS rank,
+        |       doc_id, CAST(w AS INT) AS w
+        |FROM keys ORDER BY key, doc_id LIMIT 50""".stripMargin) { c =>
+      val d = c.resolve("documents").select(
+        col("doc_id"),
+        least(lit(1) + floor(col("n_chars") / 500), lit(8)).cast("int").as("w"))
+      graft.operators.Sampling.weightedSample(d, "doc_id", "w", k = 50)
+        .select(col("rank"), col("doc_id"), col("w"))
+        .orderBy("rank")
+    },
+
     // GPT-style sequence packing: concatenate all docs' tokens in doc_id
     // order, cut every 64; one row per (sequence, doc) overlap. The oracle
     // replays the global running offset with a window cumsum (fine at

@@ -342,6 +342,44 @@ object Sampling {
     spark.createDataFrame(outRdd, outSchema)
   }
 
+  /** Weighted sampling WITHOUT replacement — "pick k documents with odds
+    * proportional to quality weight" — by the bottom-k-of-replicated-hashes
+    * trick: a row of integer weight w draws w independent 60-bit hashes
+    * (of id || trial || seed) and keeps the MINIMUM as its sort key; the
+    * sample is the k smallest keys. P(key_a < key_b) = w_a/(w_a+w_b)
+    * exactly (min of w iid uniforms ~ Beta(1,w)), which is precisely the
+    * sequential weighted-sampling odds — the Efraimidis-Spirakis u^(1/w)
+    * key discretized to integer arithmetic, so any engine with md5
+    * reproduces the exact same sample (float pow/log never agree across
+    * libms; integer mins always do).
+    *
+    * Scale shape: keys are pure map-side codegen (one md5 per unit of
+    * weight — cap weights, default 64, to bound the fan-out) and the
+    * selection is orderBy(key).limit(k) = TakeOrdered: per-partition
+    * top-k, only k rows per partition reach the driver-side merge. No
+    * global sort, no window. Output: input columns + `rank` (1-based). */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String = "s0",
+      maxWeight: Int = 64): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = least(greatest(col(weightCol).cast("int"), lit(1)), lit(maxWeight))
+    val key = array_min(transform(
+      sequence(lit(0), w - 1),
+      j => graft.functions.Funcs.md5Hash60(
+        concat_ws("|", col(keyCol).cast("string"), j.cast("string"), lit(seed)))))
+    val picked = df
+      .withColumn("__key", key)
+      .orderBy(col("__key"), col(keyCol))
+      .limit(k)
+    val rankW = Window.orderBy(col("__key"), col(keyCol))
+    // the window runs over k rows (post-limit), not the corpus
+    picked.withColumn("rank", row_number().over(rankW)).drop("__key")
+  }
+
   /** GPT-style sequence packing — concatenate every document's tokens in
     * `keyCol` order and cut the stream every `seqLen` tokens. Unlike
     * [[packShards]] (whole docs to shards), a document STRADDLES sequence

@@ -64,6 +64,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out1.toSeq == out.toSeq)
   }
 
+  test("weightedSample: deterministic, layout-invariant, weight-biased") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 200).map(i => (i.toLong, if (i <= 100) 8 else 1))
+    val d = rows.toDF("id", "w")
+    val s1 = graft.operators.Sampling.weightedSample(d.repartition(1), "id", "w", 40)
+      .select("id").as[Long].collect().toSet
+    val s8 = graft.operators.Sampling.weightedSample(d.repartition(8), "id", "w", 40)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s8, "sample must not depend on physical layout")
+    assert(s1.size == 40)
+    // heavy rows (w=8) dominate: expected ~ 8/9 of picks; require > 60%
+    val heavy = s1.count(_ <= 100)
+    assert(heavy > 24, s"weight-8 rows should dominate the sample, got $heavy/40")
+    // w=1 everywhere degenerates to plain bottom-k (seed-deterministic)
+    val u1 = graft.operators.Sampling.weightedSample(
+      d.withColumn("w", lit(1)), "id", "w", 40).select("id").as[Long].collect()
+    val u2 = graft.operators.Sampling.weightedSample(
+      d.withColumn("w", lit(1)), "id", "w", 40).select("id").as[Long].collect()
+    assert(u1.sameElements(u2))
+  }
+
   test("kmvDistinct: exact under k, close over k, partitioning-invariant") {
     val sp = spark
     import sp.implicits._
