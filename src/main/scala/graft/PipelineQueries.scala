@@ -658,6 +658,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // BPE training statistics: the word-frequency table (the one
+    // corpus-sized job in tokenizer training) and the weighted adjacent
+    // character-pair counts that drive the first merge decision
+    q("q_text_bpe_pairs",
+      s"""WITH w AS (SELECT unnest($duckToks) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+         |p AS (SELECT n, unnest(list_transform(range(1, length(split(word, ''))),
+         |        i -> split(word, '')[i] || '|' || split(word, '')[i+1])) AS pair
+         |      FROM wc WHERE length(split(word, '')) >= 2)
+         |SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+         |FROM p GROUP BY pair ORDER BY pair""".stripMargin) { c =>
+      TextOps
+        .bpePairCounts(
+          TextOps.wordCounts(c.resolve("documents"))
+            .select(col("n"), split(col("word"), "").as("syms")))
+        .orderBy("pair")
+    },
+
     // weighted sampling without replacement (bottom-k of replicated
     // hashes): odds proportional to an integer quality weight, integer
     // arithmetic end to end — the oracle recomputes the same min-of-w

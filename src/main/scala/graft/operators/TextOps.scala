@@ -165,6 +165,118 @@ object TextOps {
         concat_ws(" ", col("ctoks")).as("chunk_text"))
   }
 
+  // ===== BPE tokenizer training ==========================================
+  //
+  // Byte-pair-encoding vocabulary training (Sennrich et al. 2016) at corpus
+  // scale. The load-bearing reduction: after ONE groupBy, training operates
+  // on the WORD-FREQUENCY TABLE (distinct words + counts), never the corpus
+  // again — a 100 TB crawl collapses to a few million dictionary rows, and
+  // every merge iteration is a job over that small table. The inner loop
+  // (adjacent-pair counts weighted by word frequency) is pure codegen
+  // built-ins; only the per-iteration pair substitution is a compiled JVM
+  // kernel (same rationale as the minhash kernels: per-element loops in
+  // higher-order lambdas run interpreted).
+
+  /** Word-frequency table: distinct normalized words + occurrence counts.
+    * The one corpus-sized job in BPE training. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Adjacent symbol-pair counts over symbol sequences, weighted by word
+    * frequency — one BPE iteration's statistics. `symsCol` is the word's
+    * current symbol array (initially its characters). */
+  def bpePairCounts(words: DataFrame, symsCol: String = "syms"): DataFrame =
+    words
+      // single-symbol words carry no pairs — and sequence(1, 0) would
+      // generate a DESCENDING [1, 0], not an empty list
+      .where(size(col(symsCol)) >= 2)
+      .select(
+        col("n"),
+        explode(transform(
+          sequence(lit(1), size(col(symsCol)) - 1),
+          i => concat_ws("|",
+            element_at(col(symsCol), i), element_at(col(symsCol), i + 1))))
+          .as("pair"))
+      .groupBy("pair").agg(sum(col("n")).as("cnt"))
+
+  /** One greedy left-to-right merge pass: every adjacent (a, b) in `syms`
+    * becomes the single symbol a+b. Non-overlapping, leftmost-first — the
+    * reference BPE semantics ("aaa" with merge (a,a) -> ["aa", "a"]). */
+  private[graft] def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Train `numMerges` BPE merges over a corpus. Returns the merge table:
+    * (merge_rank, left, right, merged, pair_count) — the tokenizer
+    * artifact a training pipeline ships.
+    *
+    * Per iteration: ONE aggregation over the word table finds the
+    * highest-count pair (ties break on the lexicographically smallest
+    * pair, so training is deterministic on any layout); exactly ONE row
+    * crosses to the driver (the argmax — bounded, not a collect of
+    * counts); the substitution pass rewrites the word table map-side.
+    * `checkpointEvery` truncates the iteration lineage like
+    * Graph.pageRank (default 4: the DAG never exceeds a handful of merge
+    * passes even at numMerges = 50k-vocab scale). */
+  def bpeTrain(
+      docs: DataFrame, numMerges: Int,
+      textCol: String = "text", checkpointEvery: Int = 4): Seq[(Int, String, String, String, Long)] = {
+    val spark = docs.sparkSession
+    val merge = udf((syms: Seq[String], a: String, b: String) => mergePair(syms, a, b))
+    var words = wordCounts(docs, textCol)
+      .select(col("n"), split(col("word"), "").as("syms"))
+      .localCheckpoint() // the corpus-sized lineage ends here
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(a, b) = pair.split("\\|", 2)
+        merges += ((rank, a, b, a + b, cnt))
+        words = words.withColumn("syms", merge(col("syms"), lit(a), lit(b)))
+        if ((rank + 1) % checkpointEvery == 0) words = words.localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode text with a trained merge table: apply every merge in rank
+    * order to each word's character sequence, emit (doc, token, count).
+    * One map-side pass over the corpus (merges broadcast in the closure). */
+  def bpeEncode(
+      docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val encode = udf((toks: Seq[String]) =>
+      toks.flatMap { w =>
+        var syms: Seq[String] = w.split("").toSeq.filter(_.nonEmpty)
+        merges.foreach { case (a, b) => syms = mergePair(syms, a, b) }
+        syms
+      })
+    docs
+      .select(col(idCol), explode(encode(tokens(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** PII redaction patterns, applied in order (emails before bare numbers so
     * an address is one `<EMAIL>`, not a mangled number). Engine-portable
     * POSIX-ish regexes — no lookarounds — so an external auditor can rerun
@@ -304,6 +416,65 @@ object TextOps {
             (col("total") + col("vocab") + lit(1.0)))), 6).as("nll"))
       .select(col(idCol), col("n_tokens"), col("nll"))
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each raw document by how much more likely its hashed n-gram
+    * features are under a TARGET-domain model than under the raw-corpus
+    * model. Features are word n-grams hashed into `buckets` slots
+    * (60-bit md5 mod B — engine-portable); both models are add-one
+    * smoothed over the B-slot domain, so the per-gram contribution is
+    * ln((c_t(b)+1)/(T_t+B)) − ln((c_r(b)+1)/(T_r+B)).
+    *
+    * Scale shape: both models are B-sized (KBs against a 100 TB corpus) —
+    * one aggregate each over target and raw, then BROADCAST back as
+    * map-side joins; the scalar totals ride along as broadcast cross
+    * joins. The only corpus-sized shuffle is the per-document sum, and
+    * the top-`quota` selection is a TakeOrdered (per-partition heads), not
+    * a global sort. Ranking is on the 6dp-ROUNDED score with a doc-id
+    * tie-break — a total order any engine reproduces. Documents with
+    * fewer than n tokens carry no features and are not scored. */
+  def dsirScores(
+      docs: DataFrame,
+      target: DataFrame,
+      buckets: Int = 8192,
+      n: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def features(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(ngramStrings(col(textCol), n)).as("g"): _*)
+        .withColumn("b", pmod(graft.functions.Funcs.md5Hash60(col("g")), lit(buckets.toLong)))
+        .drop("g")
+    val tModel = features(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rModel = features(docs).groupBy("b").agg(count(lit(1)).as("cr"))
+    val tStats = tModel.agg(sum("ct").as("tt"))
+    val rStats = rModel.agg(sum("cr").as("tr"))
+    features(docs, col(idCol))
+      .join(broadcast(tModel), Seq("b"), "left")
+      .join(broadcast(rModel), Seq("b"), "left")
+      .crossJoin(broadcast(tStats)).crossJoin(broadcast(rStats))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        round(sum(
+          log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + lit(buckets.toDouble))) -
+          log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("tr") + lit(buckets.toDouble)))), 6)
+          .as("logw"))
+  }
+
+  /** Top-`quota` raw documents by DSIR importance weight — the selection
+    * step of importance resampling in its deterministic top-k form. */
+  def dsirSelect(
+      docs: DataFrame,
+      target: DataFrame,
+      quota: Int,
+      buckets: Int = 8192,
+      n: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    dsirScores(docs, target, buckets, n, idCol, textCol)
+      .orderBy(col("logw").desc, col(idCol).asc)
+      .limit(quota)
 
   /** BM25-ranked retrieval: top-k documents for a bag-of-words query.
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),

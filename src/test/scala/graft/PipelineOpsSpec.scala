@@ -64,6 +64,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out1.toSeq == out.toSeq)
   }
 
+  test("bpeTrain: Sennrich example merges in order; encode applies them") {
+    // the classic corpus: low x5, lower x2, newest x6, widest x3
+    val corpus = Seq(
+      (1, (("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)).trim))
+    val d = docs(corpus: _*)
+    val merges = TextOps.bpeTrain(d, numMerges = 4)
+    // hand-derived: es(9) -> est(9) -> lo(7) -> low(7); ties break lexic.
+    assert(merges.map(m => (m._2, m._3, m._4)) == Seq(
+      ("e", "s", "es"), ("es", "t", "est"), ("l", "o", "lo"), ("lo", "w", "low")))
+    assert(merges.map(_._5) == Seq(9L, 9L, 7L, 7L))
+    // determinism across layouts
+    val merges8 = TextOps.bpeTrain(d.repartition(8), numMerges = 4)
+    assert(merges8 == merges)
+    // encoding "lowest" with the 4 merges: low + est
+    val enc = TextOps
+      .bpeEncode(docs((7, "lowest lowest")), merges.map(m => (m._2, m._3)))
+      .orderBy("token").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(enc.toSeq == Seq(("est", 2L), ("low", 2L)))
+  }
+
+  test("mergePair is greedy leftmost non-overlapping") {
+    assert(TextOps.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(TextOps.mergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(TextOps.mergePair(Seq("x"), "a", "b") == Seq("x"))
+  }
+
   test("weightedSample: deterministic, layout-invariant, weight-biased") {
     val sp = spark
     import sp.implicits._
