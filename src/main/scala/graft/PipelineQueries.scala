@@ -436,6 +436,54 @@ object PipelineQueries {
       TextOps.lmScore(docs, docs.where(col("lang") === "en")).orderBy("doc_id")
     },
 
+    // DSIR importance weights (target = English slice, raw = full corpus):
+    // hashed-bigram LM log-ratio per doc — the data-selection signal.
+    // Both models are 8192-bucket tables; the oracle replays the same
+    // 60-bit md5 bucket hash and add-one smoothing over the bucket domain
+    q("q_text_dsir",
+      s"""WITH d AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |        unnest(list_transform(range(1, length(toks)), i ->
+         |          (('0x' || substring(md5(array_to_string(toks[i:i+1], ' ')), 1, 15))::BIGINT % 8192)))
+         |          AS b
+         |      FROM d WHERE length(toks) >= 2),
+         |t AS (SELECT b, count(*) AS ct FROM g WHERE lang = 'en' GROUP BY b),
+         |r AS (SELECT b, count(*) AS cr FROM g GROUP BY b),
+         |ts AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM t),
+         |rs AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr FROM r)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(sum(ln((coalesce(t.ct, 0) + 1.0) / (ts.tt + 8192.0))
+         |          - ln((coalesce(r.cr, 0) + 1.0) / (rs.tr + 8192.0))), 6) AS logw
+         |FROM g LEFT JOIN t USING (b) LEFT JOIN r ON g.b = r.b CROSS JOIN ts CROSS JOIN rs
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      TextOps.dsirScores(docs, docs.where(col("lang") === "en")).orderBy("doc_id")
+    },
+
+    // DSIR selection: top-40 raw docs by importance weight (rounded-then-
+    // ranked with a doc_id tie-break; TakeOrdered, no global sort)
+    q("q_text_dsir_select",
+      s"""WITH d AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |        unnest(list_transform(range(1, length(toks)), i ->
+         |          (('0x' || substring(md5(array_to_string(toks[i:i+1], ' ')), 1, 15))::BIGINT % 8192)))
+         |          AS b
+         |      FROM d WHERE length(toks) >= 2),
+         |t AS (SELECT b, count(*) AS ct FROM g WHERE lang = 'en' GROUP BY b),
+         |r AS (SELECT b, count(*) AS cr FROM g GROUP BY b),
+         |ts AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM t),
+         |rs AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr FROM r),
+         |s AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |        round(sum(ln((coalesce(t.ct, 0) + 1.0) / (ts.tt + 8192.0))
+         |                - ln((coalesce(r.cr, 0) + 1.0) / (rs.tr + 8192.0))), 6) AS logw
+         |      FROM g LEFT JOIN t USING (b) LEFT JOIN r ON g.b = r.b CROSS JOIN ts CROSS JOIN rs
+         |      GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, logw FROM s
+         |ORDER BY logw DESC, doc_id LIMIT 40""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      TextOps.dsirSelect(docs, docs.where(col("lang") === "en"), quota = 40)
+    },
+
     // per-doc top-3 keywords by smoothed TF-IDF, rounded-then-ranked so the
     // ordering is a total order both engines reproduce
     q("q_text_tfidf",

@@ -84,6 +84,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(enc.toSeq == Seq(("est", 2L), ("low", 2L)))
   }
 
+  test("dsirScores: target-like docs outrank off-target; short docs unscored; layout-invariant") {
+    val raw = docs(
+      (1, "the cat sat on the mat"),
+      (2, "el gato se sienta aqui"),
+      (3, "the dog sat on the rug"),
+      (4, "x")) // one token -> no bigram features -> unscored
+    val target = docs((10, "the cat sat on the mat the dog sat"))
+    val out = TextOps.dsirScores(raw, target, buckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    val byId = out.map(t => t._1 -> t._3).toMap
+    // English docs read more target-like than the Spanish one
+    assert(byId(1) > byId(2) && byId(3) > byId(2))
+    // layout invariance (rounded values identical across partitionings)
+    val out8 = TextOps.dsirScores(raw.repartition(8), target.repartition(3), buckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out8.toSeq == out.toSeq)
+    // selection = top-quota by (logw desc, id) of the scored set
+    val sel = TextOps.dsirSelect(raw, target, quota = 2, buckets = 64)
+      .collect().map(_.getInt(0)).toSet
+    assert(sel == out.sortBy(t => (-t._3, t._1)).take(2).map(_._1).toSet)
+  }
+
   test("mergePair is greedy leftmost non-overlapping") {
     assert(TextOps.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(TextOps.mergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
