@@ -1872,12 +1872,11 @@ object PipelineQueries {
       // normalization the batch catalog applies at scan)
       val schema = spark.read.parquet(path).schema
       // events.parquet may be a single file; the file-stream source accepts
-      // a glob (or a directory) but not a bare file path, so wrap in a glob
-      var src = spark.readStream.schema(schema)
-        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}")
-      if (schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        src = src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // a glob (or a directory) but not a bare file path, so wrap in a glob.
+      // eventTime normalizes ts (nanos-long OR TIMESTAMP_NTZ) to the
+      // TimestampType withWatermark requires.
+      val src = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_window_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val sq = StreamOps.windowedCounts(src, "1 hour", "2 hours")
         .writeStream
@@ -1945,11 +1944,8 @@ object PipelineQueries {
       val spark = c.spark
       val path = s"${c.dataDir}/events.parquet"
       val schema = spark.read.parquet(path).schema
-      var src = spark.readStream.schema(schema)
-        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}")
-      if (schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        src = src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val sq = StreamOps.dedupStream(src.select(col("ts"), col("user_id"), col("event_type")),
           Seq("user_id", "event_type"), watermark = "100 days")
@@ -1985,11 +1981,8 @@ object PipelineQueries {
       val spark = c.spark
       val path = s"${c.dataDir}/events.parquet"
       val schema = spark.read.parquet(path).schema
-      var src = spark.readStream.schema(schema)
-        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}")
-      if (schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        src = src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val sq = StreamOps.sessionCounts(src, gap = "30 minutes", watermark = "100 days")
         .writeStream.format("memory").queryName(sinkName).outputMode("complete")
@@ -2022,14 +2015,8 @@ object PipelineQueries {
       val spark = c.spark
       val path = s"${c.dataDir}/events.parquet"
       val schema = spark.read.parquet(path).schema
-      def src() = {
-        var s = spark.readStream.schema(schema)
-          .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}")
-        if (schema.fields.exists(f => f.name == "ts" &&
-            f.dataType == org.apache.spark.sql.types.LongType))
-          s = s.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        s
-      }
+      def src() = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_interval_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val sq = StreamOps.intervalJoin(
           src().where(col("event_type") === "signup"),

@@ -19,13 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Fail LOUD, not silent: a throwing query must leave a visible artifact
+    // (round 7 lost four streaming rows because failures went only to
+    // stderr and the driver omits unverifiable queries instead of
+    // recording an error).
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    val ran = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    ran.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name.FAILED"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +52,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    println(s"[verify] ${ran.size - failed.size}/${ran.size} succeeded" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.keys.mkString(", ")}"))
     spark.stop()
   }
 }

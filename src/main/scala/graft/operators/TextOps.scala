@@ -223,41 +223,99 @@ object TextOps {
     * (merge_rank, left, right, merged, pair_count) — the tokenizer
     * artifact a training pipeline ships.
     *
-    * Per iteration: ONE aggregation over the word table finds the
-    * highest-count pair (ties break on the lexicographically smallest
-    * pair, so training is deterministic on any layout); exactly ONE row
-    * crosses to the driver (the argmax — bounded, not a collect of
-    * counts); the substitution pass rewrites the word table map-side.
+    * Per iteration: ONE aggregation over the word table ranks pairs by
+    * (count desc, pair asc — deterministic on any layout) and a BATCH of
+    * up to `batchM` merges is accepted and applied in one substitution
+    * pass. Serial one-merge-per-job training is the 50k-vocab
+    * bottleneck (50k sequential Spark jobs); batching cuts the job count
+    * by ~batchM while provably preserving the serial result:
+    *
+    *  - accepted merges are pairwise SYMBOL-DISJOINT, so applying one
+    *    cannot change another's pair count (adjacency between symbols
+    *    neither merge touches is invariant), and
+    *  - a later accept must STRICTLY out-count every candidate that
+    *    shares a symbol with an already-accepted merge — including the
+    *    (M+1)-th count as the bound for pairs outside the fetched window.
+    *    A merged pair (a,b) can only spawn new pairs (x,ab)/(ab,y) with
+    *    counts bounded by the old (x,a)/(b,y) counts, and those sources
+    *    all share a symbol with (a,b) — so no new pair can out-rank (or
+    *    tie, where lexicographic order could flip) a later batch member.
+    *
+    * Only `batchM+1` rows cross to the driver per iteration (the ranked
+    * argmax window — bounded, not a collect of counts). `batchM = 1` IS
+    * the serial algorithm; PipelineOpsSpec pins batched == serial.
     * `checkpointEvery` truncates the iteration lineage like
     * Graph.pageRank (default 4: the DAG never exceeds a handful of merge
     * passes even at numMerges = 50k-vocab scale). */
   def bpeTrain(
       docs: DataFrame, numMerges: Int,
-      textCol: String = "text", checkpointEvery: Int = 4): Seq[(Int, String, String, String, Long)] = {
-    val spark = docs.sparkSession
-    val merge = udf((syms: Seq[String], a: String, b: String) => mergePair(syms, a, b))
+      textCol: String = "text", checkpointEvery: Int = 4,
+      batchM: Int = 16): Seq[(Int, String, String, String, Long)] =
+    bpeTrainWithStats(docs, numMerges, textCol, checkpointEvery, batchM)._1
+
+  /** bpeTrain + the number of driver iterations (Spark job rounds) it
+    * took — observable so tests can assert the batching actually batches. */
+  private[graft] def bpeTrainWithStats(
+      docs: DataFrame, numMerges: Int,
+      textCol: String = "text", checkpointEvery: Int = 4,
+      batchM: Int = 16): (Seq[(Int, String, String, String, Long)], Int) = {
+    require(batchM >= 1, "batchM must be >= 1")
     var words = wordCounts(docs, textCol)
       .select(col("n"), split(col("word"), "").as("syms"))
       .localCheckpoint() // the corpus-sized lineage ends here
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
+    var iters = 0
     var done = false
     while (rank < numMerges && !done) {
-      val top = bpePairCounts(words)
+      val cands = bpePairCounts(words)
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+        .limit(batchM + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (cands.isEmpty) done = true
       else {
-        val pair = top(0).getString(0)
-        val cnt = top(0).getLong(1)
-        val Array(a, b) = pair.split("\\|", 2)
-        merges += ((rank, a, b, a + b, cnt))
-        words = words.withColumn("syms", merge(col("syms"), lit(a), lit(b)))
-        if ((rank + 1) % checkpointEvery == 0) words = words.localCheckpoint()
-        rank += 1
+        iters += 1
+        // count bound for any pair OUTSIDE the fetched window
+        val restBound = if (cands.length > batchM) cands.last._2 else 0L
+        val window = cands.take(batchM)
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val acceptedKeys = scala.collection.mutable.Set.empty[String]
+        val used = scala.collection.mutable.Set.empty[String]
+        var stop = false
+        for ((pair, cnt) <- window if !stop && rank + accepted.size < numMerges) {
+          val Array(a, b) = pair.split("\\|", 2)
+          if (used(a) || used(b)) stop = true // sorted desc: nothing later can dominate this conflict
+          else if (accepted.nonEmpty) {
+            // strict dominance over every potential new-pair source:
+            // non-accepted fetched candidates sharing a symbol with the
+            // accepted set (an accepted merge consumes its own pair — it
+            // is not a surviving source), and the out-of-window bound
+            val conflictCnt = window.iterator
+              .filter { case (p, _) =>
+                !acceptedKeys(p) && {
+                  val Array(x, y) = p.split("\\|", 2)
+                  used(x) || used(y)
+                }
+              }.map(_._2).maxOption.getOrElse(0L)
+            if (cnt > math.max(conflictCnt, restBound)) {
+              accepted += ((a, b, cnt)); acceptedKeys += pair; used += a; used += b
+            } else stop = true
+          } else { accepted += ((a, b, cnt)); acceptedKeys += pair; used += a; used += b }
+        }
+        val batch = accepted.toSeq
+        batch.foreach { case (a, b, cnt) =>
+          merges += ((rank, a, b, a + b, cnt)); rank += 1
+        }
+        // ONE substitution pass applies the whole batch in rank order
+        // (literally the serial per-word application, fused)
+        val pairs = batch.map { case (a, b, _) => (a, b) }
+        val mergeN = udf((syms: Seq[String]) =>
+          pairs.foldLeft(syms) { case (s, (a, b)) => mergePair(s, a, b) })
+        words = words.withColumn("syms", mergeN(col("syms")))
+        if (iters % checkpointEvery == 0) words = words.localCheckpoint()
       }
     }
-    merges.toSeq
+    (merges.toSeq, iters)
   }
 
   /** Encode text with a trained merge table: apply every merge in rank

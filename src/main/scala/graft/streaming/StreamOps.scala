@@ -14,6 +14,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Normalize an event-time column to TimestampType, the only type
+    * `withWatermark` accepts. Three layouts exist in the wild:
+    *  - TIMESTAMP(NANOS) parquet read under nanosAsLong → LongType nanos;
+    *    integer-divide to micros (truncation matches nanos-aware engines);
+    *  - TIMESTAMP_NTZ (timestamp[us] without tz) → cast to TIMESTAMP
+    *    (sessions pin UTC, so the wall-clock instant is unchanged);
+    *  - TimestampType → already event-time-ready.
+    * Pure projection — stays inside the scan's codegen stage. */
+  def eventTime(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema.fields.find(_.name == tsCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
   /** Tumbling-window counts per event_type with bounded state. */
   def windowedCounts(
       events: DataFrame,

@@ -84,6 +84,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(enc.toSeq == Seq(("est", 2L), ("low", 2L)))
   }
 
+  test("bpeTrain batching law: batched == serial merge table; strictly fewer iterations") {
+    // seeded corpora with enough distinct frequent pairs that batches of
+    // disjoint merges exist — the law is EXACT equality of the merge
+    // tables (rank, left, right, merged, count), not approximation
+    val vocab = Seq("low", "lower", "newest", "widest", "boring", "zebra",
+      "quick", "jumps", "foxes", "crates", "plum", "grape")
+    Seq(11, 23).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val d = docs((1 to 30).map(i =>
+        (i, (1 to 20).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))): _*)
+      val (serial, itS) = TextOps.bpeTrainWithStats(d, numMerges = 24, batchM = 1)
+      val (batched, itB) = TextOps.bpeTrainWithStats(d, numMerges = 24, batchM = 16)
+      assert(batched == serial, s"seed $seed: batched merge table diverged from serial")
+      assert(itS == serial.size) // serial really is one job round per merge
+      assert(itB < itS, s"seed $seed: batching accepted no multi-merge round ($itB vs $itS)")
+    }
+  }
+
   test("dsirScores: target-like docs outrank off-target; short docs unscored; layout-invariant") {
     val raw = docs(
       (1, "the cat sat on the mat"),
@@ -643,9 +661,11 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("funnel is single-pass: ONE events scan regardless of funnel depth") {
-    // same nanos->timestamp scan normalization the Catalog applies
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // same type-guarded ts normalization the Catalog/StreamOps apply — the
+    // testdata has shipped ts as nanos-long AND as TIMESTAMP_NTZ across
+    // regenerations; an unconditional conversion breaks on one of them
+    val ev = graft.streaming.StreamOps.eventTime(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val steps = Seq("signup", "view", "click", "purchase", "login", "search", "logout", "refund")
     val df = Events.funnel(ev, steps, maxGap = "12 hours")
     val scans = df.queryExecution.executedPlan.toString
