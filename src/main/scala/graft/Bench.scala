@@ -25,7 +25,7 @@ object Bench {
     try {
       StixCorpus.ensure(spark); TranslateCorpus.ensure(spark)
       WoodCorpus.ensure(spark); MediaCorpus.ensure(spark)
-      AudioCorpus.ensure(spark)
+      AudioCorpus.ensure(spark); VideoCorpus.ensure(spark)
     } catch { case _: Throwable => () }
     // min of `reps` INTERLEAVED repetitions per query. Interleaved, not
     // consecutive: with back-to-back reps of one query, a sustained

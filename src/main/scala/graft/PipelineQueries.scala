@@ -28,6 +28,9 @@ object PipelineQueries {
   // audio-corpus parquet as seen by the DuckDB oracle (see AudioCorpus)
   private val audioT =
     s"read_parquet('${AudioCorpus.table}/*.parquet', hive_partitioning=0)"
+  // video-corpus parquet as seen by the DuckDB oracle (see VideoCorpus)
+  private val videoT =
+    s"read_parquet('${VideoCorpus.table}/*.parquet', hive_partitioning=0)"
 
   // DuckDB-side shared fragments (mirrors of TextOps/Dedup column builders)
   private val duckNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -1838,6 +1841,83 @@ object PipelineQueries {
         .resampleAudio(c.spark.read.parquet(AudioCorpus.table), outN = 32, binCol = "wav")
         .select(col("media_id"), posexplode(col("samples")).as(Seq("pos", "v")))
         .orderBy("media_id", "pos")
+    },
+
+    // ===== Real video decode (multi-frame GIF) + temporal fingerprint =====
+    // the video corpus stores BOTH the animated-GIF bytes and the
+    // ground-truth per-frame pixel matrices; Spark decodes ONLY the GIF
+    // (javax.imageio multi-frame reader), the oracle computes ONLY from the
+    // stored frames — parity proves the decode recovered every frame
+    // exactly. Hashes are the image dHash per frame; the temporal
+    // fingerprint is the audio energy-delta pattern with frames as the
+    // time axis. All integer arithmetic.
+    q("q_multimodal_video",
+      s"""WITH f AS (
+         |  SELECT media_id, width, height,
+         |         generate_subscripts(frames, 1) - 1 AS frame_idx,
+         |         unnest(frames) AS fpx
+         |  FROM $videoT),
+         |px AS (
+         |  SELECT media_id, frame_idx, width, height,
+         |         CAST((i-1) // width AS INT) AS y, CAST((i-1) % width AS INT) AS x, p
+         |  FROM (SELECT media_id, frame_idx, width, height, unnest(fpx) AS p,
+         |               generate_subscripts(fpx, 1) AS i FROM f)),
+         |d AS (SELECT media_id, frame_idx, (y*8)//height AS gy, (x*9)//width AS gx,
+         |             CAST(sum(p) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+         |      FROM px GROUP BY 1,2,3,4),
+         |dbits AS (
+         |  SELECT a.media_id, a.frame_idx, a.gy, a.gx,
+         |    CASE WHEN a.s * b.c < b.s * a.c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM d a JOIN d b ON a.media_id=b.media_id AND a.frame_idx=b.frame_idx
+         |                   AND a.gy=b.gy AND b.gx=a.gx+1
+         |  WHERE a.gx < 8)
+         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+         |   CAST(sum(CASE WHEN gy<4 THEN bit << (31 - (gy*8+gx)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+         |   CAST(sum(CASE WHEN gy>=4 THEN bit << (31 - ((gy-4)*8+gx)) ELSE 0 END) AS BIGINT) AS dhash_lo
+         |FROM dbits GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      VideoCorpus.ensure(c.spark)
+      Multimodal
+        .videoFrameHashes(c.spark.read.parquet(VideoCorpus.table), binCol = "gif")
+        .select(col("media_id"), col("frame_idx"), col("dhash_hi"), col("dhash_lo"))
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // clip-level near-duplicates by temporal-fingerprint Hamming distance:
+    // Spark candidates come from the 4x8-bit pigeonhole block join (exact
+    // for dist <= 3, never all-pairs); the oracle brute-forces all pairs
+    // over fingerprints computed from the stored frame matrices. The 6
+    // planted patched copies land at distance 0; 8-frame test clips only
+    // populate 7 of the 32 bits, so same-profile collisions pair too (both
+    // sides agree exactly — and at real clip lengths >= 33 frames the full
+    // 32-bit fingerprint makes collisions vanish). Frame-level near-dup
+    // composes videoFrameHashes with nearDupImages instead.
+    q("q_multimodal_video_neardup",
+      s"""WITH f AS (
+         |  SELECT media_id, generate_subscripts(frames, 1) - 1 AS j,
+         |         unnest(frames) AS fpx
+         |  FROM $videoT),
+         |e AS (SELECT media_id, j,
+         |        list_aggregate(list_transform(fpx, v -> CAST(v AS BIGINT) * v), 'sum') AS e,
+         |        len(fpx) AS c
+         |      FROM f WHERE j < 33),
+         |bits AS (SELECT a.media_id, a.j,
+         |           CASE WHEN a.e*b.c < b.e*a.c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |         FROM e a JOIN e b ON a.media_id = b.media_id AND b.j = a.j+1),
+         |fps AS (SELECT media_id, CAST(sum(bit << (31 - j)) AS BIGINT) AS tfp
+         |        FROM bits GROUP BY media_id)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.tfp, b.tfp)) AS BIGINT) AS dist
+         |FROM fps a JOIN fps b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.tfp, b.tfp)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      VideoCorpus.ensure(c.spark)
+      Multimodal
+        .nearDupVideo(
+          Multimodal.videoStats(c.spark.read.parquet(VideoCorpus.table), binCol = "gif"),
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
     },
 
     // ===== Event analytics (windows — beyond the reference, SURVEY §2.7) ==

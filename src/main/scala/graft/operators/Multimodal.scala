@@ -21,12 +21,17 @@ import javax.imageio.ImageIO
   * [[nearDupAudio]] finds near-duplicate pairs — oracle-checked against
   * ground-truth sample arrays (q_multimodal_audio*).
   *
-  * Only the VIDEO decode step remains a STUB — no video codecs exist in
-  * this environment (or the plain JDK) — implemented as a deterministic
-  * fake (byte histogram / frame slicing) so the Spark-side contract is
-  * real and testable: binary schema, metadata struct, batch shape
-  * (fixed-size batches inside mapPartitions, the JVM analogue of a
-  * Pandas-UDF batch), and decode-cost partitioning.
+  * The VIDEO modality is real within what the public JDK can decode:
+  * [[decodeFrames]] reads multi-frame animated GIF (javax.imageio's GIF
+  * reader — the one multi-frame container the JDK both writes and reads),
+  * [[videoFrameHashes]] dHashes every frame, [[videoStats]] adds a 32-bit
+  * temporal energy fingerprint (the audio pattern with frames as the time
+  * axis), and [[nearDupVideo]] block-joins on it — oracle-checked against
+  * ground-truth frame matrices (q_multimodal_video*). Full-motion codecs
+  * (H.264 etc.) don't exist in the JDK; a deployment swaps decodeFrames
+  * for the JNI/ffmpeg call, everything downstream unchanged. Only
+  * [[decodeBatch]] (generic embedding extraction) remains a deterministic
+  * stand-in for a model call; its batch shape/schema contract is real.
   *
   * Scale notes: feature extraction is embarrassingly parallel; the only
   * planning decision is spreading decode cost evenly — `repartitionForDecode`
@@ -447,15 +452,16 @@ object Multimodal {
       }(encoder)
   }
 
-  /** Near-duplicate audio pairs by energy-fingerprint Hamming distance:
-    * 8-bit pigeonhole on the 32-bit fp (a pair within distance <= 3 must
-    * agree on one of the four 8-bit blocks), candidates from 4 equi-joins
-    * — same scale shape as [[nearDupImages]], never all-pairs. */
-  def nearDupAudio(stats: DataFrame, maxDist: Int = 3): DataFrame = {
+  /** Near-duplicate pairs on a 32-bit fingerprint column by Hamming
+    * distance: 8-bit pigeonhole (a pair within distance <= 3 must agree on
+    * one of the four 8-bit blocks), candidates from 4 equi-joins — same
+    * scale shape as [[nearDupImages]], never all-pairs. Shared by the
+    * audio and video modalities. */
+  private def fp32Pairs(stats: DataFrame, fpCol: String, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4-block pigeonhole is only exact for maxDist <= 3")
     val ex = stats
-      .where(col("fp").isNotNull)
-      .select(col("media_id"), col("fp"), explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .where(col(fpCol).isNotNull)
+      .select(col("media_id"), col(fpCol).as("fp"), explode(sequence(lit(0), lit(3))).as("block_idx"))
       .withColumn(
         "block_val",
         expr("shiftrightunsigned(fp, cast(block_idx * 8 as int)) & 255"))
@@ -467,6 +473,172 @@ object Multimodal {
       .where(col("dist") <= maxDist)
       .distinct()
   }
+
+  /** Near-duplicate audio pairs by energy-fingerprint Hamming distance. */
+  def nearDupAudio(stats: DataFrame, maxDist: Int = 3): DataFrame =
+    fp32Pairs(stats, "fp", maxDist)
+
+  // ===== Real video decode (multi-frame GIF) + temporal fingerprint =======
+  //
+  // The video modality is real too, within what the public JDK can decode:
+  // animated GIF is the one multi-frame container javax.imageio both
+  // writes and reads, so "video" here is a sequence of palette-indexed
+  // frames. decodeFrames recovers every frame's exact gray matrix (palette
+  // lookup, not colorspace conversion — GIF is lossless for <=256 gray
+  // levels); per-frame content is fingerprinted with the image dHash and
+  // the TEMPORAL dimension with the audio pattern transplanted to frames:
+  // bit j of the 32-bit fingerprint records whether frame j+1 carries more
+  // energy per pixel than frame j (integer cross-multiplied). A real codec
+  // deployment swaps decodeFrames for the JNI/ffmpeg call; everything
+  // downstream (hashing, block joins, batch shape) is unchanged.
+
+  /** Decode a multi-frame image container (animated GIF) to per-frame
+    * (width, height, row-major gray 0-255) matrices. Palette-indexed
+    * frames resolve each index through the color model (exact for gray
+    * palettes); continuous-tone frames reduce by truncated band mean like
+    * [[decodeGray]]. Returns None for undecodable bytes or zero frames. */
+  private[graft] def decodeFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] = {
+    if (bytes == null) return None
+    try {
+      val readers = ImageIO.getImageReaders(
+        ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes)))
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(
+          ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes)))
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        Some((0 until n).map { f =>
+          val im = reader.read(f)
+          val w = im.getWidth
+          val h = im.getHeight
+          val raster = im.getRaster
+          val out = new Array[Int](w * h)
+          im.getColorModel match {
+            case icm: java.awt.image.IndexColorModel =>
+              // palette lookup: exact gray recovery regardless of how the
+              // encoder ordered the palette
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val idx = raster.getSample(x, y, 0)
+                  out(y * w + x) = (icm.getRed(idx) + icm.getGreen(idx) + icm.getBlue(idx)) / 3
+                  x += 1
+                }
+                y += 1
+              }
+            case _ =>
+              val bands = raster.getNumBands
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  if (bands == 1) out(y * w + x) = raster.getSample(x, y, 0)
+                  else {
+                    var s = 0
+                    var b = 0
+                    while (b < math.min(bands, 3)) { s += raster.getSample(x, y, b); b += 1 }
+                    out(y * w + x) = s / math.min(bands, 3)
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+          }
+          (w, h, out)
+        })
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+  }
+
+  /** Temporal fingerprint over a frame sequence: 32 bits, bit j = 1 iff
+    * frame j+1 carries more energy per pixel than frame j (e = Σ px²,
+    * integer cross-multiplied — exact on any engine holding the frames);
+    * frames beyond 33 are ignored, shorter clips leave high bits 0. The
+    * audio [[energyFingerprint]] shape with frames as the time axis. */
+  private[graft] def temporalFingerprint(frames: Seq[Array[Int]]): Long = {
+    val f = frames.take(FpFrames)
+    val e = f.map(px => px.foldLeft(0L)((a, v) => a + v.toLong * v)).toArray
+    val c = f.map(_.length.toLong).toArray
+    var fp = 0L
+    var j = 0
+    while (j < f.length - 1) {
+      if (e(j) * c(j + 1) < e(j + 1) * c(j)) fp |= 1L << (31 - j)
+      j += 1
+    }
+    fp
+  }
+
+  /** Decode + hash every frame of a binary video column, batched per
+    * partition like [[imageHashes]]. One output row per frame:
+    * (media_id, frame_idx, width, height, dhash_hi/lo); no rows for
+    * undecodable bytes. The per-frame explosion happens AFTER decode, so
+    * the expensive step runs once per clip, not once per frame. */
+  def videoFrameHashes(
+      media: DataFrame, idCol: String = "media_id", binCol: String = "content",
+      batchSize: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash_hi", LongType, nullable = false),
+      StructField("dhash_lo", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col(idCol).cast("long").as("media_id"), col(binCol).as("content"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            decodeFrames(r.getAs[Array[Byte]]("content")).toSeq.flatMap { frames =>
+              frames.zipWithIndex.map { case ((w, h, px), f) =>
+                val (dh, dl) = dHash(px, w, h)
+                Row(r.getLong(0), f, w, h, dh, dl)
+              }
+            }
+          }
+        }
+      }(encoder)
+  }
+
+  /** Decode + summarize a binary video column: frame count, dimensions of
+    * the first frame, total pixel energy, and the 32-bit temporal
+    * fingerprint; nulls for undecodable bytes. */
+  def videoStats(
+      media: DataFrame, idCol: String = "media_id", binCol: String = "content",
+      batchSize: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true),
+      StructField("tfp", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col(idCol).cast("long").as("media_id"), col(binCol).as("content"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            decodeFrames(r.getAs[Array[Byte]]("content")) match {
+              case Some(frames) =>
+                val px = frames.map(_._3)
+                val sumSq = px.foldLeft(0L)((a, p) =>
+                  a + p.foldLeft(0L)((b, v) => b + v.toLong * v))
+                Row(r.getLong(0), frames.size, frames.head._1, frames.head._2,
+                  sumSq, temporalFingerprint(px))
+              case None => Row(r.getLong(0), null, null, null, null, null)
+            }
+          }
+        }
+      }(encoder)
+  }
+
+  /** Near-duplicate video pairs by temporal-fingerprint Hamming distance
+    * (the clip-level screen: same motion/energy profile; frame-level
+    * near-dup composes [[videoFrameHashes]] with [[nearDupImages]]). */
+  def nearDupVideo(stats: DataFrame, maxDist: Int = 3): DataFrame =
+    fp32Pairs(stats, "tfp", maxDist)
 
   /** REAL audio resample: decode, truncated-mean block downsample to
     * `outN` samples (block of output j = input [j*n/outN, (j+1)*n/outN);

@@ -187,6 +187,63 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.isNullAt(2))
   }
 
+  test("decodeFrames round-trips every exact frame matrix through animated-GIF encode/decode") {
+    VideoCorpus.allFrames.take(3).foreach { case (_, fs) =>
+      val gif = VideoCorpus.gifOf(fs)
+      val Some(decoded) = Multimodal.decodeFrames(gif)
+      assert(decoded.size == fs.size)
+      (decoded zip fs).foreach { case ((w, h, px), gt) =>
+        assert(w == VideoCorpus.W && h == VideoCorpus.H)
+        assert(px.sameElements(gt), "palette-indexed GIF round-trip must be exact")
+      }
+    }
+    assert(Multimodal.decodeFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.decodeFrames(null).isEmpty)
+  }
+
+  test("videoFrameHashes: per-frame dHash of ground truth; batch-size invariant") {
+    VideoCorpus.ensure(spark)
+    val videos = spark.read.parquet(VideoCorpus.table)
+    val h1 = Multimodal.videoFrameHashes(videos, binCol = "gif", batchSize = 1)
+      .orderBy("media_id", "frame_idx").collect()
+    val h16 = Multimodal.videoFrameHashes(videos, binCol = "gif", batchSize = 16)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(h1.length == 26 * VideoCorpus.F && (h1 zip h16).forall { case (a, b) => a == b })
+    // decoded-frame hashes must equal hashes of the ground-truth matrices
+    val gt = VideoCorpus.allFrames.flatMap { case (id, fs) =>
+      fs.zipWithIndex.map { case (px, f) =>
+        (id.toLong, f, Multimodal.dHash(px, VideoCorpus.W, VideoCorpus.H))
+      }
+    }.sortBy(t => (t._1, t._2))
+    (h1 zip gt).foreach { case (r, (id, f, (dh, dl))) =>
+      assert(r.getLong(0) == id && r.getInt(1) == f)
+      assert(r.getLong(4) == dh && r.getLong(5) == dl)
+    }
+  }
+
+  test("videoStats + nearDupVideo: temporal fp matches ground truth; pairs = brute force; planted dups surface") {
+    VideoCorpus.ensure(spark)
+    val videos = spark.read.parquet(VideoCorpus.table)
+    val stats = Multimodal.videoStats(videos, binCol = "gif")
+    val got = stats.orderBy("media_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val gtFp = VideoCorpus.allFrames
+      .map { case (id, fs) => id.toLong -> Multimodal.temporalFingerprint(fs) }.toMap
+    assert(got == gtFp, "decoded temporal fingerprints must equal ground-truth ones")
+    // planted duplicates carry their base's energy profile exactly
+    (0 until 6).foreach(i => assert(gtFp(i.toLong) == gtFp(20L + i)))
+    // operator pairs == brute force over the ground-truth fingerprints
+    val brute = (for {
+      (a, fa) <- gtFp.toSeq; (b, fb) <- gtFp.toSeq if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (a, b, d.toLong)).sortBy(t => (t._1, t._2))
+    val pairs = Multimodal.nearDupVideo(stats, maxDist = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == brute)
+    assert((0 until 6).forall(i => pairs.exists(p => p._1 == i && p._2 == 20 + i)))
+  }
+
   test("sampleFrames explodes evenly-spaced slices") {
     val frames = Multimodal.sampleFrames(media, frames = 2, frameBytes = 4)
       .where(col("media_id") === 1L)
