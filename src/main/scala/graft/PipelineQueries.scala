@@ -1549,6 +1549,26 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("key"))
     },
 
+    // worst-case delta-pile-up read: the corpus holds a bucketed store
+    // where EVERY bucket carries DeltaFilesMax delta files (one short of
+    // compaction) — the maximum glob fan-out the delta write path can
+    // leave behind. The bench row pins the read-side cost of that layout;
+    // the oracle reads the identical raw glob (deltas are ordinary table
+    // rows, never shadowing), so the non-reconciling read contract is
+    // hash-checked too
+    q("q_layout_delta_read",
+      s"""SELECT substring(id, 1, 4) AS src, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS sum_v
+         |FROM read_parquet('${DeltaCorpus.dir}/${DeltaCorpus.table}.parquet/**/*.parquet',
+         |                  hive_partitioning=0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { c =>
+      DeltaCorpus.ensure(c.spark)
+      graft.ingest.UpsertWriter.readTable(c.spark, DeltaCorpus.dir, DeltaCorpus.table)
+        .groupBy(substring(col("id"), 1, 4).as("src"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy("src")
+    },
+
     // equi-depth quantile binning: the cut points are ONE percentile agg
     // (6dp-rounded, same quantile_cont interpolation both engines), the
     // label a broadcast CASE chain — distributed ntile without the single

@@ -467,9 +467,9 @@ object Queries {
   )
 
   lazy val queries: Map[String, QFn] =
-    (all ++ PipelineQueries.all ++ StixQueries.all).map(x => x.name -> x.fn).toMap
+    (all ++ PipelineQueries.all ++ StixQueries.all ++ SplintQueries.all).map(x => x.name -> x.fn).toMap
   lazy val oracle: Map[String, String] =
-    (all ++ PipelineQueries.all ++ StixQueries.all).collect { case Q(n, _, Some(sql)) =>
+    (all ++ PipelineQueries.all ++ StixQueries.all ++ SplintQueries.all).collect { case Q(n, _, Some(sql)) =>
       n -> sql.replaceAll("\\s+", " ").trim
     }.toMap
 }

@@ -357,7 +357,17 @@ object Sampling {
     * weight — cap weights, default 64, to bound the fan-out) and the
     * selection is orderBy(key).limit(k) = TakeOrdered: per-partition
     * top-k, only k rows per partition reach the driver-side merge. No
-    * global sort, no window. Output: input columns + `rank` (1-based). */
+    * global sort, no window. Output: input columns + `rank` (1-based).
+    *
+    * BIAS OF THE CAP: a weight above `maxWeight` is clamped, so the sample
+    * follows the CLAMPED weight distribution exactly — nothing subtler
+    * (PipelineOpsSpec law: maxWeight=c equals pre-clamping every weight to
+    * c). Rows at w > maxWeight are under-represented by the factor
+    * min(w, maxWeight)/w; ratios among rows at or below the cap are
+    * undistorted. Callers with genuinely heavy-tailed weights should
+    * pre-bucket (e.g. log-compress weights into [1, maxWeight]) — a
+    * per-row `sequence()` of millions of hashes is the wrong shape at any
+    * scale, which is why the cap exists. */
   def weightedSample(
       df: DataFrame,
       keyCol: String,

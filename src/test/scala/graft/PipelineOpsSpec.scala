@@ -155,6 +155,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(u1.sameElements(u2))
   }
 
+  test("weightedSample cap law: maxWeight=c IS sampling with weights pre-clamped to c") {
+    val sp = spark
+    import sp.implicits._
+    // weights straddle the cap (1..20 vs cap 4): the capped run must equal
+    // the uncapped run over min(w, 4) EXACTLY — the cap's bias is "the
+    // clamped weight distribution", nothing subtler
+    val d = (1 to 150).map(i => (i.toLong, 1 + i % 20)).toDF("id", "w")
+    val capped = graft.operators.Sampling
+      .weightedSample(d, "id", "w", 30, maxWeight = 4)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    val preClamped = graft.operators.Sampling
+      .weightedSample(d.withColumn("w", least(col("w"), lit(4))), "id", "w", 30)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    assert(capped == preClamped)
+    // and maxWeight=1 degenerates to uniform: weights are irrelevant
+    val uni = graft.operators.Sampling
+      .weightedSample(d, "id", "w", 30, maxWeight = 1)
+      .select("id").as[Long].collect().toSet
+    val flat = graft.operators.Sampling
+      .weightedSample(d.withColumn("w", lit(1)), "id", "w", 30)
+      .select("id").as[Long].collect().toSet
+    assert(uni == flat)
+  }
+
   test("kmvDistinct: exact under k, close over k, partitioning-invariant") {
     val sp = spark
     import sp.implicits._

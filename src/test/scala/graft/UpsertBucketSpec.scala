@@ -243,10 +243,32 @@ class UpsertBucketSpec extends SparkSpec {
       .filter(_.endsWith(".parquet")).toList
     assert(files.count(_.startsWith("delta-")) <= UpsertWriter.DeltaFilesMax,
       s"compaction should have bounded delta files, got $files")
+    // compaction RESTORED the single-file bucket form: DeltaFilesMax + 2
+    // appends = threshold-crossing at +1 (bucket back to exactly one base
+    // file, zero deltas), then one fresh delta from append +2
+    assert(files.count(_.startsWith("delta-")) == 1 && files.size == 2,
+      s"expected one post-compaction base file plus one fresh delta, got $files")
     // all rows survived the compaction
     val out = UpsertWriter.readTable(spark, dir, "t")
     assert(out.count() == 50 + UpsertWriter.DeltaFilesMax + 2)
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("DeltaCorpus pile-up sits exactly at the threshold: DeltaFilesMax deltas per bucket, uncompacted") {
+    DeltaCorpus.ensure(spark)
+    val p = java.nio.file.Paths.get(DeltaCorpus.dir, s"${DeltaCorpus.table}.parquet")
+    val buckets = Files.list(p).iterator().asScala
+      .filter(d => d.getFileName.toString.startsWith("__bucket=")).toList
+    assert(buckets.nonEmpty)
+    buckets.foreach { b =>
+      val names = Files.list(b).iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toList
+      assert(names.count(_.startsWith("delta-")) == UpsertWriter.DeltaFilesMax,
+        s"bucket ${b.getFileName} must hold exactly DeltaFilesMax deltas, got $names")
+    }
+    // the glob-read sees every base and delta row exactly once
+    assert(UpsertWriter.readTable(spark, DeltaCorpus.dir, DeltaCorpus.table).count() ==
+      DeltaCorpus.BaseRows + UpsertWriter.DeltaFilesMax.toLong * DeltaCorpus.RowsPerBatch)
   }
 
   test("delta append into a bucket with no base files yet creates the bucket dir") {
