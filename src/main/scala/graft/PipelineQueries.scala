@@ -2136,6 +2136,67 @@ object PipelineQueries {
         .orderBy("user_id", "l_ts", "r_ts")
     },
 
+    // streaming dedup AGAINST A PERSISTED CORPUS (stream-static LEFT ANTI
+    // join on content fingerprints + in-stream dropDuplicatesWithinWatermark
+    // — the continuous-ingest face of Dedup.exactIncremental): documents
+    // stream in, docs whose fingerprint is already in the "seen" corpus
+    // (every doc_id % 3 == 0) are dropped, survivors dedup in-stream. The
+    // emitted fingerprint SET is deterministic (which duplicate survives is
+    // not, so the row projects the fingerprint only); the oracle replays
+    // the same anti-join over the parquet
+    q("q_stream_dedup_corpus",
+      s"""SELECT DISTINCT md5($duckNorm) AS fingerprint FROM documents
+         |WHERE md5($duckNorm) NOT IN (
+         |  SELECT md5($duckNorm) FROM documents WHERE doc_id % 3 = 0)
+         |ORDER BY fingerprint""".stripMargin) { c =>
+      val spark = c.spark
+      val path = s"${c.dataDir}/documents.parquet"
+      val schema = spark.read.parquet(path).schema
+      val seen = spark.read.parquet(path)
+        .where(col("doc_id") % 3 === 0)
+        .select(graft.operators.TextOps.fingerprint(col("text")).as("fingerprint"))
+      val src = spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{documents.parquet}")
+        // synthetic event time: the corpus dedup keys on fingerprints, the
+        // watermark only bounds state — a constant instant keeps the run
+        // deterministic while exercising the real state-expiry plan
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val sinkName = s"q_stream_dedup_corpus_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.dedupAgainstCorpus(src, seen, watermark = "1 hour")
+        .select(col("fingerprint"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(sinkName).select(col("fingerprint")).distinct()
+        .orderBy("fingerprint")
+    },
+
+    // per-key custom state via mapGroupsWithState (the arbitrary-state
+    // escape hatch): a running per-user event counter drained with
+    // availableNow. Update-mode emits one row per user per micro-batch
+    // with the count SO FAR, so the final state is max(n) per user — which
+    // must equal the batch GROUP BY count
+    q("q_stream_running_counts",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { c =>
+      val spark = c.spark
+      val path = s"${c.dataDir}/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val src = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
+      val sinkName = s"q_stream_running_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.runningCounts(src)
+        .toDF("user_id", "n")
+        .writeStream.format("memory").queryName(sinkName).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(sinkName)
+        .groupBy("user_id").agg(max(col("n")).as("n"))
+        .orderBy("user_id")
+    },
+
     q("q_events_sessions",
       """WITH g AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
