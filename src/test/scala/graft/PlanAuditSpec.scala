@@ -228,6 +228,18 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the pigeonhole equi keys in the join:\n$plan")
   }
 
+  test("nearDupVideo candidates come from an equi block join, never all-pairs") {
+    VideoCorpus.ensure(spark)
+    val stats = graft.operators.Multimodal
+      .videoStats(spark.read.parquet(VideoCorpus.table), binCol = "gif")
+      .localCheckpoint(true) // audit the pair join, not the decode pass
+    val plan = physical(graft.operators.Multimodal.nearDupVideo(stats))
+    assert(!plan.contains("CartesianProduct"), s"pair join degenerated:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"pair join degenerated:\n$plan")
+    assert(plan.contains("block_idx") && plan.contains("block_val"),
+      s"expected the pigeonhole equi keys in the join:\n$plan")
+  }
+
   test("kmeansAssign is a broadcast argmax aggregate, not a window") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // localCheckpoint truncates the training lineage (whose deterministic
