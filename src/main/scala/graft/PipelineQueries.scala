@@ -1863,6 +1863,33 @@ object PipelineQueries {
         .orderBy("media_id", "pos")
     },
 
+    // real modality-aware feature extraction: image features are the
+    // 16-bin histogram of the DECODED gray pixels (L1-normalized exact
+    // count ratios). The row multiplies the float back by the pixel count
+    // to recover the integer histogram exactly (float24 error << 0.5 at
+    // 1152 px), so the comparison is integer-exact; the oracle counts the
+    // stored ground-truth pixels per bin, with zero-bins materialized
+    q("q_multimodal_features",
+      s"""WITH px AS (SELECT media_id, width * height AS n, unnest(pixels) AS p FROM $mediaT),
+         |c AS (SELECT media_id, least(p // 16, 15) AS bin, count(*) AS cnt
+         |      FROM px GROUP BY 1, 2),
+         |bins AS (SELECT media_id, max(n) AS n, unnest(range(0, 16)) AS bin
+         |         FROM px GROUP BY media_id)
+         |SELECT b.media_id, CAST(b.bin AS INT) AS bin,
+         |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+         |FROM bins b LEFT JOIN c ON b.media_id = c.media_id AND b.bin = c.bin
+         |ORDER BY b.media_id, bin""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      MediaCorpus.ensure(c.spark)
+      val media = c.spark.read.parquet(MediaCorpus.table).select(
+        col("media_id"), lit("image").as("modality"), col("png").as("content"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), posexplode(col("features")).as(Seq("bin", "f")))
+        .select(col("media_id"), col("bin"),
+          round(col("f") * (MediaCorpus.W * MediaCorpus.H)).cast("long").as("cnt"))
+        .orderBy("media_id", "bin")
+    },
+
     // ===== Real video decode (multi-frame GIF) + temporal fingerprint =====
     // the video corpus stores BOTH the animated-GIF bytes and the
     // ground-truth per-frame pixel matrices; Spark decodes ONLY the GIF

@@ -29,9 +29,11 @@ import javax.imageio.ImageIO
   * axis), and [[nearDupVideo]] block-joins on it — oracle-checked against
   * ground-truth frame matrices (q_multimodal_video*). Full-motion codecs
   * (H.264 etc.) don't exist in the JDK; a deployment swaps decodeFrames
-  * for the JNI/ffmpeg call, everything downstream unchanged. Only
-  * [[decodeBatch]] (generic embedding extraction) remains a deterministic
-  * stand-in for a model call; its batch shape/schema contract is real.
+  * for the JNI/ffmpeg call, everything downstream unchanged.
+  * [[extractFeatures]] routes every modality through its real decoder
+  * (signal histograms of decoded pixels/samples/frames); only the
+  * byte-histogram FALLBACK for unknown modalities stands in for a learned
+  * embedding model, which no public JDK can supply.
   *
   * Scale notes: feature extraction is embarrassingly parallel; the only
   * planning decision is spreading decode cost evenly — `repartitionForDecode`
@@ -68,24 +70,40 @@ object Multimodal {
 
   val featureDim = 16
 
-  /** STUB decoder: deterministic 16-bin byte histogram, L1-normalized.
-    * A real deployment swaps this one function for the codec call (JNI,
-    * ONNX runtime, subprocess); everything around it is unchanged. */
+  /** Fallback feature: deterministic 16-bin byte histogram, L1-normalized —
+    * the stand-in for a learned-embedding model call (JNI, ONNX runtime,
+    * subprocess) on modalities with no JDK decoder. Real modalities route
+    * through the real decoders in [[extractFeatures]]. */
   private[operators] def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
-    batch.map { bytes =>
-      val hist = new Array[Float](featureDim)
-      if (bytes != null) {
-        bytes.foreach(b => hist((b & 0xff) % featureDim) += 1f)
-        val total = bytes.length.max(1)
-        var i = 0
-        while (i < featureDim) { hist(i) /= total; i += 1 }
-      }
-      hist
-    }
+    batch.map(byteHist)
 
-  /** Batched partition-local feature extraction. Rows are processed in
-    * fixed-size batches (the Arrow-batch shape a Pandas UDF would see) so a
-    * real decoder can amortize model/codec setup per batch. */
+  private def byteHist(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](featureDim)
+    if (bytes != null) {
+      bytes.foreach(b => hist((b & 0xff) % featureDim) += 1f)
+      val total = bytes.length.max(1)
+      var i = 0
+      while (i < featureDim) { hist(i) /= total; i += 1 }
+    }
+    hist
+  }
+
+  private def normalized(counts: Array[Long]): Array[Float] = {
+    val total = math.max(counts.sum, 1L)
+    counts.map(c => (c.toDouble / total).toFloat)
+  }
+
+  /** Batched partition-local feature extraction, REAL per modality within
+    * what the JDK decodes: `image` → 16-bin histogram of the decoded gray
+    * pixels (bin = v/16); `audio` → 16-bin histogram of decoded 16-bit PCM
+    * amplitude ((s+32768)/4096); `video` → gray histogram pooled over every
+    * decoded frame. All are L1-normalized exact count ratios of the decoded
+    * signal, so an oracle holding the ground-truth matrices reproduces them
+    * (q_multimodal_features). Unknown modalities and undecodable payloads
+    * fall back to the byte histogram (the documented stand-in for a model
+    * call). Rows are processed in fixed-size batches (the Arrow-batch shape
+    * a Pandas UDF would see) so a real embedding model can amortize setup
+    * per batch. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -94,9 +112,31 @@ object Multimodal {
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select("media_id", "modality", "content").mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        val feats = decodeBatch(batch.map(_.getAs[Array[Byte]]("content")).toSeq)
-        batch.lazyZip(feats).map { (r, f) =>
-          Row(r.getLong(0), r.getString(1), f.toSeq)
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val modality = r.getString(1)
+          val f: Array[Float] = modality match {
+            case "image" =>
+              decodeGray(bytes).map { case (_, _, px) =>
+                val c = new Array[Long](featureDim)
+                px.foreach(v => c(math.min(v / 16, featureDim - 1)) += 1)
+                normalized(c)
+              }.getOrElse(byteHist(bytes))
+            case "audio" =>
+              decodePcm(bytes).map { case (_, s) =>
+                val c = new Array[Long](featureDim)
+                s.foreach(v => c(math.min((v + 32768) / 4096, featureDim - 1)) += 1)
+                normalized(c)
+              }.getOrElse(byteHist(bytes))
+            case "video" =>
+              decodeFrames(bytes).map { frames =>
+                val c = new Array[Long](featureDim)
+                frames.foreach(_._3.foreach(v => c(math.min(v / 16, featureDim - 1)) += 1))
+                normalized(c)
+              }.getOrElse(byteHist(bytes))
+            case _ => byteHist(bytes)
+          }
+          Row(r.getLong(0), modality, f.toSeq)
         }
       }
     }(encoder)

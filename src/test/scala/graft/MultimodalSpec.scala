@@ -18,7 +18,7 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Long]("n_bytes") == 11L)
   }
 
-  test("extractFeatures: deterministic stub features, batch shape preserved") {
+  test("extractFeatures: undecodable payload falls back to the byte histogram, batch shape preserved") {
     val f1 = Multimodal.extractFeatures(media, batchSize = 1).orderBy("media_id").collect()
     val f64 = Multimodal.extractFeatures(media, batchSize = 64).orderBy("media_id").collect()
     assert(f1.length == 2 && f64.length == 2)
