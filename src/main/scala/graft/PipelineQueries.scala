@@ -637,6 +637,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // LEAKAGE-FREE split: near-duplicate group members share one split
+    // (assignment hashes the GROUP id — the standard guard against train
+    // text leaking into eval through near-copies). The oracle replays the
+    // full chain: minhash-LSH candidate pairs -> jaccard >= 0.5 edges ->
+    // WITH RECURSIVE connected components -> the same md5 uniform draw on
+    // the group id
+    q("q_sample_leakfree", {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val bounds = graft.operators.Sampling.splitBounds(splits)
+      s"""WITH RECURSIVE $duckGroupsCte,
+         |u AS (SELECT doc_id, group_id,
+         |    CAST(('0x' || substring(md5(group_id || 'sp1'), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+         |  FROM grp)
+         |SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+         |  CASE WHEN u < ${bounds(0)}::DOUBLE THEN 'train'
+         |       WHEN u < ${bounds(1)}::DOUBLE THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin
+    }) { c =>
+      val docs = c.resolve("documents")
+      graft.operators.Sampling
+        .groupedSplit(
+          docs,
+          Dedup.dupGroups(docs, Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "sp1")
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // temperature-balanced multilingual sampling (rates ∝ n_lang^0.5,
     // expected 150 draws): the oracle re-derives the SAME 6dp rates from
     // the same in-order double fold, so the kept row set matches exactly

@@ -64,6 +64,32 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** LEAKAGE-FREE split: like [[hashSplit]], but members of the same
+    * near-duplicate group always land in the SAME split — the assignment
+    * hashes the GROUP id, not the document id. Splitting duplicates across
+    * train and eval silently leaks training text into the benchmark; this
+    * is the standard countermeasure (group-wise splitting over the dedup
+    * operator's groups).
+    *
+    * `groups` is a (idCol, groupCol) map, e.g. [[Dedup.dupGroups]] output;
+    * docs absent from it form their own singleton group (coalesce to the
+    * doc id — LEFT join, so a partial group map is safe). Scale shape: one
+    * doc-keyed equi join against the doc-sized group table (co-bucketed
+    * with the corpus in a real layout), then the same zero-shuffle CASE
+    * chain as hashSplit. Output: input columns + group id + `split`. */
+  def groupedSplit(
+      df: DataFrame,
+      groups: DataFrame,
+      splits: Seq[(String, Double)],
+      idCol: String = "doc_id",
+      groupCol: String = "group_id",
+      seed: String = "sp0"): DataFrame = {
+    val joined = df
+      .join(groups.select(col(idCol), col(groupCol)), Seq(idCol), "left")
+      .withColumn(groupCol, coalesce(col(groupCol), col(idCol)))
+    hashSplit(joined, groupCol, splits, seed)
+  }
+
   /** The exact double upper bounds hashSplit compares against, for oracle
     * mirrors: both engines must test u against bit-identical constants
     * (0.8 + 0.1 is 0.9000000000000001 — the fold's value, not "0.9"). */

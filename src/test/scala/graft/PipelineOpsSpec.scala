@@ -155,6 +155,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(u1.sameElements(u2))
   }
 
+  test("groupedSplit: no duplicate group straddles splits; partial group maps are safe") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    // 100 groups of 3 (docs i, i+100, i+200 together); map is PARTIAL —
+    // docs 201-300 are absent and must fall back to singleton groups
+    val groups = (1 to 200).map(i => (i.toLong, (1 + (i - 1) % 100).toLong))
+      .toDF("doc_id", "group_id")
+    val out = graft.operators.Sampling
+      .groupedSplit(docs, groups, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "group_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 300)
+    // mapped docs: every group lands in exactly one split
+    out.filter(_._1 <= 200).groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"group $g straddles splits")
+      assert(rows.length == 2)
+    }
+    // unmapped docs fall back to group_id == doc_id
+    out.filter(_._1 > 200).foreach { case (id, g, _) => assert(g == id) }
+    // the assignment is the group-id hashSplit, bit-for-bit
+    val viaHash = graft.operators.Sampling
+      .hashSplit((1L to 100L).toDF("group_id"), "group_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_._1 <= 200).foreach { case (_, g, s) => assert(viaHash(g) == s) }
+  }
+
   test("weightedSample cap law: maxWeight=c IS sampling with weights pre-clamped to c") {
     val sp = spark
     import sp.implicits._
