@@ -533,6 +533,55 @@ object PipelineQueries {
         .orderBy("rank")
     },
 
+    // hybrid retrieval: BM25 lexical top-50 and brute-cosine dense top-50
+    // (probe doc 0) fused with Reciprocal Rank Fusion, final top-10. The
+    // oracle replays both retrievers AND the fusion — with two lists every
+    // per-doc sum is one IEEE addition, so the 6dp fused scores match
+    // exactly
+    q("q_search_hybrid", {
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |l AS (SELECT doc_id, CAST(length(toks) AS DOUBLE) AS dl FROM t),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM l),
+         |p AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf
+         |      FROM (SELECT doc_id, unnest(toks) AS w FROM t) u
+         |      WHERE w IN ('join', 'vector', 'stream') GROUP BY doc_id, w),
+         |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |s AS (SELECT p.doc_id,
+         |        ln((st.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |          * (p.tf * 2.2::DOUBLE)
+         |          / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / st.avgdl)) AS s
+         |      FROM p JOIN dfq USING (term) JOIN l USING (doc_id) CROSS JOIN st),
+         |sc AS (SELECT doc_id, round(sum(s), 6) AS score FROM s GROUP BY doc_id),
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+         |        QUALIFY rank <= 50),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ds AS (SELECT vec_id AS doc_id,
+         |        round(list_dot_product(qe::DOUBLE[], embedding::DOUBLE[])
+         |          / (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+         |             * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS score
+         |      FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+         |den AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM ds
+         |        QUALIFY rank <= 50),
+         |u AS (SELECT doc_id, 1.0::DOUBLE / (60::DOUBLE + rank) AS contrib FROM lex
+         |      UNION ALL SELECT doc_id, 1.0::DOUBLE / (60::DOUBLE + rank) FROM den),
+         |f AS (SELECT doc_id, round(sum(contrib), 6) AS rrf, CAST(count(*) AS INT) AS n_lists
+         |      FROM u GROUP BY doc_id),
+         |r AS (SELECT doc_id, rrf, n_lists,
+         |        row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+         |SELECT CAST(rank AS INT) AS rank, doc_id, rrf, n_lists
+         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+    }) { c =>
+      import graft.operators.Similarity
+      val emb = c.resolve("embeddings")
+      val lex = TextOps
+        .bm25TopK(c.resolve("documents"), Seq("join", "vector", "stream"), topK = 50)
+        .select(col("doc_id"), col("rank"))
+      val dense = Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") === 0), k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, dense), k = 10).orderBy("rank")
+    },
+
     // exact frequent terms via SON two-phase candidates + recount: the
     // oracle is the exact global HAVING — the candidate phase may only
     // ever produce a superset, never change the verified answer

@@ -155,6 +155,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(u1.sameElements(u2))
   }
 
+  test("rrfFuse: hand-computed fusion; consensus outranks single-list; ties break on id") {
+    val sp = spark
+    import sp.implicits._
+    val lex = Seq((1L, 1), (2L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val den = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val out = graft.operators.Similarity.rrfFuse(Seq(lex, den), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // doc 2: 1/62 + 1/61; doc 4: 1/63 + 1/63; doc 1: 1/61; doc 3: 1/62
+    def rr(r: Int) = 1.0 / (60.0 + r)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(out.map(_._2).toSeq == Seq(2L, 4L, 1L, 3L))
+    assert(out.map(_._4).toSeq == Seq(2, 2, 1, 1), "n_lists must count contributing lists")
+    assert(out(0)._3 == r6(rr(2) + rr(1)) && out(1)._3 == r6(rr(3) + rr(3)))
+    assert(out(2)._3 == r6(rr(1)) && out(3)._3 == r6(rr(2)))
+  }
+
   test("groupedSplit: no duplicate group straddles splits; partial group maps are safe") {
     val sp = spark
     import sp.implicits._
