@@ -686,6 +686,48 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // token-budget MIXTURE PLAN: water-fill a 150k-token budget across
+    // sources proportionally to per-source weight (doc count here), each
+    // source capped at tokens x 4 epochs, excess redistributed. The plan
+    // is closed-form window arithmetic over per-source exact aggregates;
+    // the oracle replays the same running sums in the same (ratio, source)
+    // order, so every double is a bit-identical left fold
+    q("q_sample_mixture",
+      s"""WITH t AS (SELECT source, CAST(sum(length($duckToks)) AS BIGINT) AS tokens,
+         |             CAST(count(*) AS DOUBLE) AS weight
+         |           FROM documents GROUP BY source),
+         |b AS (SELECT source, tokens, weight, round(tokens * 4.0::DOUBLE, 6) AS capacity FROM t),
+         |w AS (SELECT *, capacity / weight AS r,
+         |        sum(capacity) OVER (ORDER BY capacity / weight, source) AS cumcap,
+         |        sum(weight) OVER (ORDER BY capacity / weight, source) AS cumw,
+         |        sum(weight) OVER () AS totw,
+         |        coalesce(sum(capacity) OVER (ORDER BY capacity / weight, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap_prev,
+         |        coalesce(sum(weight) OVER (ORDER BY capacity / weight, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw_prev
+         |      FROM b),
+         |x AS (SELECT *,
+         |        CASE WHEN totw - cumw > 0
+         |             THEN (150000.0::DOUBLE - cumcap) / (totw - cumw)
+         |             ELSE 1.7976931348623157e308 END AS t_after,
+         |        (150000.0::DOUBLE - cumcap_prev) / (totw - cumw_prev) AS t_before
+         |      FROM w),
+         |lvl AS (SELECT coalesce(max(CASE WHEN t_before >= r THEN t_after END),
+         |          150000.0::DOUBLE / max(totw)) AS level FROM x)
+         |SELECT source, tokens, weight, capacity,
+         |  round(least(capacity, greatest(level, 0.0::DOUBLE) * weight), 6) AS alloc,
+         |  round(round(least(capacity, greatest(level, 0.0::DOUBLE) * weight), 6)
+         |        / tokens, 6) AS epochs
+         |FROM x CROSS JOIN lvl ORDER BY source""".stripMargin) { c =>
+      val stats = c.resolve("documents")
+        .groupBy("source")
+        .agg(
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"),
+          count(lit(1)).cast("double").as("weight"))
+      graft.operators.Sampling.mixturePlan(stats, budget = 150000L, maxEpochs = 4.0)
+        .orderBy("source")
+    },
+
     // LEAKAGE-FREE split: near-duplicate group members share one split
     // (assignment hashes the GROUP id — the standard guard against train
     // text leaking into eval through near-copies). The oracle replays the

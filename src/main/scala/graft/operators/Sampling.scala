@@ -90,6 +90,72 @@ object Sampling {
     hashSplit(joined, groupCol, splits, seed)
   }
 
+  /** Token-budget MIXTURE PLAN across sources — "how many tokens of each
+    * domain does the training run take?" Water-filling: allocate the
+    * budget proportionally to each source's weight, capping every source
+    * at its capacity (its tokens x maxEpochs — you can't up-sample a
+    * domain forever without degenerate repetition) and redistributing the
+    * excess over the uncapped sources. Closed form, no iteration: with
+    * sources sorted by capacity/weight ascending, the water level is
+    * t = (B - Σ_{capped} cap) / Σ_{uncapped} w at the unique prefix where
+    * it's consistent; alloc_i = min(cap_i, t·w_i).
+    *
+    * Input: one row per source with LONG `tokens`, DOUBLE `weight` > 0,
+    * computed upstream by exact aggregations. Scale shape: sources number
+    * in the hundreds at most — the plan is window arithmetic over a tiny
+    * frame (the corpus-sized work is the upstream stats aggregation).
+    * Output per source: tokens, capacity, alloc (6dp), epochs =
+    * alloc/tokens (6dp). If the budget exceeds total capacity every source
+    * is fully capped. */
+  def mixturePlan(
+      stats: DataFrame,
+      budget: Long,
+      maxEpochs: Double = 4.0,
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRatio = Window.orderBy(col("__r"), col(sourceCol))
+    val base = stats
+      .withColumn("capacity", round(col("tokens") * lit(maxEpochs), 6))
+      .withColumn("__r", col("capacity") / col("weight"))
+      .withColumn("__cumcap", sum("capacity").over(
+        byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cumw", sum("weight").over(
+        byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__totw", sum("weight").over(
+        byRatio.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // water level if every source up to AND INCLUDING this one is capped;
+      // the last row has no remaining weight (ANSI division guard) — an
+      // unbounded level there means "everything capped", which min(cap, .)
+      // resolves
+      .withColumn(
+        "__t_after",
+        when(col("__totw") - col("__cumw") > 0,
+          (lit(budget.toDouble) - col("__cumcap")) / (col("__totw") - col("__cumw")))
+          .otherwise(lit(Double.MaxValue)))
+      // a source is capped iff the level computed just before it still
+      // tops its ratio: level_before = (B - cumcap_prev)/(totw - cumw_prev)
+      .withColumn(
+        "__t_before",
+        (lit(budget.toDouble) -
+          coalesce(lag("__cumcap", 1).over(byRatio), lit(0.0))) /
+          (col("__totw") - coalesce(lag("__cumw", 1).over(byRatio), lit(0.0))))
+      .withColumn("__capped", col("__t_before") >= col("__r"))
+    // the water level is __t_after at the LAST capped row (0 capped -> B/W)
+    val levelW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn(
+        "__level",
+        coalesce(
+          max(when(col("__capped"), col("__t_after"))).over(levelW),
+          lit(budget.toDouble) / col("__totw")))
+      .withColumn(
+        "alloc",
+        round(least(col("capacity"), greatest(col("__level"), lit(0.0)) * col("weight")), 6))
+      .withColumn("epochs", round(col("alloc") / col("tokens"), 6))
+      .select(col(sourceCol), col("tokens"), col("weight"), col("capacity"),
+        col("alloc"), col("epochs"))
+  }
+
   /** The exact double upper bounds hashSplit compares against, for oracle
     * mirrors: both engines must test u against bit-identical constants
     * (0.8 + 0.1 is 0.9000000000000001 — the fold's value, not "0.9"). */

@@ -155,6 +155,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(u1.sameElements(u2))
   }
 
+  test("mixturePlan: hand-computed water-fill; caps bind; all-capped when budget exceeds capacity") {
+    val sp = spark
+    import sp.implicits._
+    val stats = Seq(("a", 100L, 1.0), ("b", 1000L, 1.0), ("c", 10000L, 1.0))
+      .toDF("source", "tokens", "weight")
+    // B=8000, caps 400/4000/40000: a caps (level before it 2666.7 >= 400),
+    // then level (8000-400)/2 = 3800 < b's ratio 4000 -> b, c uncapped
+    val out = graft.operators.Sampling.mixturePlan(stats, budget = 8000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("a", 400.0, 4.0), ("b", 3800.0, 3.8), ("c", 3800.0, 0.38)))
+    assert(out.map(_._2).sum == 8000.0, "allocations must spend the whole budget")
+    // budget above total capacity: every source fully capped
+    val full = graft.operators.Sampling.mixturePlan(stats, budget = 100000L)
+      .orderBy("source").collect().map(r => (r.getString(0), r.getDouble(4)))
+    assert(full.toSeq == Seq(("a", 400.0), ("b", 4000.0), ("c", 40000.0)))
+  }
+
   test("rrfFuse: hand-computed fusion; consensus outranks single-list; ties break on id") {
     val sp = spark
     import sp.implicits._
