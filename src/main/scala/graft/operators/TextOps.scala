@@ -320,14 +320,33 @@ object TextOps {
 
   /** Encode text with a trained merge table: apply every merge in rank
     * order to each word's character sequence, emit (doc, token, count).
-    * One map-side pass over the corpus (merges broadcast in the closure). */
+    * One map-side pass over the corpus (merges broadcast in the closure).
+    *
+    * Skip-set fast path: a merge (a, b) can only fire if BOTH symbols
+    * occur in the word, and the symbols a word can ever contain are its
+    * characters plus symbols produced by merges that already fired — so a
+    * per-word presence set turns the 50k-vocab encode from 50k substitution
+    * passes per word into 50k O(1) lookups plus the handful of passes that
+    * actually apply. The set only grows (a consumed symbol is merely a
+    * missed skip), so the result is EXACTLY the naive rank-order fold —
+    * law-tested in PipelineOpsSpec. */
   def bpeEncode(
       docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val encode = udf((toks: Seq[String]) =>
       toks.flatMap { w =>
         var syms: Seq[String] = w.split("").toSeq.filter(_.nonEmpty)
-        merges.foreach { case (a, b) => syms = mergePair(syms, a, b) }
+        val present = scala.collection.mutable.HashSet.empty[String]
+        syms.foreach(present += _)
+        merges.foreach { case (a, b) =>
+          if (present.contains(a) && present.contains(b)) {
+            val merged = mergePair(syms, a, b)
+            if (merged.length != syms.length) {
+              syms = merged
+              present += (a + b)
+            }
+          }
+        }
         syms
       })
     docs

@@ -102,6 +102,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode skip-set law: identical to the naive rank-order fold") {
+    val sp = spark
+    import sp.implicits._
+    // train a real merge table, then compare the skip-set encode against a
+    // literal per-word fold of every merge in rank order
+    val vocab = Seq("low", "lower", "lowest", "newest", "widest", "newer", "wider")
+    val r = new scala.util.Random(5)
+    val d = docs((1 to 20).map(i =>
+      (i, (1 to 15).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))): _*)
+    val merges = TextOps.bpeTrain(d, numMerges = 12).map(m => (m._2, m._3))
+    val fast = TextOps.bpeEncode(d, merges)
+      .orderBy("doc_id", "token").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
+    val naive = {
+      val enc = udf((toks: Seq[String]) =>
+        toks.flatMap { w =>
+          var syms: Seq[String] = w.split("").toSeq.filter(_.nonEmpty)
+          merges.foreach { case (a, b) => syms = TextOps.mergePair(syms, a, b) }
+          syms
+        })
+      d.select(col("doc_id"), explode(enc(TextOps.tokens(col("text")))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "token").collect()
+        .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
+    }
+    assert(fast == naive)
+  }
+
   test("dsirScores: target-like docs outrank off-target; short docs unscored; layout-invariant") {
     val raw = docs(
       (1, "the cat sat on the mat"),
