@@ -1732,6 +1732,130 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // Count-Min frequency sketch (native TypedImperativeAggregate, fixed
+    // depth×width counter matrix — the point-frequency shape whose state
+    // never grows with the value domain): estimate per-supplier lineitem
+    // counts with d=4, w=256; buckets are md5(i || ':' || value) mod w, so
+    // the oracle rebuilds the matrix cell-for-cell and takes the same min
+    // over the 4 cells each probed key hashes to (overestimates only —
+    // collisions add, never subtract, and both engines agree exactly)
+    q("q_profile_cms",
+      """WITH seeds AS (SELECT unnest(range(0, 4)) AS i),
+        |cells AS (SELECT s.i AS i,
+        |    ('0x' || substring(md5(CAST(s.i AS VARCHAR) || ':' || CAST(l.l_suppkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS b,
+        |    count(*) AS c
+        |  FROM lineitem l CROSS JOIN seeds s GROUP BY 1, 2),
+        |items AS (SELECT l_suppkey, count(*) AS n_true FROM lineitem
+        |          WHERE l_suppkey <= 10 GROUP BY 1)
+        |SELECT it.l_suppkey, CAST(it.n_true AS BIGINT) AS n_true,
+        |  CAST(min(c.c) AS BIGINT) AS est_cms
+        |FROM items it JOIN cells c
+        |  ON c.b = ('0x' || substring(md5(CAST(c.i AS VARCHAR) || ':' || CAST(it.l_suppkey AS VARCHAR)), 1, 15))::BIGINT % 256
+        |GROUP BY 1, 2 ORDER BY it.l_suppkey""".stripMargin) { c =>
+      import graft.functions.CmsSketch
+      val li = c.resolve("lineitem")
+      val (d, w) = (4, 256)
+      val sk = li.agg(CmsSketch.cms(col("l_suppkey"), d, w).as("sk"))
+      li.where(col("l_suppkey") <= 10)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(sk))
+        .select(
+          col("l_suppkey"),
+          col("n_true"),
+          CmsSketch.estimate(col("sk"), col("l_suppkey"), d, w).as("est_cms"))
+        .orderBy("l_suppkey")
+    },
+
+    // mergeable quantile sketch: quantiles of the k-minimum-by-md5 row
+    // sample (a KMV-style bottom-k draw — uniform because the hash is
+    // value-blind, mergeable because bottom-k of a union is bottom-k of
+    // per-partition bottom-ks = TakeOrdered, NO global sort). The oracle
+    // re-draws the identical sample and picks the same discrete
+    // floor((n-1)p) index, so estimates agree bit-for-bit
+    q("q_profile_qsketch",
+      """WITH s AS (SELECT l_extendedprice AS v,
+        |    ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem ORDER BY h, v LIMIT 1024),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM s),
+        |ps AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]::DOUBLE[]) AS p)
+        |SELECT p, round(max(CASE WHEN rn = CAST(floor((n - 1) * p) AS BIGINT) + 1 THEN v END), 6) AS q
+        |FROM ps CROSS JOIN o GROUP BY p ORDER BY p""".stripMargin) { c =>
+      graft.operators.Profile
+        .sampleQuantiles(
+          c.resolve("lineitem"),
+          "l_extendedprice",
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+          k = 1024,
+          ps = Seq(0.1, 0.5, 0.9, 0.99))
+        .orderBy("p")
+    },
+
+    // sketch-thresholded selection — the sketch being USED: keep documents
+    // at or above the sampled median quality. Pass 1 is the bottom-k
+    // quantile sketch (above), pass 2 a map-side broadcast compare — the
+    // 2-pass selection shape that replaces "sort the corpus by score and
+    // take the top half" at 100 TB. Both engines compare the same
+    // 6dp-rounded scores against the same sampled threshold
+    q("q_text_quality_select",
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN length(toks) > 0
+         |       THEN ${duckStopHits(sqlList(TextOps.enStop))}::DOUBLE / length(toks)
+         |       ELSE 0.0 END AS sr,
+         |  CASE WHEN length(text) > 0
+         |       THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))::DOUBLE / length(text)
+         |       ELSE 0.0 END AS pr,
+         |  length(toks) AS nt
+         | FROM t),
+         |sc AS (SELECT doc_id, round((least(nt / 50.0, 1.0) + greatest(1.0 - pr * 5.0, 0.0)
+         |         + least(sr * 4.0, 1.0)) / 3.0, 6) AS score FROM m),
+         |s AS (SELECT score AS v, ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM sc ORDER BY h, v LIMIT 256),
+         |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM s),
+         |thr AS (SELECT round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END), 6) AS t FROM o)
+         |SELECT doc_id, score FROM sc CROSS JOIN thr
+         |WHERE score >= t ORDER BY doc_id""".stripMargin) { c =>
+      val scores = c.resolve("documents")
+        .select(
+          col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 6).as("score"))
+      val thr = graft.operators.Profile
+        .sampleQuantiles(scores, "score", col("doc_id"), k = 256, ps = Seq(0.5))
+        .select(col("q").as("thr"))
+      scores
+        .crossJoin(broadcast(thr))
+        .where(col("score") >= col("thr"))
+        .select("doc_id", "score")
+        .orderBy("doc_id")
+    },
+
+    // Bloom-prefiltered join — the explicit runtime-filter shape: the
+    // selective dim side (orders over 450k) folds into ONE partial-
+    // aggregable Bloom filter fed through a scalar subquery, and the fact
+    // side is cut MAP-SIDE before its shuffle; false positives only cost a
+    // join probe, so the result EQUALS the plain join the oracle runs
+    q("q_layout_bloom_join",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { c =>
+      val dim = c.resolve("orders")
+        .where(col("o_totalprice") > 450000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.operators.Layout
+        .bloomJoin(
+          c.resolve("lineitem").select("l_orderkey", "l_returnflag", "l_quantity"),
+          dim,
+          "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // cross-source overlap matrix: distinct 8-gram window-hash sets per
     // source, pairwise shared counts + Jaccard — the "do these two dumps
     // cover the same material" curation signal; the oracle recomputes the

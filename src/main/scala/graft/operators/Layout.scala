@@ -147,6 +147,54 @@ object Layout {
         greatest(lit(1), ceil(skew).cast("int")).as("salt_buckets"))
   }
 
+  /** Bloom-prefiltered equi-join: the explicit form of Catalyst's
+    * runtime-filter optimization, for when the planner can't prove it
+    * should inject one (non-trivial small-side subtrees, joins composed
+    * through APIs the heuristics don't see through).
+    *
+    * The dimension side's keys fold into ONE serialized Bloom filter via
+    * Spark's native partial-aggregable `BloomFilterAggregate`, delivered
+    * to the fact side as a scalar subquery; the fact table is then cut
+    * MAP-SIDE by the codegen `BloomFilterMightContain` predicate BEFORE
+    * its shuffle (or before the broadcast-join probe). At 100 TB the win
+    * is shuffle-volume: a selective dimension (say 0.1% of fact keys
+    * survive) means 99.9% of fact rows never leave their input partition
+    * instead of being shuffled and dropped at the join. False positives
+    * only cost a join probe — the exact join still runs, so the result
+    * EQUALS the plain join row-for-row (no false negatives by Bloom
+    * construction; q_layout_bloom_join's oracle is the plain SQL join).
+    *
+    * Supports the no-false-negative join types (`inner`, `left_semi`):
+    * types that keep unmatched fact rows (left/full outer) must not
+    * prefilter the fact side. */
+  def bloomJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      expectedItems: Long = 1L << 20,
+      joinType: String = "inner"): DataFrame = {
+    require(
+      joinType == "inner" || joinType == "left_semi",
+      s"bloomJoin keeps only matched fact rows; $joinType would need the unfiltered fact side")
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    val bloomDF = dim.select(
+      GraftBridge.column(
+        new BloomFilterAggregate(
+          GraftBridge.expression(xxhash64(col(key))),
+          expectedItems).toAggregateExpression()).as("bf"))
+    // null-safe: an empty dim aggregates to a NULL filter -> no fact row
+    // can match, which is exactly what the inner/semi join would produce
+    val mightMatch = coalesce(
+      GraftBridge.column(BloomFilterMightContain(
+        GraftBridge.scalarSubquery(bloomDF),
+        GraftBridge.expression(xxhash64(col(key))))),
+      lit(false))
+    fact.where(mightMatch).join(dim, Seq(key), joinType)
+  }
+
   /** True if the executed plan contains a shuffle exchange (plan audit
     * helper; used by specs to pin layout behavior). */
   def hasShuffle(df: DataFrame): Boolean =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -188,6 +188,51 @@ object Profile {
     df.select(col(idCol), col(colName))
       .crossJoin(broadcast(cuts))
       .select(col(idCol), col(colName), bin.as("bin"))
+  }
+
+  /** Mergeable quantile SKETCH: quantiles of the k-minimum-by-hash row
+    * sample — the scale path [[quantiles]]' scaladoc points at, made
+    * engine-portable. Exact percentile sorts every value inside the
+    * aggregate; at 100 TB the sort (and the per-group value buffer) is the
+    * bottleneck. Here the sample is the k rows with the smallest 60-bit
+    * md5 of their row id — a KMV-style bottom-k sketch, so it is (a) a
+    * uniform simple random sample of rows (the hash is value-blind), (b)
+    * MERGEABLE: bottom-k of a union is bottom-k of the per-partition
+    * bottom-ks, which is exactly what TakeOrdered computes — each
+    * partition ships at most k rows, no global sort, and two corpus
+    * sketches union+trim to the combined sketch, and (c) DETERMINISTIC:
+    * any engine with md5 draws the identical sample, so the estimate is
+    * reproducible bit-for-bit (q_profile_qsketch's oracle re-draws it).
+    *
+    * The estimate is the discrete lower quantile of the sample (index
+    * floor((n-1)·p), no interpolation — integer index arithmetic agrees
+    * across engines). Standard sampling bounds apply: with k=1024 the
+    * p-quantile estimate's rank error is ~1.5%/sqrt(k/ p(1-p)) of N.
+    * Ties in the hash order break by value so non-unique ids stay
+    * deterministic. */
+  def sampleQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      idCol: Column,
+      k: Int = 1024,
+      ps: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)): DataFrame = {
+    require(k >= 2, "need a sample of at least 2")
+    val sample = df
+      .select(
+        col(valueCol).cast("double").as("v"),
+        graft.functions.Funcs.md5Hash60(idCol).as("h"))
+      .orderBy(col("h"), col("v")) // limit over a sort = TakeOrdered: per-partition bottom-k, merged on the driver
+      .limit(k)
+    sample
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .select(explode(typedlit(ps)).as("p"), col("vs"))
+      .select(
+        col("p"),
+        round(
+          element_at(
+            col("vs"),
+            floor((size(col("vs")) - 1).cast("double") * col("p")).cast("int") + 1),
+          6).as("q"))
   }
 
   /** Exact per-column quantiles, one (column, p, q) row per requested

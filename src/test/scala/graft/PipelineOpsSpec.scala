@@ -1208,4 +1208,74 @@ class PipelineOpsSpec extends SparkSpec {
     val xScore = r.find(x => x.getInt(0) == 1 && x.getString(2) == "x").get.getDouble(3)
     assert(math.abs(xScore - 2 * (math.log(1.5) + 1)) < 1e-6)
   }
+
+  test("CMS: estimates never undercount, each depth row sums to N, merge is elementwise") {
+    import graft.functions.CmsSketch
+    val (d, w) = (4, 16) // narrow width so collisions actually occur
+    val vals = Seq.tabulate(200)(i => s"v${i % 37}") // 37 distinct, skewed none
+    val df = vals.toDF("x")
+    val sketch = df.agg(CmsSketch.cms(col("x"), d, w).as("sk"))
+    val matrix = sketch.head().getSeq[Long](0)
+    assert(matrix.length == d * w)
+    // every depth row distributes exactly the N updates
+    (0 until d).foreach { i =>
+      assert(matrix.slice(i * w, (i + 1) * w).sum == vals.length.toLong, s"row $i")
+    }
+    // point estimates dominate true counts (min over d cells, collisions add)
+    val trueCounts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = df.distinct()
+      .crossJoin(broadcast(sketch))
+      .select(col("x"), CmsSketch.estimate(col("sk"), col("x"), d, w).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trueCounts.foreach { case (v, n) => assert(est(v) >= n, s"$v: est ${est(v)} < true $n") }
+    // merge law: sketch(a ++ b) == sketch(a) + sketch(b) elementwise
+    val (a, b) = vals.splitAt(73)
+    def mat(s: Seq[String]) =
+      s.toDF("x").agg(CmsSketch.cms(col("x"), d, w)).head().getSeq[Long](0)
+    val summed = mat(a).zip(mat(b)).map { case (x, y) => x + y }
+    assert(mat(vals) == summed)
+  }
+
+  test("sampleQuantiles: k >= n is the exact discrete quantile; layout-invariant") {
+    import graft.operators.Profile
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val full = Profile.sampleQuantiles(df, "v", col("id"), k = 1000, ps = ps)
+      .orderBy("p").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // with the whole table sampled the estimate IS floor((n-1)p) of the data
+    val sorted = (1 to 100).map(_.toDouble)
+    val exact = ps.map(p => (p, sorted(math.floor(99 * p).toInt)))
+    assert(full == exact, s"full=$full")
+    // partitioning must not change the draw (TakeOrdered merges bottom-ks)
+    val k32a = Profile.sampleQuantiles(df.repartition(7), "v", col("id"), k = 32, ps = ps)
+      .orderBy("p").collect().toSeq
+    val k32b = Profile.sampleQuantiles(df.coalesce(1), "v", col("id"), k = 32, ps = ps)
+      .orderBy("p").collect().toSeq
+    assert(k32a == k32b)
+    // estimates are monotone in p
+    val qs = k32a.map(_.getDouble(1))
+    assert(qs == qs.sorted)
+  }
+
+  test("bloomJoin equals the plain join; empty dim yields empty; outer types refuse") {
+    import graft.operators.Layout
+    val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("l_orderkey", "l_quantity").collect().toSeq
+    val plain = fact.join(dim, Seq("l_orderkey"), "inner")
+      .select("l_orderkey", "l_quantity")
+    val bloomed = Layout.bloomJoin(fact, dim, "l_orderkey")
+      .select("l_orderkey", "l_quantity")
+    assert(key(bloomed) == key(plain) && plain.count() > 0)
+    val semi = Layout.bloomJoin(fact, dim, "l_orderkey", joinType = "left_semi")
+    assert(semi.count() == fact.join(dim, Seq("l_orderkey"), "left_semi").count())
+    assert(Layout.bloomJoin(fact, dim.where(lit(false)), "l_orderkey").count() == 0)
+    intercept[IllegalArgumentException] {
+      Layout.bloomJoin(fact, dim, "l_orderkey", joinType = "left_outer")
+    }
+  }
 }

@@ -310,4 +310,41 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("stateOperators"), "expected stateful operator progress")
     } finally q.stop()
   }
+
+  test("bloomJoin: might_contain cuts the fact side below the join, dim broadcasts") {
+    val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val df = graft.operators.Layout.bloomJoin(fact, dim, "l_orderkey")
+    val plan = physical(df)
+    assert(plan.contains("might_contain"),
+      s"fact side must carry the Bloom probe predicate:\n$plan")
+    // the probe must sit BELOW the join (printed after it): map-side cut
+    // before any join machinery, so pruned rows never reach the shuffle
+    val joinIdx = plan.indexOf("Join")
+    val probeIdx = plan.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe should sit under the join in the plan print:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the selective dim side should broadcast into the exact join:\n$plan")
+  }
+
+  test("CMS / sampleQuantiles aggregate through partials (no raw-value shuffle)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val sk = li.agg(graft.functions.CmsSketch.cms(col("l_suppkey"), 4, 256))
+    val skPlan = physical(sk)
+    // TypedImperativeAggregate state flows through ObjectHashAggregate
+    // partial/final pairs: per-partition matrices merge, rows never shuffle
+    assert(skPlan.contains("ObjectHashAggregate"),
+      s"CMS must run as a partial-aggregable object aggregate:\n$skPlan")
+    assert(skPlan.contains("partial_cms_sketch"),
+      s"expected a partial aggregation mode:\n$skPlan")
+    val qs = graft.operators.Profile.sampleQuantiles(
+      li, "l_extendedprice", concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+    val qsPlan = physical(qs)
+    assert(qsPlan.contains("TakeOrderedAndProject"),
+      s"bottom-k-by-hash must be a distributed TakeOrdered, not a global sort:\n$qsPlan")
+  }
 }
