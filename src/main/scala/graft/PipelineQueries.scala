@@ -649,6 +649,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // NEAR-dup decontamination — the fuzzier guard for eval material that
+    // survives exact n-gram scrubbing through light paraphrase: drop
+    // corpus docs whose estimated minhash Jaccard against ANY benchmark
+    // doc (source 'src0') reaches 0.5. Composition of the persisted-index
+    // shapes: benchmark bands are the tiny "seen" index, the corpus is the
+    // arriving batch; the oracle replays sig -> bands -> cross band join
+    // -> signature-agreement filter -> anti join
+    q("q_text_decontam_neardup",
+      s"""WITH t AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, source, $duckShingles AS sh FROM t),
+         |m AS (SELECT doc_id, source, $duckSig AS sig FROM s),
+         |b AS (SELECT doc_id, source, sig, j,
+         |        md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS h
+         |      FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |bad AS (SELECT DISTINCT cp.doc_id
+         |        FROM b cp JOIN b e ON cp.j = e.j AND cp.h = e.h
+         |        WHERE cp.source <> 'src0' AND e.source = 'src0'
+         |          AND round(list_sum(list_transform(range(1, 17),
+         |                i -> CASE WHEN cp.sig[i] = e.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6) >= 0.5)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY d.doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      Dedup
+        .decontaminateNearDup(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // deterministic stratified sampling: the engine-portable md5 draw means
     // the oracle reproduces the EXACT sampled row set, not just its size
     q("q_sample_stratified",
@@ -726,6 +757,63 @@ object PipelineQueries {
           count(lit(1)).cast("double").as("weight"))
       graft.operators.Sampling.mixturePlan(stats, budget = 150000L, maxEpochs = 4.0)
         .orderBy("source")
+    },
+
+    // mixture plan MATERIALIZED: per source, keep the prefix of docs in
+    // md5(doc_id) order whose inclusive cumulative tokens fit the alloc —
+    // the step that turns planner budgets into an actual training set.
+    // Budget 1200 forces real selection (allocs well under per-source
+    // token counts at both SFs). The Spark side recovers each per-source
+    // running sum from ONE global two-pass prefix sum over a source-major
+    // sort key (no per-source window task); the oracle computes the same
+    // cumulative with a per-source window and the identical hash order
+    q("q_sample_mixture_select",
+      s"""WITH t AS (SELECT source, CAST(sum(length($duckToks)) AS BIGINT) AS tokens,
+         |             CAST(count(*) AS DOUBLE) AS weight
+         |           FROM documents GROUP BY source),
+         |b AS (SELECT source, tokens, weight, round(tokens * 4.0::DOUBLE, 6) AS capacity FROM t),
+         |w AS (SELECT *, capacity / weight AS r,
+         |        sum(capacity) OVER (ORDER BY capacity / weight, source) AS cumcap,
+         |        sum(weight) OVER (ORDER BY capacity / weight, source) AS cumw,
+         |        sum(weight) OVER () AS totw,
+         |        coalesce(sum(capacity) OVER (ORDER BY capacity / weight, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap_prev,
+         |        coalesce(sum(weight) OVER (ORDER BY capacity / weight, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw_prev
+         |      FROM b),
+         |x AS (SELECT *,
+         |        CASE WHEN totw - cumw > 0
+         |             THEN (1200.0::DOUBLE - cumcap) / (totw - cumw)
+         |             ELSE 1.7976931348623157e308 END AS t_after,
+         |        (1200.0::DOUBLE - cumcap_prev) / (totw - cumw_prev) AS t_before
+         |      FROM w),
+         |lvl AS (SELECT coalesce(max(CASE WHEN t_before >= r THEN t_after END),
+         |          1200.0::DOUBLE / max(totw)) AS level FROM x),
+         |plan AS (SELECT source,
+         |    round(least(capacity, greatest(level, 0.0::DOUBLE) * weight), 6) AS alloc
+         |  FROM x CROSS JOIN lvl),
+         |d AS (SELECT doc_id, source, length($duckToks) AS tk,
+         |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM documents),
+         |cums AS (SELECT doc_id, source, tk,
+         |        sum(tk) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM d)
+         |SELECT c.doc_id, c.source, CAST(c.tk AS BIGINT) AS tokens
+         |FROM cums c JOIN plan p USING (source)
+         |WHERE c.cum <= p.alloc ORDER BY c.doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+        .select(
+          col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+      val stats = docs
+        .groupBy("source")
+        .agg(
+          sum("tokens").as("tokens"),
+          count(lit(1)).cast("double").as("weight"))
+      val plan = graft.operators.Sampling.mixturePlan(stats, budget = 1200L, maxEpochs = 4.0)
+      graft.operators.Sampling
+        .applyMixturePlan(docs, plan)
+        .select("doc_id", "source", "tokens")
+        .orderBy("doc_id")
     },
 
     // LEAKAGE-FREE split: near-duplicate group members share one split

@@ -233,6 +233,29 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** NEAR-dup decontamination: drop corpus docs whose estimated Jaccard
+    * against ANY benchmark doc reaches `threshold` — the fuzzier sibling
+    * of [[decontaminate]] for eval material that survives exact n-gram
+    * scrubbing through light paraphrase/reformatting (the Llama-style
+    * near-dup guard). Pure composition: the benchmark's LSH band index
+    * ([[minhashBands]]) is the "seen corpus" and [[minhashIncremental]]
+    * treats the training corpus as the arriving batch — benchmark indexes
+    * are tiny (MBs vs 100 TB), so the band join's build side broadcasts
+    * and the corpus is never shuffled by anything bigger than its own
+    * signature explode. */
+  def decontaminateNearDup(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    minhashIncremental(
+      corpus,
+      minhashBands(benchmark, textCol, k, bands)
+        .select(col("sig"), col("band_idx"), col("band_hash")),
+      textCol, k, bands, threshold)
+
   /** (id, window-hash) rows — the shared hot n-gram extraction pass.
     * Compiled kernel, not TextOps.ngramHashes: interpreted higher-order
     * md5 folds measure far slower than a compiled function (same

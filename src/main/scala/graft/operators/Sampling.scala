@@ -378,6 +378,51 @@ object Sampling {
       .withColumn("shard_id", expr(s"__offset div ${shardTokens}L"))
       .drop("__offset")
 
+  /** MATERIALIZE a [[mixturePlan]]: select, per source, the prefix of
+    * documents in deterministic md5(id) order whose cumulative token count
+    * stays within the source's `alloc` — the step that turns the planner's
+    * per-source budgets into an actual training set. Hash order makes the
+    * draw uniform (the hash is content-blind) and engine-reproducible
+    * (q_sample_mixture_select's oracle re-draws the identical prefixes).
+    *
+    * The per-source running sum is NOT a per-source window (one task per
+    * source dies when one source is half the corpus). One composite
+    * source-major sort key (source ‖ zero-padded hash ‖ id) feeds the
+    * two-pass [[runningOffset]] — a normal parallel range-sort — and the
+    * per-source cumulative is recovered exactly as global_offset −
+    * source_base, where source_base = min(global_offset) over the source
+    * (rows are source-contiguous in the sorted order; the bases frame is
+    * one tiny broadcast). A doc is kept iff its INCLUSIVE cumulative ≤
+    * alloc. Sources absent from the plan are dropped. */
+  def applyMixturePlan(
+      docs: DataFrame,
+      plan: DataFrame,
+      tokensCol: String = "tokens",
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      numPartitions: Int = 0): DataFrame = {
+    val h = graft.functions.Funcs.md5Hash60(col(idCol))
+    val keyed = docs.withColumn(
+      "__mixkey",
+      // the \\u0001 separator sorts below every printable char, so rows stay
+      // source-CONTIGUOUS even when one source name prefixes another
+      // ("src1" vs "src10") -- the contiguity the base-subtraction needs
+      concat_ws("\u0001",
+        col(sourceCol),
+        // 19 decimal digits cover 2^60: lexicographic == numeric order
+        lpad(h.cast("string"), 19, "0"),
+        col(idCol).cast("string")))
+    val off = runningOffset(keyed, "__mixkey", tokensCol, "__goff", numPartitions)
+    val bases = off.groupBy(sourceCol).agg(min(col("__goff")).as("__base"))
+    off
+      .join(broadcast(bases), Seq(sourceCol))
+      .join(broadcast(plan.select(col(sourceCol), col("alloc"))), Seq(sourceCol))
+      .where(
+        (col("__goff") - col("__base") +
+          coalesce(col(tokensCol).cast("long"), lit(0L))).cast("double") <= col("alloc"))
+      .drop("__mixkey", "__goff", "__base", "alloc")
+  }
+
   /** The two-pass exact prefix sum behind [[packShards]] / [[packSequences]]:
     * appends `outCol` = Σ tokens of all strictly-preceding rows in `keyCol`
     * order, computed without a global-order window (range-sort shuffle,

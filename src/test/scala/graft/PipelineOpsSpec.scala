@@ -1257,6 +1257,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(qs == qs.sorted)
   }
 
+  test("applyMixturePlan: greedy per-source hash-order prefix within alloc, layout-invariant") {
+    import graft.operators.Sampling
+    val docs = (1 to 40).map(i => (i.toLong, if (i <= 20) "a" else "b", 10L))
+      .toDF("doc_id", "source", "tokens")
+    val plan = Seq(("a", 35.0), ("b", 200.0)).toDF("source", "alloc")
+    val kept = Sampling.applyMixturePlan(docs, plan)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // source a: 10-token docs into a 35-token budget -> exactly 3 kept;
+    // source b: alloc covers everything -> all 20 kept
+    assert(kept.count(_._2 == "a") == 3, s"kept=$kept")
+    assert(kept.count(_._2 == "b") == 20)
+    // the a-survivors are the first 3 in md5-hash order (greedy prefix)
+    val order = docs.where(col("source") === "a")
+      .select(col("doc_id"), graft.functions.Funcs.md5Hash60(col("doc_id")).as("h"))
+      .orderBy("h").collect().map(_.getLong(0)).toSeq
+    assert(kept.filter(_._2 == "a").map(_._1).toSet == order.take(3).toSet)
+    // physical layout must not change the draw (two-pass offsets are exact)
+    val k2 = Sampling.applyMixturePlan(docs.repartition(7), plan)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(k2.toSet == kept.toSet)
+    // a source absent from the plan contributes nothing
+    val noB = Sampling.applyMixturePlan(docs, plan.where(col("source") === "a"))
+    assert(noB.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("decontaminateNearDup drops near-copies of benchmark docs, keeps the rest") {
+    import graft.operators.Dedup
+    val benchText = "the quick brown fox jumps over the lazy dog again and again today"
+    val bench = docs((100, benchText))
+    val corpus = docs(
+      (1, benchText),                                        // exact copy -> drop
+      (2, benchText + " extra"),                             // near copy -> drop
+      (3, "completely unrelated content about spark plans and shuffles here"))
+    val survivors = Dedup.decontaminateNearDup(corpus, bench)
+      .select("doc_id").collect().map(_.getInt(0)).toSeq
+    assert(survivors == Seq(3), s"survivors=$survivors")
+    // with an empty benchmark nothing is dropped
+    val all = Dedup.decontaminateNearDup(corpus, bench.where(lit(false)))
+    assert(all.count() == 3)
+  }
+
   test("bloomJoin equals the plain join; empty dim yields empty; outer types refuse") {
     import graft.operators.Layout
     val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
