@@ -1795,6 +1795,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // distribution drift (Population Stability Index) of every source's
+    // n_chars distribution vs reference source 'src0', over the
+    // reference's own quartile bins: the "did this crawl shift from the
+    // dump we tuned filters on" curation signal. Proportions clamp to
+    // 1e-6 so bins a source never hits count as drift instead of
+    // vanishing; both engines run the identical clamp, ln, and 6dp rounds
+    q("q_profile_drift",
+      """WITH ref AS (SELECT n_chars FROM documents WHERE source = 'src0'),
+        |cuts AS (SELECT list_transform(quantile_cont(n_chars, [0.25, 0.5, 0.75]),
+        |    x -> round(x, 6)) AS cuts FROM ref),
+        |binned AS (SELECT source, CASE WHEN n_chars <= cuts[1] THEN 0
+        |             WHEN n_chars <= cuts[2] THEN 1
+        |             WHEN n_chars <= cuts[3] THEN 2 ELSE 3 END AS bin
+        |           FROM documents CROSS JOIN cuts),
+        |counts AS (SELECT source, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+        |tots AS (SELECT source, sum(n) AS tot FROM counts GROUP BY 1),
+        |scaffold AS (SELECT source, tot, unnest(range(0, 4)) AS bin FROM tots),
+        |p AS (SELECT s.source, s.bin,
+        |        greatest(coalesce(c.n, 0) / CAST(s.tot AS DOUBLE), 1e-6) AS p
+        |      FROM scaffold s LEFT JOIN counts c ON c.source = s.source AND c.bin = s.bin),
+        |pr AS (SELECT bin, p AS p_ref FROM p WHERE source = 'src0'),
+        |terms AS (SELECT p.source, p.bin, pr.p_ref, p.p AS p_src,
+        |        (p.p - pr.p_ref) * ln(p.p / pr.p_ref) AS term
+        |      FROM p JOIN pr USING (bin)),
+        |tot2 AS (SELECT source, round(sum(term), 6) AS psi FROM terms GROUP BY source)
+        |SELECT t.source, CAST(t.bin AS INT) AS bin, round(t.p_ref, 6) AS p_ref,
+        |  round(t.p_src, 6) AS p_src, round(t.term, 6) AS psi_term, tt.psi
+        |FROM terms t JOIN tot2 tt USING (source)
+        |ORDER BY t.source, t.bin""".stripMargin) { c =>
+      graft.operators.Profile
+        .distributionDrift(
+          c.resolve("documents"), "n_chars", "source", refSource = "src0", nBins = 4)
+        .orderBy("source", "bin")
+    },
+
     // KMV distinct-count sketch (native TypedImperativeAggregate, O(k)
     // mergeable state — the cardinality shape that replaces the distinct
     // shuffle at 100 TB): estimate distinct l_partkey per return flag with

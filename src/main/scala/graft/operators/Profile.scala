@@ -190,6 +190,65 @@ object Profile {
       .select(col(idCol), col(colName), bin.as("bin"))
   }
 
+  /** Distribution DRIFT between corpus slices — the Population Stability
+    * Index (PSI) of every source's value distribution against a reference
+    * source, over the reference's own equi-depth bins. The curation
+    * signal for "did this crawl's length/quality distribution shift from
+    * the dump we tuned the filters on": PSI < 0.1 is stable, > 0.25 is a
+    * real shift (the standard credit-scoring thresholds).
+    *
+    * PSI = Σ_bins (p_src − p_ref)·ln(p_src/p_ref), proportions clamped to
+    * `eps` so empty bins stay finite (the standard continuity fix; a
+    * clamped bin contributes a large-but-finite term, which is the signal
+    * wanted). Scale shape: ONE percentile agg over the reference slice for
+    * the cuts (broadcast), ONE corpus-wide (source, bin) count — map-side
+    * combinable, ≤ sources×nBins result rows — and all remaining algebra
+    * runs on that tiny frame with broadcast joins. The reference source
+    * reports PSI 0 against itself (sanity row). Output per (source, bin):
+    * 6dp p_ref, p_src, psi_term, and the source's total psi. */
+  def distributionDrift(
+      df: DataFrame,
+      valueCol: String,
+      sourceCol: String,
+      refSource: String,
+      nBins: Int = 4,
+      eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = df.where(col(sourceCol) === refSource)
+      .agg(expr(
+        s"transform(percentile(`$valueCol`, array(${ps.mkString(", ")})), x -> round(x, 6))")
+        .as("cuts"))
+    val v = col(valueCol).cast("double")
+    val bin = (0 until nBins - 1).foldRight(lit(nBins - 1)) { case (i, acc) =>
+      when(v <= element_at(col("cuts"), i + 1), lit(i)).otherwise(acc)
+    }
+    val counts = df
+      .crossJoin(broadcast(cuts))
+      .select(col(sourceCol).as("source"), bin.as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("n"))
+    // every (source, bin) cell must exist: a bin the source never hits is
+    // exactly the drift evidence PSI must count, not silently skip
+    val scaffold = counts.groupBy("source").agg(sum("n").as("tot"))
+      .select(col("source"), col("tot"),
+        explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    val p = scaffold.join(counts, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"),
+        greatest(
+          coalesce(col("n"), lit(0L)).cast("double") / col("tot").cast("double"),
+          lit(eps)).as("p"))
+    val pRef = p.where(col("source") === refSource).select(col("bin"), col("p").as("p_ref"))
+    val terms = p.join(broadcast(pRef), "bin")
+      .withColumn("term", (col("p") - col("p_ref")) * log(col("p") / col("p_ref")))
+    val psi = terms.groupBy("source").agg(round(sum("term"), 6).as("psi"))
+    terms.join(broadcast(psi), "source")
+      .select(col("source"), col("bin"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p"), 6).as("p_src"),
+        round(col("term"), 6).as("psi_term"),
+        col("psi"))
+  }
+
   /** Mergeable quantile SKETCH: quantiles of the k-minimum-by-hash row
     * sample — the scale path [[quantiles]]' scaladoc points at, made
     * engine-portable. Exact percentile sorts every value inside the

@@ -1284,6 +1284,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(noB.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("distributionDrift: zero PSI vs itself, positive under shift, clamps empty bins") {
+    import graft.operators.Profile
+    // ref spans 1..40 uniformly; "same" mirrors it; "hi" sits entirely in
+    // the top bin (three empty bins exercise the eps clamp)
+    val rows =
+      (1 to 40).map(i => ("ref", i.toDouble)) ++
+      (1 to 40).map(i => ("same", i.toDouble)) ++
+      (1 to 40).map(_ => ("hi", 1000.0))
+    val df = rows.toDF("source", "v")
+    val out = Profile.distributionDrift(df, "v", "source", refSource = "ref", nBins = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3), r.getDouble(5)))
+    val bySource = out.groupBy(_._1)
+    // identical distributions -> every per-bin term 0, total 0
+    assert(bySource("ref").forall(_._4 == 0.0))
+    assert(bySource("same").forall(_._4 == 0.0))
+    // the shifted source drifts hard: empty bins clamp to eps (p_src 1e-6
+    // rounds to 0.000001), the hit bin holds all mass
+    val hi = bySource("hi").sortBy(_._2)
+    assert(hi.map(_._3).toSeq == Seq(1.0e-6, 1.0e-6, 1.0e-6, 1.0))
+    assert(hi.head._4 > 0.25, s"psi=${hi.head._4}") // well past the 'real shift' bar
+    // every source covers every bin (scaffold, not just observed cells)
+    assert(out.length == 12)
+  }
+
   test("decontaminateNearDup drops near-copies of benchmark docs, keeps the rest") {
     import graft.operators.Dedup
     val benchText = "the quick brown fox jumps over the lazy dog again and again today"
