@@ -1489,6 +1489,39 @@ object PipelineQueries {
         .orderBy("cluster_id")
     },
 
+    // embedding-space outliers: vectors whose cosine to their OWN k-means
+    // centroid sits at/below the corpus's 10%-quantile of that score —
+    // "the docs no cluster explains" (mislabeled scrapes, encoding wrecks,
+    // off-distribution content). Threshold from the mergeable bottom-k
+    // quantile sketch; the oracle replays the Lloyd chain, the argmax
+    // score, the identical sample draw, and the compare
+    q("q_embed_outliers", {
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+         |${duckLloyd(1, "c0")},
+         |${duckLloyd(2, "c1")},
+         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+         |ca AS (SELECT e.vec_id, f.centroid_id,
+         |        round(list_dot_product(e.v, f.centd)
+         |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+         |      FROM e CROSS JOIN cf f),
+         |asg AS (SELECT vec_id, centroid_id AS cluster_id, cscore AS score FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) z WHERE rk = 1),
+         |smp AS (SELECT score AS sv, ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM asg ORDER BY h, sv LIMIT 256),
+         |o AS (SELECT sv, row_number() OVER (ORDER BY sv) AS rn, count(*) OVER () AS n FROM smp),
+         |thr AS (SELECT round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.1) AS BIGINT) + 1 THEN sv END), 6) AS t FROM o)
+         |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, score
+         |FROM asg CROSS JOIN thr WHERE score <= t ORDER BY vec_id""".stripMargin
+    }) { c =>
+      Similarity
+        .embeddingOutliers(c.resolve("embeddings"), k = 4, iters = 2, p = 0.1, sampleK = 256)
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"), col("score"))
+        .orderBy("vec_id")
+    },
+
     // scanning ~1/3 of the corpus — the config this row pins. The oracle
     // replays Lloyd's + assign/probe/top-k + the recall join end-to-end.
     q("q_ann_recall_tuned", {
@@ -1977,6 +2010,21 @@ object PipelineQueries {
           count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
+    },
+
+    // per-shard integrity manifest: row count, ORDER-INDEPENDENT content
+    // checksum (Σ md5₆₀(row) mod 2⁶⁰ — addition commutes, so any replica
+    // or partition order agrees; summed exactly in wide integers), and id
+    // bounds — how a 100 TB copy is verified shard-by-shard with no sort
+    q("q_layout_manifest",
+      """SELECT source AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15))::BIGINT)
+        |       % 1152921504606846976 AS BIGINT) AS checksum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY shard""".stripMargin) { c =>
+      graft.operators.Layout
+        .manifest(c.resolve("documents"), "source", Seq("doc_id", "text"), "doc_id")
+        .orderBy("shard")
     },
 
     // cross-source overlap matrix: distinct 8-gram window-hash sets per

@@ -195,6 +195,37 @@ object Layout {
     fact.where(mightMatch).join(dim, Seq(key), joinType)
   }
 
+  /** Per-shard integrity MANIFEST: row count, an ORDER-INDEPENDENT
+    * content checksum, and id bounds — the artifact that lets a 100 TB
+    * dataset copy be verified shard-by-shard without re-sorting anything.
+    * The checksum is Σ md5₆₀(row content) mod 2⁶⁰: addition commutes, so
+    * any partitioning/replica order yields the same value, partial sums
+    * merge map-side, and two manifests combine by adding checksums mod
+    * 2⁶⁰ (the append/compaction audit). The sum runs in DECIMAL(38,0) —
+    * exact at any row count — and reduces mod 2⁶⁰ at the end; a single
+    * changed/dropped/duplicated row shifts the shard's checksum. Engine-
+    * portable: any SQL engine with md5 + wide integers reproduces it. */
+  def manifest(
+      df: DataFrame,
+      shardCol: String,
+      hashCols: Seq[String],
+      idCol: String): DataFrame = {
+    require(hashCols.nonEmpty, "need at least one content column to checksum")
+    // \\u0001-separated so ("a","bc") never checksums like ("ab","c")
+    val content = concat_ws("\u0001", hashCols.map(c => col(c).cast("string")): _*)
+    df.select(
+        col(shardCol).as("shard"),
+        graft.functions.Funcs.md5Hash60(content).as("__h"),
+        col(idCol).as("__id"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(__h AS DECIMAL(38, 0))) % 1152921504606846976 AS BIGINT)")
+          .as("checksum"),
+        min(col("__id")).as("min_id"),
+        max(col("__id")).as("max_id"))
+  }
+
   /** True if the executed plan contains a shuffle exchange (plan audit
     * helper; used by specs to pin layout behavior). */
   def hasShuffle(df: DataFrame): Boolean =

@@ -1284,6 +1284,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(noB.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("manifest: order-independent checksums that merge additively and catch edits") {
+    import graft.operators.Layout
+    val df = Seq((1L, "s1", "aa"), (2L, "s1", "bb"), (3L, "s2", "cc"))
+      .toDF("id", "shard", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Layout.manifest(d, "shard", Seq("id", "text"), "id")
+        .orderBy("shard").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val base = rows(df)
+    assert(base.map(x => (x._1, x._2, x._4, x._5)) == Seq(("s1", 2L, 1L, 2L), ("s2", 1L, 3L, 3L)))
+    // physical order/partitioning must not move a checksum
+    assert(rows(df.repartition(5)) == base)
+    assert(rows(df.orderBy(col("id").desc)) == base)
+    // one changed byte shifts the shard's checksum, leaves others alone
+    val edited = rows(Seq((1L, "s1", "aa"), (2L, "s1", "bX"), (3L, "s2", "cc"))
+      .toDF("id", "shard", "text"))
+    assert(edited.head._3 != base.head._3 && edited(1) == base(1))
+    // append audit: checksums of disjoint halves sum (mod 2^60) to the whole
+    val half1 = rows(df.where(col("id") === 1))
+    val m = BigInt(1) << 60
+    val half2 = rows(df.where(col("id") === 2))
+    assert((BigInt(half1.head._3) + BigInt(half2.head._3)).mod(m) == BigInt(base.head._3).mod(m))
+    // separator: ("a","bc") and ("ab","c") must not collide
+    val c1 = rows(Seq((1L, "s", "x")).toDF("id", "shard", "text"))
+    val ab = Layout.manifest(
+      Seq(("a", "s", "bc")).toDF("k1", "shard", "k2"), "shard", Seq("k1", "k2"), "k1")
+      .head().getLong(2)
+    val ab2 = Layout.manifest(
+      Seq(("ab", "s", "c")).toDF("k1", "shard", "k2"), "shard", Seq("k1", "k2"), "k1")
+      .head().getLong(2)
+    assert(ab != ab2 && c1.nonEmpty)
+  }
+
+  test("embeddingOutliers: the p-quantile tail of own-centroid cosine, nothing above it") {
+    import graft.operators.{Profile, Similarity}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = Similarity.embeddingOutliers(emb, k = 4, iters = 2, p = 0.1, sampleK = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val cents = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+    val scored = Similarity.kmeansScores(emb, cents)
+    val thr = Profile.sampleQuantiles(scored, "score", col("vec_id"), k = 256, ps = Seq(0.1))
+      .head().getDouble(1)
+    val n = scored.count()
+    // flagged set == exactly the rows at/below the sketch threshold
+    assert(out.nonEmpty && out.length < n)
+    assert(out.forall(_._2 <= thr), s"thr=$thr worst=${out.maxBy(_._2)}")
+    assert(scored.where(col("score") <= thr).count() == out.length)
+  }
+
   test("distributionDrift: zero PSI vs itself, positive under shift, clamps empty bins") {
     import graft.operators.Profile
     // ref spans 1..40 uniformly; "same" mirrors it; "hi" sits entirely in
