@@ -2436,6 +2436,45 @@ object PipelineQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // streaming drift monitor: per-window value counts in the STATIC
+    // reference's quartile bins (cuts computed from the tuned dump, a
+    // broadcast CASE chain; state = one count per (window, bin)). PSI per
+    // window is downstream algebra over these counts — q_profile_drift
+    // proves that half; this row proves the watermarked stateful counts
+    q("q_stream_drift",
+      """WITH cuts AS (SELECT list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+        |    x -> round(x, 6)) AS cuts FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CASE WHEN value <= cuts[1] THEN 0 WHEN value <= cuts[2] THEN 1
+        |       WHEN value <= cuts[3] THEN 2 ELSE 3 END AS bin,
+        |  count(*) AS n
+        |FROM events CROSS JOIN cuts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { c =>
+      val spark = c.spark
+      val path = s"${c.dataDir}/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      // reference cuts from the static dump (3 doubles to the driver)
+      val cuts = c.resolve("events")
+        .agg(expr("transform(percentile(value, array(0.25, 0.5, 0.75)), x -> round(x, 6))"))
+        .head().getSeq[Double](0)
+      val src = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
+      val sinkName = s"q_stream_drift_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.windowedBinCounts(src, cuts, "value", "1 hour", "2 hours")
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(sinkName)
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("bin"),
+          col("n"))
+        .orderBy("window_start", "bin")
+    },
+
     // ordered conversion funnel with a 6-hour conversion window: users
     // reaching each step within the window after their earliest completion
     // of the previous one — the oracle chains the same min-after-frontier

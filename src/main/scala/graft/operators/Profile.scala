@@ -232,7 +232,7 @@ object Profile {
     val scaffold = counts.groupBy("source").agg(sum("n").as("tot"))
       .select(col("source"), col("tot"),
         explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
-    val p = scaffold.join(counts, Seq("source", "bin"), "left")
+    val p = scaffold.join(broadcast(counts), Seq("source", "bin"), "left")
       .select(col("source"), col("bin"),
         greatest(
           coalesce(col("n"), lit(0L)).cast("double") / col("tot").cast("double"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -61,6 +61,33 @@ object StreamOps {
         col("s.start").as("session_start"),
         col("s.end").as("session_end"),
         col("session_events"))
+
+  /** Per-window BINNED value counts against a static reference's bin
+    * edges — the streaming half of distribution-drift monitoring
+    * (Profile.distributionDrift): the reference cuts come from the tuned
+    * dump (a tiny literal CASE chain, pure map-side), the stream keeps
+    * one watermark-bounded count per (window, bin) — ≤ nBins rows of
+    * state per window shard, nothing proportional to the data. PSI per
+    * window is then plain algebra over the emitted counts frame (the
+    * batch operator's scaffold/clamp/ln steps), run downstream of the
+    * sink where it belongs — streaming state stays minimal. */
+  def windowedBinCounts(
+      events: DataFrame,
+      cuts: Seq[Double],
+      valueCol: String = "value",
+      width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(cuts.nonEmpty, "need at least one bin edge")
+    val v = col(valueCol).cast("double")
+    val bin = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+      case ((cut, i), acc) => when(v <= cut, lit(i)).otherwise(acc)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("bin"), col("n"))
+  }
 
   /** Exact streaming deduplication by key columns within the watermark
     * horizon (the streaming face of Dedup.exact). */

@@ -331,6 +331,45 @@ class PlanAuditSpec extends SparkSpec {
       s"the selective dim side should broadcast into the exact join:\n$plan")
   }
 
+  test("manifest is one hash aggregate — no window, no second shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Layout.manifest(docs, "source", Seq("doc_id", "text"), "doc_id")
+    val plan = physical(df)
+    assert(!plan.contains("Window"), s"manifest must not window:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle (the shard agg), got $exchanges:\n$plan")
+  }
+
+  test("distributionDrift joins its tiny frames by broadcast, never sort-merge") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Profile
+      .distributionDrift(docs, "n_chars", "source", refSource = "src0", nBins = 4)
+    val plan = physical(df)
+    assert(!plan.contains("SortMergeJoin"),
+      s"post-count algebra runs on sources×bins rows — must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window anywhere in drift:\n$plan")
+  }
+
+  test("applyMixturePlan carries no per-source window; plan/bases broadcast back") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars").as("tokens"))
+    val stats = docs.groupBy("source")
+      .agg(sum("tokens").as("tokens"), count(lit(1)).cast("double").as("weight"))
+    // checkpoint the (sources-sized) plan frame so the audit sees ONLY the
+    // corpus path — mixturePlan's own windows run over tens of rows and
+    // are not what this test polices
+    val plan = Sampling.mixturePlan(stats, budget = 1200L)
+      .select("source", "alloc").localCheckpoint()
+    val out = Sampling.applyMixturePlan(docs, plan)
+    val p = physical(out)
+    // the corpus-side prefix sum is the two-pass runningOffset (range sort
+    // + mapPartitions), never a source-partitioned window over the corpus
+    assert(!p.contains("Window"), s"no per-source window allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bases+plan frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here warrants a shuffle join:\n$p")
+  }
+
   test("CMS / sampleQuantiles aggregate through partials (no raw-value shuffle)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val sk = li.agg(graft.functions.CmsSketch.cms(col("l_suppkey"), 4, 256))

@@ -208,4 +208,33 @@ class StreamingSpec extends SparkSpec {
       assert(last == 3L)
     } finally q.stop()
   }
+
+  test("windowedBinCounts bins against static cuts with per-window state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val q = StreamOps
+      .windowedBinCounts(events, cuts = Seq(10.0, 20.0), valueCol = "value",
+        width = "1 hour", watermark = "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("bin_counts")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:05:00"), 5.0),   // bin 0 (<= 10)
+        (ts("2024-01-01 00:15:00"), 10.0),  // bin 0 (ties to the lower bin)
+        (ts("2024-01-01 00:25:00"), 15.0),  // bin 1
+        (ts("2024-01-01 01:05:00"), 99.0))  // bin 2, next window
+      q.processAllAvailable()
+      val rows = spark.table("bin_counts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", 0, 2L),
+        ("2024-01-01 00:00:00.0", 1, 1L),
+        ("2024-01-01 01:00:00.0", 2, 1L)), s"rows=$rows")
+    } finally q.stop()
+  }
 }
