@@ -2027,6 +2027,45 @@ object PipelineQueries {
         .orderBy("shard")
     },
 
+    // corpus diff between two dataset versions (the release audit): the
+    // Spark side runs the PRUNED two-level path — per-shard manifests
+    // compared first, the doc-level full-outer fingerprint join only over
+    // shards whose manifest moved — and must equal the plain full diff
+    // the oracle computes. The new version is simulated deterministically
+    // in both engines: drop %97 ids, append ' v2' to %89 texts, add %101
+    // ids shifted by 100000
+    q("q_layout_diff",
+      """WITH oldc AS (SELECT doc_id, text FROM documents),
+        |newc AS (SELECT doc_id, CASE WHEN doc_id % 89 = 0 THEN text || ' v2' ELSE text END AS text
+        |         FROM documents WHERE doc_id % 97 <> 0
+        |         UNION ALL
+        |         SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |         FROM documents WHERE doc_id % 101 = 0),
+        |oh AS (SELECT doc_id, md5(text) AS h FROM oldc),
+        |nh AS (SELECT doc_id, md5(text) AS h FROM newc)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM oh o FULL JOIN nh n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+        |ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents").select(col("doc_id"), col("source"), col("text"))
+      val newc = docs.where(col("doc_id") % 97 =!= 0)
+        .withColumn(
+          "text",
+          when(col("doc_id") % 89 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 101 === 0)
+          .select(
+            (col("doc_id") + 100000).as("doc_id"),
+            col("source"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      graft.operators.Layout
+        .diffCorporaPruned(docs, newc, "source", "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    },
+
     // cross-source overlap matrix: distinct 8-gram window-hash sets per
     // source, pairwise shared counts + Jaccard — the "do these two dumps
     // cover the same material" curation signal; the oracle recomputes the

@@ -226,6 +226,60 @@ object Layout {
         max(col("__id")).as("max_id"))
   }
 
+  /** Corpus DIFF: which docs were added, removed, or changed between two
+    * dataset versions — the release-note / audit primitive behind every
+    * "v2.1 of the corpus" publication. One full-outer hash join on the id
+    * comparing content fingerprints; unchanged rows are filtered out so
+    * the result is edit-sized, not corpus-sized. */
+  def diffCorpora(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "need at least one content column to compare")
+    def fp(df: DataFrame, hName: String) = df.select(
+      col(idCol),
+      md5(concat_ws("\u0001", hashCols.map(c => col(c).cast("string")): _*)).as(hName))
+    fp(oldDf, "__h_old")
+      .join(fp(newDf, "__h_new"), Seq(idCol), "full_outer")
+      .withColumn(
+        "status",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged"))
+      .where(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"))
+  }
+
+  /** [[diffCorpora]] at 100 TB: compare the two versions' per-shard
+    * [[manifest]]s FIRST (a shards-sized frame — row counts + additive
+    * checksums), and run the doc-level join only over shards whose
+    * manifest moved. A typical release touches a handful of shards, so
+    * the expensive full-outer join reads a sliver of each corpus instead
+    * of both in full; equal manifests certify equal content (modulo the
+    * 2⁻⁶⁰-scale checksum-collision caveat every content-hash audit
+    * carries). Result equals the unpruned diff (law-tested). */
+  def diffCorporaPruned(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      shardCol: String,
+      idCol: String,
+      hashCols: Seq[String]): DataFrame = {
+    val mo = manifest(oldDf, shardCol, hashCols, idCol)
+      .select(col("shard"), col("n_rows").as("__n_old"), col("checksum").as("__c_old"))
+    val mn = manifest(newDf, shardCol, hashCols, idCol)
+      .select(col("shard"), col("n_rows").as("__n_new"), col("checksum").as("__c_new"))
+    val changed = mo.join(mn, Seq("shard"), "full_outer")
+      .where(
+        col("__c_old").isNull || col("__c_new").isNull ||
+        col("__c_old") =!= col("__c_new") || col("__n_old") =!= col("__n_new"))
+      .select(col("shard"))
+    def prune(df: DataFrame) = df.join(
+      broadcast(changed), df(shardCol) === changed("shard"), "left_semi")
+    diffCorpora(prune(oldDf), prune(newDf), idCol, hashCols)
+  }
+
   /** True if the executed plan contains a shuffle exchange (plan audit
     * helper; used by specs to pin layout behavior). */
   def hasShuffle(df: DataFrame): Boolean =

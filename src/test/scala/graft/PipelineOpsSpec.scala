@@ -1317,6 +1317,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ab != ab2 && c1.nonEmpty)
   }
 
+  test("diffCorpora classifies add/remove/change; pruned two-level diff equals the full one") {
+    import graft.operators.Layout
+    val old = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s2", "gamma"), (4L, "s3", "delta"))
+      .toDF("doc_id", "shard", "text")
+    val nw = Seq(
+      (1L, "s1", "alpha"),      // unchanged
+      (2L, "s1", "beta EDIT"),  // changed
+      // 3 removed
+      (4L, "s3", "delta"),      // unchanged shard s3
+      (5L, "s2", "epsilon"))    // added
+      .toDF("doc_id", "shard", "text")
+    val full = Layout.diffCorpora(old, nw, "doc_id", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(full == Set((2L, "changed"), (3L, "removed"), (5L, "added")))
+    val pruned = Layout.diffCorporaPruned(old, nw, "shard", "doc_id", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned == full)
+    // identical versions: manifests agree everywhere, diff is empty
+    assert(Layout.diffCorporaPruned(old, old, "shard", "doc_id", Seq("text")).count() == 0)
+    // a same-count shard edit still trips its checksum (content, not size)
+    val edit = old.withColumn(
+      "text", when(col("doc_id") === 4, lit("DELTA")).otherwise(col("text")))
+    assert(Layout.diffCorporaPruned(old, edit, "shard", "doc_id", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((4L, "changed")))
+  }
+
   test("embeddingOutliers: the p-quantile tail of own-centroid cosine, nothing above it") {
     import graft.operators.{Profile, Similarity}
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
