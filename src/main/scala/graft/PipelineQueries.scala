@@ -649,6 +649,47 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // curriculum shard packing: docs ordered easy->hard by quality
+    // quartile BIN (not raw score — bin order keeps each shard internally
+    // mixed), hash-shuffled within bins, packed into 2000-token shards by
+    // the same two-pass prefix sum as packShards; the oracle replays the
+    // exact (bin, hash, id)-ordered running sum and integer division
+    q("q_sample_curriculum",
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id, length(toks) AS tk,
+         |  CASE WHEN length(toks) > 0
+         |       THEN ${duckStopHits(sqlList(TextOps.enStop))}::DOUBLE / length(toks)
+         |       ELSE 0.0 END AS sr,
+         |  CASE WHEN length(text) > 0
+         |       THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))::DOUBLE / length(text)
+         |       ELSE 0.0 END AS pr
+         | FROM t),
+         |sc AS (SELECT doc_id, tk, round((least(tk / 50.0, 1.0) + greatest(1.0 - pr * 5.0, 0.0)
+         |         + least(sr * 4.0, 1.0)) / 3.0, 6) AS score FROM m),
+         |cuts AS (SELECT list_transform(quantile_cont(score, [0.25, 0.5, 0.75]),
+         |    x -> round(x, 6)) AS cuts FROM sc),
+         |k AS (SELECT doc_id, tk,
+         |        CASE WHEN score <= cuts[1] THEN 0 WHEN score <= cuts[2] THEN 1
+         |             WHEN score <= cuts[3] THEN 2 ELSE 3 END AS bin,
+         |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM sc CROSS JOIN cuts),
+         |o AS (SELECT doc_id, bin,
+         |        coalesce(sum(tk) OVER (ORDER BY bin, h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |      FROM k)
+         |SELECT doc_id, bin, CAST(off // 2000 AS BIGINT) AS shard_id
+         |FROM o ORDER BY doc_id""".stripMargin) { c =>
+      val scores = c.resolve("documents")
+        .select(
+          col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 6).as("score"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+      graft.operators.Sampling
+        .curriculumShards(scores, "score", "tk", shardTokens = 2000L, nBins = 4)
+        .select(col("doc_id"), col("bin"), col("shard_id"))
+        .orderBy("doc_id")
+    },
+
     // NEAR-dup decontamination — the fuzzier guard for eval material that
     // survives exact n-gram scrubbing through light paraphrase: drop
     // corpus docs whose estimated minhash Jaccard against ANY benchmark

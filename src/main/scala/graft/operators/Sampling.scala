@@ -423,6 +423,50 @@ object Sampling {
       .drop("__mixkey", "__goff", "__base", "alloc")
   }
 
+  /** CURRICULUM shard packing: documents ordered easy→hard by score
+    * quantile bin (equi-depth cuts over the whole corpus), hash-shuffled
+    * WITHIN each bin, then packed into fixed-token shards in that order —
+    * so a training run consuming shards sequentially sees the curriculum
+    * while each shard stays internally well-mixed (the bin, not the raw
+    * score, drives order: rank-ordering by raw score would sort trivial
+    * docs together and wreck batch diversity). Same two-pass prefix-sum
+    * scale shape as [[packShards]] — the composite (bin ‖ hash ‖ id) key
+    * range-sorts in parallel, no global single-task window anywhere.
+    * Output: input columns + bin + shard_id. */
+  def curriculumShards(
+      docs: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      shardTokens: Long,
+      nBins: Int = 4,
+      idCol: String = "doc_id",
+      numPartitions: Int = 0): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    require(shardTokens >= 1, "shardTokens must be positive")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = docs.agg(
+      expr(s"transform(percentile(`$scoreCol`, array(${ps.mkString(", ")})), x -> round(x, 6))")
+        .as("cuts"))
+    val v = col(scoreCol).cast("double")
+    val bin = (0 until nBins - 1).foldRight(lit(nBins - 1)) { case (i, acc) =>
+      when(v <= element_at(col("cuts"), i + 1), lit(i)).otherwise(acc)
+    }
+    val keyed = docs
+      .crossJoin(broadcast(cuts))
+      .withColumn("bin", bin)
+      .withColumn(
+        "__curkey",
+        concat_ws("",
+          col("bin").cast("string"), // nBins <= 10 keeps one digit ordered; larger needs lpad
+          lpad(graft.functions.Funcs.md5Hash60(col(idCol)).cast("string"), 19, "0"),
+          col(idCol).cast("string")))
+      .drop("cuts")
+    require(nBins <= 10, "single-digit bin prefix — raise by lpad'ing the bin for more")
+    runningOffset(keyed, "__curkey", tokensCol, "__offset", numPartitions)
+      .withColumn("shard_id", expr(s"__offset div ${shardTokens}L"))
+      .drop("__curkey", "__offset")
+  }
+
   /** The two-pass exact prefix sum behind [[packShards]] / [[packSequences]]:
     * appends `outCol` = Σ tokens of all strictly-preceding rows in `keyCol`
     * order, computed without a global-order window (range-sort shuffle,

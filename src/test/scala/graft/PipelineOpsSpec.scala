@@ -1317,6 +1317,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ab != ab2 && c1.nonEmpty)
   }
 
+  test("curriculumShards: shards fill in bin order, bounded overflow, layout-invariant") {
+    import graft.operators.Sampling
+    val docs = (1 to 80).map(i => (i.toLong, i.toDouble, 10L)).toDF("doc_id", "score", "tk")
+    val out = Sampling.curriculumShards(docs, "score", "tk", shardTokens = 100L, nBins = 4)
+      .select("doc_id", "bin", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // bins are the score quartiles: 20 docs each
+    assert(out.groupBy(_._2).view.mapValues(_.size).toMap == Map(0 -> 20, 1 -> 20, 2 -> 20, 3 -> 20))
+    // consumption order is bin-major: a lower bin never lands in a later
+    // shard than any higher bin's earliest shard
+    (0 until 3).foreach { b =>
+      val maxLow = out.filter(_._2 == b).map(_._3).max
+      val minHigh = out.filter(_._2 == b + 1).map(_._3).min
+      assert(maxLow <= minHigh, s"bin $b spills past bin ${b + 1}")
+    }
+    // exact packing: 10-token docs into 100-token shards -> 10 docs/shard
+    assert(out.groupBy(_._3).forall(_._2.size == 10))
+    // physical layout must not move a single assignment
+    val out2 = Sampling.curriculumShards(
+      docs.repartition(7), "score", "tk", shardTokens = 100L, nBins = 4)
+      .select("doc_id", "bin", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(out2.sortBy(_._1) == out.sortBy(_._1))
+  }
+
   test("diffCorpora classifies add/remove/change; pruned two-level diff equals the full one") {
     import graft.operators.Layout
     val old = Seq(
