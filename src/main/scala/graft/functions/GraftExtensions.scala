@@ -66,7 +66,39 @@ object GraftExtensions {
         (args: Seq[Expression]) => DotF(args(0), args(1))),
       (FunctionIdentifier("norm_f"),
         info("norm_f", "norm_f(a) - L2 norm of an array<float|double> vector"),
-        (args: Seq[Expression]) => NormF(args(0))))
+        (args: Seq[Expression]) => NormF(args(0))),
+      // sketch aggregates: builders return the bare AggregateFunction —
+      // the analyzer wraps non-windowed uses in an AggregateExpression,
+      // exactly how the built-in sum/avg registry entries work. k/d/w must
+      // be literals (they size the aggregation state at plan time).
+      (FunctionIdentifier("kmv_distinct"),
+        info("kmv_distinct",
+          "kmv_distinct(value, k) - KMV distinct-count estimate over the 60-bit md5 domain"),
+        (args: Seq[Expression]) =>
+          KmvSketch(e(Funcs.md5Hash60(c(args(0)))), litInt(args(1), "k"))),
+      (FunctionIdentifier("cms_sketch"),
+        info("cms_sketch",
+          "cms_sketch(value, depth, width) - Count-Min counter matrix (row-major array<bigint>)"),
+        (args: Seq[Expression]) => {
+          val (d, w) = (litInt(args(1), "depth"), litInt(args(2), "width"))
+          CmsSketch(e(CmsSketch.buckets(c(args(0)), d, w)), d, w)
+        }),
+      (FunctionIdentifier("cms_estimate"),
+        info("cms_estimate",
+          "cms_estimate(sketch, value, depth, width) - point-frequency estimate from a cms_sketch"),
+        (args: Seq[Expression]) =>
+          e(CmsSketch.estimate(
+            c(args(0)), c(args(1)), litInt(args(2), "depth"), litInt(args(3), "width")))))
+
+  /** Plan-time integer literal (sketch parameters size aggregation state —
+    * they cannot be data-dependent). */
+  private def litInt(ex: Expression, name: String): Int = {
+    require(ex.foldable, s"$name must be a literal integer")
+    ex.eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(s"$name must be an integer, got $other")
+    }
+  }
 
   /** Same registrations on a live session. Idempotent PER FUNCTION — each
     * name is checked individually, so a session that already carries part

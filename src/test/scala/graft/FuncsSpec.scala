@@ -62,6 +62,33 @@ class FuncsSpec extends SparkSpec {
   test("GraftExtensions: builder-time injection lists the same functions") {
     // the extension class is the same registration table install() uses
     assert(graft.functions.GraftExtensions.registrations.map(_._1.funcName).sorted ==
-      Seq("dot_f", "in_subnet", "like_bin", "match_bin", "norm_f", "rfc3339", "simhash64"))
+      Seq("cms_estimate", "cms_sketch", "dot_f", "in_subnet", "kmv_distinct",
+        "like_bin", "match_bin", "norm_f", "rfc3339", "simhash64"))
+  }
+
+  test("GraftExtensions: sketch aggregates are SQL-callable and match the Column API") {
+    graft.functions.GraftExtensions.install(spark)
+    val df = (1 to 100).map(i => s"v${i % 37}").toDF("x")
+    df.createOrReplaceTempView("sk_vals")
+    // KMV: SQL call == Column API call, grouped through partial aggregation
+    val sqlKmv = spark.sql("SELECT kmv_distinct(x, 32) FROM sk_vals").head().getDouble(0)
+    val colKmv = df.agg(graft.functions.KmvSketch.kmvDistinct(col("x"), 32)).head().getDouble(0)
+    assert(sqlKmv == colKmv)
+    // CMS: sketch + estimate round-trip in pure SQL == Column API
+    val sqlEst = spark.sql(
+      """SELECT v, cms_estimate(sk, v, 4, 64) AS est FROM
+        |  (SELECT cms_sketch(x, 4, 64) AS sk FROM sk_vals),
+        |  (SELECT DISTINCT x AS v FROM sk_vals)
+        |ORDER BY v""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = df.agg(graft.functions.CmsSketch.cms(col("x"), 4, 64).as("sk"))
+    val colEst = df.distinct().crossJoin(broadcast(sk))
+      .select(col("x"), graft.functions.CmsSketch.estimate(col("sk"), col("x"), 4, 64))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sqlEst == colEst)
+    // sketch parameters must be plan-time literals
+    intercept[Exception] {
+      spark.sql("SELECT kmv_distinct(x, length(x)) FROM sk_vals").head()
+    }
   }
 }
