@@ -212,7 +212,10 @@ object Layout {
       idCol: String): DataFrame = {
     require(hashCols.nonEmpty, "need at least one content column to checksum")
     // \\u0001-separated so ("a","bc") never checksums like ("ab","c")
-    val content = concat_ws("\u0001", hashCols.map(c => col(c).cast("string")): _*)
+    // NULL columns map to a sentinel because concat_ws SKIPS null args --
+    // without it ("x", null, "y") and ("x", "y", null) checksum identically
+    val content = concat_ws(
+      "\u0001", hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     df.select(
         col(shardCol).as("shard"),
         graft.functions.Funcs.md5Hash60(content).as("__h"),
@@ -239,7 +242,9 @@ object Layout {
     require(hashCols.nonEmpty, "need at least one content column to compare")
     def fp(df: DataFrame, hName: String) = df.select(
       col(idCol),
-      md5(concat_ws("\u0001", hashCols.map(c => col(c).cast("string")): _*)).as(hName))
+      md5(concat_ws(
+        "\u0001", hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        .as(hName))
     fp(oldDf, "__h_old")
       .join(fp(newDf, "__h_new"), Seq(idCol), "full_outer")
       .withColumn(

@@ -287,11 +287,13 @@ object Profile {
       .select(explode(typedlit(ps)).as("p"), col("vs"))
       .select(
         col("p"),
-        round(
-          element_at(
-            col("vs"),
-            floor((size(col("vs")) - 1).cast("double") * col("p")).cast("int") + 1),
-          6).as("q"))
+        // empty input -> NULL estimate (element_at(_, 0) is an ANSI error)
+        when(size(col("vs")) === 0, lit(null).cast("double"))
+          .otherwise(round(
+            element_at(
+              col("vs"),
+              floor((size(col("vs")) - 1).cast("double") * col("p")).cast("int") + 1),
+            6)).as("q"))
   }
 
   /** Exact per-column quantiles, one (column, p, q) row per requested

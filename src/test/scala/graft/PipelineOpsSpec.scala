@@ -1255,6 +1255,10 @@ class PipelineOpsSpec extends SparkSpec {
     // estimates are monotone in p
     val qs = k32a.map(_.getDouble(1))
     assert(qs == qs.sorted)
+    // empty input yields NULL estimates, not an ANSI index error
+    val empty = Profile.sampleQuantiles(df.where(lit(false)), "v", col("id"), k = 32, ps = ps)
+      .collect()
+    assert(empty.length == ps.length && empty.forall(_.isNullAt(1)))
   }
 
   test("applyMixturePlan: greedy per-source hash-order prefix within alloc, layout-invariant") {
@@ -1315,6 +1319,12 @@ class PipelineOpsSpec extends SparkSpec {
       Seq(("ab", "s", "c")).toDF("k1", "shard", "k2"), "shard", Seq("k1", "k2"), "k1")
       .head().getLong(2)
     assert(ab != ab2 && c1.nonEmpty)
+    // null-shift: ("x", null) and (null, "x") must not share a checksum
+    // (concat_ws silently SKIPS nulls without the sentinel)
+    def oneSum(a: Option[String], b: Option[String]) = Layout.manifest(
+      Seq((a.orNull, "s", b.orNull)).toDF("k1", "shard", "k2"), "shard", Seq("k1", "k2"), "shard")
+      .head().getLong(2)
+    assert(oneSum(Some("x"), None) != oneSum(None, Some("x")))
   }
 
   test("curriculumShards: shards fill in bin order, bounded overflow, layout-invariant") {
