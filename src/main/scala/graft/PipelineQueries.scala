@@ -2059,7 +2059,7 @@ object PipelineQueries {
     // bounds — how a 100 TB copy is verified shard-by-shard with no sort
     q("q_layout_manifest",
       """SELECT source AS shard, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15))::BIGINT)
+        |  CAST(sum(('0x' || substring(md5(md5(CAST(doc_id AS VARCHAR)) || md5(text)), 1, 15))::BIGINT)
         |       % 1152921504606846976 AS BIGINT) AS checksum,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY source ORDER BY shard""".stripMargin) { c =>
@@ -2082,8 +2082,8 @@ object PipelineQueries {
         |         UNION ALL
         |         SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
         |         FROM documents WHERE doc_id % 101 = 0),
-        |oh AS (SELECT doc_id, md5(text) AS h FROM oldc),
-        |nh AS (SELECT doc_id, md5(text) AS h FROM newc)
+        |oh AS (SELECT doc_id, md5(md5(text)) AS h FROM oldc),
+        |nh AS (SELECT doc_id, md5(md5(text)) AS h FROM newc)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'

@@ -97,12 +97,17 @@ object CmsSketch {
   /** The d seeded bucket indexes of `value`: bucket i = 60-bit md5 of
     * `"i:" || value` mod width. Pure codegen built-ins — the ONE hash
     * definition shared by the sketch update and [[estimate]], and the
-    * contract an external replayer follows. */
+    * contract an external replayer follows. NULL values yield a NULL
+    * array (concat propagates the null), so update() skips them and
+    * estimate() returns NULL — matching KmvSketch's skip-null convention
+    * and the SQL replay, where `i || ':' || v` is NULL for NULL v. */
   def buckets(value: Column, depth: Int, width: Int): Column =
-    transform(
-      sequence(lit(0), lit(depth - 1)),
-      i => pmod(Funcs.md5Hash60(concat_ws(":", i, value.cast("string"))), lit(width))
-        .cast("int"))
+    when(value.isNull, lit(null).cast("array<int>"))
+      .otherwise(transform(
+        sequence(lit(0), lit(depth - 1)),
+        i => pmod(
+          Funcs.md5Hash60(concat(i.cast("string"), lit(":"), value.cast("string"))),
+          lit(width)).cast("int")))
 
   /** Column-API aggregate: the depth×width counter matrix (row-major
     * Array[Long]) over the group's values. */

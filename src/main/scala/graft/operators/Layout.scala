@@ -212,10 +212,7 @@ object Layout {
       idCol: String): DataFrame = {
     require(hashCols.nonEmpty, "need at least one content column to checksum")
     // \\u0001-separated so ("a","bc") never checksums like ("ab","c")
-    // NULL columns map to a sentinel because concat_ws SKIPS null args --
-    // without it ("x", null, "y") and ("x", "y", null) checksum identically
-    val content = concat_ws(
-      "\u0001", hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val content = Layout.rowContent(hashCols)
     df.select(
         col(shardCol).as("shard"),
         graft.functions.Funcs.md5Hash60(content).as("__h"),
@@ -242,9 +239,7 @@ object Layout {
     require(hashCols.nonEmpty, "need at least one content column to compare")
     def fp(df: DataFrame, hName: String) = df.select(
       col(idCol),
-      md5(concat_ws(
-        "\u0001", hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
-        .as(hName))
+      md5(Layout.rowContent(hashCols)).as(hName))
     fp(oldDf, "__h_old")
       .join(fp(newDf, "__h_new"), Seq(idCol), "full_outer")
       .withColumn(
@@ -280,10 +275,23 @@ object Layout {
         col("__c_old").isNull || col("__c_new").isNull ||
         col("__c_old") =!= col("__c_new") || col("__n_old") =!= col("__n_new"))
       .select(col("shard"))
+    // null-safe probe: a NULL shard name is a legal shard value — a plain
+    // === would never match it and its docs would silently vanish from
+    // the pruned diff (breaking the pruned == full law)
     def prune(df: DataFrame) = df.join(
-      broadcast(changed), df(shardCol) === changed("shard"), "left_semi")
+      broadcast(changed), df(shardCol) <=> changed("shard"), "left_semi")
     diffCorpora(prune(oldDf), prune(newDf), idCol, hashCols)
   }
+
+  /** Alias-proof row-content rendering for [[manifest]]/[[diffCorpora]]:
+    * each column is md5'd SEPARATELY (fixed 32-hex-char tokens), then the
+    * tokens concatenate — no separator can be smuggled inside a value
+    * ("ab","c" vs "a","bc" aliased under plain separator
+    * joins) and NULL renders as "-", which no md5 output equals, so NULL
+    * vs the literal sentinel string stays distinguishable too. External
+    * replay: md5(md5(col1) || md5(col2) || ...) with '-' for NULL. */
+  private def rowContent(hashCols: Seq[String]): Column =
+    concat(hashCols.map(c => coalesce(md5(col(c).cast("string")), lit("-"))): _*)
 
   /** True if the executed plan contains a shuffle exchange (plan audit
     * helper; used by specs to pin layout behavior). */

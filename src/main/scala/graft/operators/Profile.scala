@@ -171,23 +171,49 @@ object Profile {
     * CASE arm) in every engine. Unlike ntile, bin populations follow the
     * value distribution (heavy ties land together) — that value-determinism
     * is what makes the label reproducible across engines and layouts. */
+  // ===== shared equi-depth binning primitives ===========================
+  // ONE definition of the cut points and the tie-to-lower CASE chain —
+  // equiDepthBins, distributionDrift, Sampling.curriculumShards, and
+  // StreamOps.windowedBinCounts all bin through these, so a change to the
+  // rounding/tie rule can never silently diverge between operators (or
+  // between an operator and its oracle).
+
+  /** nBins−1 equi-depth cut points of `colName` as one aggregate ARRAY
+    * column, 6dp-rounded so engines agree. */
+  def quantileCutsAgg(colName: String, nBins: Int): Column = {
+    require(nBins >= 2, "need at least two bins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    expr(s"transform(percentile(`$colName`, array(${ps.mkString(", ")})), x -> round(x, 6))")
+  }
+
+  /** Bin label 0..nBins−1 from a cuts ARRAY column; ties at a cut go to
+    * the lower bin (first matching CASE arm) in every engine. */
+  def binExpr(cutsCol: Column, v: Column, nBins: Int): Column =
+    (0 until nBins - 1).foldRight(lit(nBins - 1): Column) { case (i, acc) =>
+      when(v <= element_at(cutsCol, i + 1), lit(i)).otherwise(acc)
+    }
+
+  /** The same chain over LITERAL ascending cut values (streaming plans
+    * can't crossJoin an aggregate). */
+  def binExprLiteral(cuts: Seq[Double], v: Column): Column = {
+    require(cuts.nonEmpty, "need at least one bin edge")
+    require(cuts == cuts.sorted, s"cut points must ascend, got $cuts")
+    cuts.zipWithIndex.foldRight(lit(cuts.length): Column) { case ((c, i), acc) =>
+      when(v <= c, lit(i)).otherwise(acc)
+    }
+  }
+
   def equiDepthBins(
       df: DataFrame,
       colName: String,
       nBins: Int,
       idCol: String): DataFrame = {
-    require(nBins >= 2, "need at least two bins")
-    val ps = (1 until nBins).map(_.toDouble / nBins)
-    val cuts = df.agg(
-      expr(s"transform(percentile(`$colName`, array(${ps.mkString(", ")})), x -> round(x, 6))")
-        .as("cuts"))
-    val v = col(colName).cast("double")
-    val bin = (0 until nBins - 1).foldRight(lit(nBins - 1)) { case (i, acc) =>
-      when(v <= element_at(col("cuts"), i + 1), lit(i)).otherwise(acc)
-    }
+    val cuts = df.agg(quantileCutsAgg(colName, nBins).as("cuts"))
     df.select(col(idCol), col(colName))
       .crossJoin(broadcast(cuts))
-      .select(col(idCol), col(colName), bin.as("bin"))
+      .select(
+        col(idCol), col(colName),
+        binExpr(col("cuts"), col(colName).cast("double"), nBins).as("bin"))
   }
 
   /** Distribution DRIFT between corpus slices — the Population Stability
@@ -213,19 +239,20 @@ object Profile {
       refSource: String,
       nBins: Int = 4,
       eps: Double = 1e-6): DataFrame = {
-    require(nBins >= 2, "need at least two bins")
-    val ps = (1 until nBins).map(_.toDouble / nBins)
-    val cuts = df.where(col(sourceCol) === refSource)
-      .agg(expr(
-        s"transform(percentile(`$valueCol`, array(${ps.mkString(", ")})), x -> round(x, 6))")
-        .as("cuts"))
-    val v = col(valueCol).cast("double")
-    val bin = (0 until nBins - 1).foldRight(lit(nBins - 1)) { case (i, acc) =>
-      when(v <= element_at(col("cuts"), i + 1), lit(i)).otherwise(acc)
-    }
+    // the cuts are 3 doubles — materialize them EAGERLY so a refSource
+    // matching no rows (a typo'd name) fails loudly here instead of
+    // silently reporting "no drift" through NULL cuts + an empty p_ref
+    // join; the literal cuts also spare the corpus-side crossJoin
+    val cutsRow = df.where(col(sourceCol) === refSource)
+      .agg(quantileCutsAgg(valueCol, nBins)).head()
+    require(
+      !cutsRow.isNullAt(0) && !cutsRow.getSeq[Any](0).contains(null),
+      s"reference source '$refSource' has no non-null $valueCol rows")
+    val cuts = cutsRow.getSeq[Double](0)
     val counts = df
-      .crossJoin(broadcast(cuts))
-      .select(col(sourceCol).as("source"), bin.as("bin"))
+      .select(
+        col(sourceCol).as("source"),
+        binExprLiteral(cuts, col(valueCol).cast("double")).as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("n"))
     // every (source, bin) cell must exist: a bin the source never hits is
     // exactly the drift evidence PSI must count, not silently skip
@@ -277,6 +304,10 @@ object Profile {
       ps: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)): DataFrame = {
     require(k >= 2, "need a sample of at least 2")
     val sample = df
+      // NULL values must not occupy sample slots: collect_list would drop
+      // them AFTER the TakeOrdered, silently shrinking the effective
+      // sample and diverging from a replayer that keeps them in n
+      .where(col(valueCol).isNotNull)
       .select(
         col(valueCol).cast("double").as("v"),
         graft.functions.Funcs.md5Hash60(idCol).as("h"))

@@ -441,19 +441,12 @@ object Sampling {
       nBins: Int = 4,
       idCol: String = "doc_id",
       numPartitions: Int = 0): DataFrame = {
-    require(nBins >= 2, "need at least two bins")
     require(shardTokens >= 1, "shardTokens must be positive")
-    val ps = (1 until nBins).map(_.toDouble / nBins)
-    val cuts = docs.agg(
-      expr(s"transform(percentile(`$scoreCol`, array(${ps.mkString(", ")})), x -> round(x, 6))")
-        .as("cuts"))
-    val v = col(scoreCol).cast("double")
-    val bin = (0 until nBins - 1).foldRight(lit(nBins - 1)) { case (i, acc) =>
-      when(v <= element_at(col("cuts"), i + 1), lit(i)).otherwise(acc)
-    }
+    val cuts = docs.agg(Profile.quantileCutsAgg(scoreCol, nBins).as("cuts"))
     val keyed = docs
       .crossJoin(broadcast(cuts))
-      .withColumn("bin", bin)
+      .withColumn(
+        "bin", Profile.binExpr(col("cuts"), col(scoreCol).cast("double"), nBins))
       .withColumn(
         "__curkey",
         concat_ws("",

@@ -77,11 +77,9 @@ object StreamOps {
       valueCol: String = "value",
       width: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
-    require(cuts.nonEmpty, "need at least one bin edge")
-    val v = col(valueCol).cast("double")
-    val bin = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
-      case ((cut, i), acc) => when(v <= cut, lit(i)).otherwise(acc)
-    }
+    // the shared tie-to-lower chain (validates non-empty ASCENDING cuts —
+    // unsorted edges would silently shadow later bins)
+    val bin = graft.operators.Profile.binExprLiteral(cuts, col(valueCol).cast("double"))
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width).as("w"), bin.as("bin"))

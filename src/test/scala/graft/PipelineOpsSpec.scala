@@ -1320,11 +1320,16 @@ class PipelineOpsSpec extends SparkSpec {
       .head().getLong(2)
     assert(ab != ab2 && c1.nonEmpty)
     // null-shift: ("x", null) and (null, "x") must not share a checksum
-    // (concat_ws silently SKIPS nulls without the sentinel)
     def oneSum(a: Option[String], b: Option[String]) = Layout.manifest(
       Seq((a.orNull, "s", b.orNull)).toDF("k1", "shard", "k2"), "shard", Seq("k1", "k2"), "shard")
       .head().getLong(2)
     assert(oneSum(Some("x"), None) != oneSum(None, Some("x")))
+    // separator smuggling: per-column md5 tokens make boundary shifts
+    // unfakeable even when values CONTAIN any would-be separator byte
+    assert(oneSum(Some("ab"), Some("c")) != oneSum(Some("a"), Some("bc")))
+    // NULL vs a literal sentinel-looking string still differ ('-' is not
+    // a possible md5 output)
+    assert(oneSum(None, Some("x")) != oneSum(Some("-"), Some("x")))
   }
 
   test("curriculumShards: shards fill in bin order, bounded overflow, layout-invariant") {
