@@ -649,6 +649,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // content-defined chunking: split after any token whose trailing
+    // 4-token window hash ≡ 0 mod 16 — boundaries decided by LOCAL
+    // content, so revision edits only move the chunks they touch (the
+    // FastCDC/rsync property fixed-size chunking lacks; law-tested).
+    // Pure per-row array codegen + Generate: zero shuffle, zero UDF
+    q("q_text_cdc_chunk",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, list_filter(range(4, length(toks)), i ->
+         |       ('0x' || substring(md5(array_to_string(toks[i-3:i], ' ')), 1, 15))::BIGINT % 16 = 0) AS bounds
+         |      FROM t WHERE length(toks) > 0),
+         |s AS (SELECT doc_id, toks, list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
+         |        list_append(bounds, length(toks)) AS ends FROM b),
+         |u AS (SELECT doc_id, unnest(starts) AS st, unnest(ends) AS en,
+         |        generate_subscripts(starts, 1) AS ci, toks FROM s)
+         |SELECT doc_id, CAST(ci - 1 AS INT) AS chunk_idx,
+         |  CAST(en - st + 1 AS INT) AS n_tokens,
+         |  array_to_string(toks[st:en], ' ') AS chunk_text
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin) { c =>
+      TextOps.cdcChunk(c.resolve("documents"), w = 4, divisor = 16)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // curriculum shard packing: docs ordered easy->hard by quality
     // quartile BIN (not raw score — bin order keeps each shard internally
     // mixed), hash-shuffled within bins, packed into 2000-token shards by

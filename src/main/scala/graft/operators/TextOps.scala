@@ -165,6 +165,56 @@ object TextOps {
         concat_ws(" ", col("ctoks")).as("chunk_text"))
   }
 
+  /** CONTENT-DEFINED chunking: split after any token whose trailing
+    * w-token window hashes to 0 mod `divisor` — boundaries are decided by
+    * LOCAL content, so an edit only moves the chunks it touches (FastCDC/
+    * rsync's insight applied to token streams). Fixed-size [[chunk]]ing
+    * shifts EVERY later boundary after an insertion, which defeats
+    * chunk-level dedup between document revisions; here revision deltas
+    * stay confined (law-tested: appending text leaves all earlier chunks
+    * byte-identical). Expected chunk length ≈ `divisor` tokens.
+    *
+    * Same scale shape as [[chunk]]: boundary detection and slicing are
+    * pure codegen'd array expressions over each row, the explode is a
+    * per-row Generate — zero shuffle, zero UDF; the 60-bit md5 window
+    * hash makes chunk boundaries engine-reproducible. Docs shorter than
+    * w+1 tokens form one chunk; empty docs yield no rows. */
+  def cdcChunk(
+      docs: DataFrame, w: Int = 4, divisor: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(w >= 1 && divisor >= 2, "need window >= 1 and divisor >= 2")
+    import graft.functions.Funcs
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .withColumn(
+        "bounds",
+        // boundary after token i for i in [w, n-1] (never after the last
+        // token — that would leave an empty tail chunk); sequence(w, n-1)
+        // DESCENDS when n-1 < w, so guard to the empty list
+        when(col("n") - 1 < w, array().cast("array<int>"))
+          .otherwise(filter(
+            sequence(lit(w), col("n") - 1),
+            i => pmod(
+              Funcs.md5Hash60(concat_ws(" ", slice(col("toks"), i - w + 1, lit(w)))),
+              lit(divisor)) === 0)))
+      .withColumn(
+        "starts", concat(array(lit(1)), transform(col("bounds"), b => b + 1)))
+      .withColumn("ends", concat(col("bounds"), array(col("n"))))
+      .select(
+        col(idCol), col("toks"),
+        posexplode(arrays_zip(col("starts"), col("ends"))).as(Seq("chunk_idx", "se")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        (col("se.ends") - col("se.starts") + 1).as("n_tokens"),
+        concat_ws(
+          " ",
+          slice(col("toks"), col("se.starts"), col("se.ends") - col("se.starts") + 1))
+          .as("chunk_text"))
+  }
+
   // ===== BPE tokenizer training ==========================================
   //
   // Byte-pair-encoding vocabulary training (Sennrich et al. 2016) at corpus

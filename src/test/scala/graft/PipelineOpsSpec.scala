@@ -1332,6 +1332,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(oneSum(None, Some("x")) != oneSum(Some("-"), Some("x")))
   }
 
+  test("cdcChunk: content-defined boundaries are edit-local; coverage is exact") {
+    import graft.operators.TextOps
+    val base = (1 to 200).map(i => s"tok${i % 91}").mkString(" ")
+    def chunksOf(text: String) = TextOps.cdcChunk(docs((1, text)), w = 4, divisor = 8)
+      .orderBy("chunk_idx").collect().map(_.getString(3)).toSeq
+    val orig = chunksOf(base)
+    assert(orig.length > 3, s"expected several chunks, got ${orig.length}")
+    // exact coverage: chunks reassemble the token stream
+    assert(orig.mkString(" ") == base.toLowerCase)
+    // EDIT LOCALITY — the CDC property: appending text leaves every chunk
+    // but the last byte-identical (fixed-size chunking shifts them all)
+    val appended = chunksOf(base + " zzz qqq xxx yyy www")
+    assert(appended.take(orig.length - 1) == orig.dropRight(1),
+      "earlier chunks must survive an append byte-identical")
+    // short docs collapse to one chunk; empty docs vanish
+    assert(chunksOf("a b") == Seq("a b"))
+    assert(TextOps.cdcChunk(docs((1, "  "))).count() == 0)
+  }
+
   test("curriculumShards: shards fill in bin order, bounded overflow, layout-invariant") {
     import graft.operators.Sampling
     val docs = (1 to 80).map(i => (i.toLong, i.toDouble, 10L)).toDF("doc_id", "score", "tk")
