@@ -671,6 +671,67 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // WHY content-defined beats fixed chunking for revision dedup, as a
+    // measured row: prepend two tokens to every %7 doc (the edit that
+    // shifts every fixed boundary), chunk both versions both ways, count
+    // v2 chunks already present in the v1 chunk store. CDC retains most
+    // chunks (boundaries resync after the edit); fixed-size retains
+    // almost none. Both chunkings and both overlap counts replay in SQL
+    q("q_text_cdc_revision",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |d AS (SELECT doc_id, toks FROM t WHERE length(toks) > 0),
+         |e0 AS (SELECT doc_id, 'zrev marker ' || text AS text FROM documents WHERE doc_id % 7 = 0),
+         |ed AS (SELECT doc_id, $duckToks AS toks FROM e0),
+         |cb1 AS (SELECT doc_id, toks, list_filter(range(4, length(toks)), i ->
+         |        ('0x' || substring(md5(array_to_string(toks[i-3:i], ' ')), 1, 15))::BIGINT % 8 = 0) AS bounds FROM d),
+         |cs1 AS (SELECT doc_id, toks, list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
+         |        list_append(bounds, length(toks)) AS ends FROM cb1),
+         |cv1 AS (SELECT md5(array_to_string(toks[st:en], ' ')) AS h FROM
+         |        (SELECT toks, unnest(starts) AS st, unnest(ends) AS en FROM cs1)),
+         |cb2 AS (SELECT doc_id, toks, list_filter(range(4, length(toks)), i ->
+         |        ('0x' || substring(md5(array_to_string(toks[i-3:i], ' ')), 1, 15))::BIGINT % 8 = 0) AS bounds FROM ed),
+         |cs2 AS (SELECT doc_id, toks, list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
+         |        list_append(bounds, length(toks)) AS ends FROM cb2),
+         |cv2 AS (SELECT md5(array_to_string(toks[st:en], ' ')) AS h FROM
+         |        (SELECT toks, unnest(starts) AS st, unnest(ends) AS en FROM cs2)),
+         |f1 AS (SELECT md5(array_to_string(toks[ci*8+1 : ci*8+8], ' ')) AS h FROM
+         |       (SELECT toks, unnest(range(0, CASE WHEN length(toks) <= 8 THEN 1
+         |          ELSE CAST(ceil((length(toks) - 8)::DOUBLE / 8) AS INT) + 1 END)) AS ci FROM d)),
+         |f2 AS (SELECT md5(array_to_string(toks[ci*8+1 : ci*8+8], ' ')) AS h FROM
+         |       (SELECT toks, unnest(range(0, CASE WHEN length(toks) <= 8 THEN 1
+         |          ELSE CAST(ceil((length(toks) - 8)::DOUBLE / 8) AS INT) + 1 END)) AS ci FROM ed)),
+         |agg AS (
+         |  SELECT 'cdc' AS method, count(*) AS n_chunks,
+         |    sum(CASE WHEN h IN (SELECT DISTINCT h FROM cv1) THEN 1 ELSE 0 END) AS n_shared
+         |  FROM cv2
+         |  UNION ALL
+         |  SELECT 'fixed', count(*),
+         |    sum(CASE WHEN h IN (SELECT DISTINCT h FROM f1) THEN 1 ELSE 0 END)
+         |  FROM f2)
+         |SELECT method, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(n_shared AS BIGINT) AS n_shared
+         |FROM agg ORDER BY method""".stripMargin) { c =>
+      val docs = c.resolve("documents").select(col("doc_id"), col("text"))
+      val edited = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(lit("zrev marker "), col("text")).as("text"))
+      def overlapRow(label: String, v1: org.apache.spark.sql.DataFrame,
+                     v2: org.apache.spark.sql.DataFrame) = {
+        val store = v1.select(md5(col("chunk_text")).as("h")).distinct()
+          .withColumn("__hit", lit(1))
+        v2.select(md5(col("chunk_text")).as("h"))
+          .join(broadcast(store), Seq("h"), "left")
+          .agg(count(lit(1)).as("n_chunks"), count(col("__hit")).as("n_shared"))
+          .select(lit(label).as("method"), col("n_chunks"), col("n_shared"))
+      }
+      overlapRow("cdc",
+          TextOps.cdcChunk(docs, w = 4, divisor = 8),
+          TextOps.cdcChunk(edited, w = 4, divisor = 8))
+        .unionByName(overlapRow("fixed",
+          TextOps.chunk(docs, chunkSize = 8, overlap = 0),
+          TextOps.chunk(edited, chunkSize = 8, overlap = 0)))
+        .orderBy("method")
+    },
+
     // curriculum shard packing: docs ordered easy->hard by quality
     // quartile BIN (not raw score — bin order keeps each shard internally
     // mixed), hash-shuffled within bins, packed into 2000-token shards by

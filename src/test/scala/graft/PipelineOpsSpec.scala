@@ -1349,6 +1349,24 @@ class PipelineOpsSpec extends SparkSpec {
     // short docs collapse to one chunk; empty docs vanish
     assert(chunksOf("a b") == Seq("a b"))
     assert(TextOps.cdcChunk(docs((1, "  "))).count() == 0)
+    // the revision-dedup payoff vs fixed chunking: a PREPEND edit (the
+    // boundary-shifting case) leaves most CDC chunks in the v1 store,
+    // while fixed-size chunks nearly all shift away
+    val d = docs((1, base))
+    val edited = docs((1, "zz qq " + base))
+    def shared(v1: org.apache.spark.sql.DataFrame, v2: org.apache.spark.sql.DataFrame) = {
+      val store = v1.select(md5(col("chunk_text")).as("h")).distinct()
+      val total = v2.count()
+      val hit = v2.select(md5(col("chunk_text")).as("h")).join(store, "h").count()
+      (hit, total)
+    }
+    val (cdcHit, cdcTot) = shared(
+      TextOps.cdcChunk(d, w = 4, divisor = 8), TextOps.cdcChunk(edited, w = 4, divisor = 8))
+    val (fixHit, fixTot) = shared(
+      TextOps.chunk(d, 8, 0), TextOps.chunk(edited, 8, 0))
+    assert(cdcHit * 2 > cdcTot, s"CDC should retain most chunks: $cdcHit/$cdcTot")
+    assert(fixHit * 2 < fixTot, s"fixed should lose most chunks: $fixHit/$fixTot")
+    assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
   test("curriculumShards: shards fill in bin order, bounded overflow, layout-invariant") {
