@@ -2599,6 +2599,43 @@ object PipelineQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // continuous ingestion INTO the bucketed warehouse: a 2-file backfill
+    // drains through foreachBatch -> UpsertWriter (maxFilesPerTrigger=1
+    // forces separate micro-batches, so the cross-batch path runs:
+    // bucket-pruned merges for stored ids, delta appends for new ones).
+    // Batches carry null-disjoint columns (a from file1, b from file2) so
+    // the newest-non-null merge is ORDER-INDEPENDENT, and the oracle
+    // derives the expected post-merge store from first principles —
+    // matching proves the whole streaming-upsert path, not just a re-read
+    q("q_stream_ingest",
+      """WITH ids AS (SELECT unnest(range(0, 500)) AS id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(id AS BIGINT) AS a,
+        |  CASE WHEN id < 200 THEN CAST(id + 1000 AS BIGINT) END AS b
+        |FROM ids ORDER BY id""".stripMargin) { c =>
+      val spark = c.spark
+      import spark.implicits._
+      val base = "/tmp/graft_streamingest_v1"
+      val (inDir, storeDir, ck) = (s"$base/in", s"$base/store", s"$base/ck")
+      graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
+      // file1: ids 0..399 carry a; file2: merges b onto 0..199 + inserts 400..499
+      val file1 = (0L until 400L).map(i => (i, Some(i), None: Option[Long]))
+      val file2 = (0L until 200L).map(j => (j, None: Option[Long], Some(j + 1000L))) ++
+        (400L until 500L).map(j => (j, Some(j), None: Option[Long]))
+      file1.toDF("id", "a", "b").coalesce(1).write.mode("append").parquet(inDir)
+      file2.toDF("id", "a", "b").coalesce(1).write.mode("append").parquet(inDir)
+      val schema = spark.read.parquet(inDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val sq = StreamOps.sinkToStore(src, storeDir, "stream_tbl")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      graft.ingest.UpsertWriter.readTable(spark, storeDir, "stream_tbl")
+        .select(col("id").cast("long"), col("a").cast("long"), col("b").cast("long"))
+        .orderBy("id")
+    },
+
     // streaming drift monitor: per-window value counts in the STATIC
     // reference's quartile bins (cuts computed from the tuned dump, a
     // broadcast CASE chain; state = one count per (window, bin)). PSI per

@@ -62,6 +62,27 @@ object StreamOps {
         col("s.end").as("session_end"),
         col("session_events"))
 
+  /** Continuous ingestion INTO the bucketed warehouse: drain a stream
+    * through foreachBatch into the delta-write store, so each micro-batch
+    * runs the SAME upsert the batch verbs use — bucket-pruned merges for
+    * ids already stored, O(batch) delta-file appends for pure inserts,
+    * crash-atomic publishes with roll-forward repair. A stream trickling
+    * into a 100 TB table therefore rewrites only the buckets each batch
+    * touches, and a reader mid-stream always sees a consistent table
+    * (the raw-glob read contract is unchanged). Returns the configured
+    * writer; callers pick the trigger (AvailableNow for backfills,
+    * ProcessingTime for live tails) and start it. */
+  def sinkToStore(
+      stream: DataFrame,
+      dir: String,
+      table: String,
+      numBuckets: Int = graft.ingest.UpsertWriter.DefaultBuckets)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      graft.ingest.UpsertWriter.upsert(
+        batch.sparkSession, dir, table, batch.toDF(), numBuckets)
+    }
+
   /** Per-window BINNED value counts against a static reference's bin
     * edges — the streaming half of distribution-drift monitoring
     * (Profile.distributionDrift): the reference cuts come from the tuned

@@ -209,6 +209,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sinkToStore drains micro-batches through the delta-write upsert") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.sinkToStore(input.toDF().toDF("id", "v"), base, "t")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable() // batch 1 creates the store
+      input.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable() // batch 2: id 2 merges, id 3 delta-appends
+      val rows = graft.ingest.UpsertWriter.readTable(spark, base, "t")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "a"), (2L, "b2"), (3L, "c")), s"rows=$rows")
+      // the pure insert arrived as a delta file, not a bucket rewrite
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(base, "t.parquet"))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var sawDelta = false
+      while (files.hasNext) {
+        val f = files.next().getFileName.toString
+        if (f.startsWith("delta-")) sawDelta = true
+      }
+      assert(sawDelta, "expected at least one delta file from the pure-insert batch")
+    } finally q.stop()
+  }
+
   test("windowedBinCounts bins against static cuts with per-window state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
