@@ -649,6 +649,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // unicode cleaning over a planted messy corpus: NFC composition
+    // (combining sequences -> canonical chars), Cf stripping (zero-widths
+    // / BOM / soft hyphen — invisible dedup poison) and C0/C1 control
+    // stripping keeping \n and \t. Spark runs java.text.Normalizer; the
+    // oracle runs DuckDB's nfc_normalize — the SAME Unicode algorithm
+    // independently implemented, so parity proves the canonicalization
+    q("q_text_clean",
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(nfc_normalize(text), '[\\p{Cf}]', '', 'g'),
+         |                 '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]', '', 'g') AS clean,
+         |  regexp_replace(regexp_replace(nfc_normalize(text), '[\\p{Cf}]', '', 'g'),
+         |                 '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]', '', 'g') <> text AS changed
+         |FROM read_parquet('${UnicodeCorpus.table}/*.parquet', hive_partitioning=0)
+         |ORDER BY doc_id""".stripMargin) { c =>
+      UnicodeCorpus.ensure(c.spark)
+      val clean = TextOps.cleanText(col("text"))
+      c.spark.read.parquet(UnicodeCorpus.table)
+        .select(
+          col("doc_id"),
+          clean.as("clean"),
+          (clean =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    },
+
     // content-defined chunking: split after any token whose trailing
     // 4-token window hash ≡ 0 mod 16 — boundaries decided by LOCAL
     // content, so revision edits only move the chunks they touch (the

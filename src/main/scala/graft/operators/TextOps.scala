@@ -165,6 +165,26 @@ object TextOps {
         concat_ws(" ", col("ctoks")).as("chunk_text"))
   }
 
+  /** Unicode corpus cleaning — the canonicalization pass raw crawls get
+    * before any hashing/dedup/tokenizing (two byte sequences rendering
+    * identically must not produce two fingerprints): NFC-compose
+    * combining sequences (java.text.Normalizer, public JDK; the identical
+    * algorithm any engine's nfc_normalize runs), strip format characters
+    * (category Cf: zero-widths, BOM, soft hyphen — invisible dedup
+    * poison), and strip C0/C1 controls EXCEPT \n and \t. The NFC step is
+    * a compiled string kernel (no Catalyst builtin exists); the strips
+    * are codegen'd regexp_replace with RE2-compatible classes, so the
+    * whole cleaner replays in SQL. Map-side, zero shuffle; idempotent
+    * (law-tested). */
+  def cleanText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(nfcUdf(c), "[\\p{Cf}]", ""),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", "")
+
+  private val nfcUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
   /** CONTENT-DEFINED chunking: split after any token whose trailing
     * w-token window hashes to 0 mod `divisor` — boundaries are decided by
     * LOCAL content, so an edit only moves the chunks it touches (FastCDC/

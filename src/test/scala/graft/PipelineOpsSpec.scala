@@ -1326,10 +1326,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(oneSum(Some("x"), None) != oneSum(None, Some("x")))
     // separator smuggling: per-column md5 tokens make boundary shifts
     // unfakeable even when values CONTAIN any would-be separator byte
-    assert(oneSum(Some("ab"), Some("c")) != oneSum(Some("a"), Some("bc")))
+    assert(oneSum(Some("a\u0001b"), Some("c")) != oneSum(Some("a"), Some("b\u0001c")))
     // NULL vs a literal sentinel-looking string still differ ('-' is not
     // a possible md5 output)
     assert(oneSum(None, Some("x")) != oneSum(Some("-"), Some("x")))
+  }
+
+  test("cleanText: NFC composes, Cf and controls strip (keeping newline/tab), idempotent") {
+    import graft.operators.TextOps
+    def clean(s: String) = Seq(s).toDF("text")
+      .select(TextOps.cleanText(col("text"))).head().getString(0)
+    assert(clean("cafe\u0301") == "caf\u00e9")     // NFD -> NFC
+    assert(clean("o\u0302\u0323") == "\u1ed9")    // multi-combining composes
+    assert(clean("a\u200bb\u200dc\ufeffd\u00ade") == "abcde") // Cf stripped
+    assert(clean("x\u0007y\u0000z") == "xyz")      // C0 stripped
+    assert(clean("l1\r\nl2\tend") == "l1\nl2\tend")     // CR out, LF/TAB kept
+    assert(clean("plain ascii") == "plain ascii")        // clean passes through
+    // idempotence over the whole fixture corpus
+    UnicodeCorpus.ensure(spark)
+    val once = spark.read.parquet(UnicodeCorpus.table)
+      .select(col("doc_id"), TextOps.cleanText(col("text")).as("c1"))
+    val twice = once.select(col("doc_id"), col("c1"),
+      TextOps.cleanText(col("c1")).as("c2"))
+    assert(twice.where(col("c1") =!= col("c2")).count() == 0)
+    // and the corpus genuinely exercises the cleaner
+    val changed = spark.read.parquet(UnicodeCorpus.table)
+      .where(TextOps.cleanText(col("text")) =!= col("text")).count()
+    assert(changed > 10, s"fixture should carry many messy rows, got $changed")
   }
 
   test("cdcChunk: content-defined boundaries are edit-local; coverage is exact") {
