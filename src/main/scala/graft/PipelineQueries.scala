@@ -756,6 +756,43 @@ object PipelineQueries {
         .orderBy("method")
     },
 
+    // CCNet-style line-level boilerplate removal: lines shared by >= 5
+    // distinct docs (planted headers/footers + any naturally repeated
+    // content line) are stripped; each doc is rebuilt from its kept lines.
+    // The strip pass is map-side only — the boilerplate set folds to one
+    // broadcast md5-set row; the corpus text never shuffles. The oracle
+    // replays plant, split, threshold, strip, and ordered reassembly
+    q("q_text_boilerplate",
+      """WITH src AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' || chr(10) ELSE '' END)
+        |    || text
+        |    || (CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Follow us on social media' ELSE '' END)
+        |    || chr(10) || 'Doc footer ' || doc_id AS text
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(lines) AS line0, generate_subscripts(lines, 1) AS pos
+        |       FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM src)),
+        |lt AS (SELECT doc_id, trim(line0) AS line, pos FROM ex WHERE trim(line0) <> ''),
+        |bl AS (SELECT line FROM lt GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lt GROUP BY doc_id),
+        |kept AS (SELECT doc_id, line, pos FROM lt WHERE line NOT IN (SELECT line FROM bl)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |          count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(t.n_lines AS INT) AS n_lines,
+        |  CAST(t.n_lines - coalesce(a.n_kept, 0) AS INT) AS n_removed
+        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin) { c =>
+      val planted = c.resolve("documents").select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("\nFollow us on social media")).otherwise(lit("")),
+          lit("\nDoc footer "), col("doc_id").cast("string")).as("text"))
+      TextOps.stripBoilerplate(planted, minDocs = 5)
+        .select(col("doc_id"), col("clean_text"), col("n_lines"), col("n_removed"))
+        .orderBy("doc_id")
+    },
+
     // curriculum shard packing: docs ordered easy->hard by quality
     // quartile BIN (not raw score — bin order keeps each shard internally
     // mixed), hash-shuffled within bins, packed into 2000-token shards by
@@ -2034,6 +2071,46 @@ object PipelineQueries {
           graft.functions.KmvSketch.kmvDistinct(col("l_partkey"), 32), 6)
           .as("est_distinct"))
         .orderBy("l_returnflag")
+    },
+
+    // KMV SET ALGEBRA: cross-group distinct-overlap matrix from the
+    // sketches alone (theta-sketch playbook) — |A|, |B|, |A∪B|, |A∩B| and
+    // Jaccard per group pair, with the corpus aggregated ONCE into O(k)
+    // sketches and never joined against itself (the exact alternative,
+    // crossSourceOverlap, is an n-gram equi-join). Estimator: union
+    // bottom-k is the union's sketch; rho/k of it lying in both sketches
+    // estimates the intersection fraction. The oracle re-draws every
+    // sketch and replays the identical fixed-order IEEE arithmetic
+    q("q_profile_kmv_overlap",
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS src,
+        |    ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM orders),
+        |r AS (SELECT src, hv, row_number() OVER (PARTITION BY src ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT src, list(hv ORDER BY hv) AS sk FROM r WHERE rn <= 64 GROUP BY src),
+        |p AS (SELECT a.src AS source_a, b.src AS source_b, a.sk AS ska, b.sk AS skb
+        |      FROM sk a JOIN sk b ON a.src < b.src),
+        |u AS (SELECT *, list_sort(list_distinct(ska || skb))[1:64] AS u FROM p),
+        |m AS (SELECT source_a, source_b, ska, skb, u, length(u) AS ku,
+        |        length(list_filter(u, x -> list_contains(ska, x) AND list_contains(skb, x))) AS rho,
+        |        length(list_filter(ska, x -> list_contains(skb, x))) AS ni,
+        |        CASE WHEN length(ska) < 64 THEN CAST(length(ska) AS DOUBLE)
+        |             ELSE 63.0 * 1152921504606846976 / CAST(ska[length(ska)] AS DOUBLE) END AS ea,
+        |        CASE WHEN length(skb) < 64 THEN CAST(length(skb) AS DOUBLE)
+        |             ELSE 63.0 * 1152921504606846976 / CAST(skb[length(skb)] AS DOUBLE) END AS eb,
+        |        CASE WHEN length(u) < 64 THEN CAST(length(u) AS DOUBLE)
+        |             ELSE 63.0 * 1152921504606846976 / CAST(u[length(u)] AS DOUBLE) END AS eu
+        |      FROM u),
+        |f AS (SELECT *, CASE WHEN ku < 64 THEN CAST(ni AS DOUBLE)
+        |                     ELSE CAST(rho AS DOUBLE) / 64.0 * eu END AS ei FROM m)
+        |SELECT source_a, source_b, round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+        |  round(eu, 4) AS est_union, round(ei, 4) AS est_inter,
+        |  CASE WHEN ea + eb - ei > 0.0 THEN round(ei / (ea + eb - ei), 6) ELSE 0.0 END AS jaccard_est
+        |FROM f ORDER BY source_a, source_b""".stripMargin) { c =>
+      import graft.operators.Profile
+      Profile.sketchOverlap(
+        c.resolve("orders").select(col("o_orderpriority").as("src"), col("o_custkey")),
+        "o_custkey", "src", k = 64)
+        .orderBy("source_a", "source_b")
     },
 
     // Count-Min frequency sketch (native TypedImperativeAggregate, fixed

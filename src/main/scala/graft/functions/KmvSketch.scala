@@ -107,4 +107,66 @@ object KmvSketch {
         org.apache.spark.sql.GraftBridge
           .resolvedExpression(Funcs.md5Hash60(value)),
         k).toAggregateExpression())
+
+  /** The sketch ITSELF (ascending array of the k smallest distinct 60-bit
+    * hashes) instead of the point estimate — the form set algebra needs:
+    * two groups' sketches union+trim to the union's sketch, and the KMV
+    * intersection estimator reads shared hashes out of that union
+    * ([[graft.operators.Profile.sketchOverlap]]). Same O(k) mergeable
+    * state as [[kmvDistinct]]. */
+  def kmvHashes(value: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      KmvHashes(
+        org.apache.spark.sql.GraftBridge
+          .resolvedExpression(Funcs.md5Hash60(value)),
+        k).toAggregateExpression())
+}
+
+/** [[KmvSketch]]'s buffer exposed as its value: the ascending array of the
+  * k smallest distinct hashes. Kept as a separate node so each aggregate
+  * has a stable SQL name and return type. */
+case class KmvHashes(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, "KMV needs k >= 2")
+
+  private val inner = KmvSketch(child, k)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = inner.update(buf, input)
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    inner.merge(buf, other)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator() // TreeSet iterates ascending
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(offset: Int): KmvHashes =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvHashes =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(nc: Expression): KmvHashes =
+    copy(child = nc)
+  override def prettyName: String = "kmv_hashes"
 }

@@ -276,6 +276,70 @@ object Profile {
         col("psi"))
   }
 
+  /** Cross-source DISTINCT-overlap matrix from KMV sketches — set algebra
+    * on O(k) state instead of a corpus join. For every source pair (a, b)
+    * it estimates |A|, |B|, |A ∪ B| and |A ∩ B| of the sources' distinct
+    * `valueCol` sets, plus the Jaccard similarity, from each source's
+    * k-minimum-values hash sketch alone (Bar-Yossef et al. 2002; the
+    * theta-sketch playbook):
+    *
+    *   union sketch   = bottom-k of the two sketches' hash union
+    *                    (bottom-k of a union IS the union's KMV sketch);
+    *   |A ∪ B| est    = (k-1)·2^60 / max(union sketch), exact when < k;
+    *   ρ              = union-sketch hashes present in BOTH sketches
+    *                    (a uniform sample of the union, so ρ/k estimates
+    *                    the intersection FRACTION);
+    *   |A ∩ B| est    = (ρ/k)·|A ∪ B| est — exact when the union fits.
+    *
+    * Scale shape: ONE corpus aggregation builds every source's sketch with
+    * O(k) mergeable state through the partial-agg shuffle (the corpus is
+    * never joined against itself — compare [[graft.operators.Dedup
+    * .crossSourceOverlap]], whose exact answer costs an n-gram equi-join);
+    * the S² pair frame is sketch-sized algebra. With k=256 the relative
+    * error of each cardinality is ~1/√(k-2) ≈ 6%. All arithmetic derives
+    * from exactly-representable integers through fixed-order IEEE ops, so
+    * an external engine replays the estimates bit-for-bit
+    * (q_profile_kmv_overlap). */
+  def sketchOverlap(
+      df: DataFrame,
+      valueCol: String,
+      sourceCol: String,
+      k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch
+    val twoPow60 = 1152921504606846976.0
+    val sk = df
+      .groupBy(col(sourceCol).as("source"))
+      .agg(KmvSketch.kmvHashes(col(valueCol), k).as("sk"))
+    val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+      .join(
+        sk.select(col("source").as("source_b"), col("sk").as("skb")),
+        col("source_a") < col("source_b"))
+    def estCard(s: Column): Column =
+      when(size(s) < k, size(s).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(twoPow60) / element_at(s, size(s)).cast("double"))
+    val withU = pairs
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("rho", size(array_intersect(col("u"), array_intersect(col("ska"), col("skb")))))
+      .withColumn("est_a0", estCard(col("ska")))
+      .withColumn("est_b0", estCard(col("skb")))
+      .withColumn("est_u0", estCard(col("u")))
+      // union fits in the sketch -> both sides were exhaustive -> exact
+      .withColumn(
+        "est_i0",
+        when(size(col("u")) < k,
+          size(array_intersect(col("ska"), col("skb"))).cast("double"))
+          .otherwise(col("rho").cast("double") / lit(k.toDouble) * col("est_u0")))
+    withU.select(
+      col("source_a"), col("source_b"),
+      round(col("est_a0"), 4).as("est_a"),
+      round(col("est_b0"), 4).as("est_b"),
+      round(col("est_u0"), 4).as("est_union"),
+      round(col("est_i0"), 4).as("est_inter"),
+      when(col("est_a0") + col("est_b0") - col("est_i0") > 0.0,
+        round(col("est_i0") / (col("est_a0") + col("est_b0") - col("est_i0")), 6))
+        .otherwise(lit(0.0)).as("jaccard_est"))
+  }
+
   /** Mergeable quantile SKETCH: quantiles of the k-minimum-by-hash row
     * sample — the scale path [[quantiles]]' scaladoc points at, made
     * engine-portable. Exact percentile sorts every value inside the

@@ -235,6 +235,62 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Non-empty trimmed lines of `text` split on `sep` — the unit of
+    * line-level (CCNet-style) boilerplate detection. Pure codegen array
+    * work; whitespace-only lines are dropped so reassembly is canonical. */
+  private[operators] def linesOf(text: Column, sep: String): Column =
+    filter(
+      transform(split(text, java.util.regex.Pattern.quote(sep)), l => trim(l)),
+      l => length(l) > 0)
+
+  /** Lines occurring in >= `minDocs` DISTINCT documents — the CCNet
+    * boilerplate signal (headers, nav bars, cookie banners, license
+    * footers repeat across a site's pages; body text does not). Returns
+    * (line, n_docs). One corpus shuffle: the per-line distinct-doc count
+    * is a map-side-combinable hash aggregate on the exploded lines; by
+    * construction the result is small (each surviving line accounts for
+    * >= minDocs corpus lines, so |result| <= corpus_lines / minDocs). */
+  def boilerplateLines(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n", minDocs: Int = 5): DataFrame = {
+    require(minDocs >= 2, "a line in 1 doc is content, not boilerplate")
+    docs
+      .select(col(idCol).as("__bl_id"), explode(linesOf(col(textCol), sep)).as("line"))
+      .groupBy("line")
+      .agg(countDistinct(col("__bl_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** Strip boilerplate lines from every document (the CCNet paragraph-dedup
+    * step applied at line granularity): detect lines shared by >= `minDocs`
+    * docs, then rebuild each doc from its remaining lines. Adds
+    * `clean_text` (kept lines re-joined with `sep`), `n_lines` (non-empty
+    * lines before), `n_removed`.
+    *
+    * Scale shape: detection is the one corpus shuffle ([[boilerplateLines]]);
+    * the strip pass is MAP-SIDE ONLY — the boilerplate set folds into a
+    * single md5-set row broadcast to every task (BroadcastNestedLoopJoin of
+    * a 1-row frame), and each doc filters its own line array in place. The
+    * corpus text never shuffles, so the pass streams at scan speed. The
+    * in-array membership probe is linear in the boilerplate set; for a
+    * pathological set (millions of distinct boilerplate lines) switch to
+    * the explode + broadcast-anti-join + re-group shape instead. */
+  def stripBoilerplate(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n", minDocs: Int = 5): DataFrame = {
+    val blSet = boilerplateLines(docs, idCol, textCol, sep, minDocs)
+      .agg(coalesce(sort_array(collect_set(md5(col("line")))), array().cast("array<string>"))
+        .as("__bl"))
+    docs
+      .crossJoin(broadcast(blSet))
+      .withColumn("__lines", linesOf(col(textCol), sep))
+      .withColumn("__kept", filter(col("__lines"), l => !array_contains(col("__bl"), md5(l))))
+      .withColumn("clean_text", array_join(col("__kept"), sep))
+      .withColumn("n_lines", size(col("__lines")))
+      .withColumn("n_removed", size(col("__lines")) - size(col("__kept")))
+      .drop("__bl", "__lines", "__kept")
+  }
+
   // ===== BPE tokenizer training ==========================================
   //
   // Byte-pair-encoding vocabulary training (Sennrich et al. 2016) at corpus

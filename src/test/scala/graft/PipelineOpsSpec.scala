@@ -1392,6 +1392,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("sketchOverlap: exact set algebra when sketches are exhaustive, sane estimates when not") {
+    import graft.operators.Profile
+    // A = 1..100, B = 51..150: |A|=|B|=100, |A∪B|=150, |A∩B|=50, J=1/3
+    val df = ((1 to 100).map(("a", _)) ++ (51 to 150).map(("b", _))).toDF("src", "v")
+    // k above every cardinality -> the exact branch end-to-end
+    val ex = Profile.sketchOverlap(df, "v", "src", k = 512).head()
+    assert(ex.getAs[String]("source_a") == "a" && ex.getAs[String]("source_b") == "b")
+    assert(ex.getAs[Double]("est_a") == 100.0 && ex.getAs[Double]("est_b") == 100.0)
+    assert(ex.getAs[Double]("est_union") == 150.0 && ex.getAs[Double]("est_inter") == 50.0)
+    assert(math.abs(ex.getAs[Double]("jaccard_est") - 1.0 / 3.0) < 1e-6)
+    // k below the union size -> estimator branch; ~1/sqrt(k) error, loose bounds
+    val es = Profile.sketchOverlap(df, "v", "src", k = 64).head()
+    assert(math.abs(es.getAs[Double]("est_union") - 150.0) < 60.0)
+    assert(math.abs(es.getAs[Double]("est_inter") - 50.0) < 40.0)
+    // disjoint sources: intersection and jaccard pin to 0 exactly (exact branch)
+    val dj = Profile.sketchOverlap(
+      ((1 to 20).map(("a", _)) ++ (100 to 120).map(("b", _))).toDF("src", "v"),
+      "v", "src", k = 128).head()
+    assert(dj.getAs[Double]("est_inter") == 0.0 && dj.getAs[Double]("jaccard_est") == 0.0)
+  }
+
+  test("stripBoilerplate: shared lines removed at threshold, order kept, unique lines survive") {
+    import graft.operators.TextOps
+    // "HEADER" in 3 docs, "footer x" in 2, bodies unique; minDocs = 3
+    val d = docs(
+      (1, "HEADER\nbody one\nfooter x"),
+      (2, " HEADER \nbody two has words\nfooter x"),
+      (3, "HEADER\nbody three"),
+      (4, "body four\n\n   \nlast line four"))
+    val out = TextOps.stripBoilerplate(d, minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_lines", "n_removed")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    // threshold: HEADER (3 docs, trimmed match) stripped; footer x (2 docs) kept
+    assert(out(0) == ((1, "body one\nfooter x", 3, 1)))
+    assert(out(1) == ((2, "body two has words\nfooter x", 3, 1)))
+    assert(out(2) == ((3, "body three", 2, 1)))
+    // no boilerplate in doc 4; whitespace-only lines drop in canonical form
+    assert(out(3) == ((4, "body four\nlast line four", 2, 0)))
+    // empty boilerplate set (threshold above any count): text only canonicalized
+    val none = TextOps.stripBoilerplate(d, minDocs = 4)
+      .agg(sum(col("n_removed"))).head().getLong(0)
+    assert(none == 0L)
+    // a doc that is ALL boilerplate strips to the empty string
+    val all = TextOps.stripBoilerplate(docs((1, "x\ny"), (2, "x\ny"), (3, "x\nz")), minDocs = 2)
+      .orderBy("doc_id").select("clean_text").collect().map(_.getString(0))
+    assert(all.toSeq == Seq("", "", "z"))
+  }
+
   test("curriculumShards: shards fill in bin order, bounded overflow, layout-invariant") {
     import graft.operators.Sampling
     val docs = (1 to 80).map(i => (i.toLong, i.toDouble, 10L)).toDF("doc_id", "score", "tk")
