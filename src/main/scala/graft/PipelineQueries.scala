@@ -592,6 +592,29 @@ object PipelineQueries {
       TextOps.heavyHitters(c.resolve("documents"), minCount = 500L).orderBy("term")
     },
 
+    // PMI collocation mining (Church & Hanks 1990): adjacent word pairs
+    // co-occurring far above chance — phrase discovery / tokenizer-vocab
+    // prior. One map-side-combinable bigram shuffle; unigram counts and
+    // totals broadcast back. The oracle replays counts and the fixed-order
+    // IEEE ratio -> ln -> 6dp round
+    q("q_text_pmi",
+      s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS w FROM t),
+         |uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+         |bg AS (SELECT toks[i] AS a, toks[i+1] AS b
+         |       FROM (SELECT toks, unnest(range(1, length(toks))) AS i FROM t
+         |             WHERE length(toks) >= 2)),
+         |bc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+         |tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS nu,
+         |               (SELECT CAST(sum(c_ab) AS DOUBLE) FROM bc) AS nb)
+         |SELECT bc.a, bc.b, CAST(bc.c_ab AS BIGINT) AS c_ab,
+         |  round(ln((CAST(bc.c_ab AS DOUBLE) * nu * nu) / (nb * ua.c * ub.c)), 6) AS pmi
+         |FROM bc CROSS JOIN tot
+         |JOIN uc ua ON bc.a = ua.w JOIN uc ub ON bc.b = ub.w
+         |WHERE bc.c_ab >= 20 ORDER BY bc.a, bc.b""".stripMargin) { c =>
+      TextOps.pmiBigrams(c.resolve("documents"), minCount = 20L).orderBy("a", "b")
+    },
+
     // Gopher-style filter pipeline: per-doc keep/reject with the FIRST
     // failing rule as the reason (rule order is the contract); thresholds
     // chosen to reject on three different rules at sf0.01

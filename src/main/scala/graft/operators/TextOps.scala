@@ -772,6 +772,52 @@ object TextOps {
       .where(col("n") >= minCount)
   }
 
+  /** Collocation mining by pointwise mutual information: for every adjacent
+    * word pair seen >= `minCount` times,
+    *   PMI = ln( P(ab) / (P(a)·P(b)) )
+    *       = ln( c_ab · N_uni² / (N_bi · c_a · c_b) )
+    * — high-PMI pairs co-occur far above chance (fixed phrases, named
+    * entities); the standard corpus-analysis signal for phrase discovery
+    * and a cheap tokenizer-vocabulary prior. `minCount` screens the
+    * estimator's noise floor (PMI of rare pairs is dominated by sampling
+    * error — Church & Hanks 1990 recommend exactly this cutoff).
+    *
+    * Scale shape: ONE corpus shuffle (the map-side-combinable bigram
+    * count); unigram counts are vocabulary-sized and broadcast back onto
+    * the surviving bigrams, totals are a 1-row broadcast. The ratio is
+    * computed in fixed evaluation order from exactly-representable counts
+    * and rounded 6dp, so any engine replays the values. */
+  def pmiBigrams(
+      docs: DataFrame,
+      minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val toks = docs.select(tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w")).groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks
+      .where(size(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(
+          element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val totals = uni.agg(sum("c").cast("double").as("nu"))
+      .crossJoin(bi.agg(sum("c_ab").cast("double").as("nb")))
+    bi.where(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("w").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("a"), col("b"), col("c_ab"),
+        round(
+          log(
+            (col("c_ab").cast("double") * col("nu") * col("nu")) /
+              (col("nb") * col("c_a") * col("c_b"))),
+          6).as("pmi"))
+  }
+
   /** Per-document top-k keyword extraction by smoothed TF-IDF
     * (tf × (ln((N+1)/(df+1)) + 1), sklearn's smooth-idf). Deterministic:
     * scores are rounded BEFORE ranking and ties break on the term, so the

@@ -1392,6 +1392,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("pmiBigrams: hand-computed PMI, minCount screen, single-token docs carry no pairs") {
+    import graft.operators.TextOps
+    // bigrams: doc1 (a,b) (b,a) (a,b); doc2 (a,b) (b,c); doc3 none
+    val d = docs((1, "a b a b"), (2, "a b c"), (3, "solo"))
+    val out = TextOps.pmiBigrams(d, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // counts: c(a,b)=3; unigrams a=3 b=3 c=1 solo=1 -> nu=8; nb=5
+    val expected = BigDecimal(math.log((3.0 * 8.0 * 8.0) / (5.0 * 3.0 * 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(("a", "b", 3L, expected)))
+    // below the screen nothing survives
+    assert(TextOps.pmiBigrams(d, minCount = 4).count() == 0)
+  }
+
   test("sketchOverlap: exact set algebra when sketches are exhaustive, sane estimates when not") {
     import graft.operators.Profile
     // A = 1..100, B = 51..150: |A|=|B|=100, |A∪B|=150, |A∩B|=50, J=1/3
