@@ -76,6 +76,11 @@ object GraftExtensions {
           "kmv_distinct(value, k) - KMV distinct-count estimate over the 60-bit md5 domain"),
         (args: Seq[Expression]) =>
           KmvSketch(e(Funcs.md5Hash60(c(args(0)))), litInt(args(1), "k"))),
+      (FunctionIdentifier("kmv_hashes"),
+        info("kmv_hashes",
+          "kmv_hashes(value, k) - the KMV sketch itself: ascending array of the k smallest distinct 60-bit md5 hashes"),
+        (args: Seq[Expression]) =>
+          KmvHashes(e(Funcs.md5Hash60(c(args(0)))), litInt(args(1), "k"))),
       (FunctionIdentifier("cms_sketch"),
         info("cms_sketch",
           "cms_sketch(value, depth, width) - Count-Min counter matrix (row-major array<bigint>)"),

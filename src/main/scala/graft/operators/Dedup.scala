@@ -131,6 +131,46 @@ object Dedup {
     spread(docs).select(col("doc_id"), explode(kernel(col(textCol))).as("fingerprint"))
   }
 
+  /** ASYMMETRIC near-containment pairs: (container, contained) where the
+    * contained doc's winnow fingerprints are mostly a subset of the
+    * container's — |fp(A) ∩ fp(B)| / |fp(B)| >= `tau`. Jaccard-style
+    * near-dup ([[minhashPairs]]) is symmetric and misses the
+    * quote/mirror/wrapper case: a page that EMBEDS another document
+    * (plus its own chrome) has low Jaccard to it but high containment —
+    * the signal that decides which of the two to keep.
+    *
+    * Scale shape: the same equi-join-on-fingerprint economics as the LSH
+    * band join — docs only meet where they share a fingerprint, never
+    * all-pairs. `maxDf` drops fingerprints shared by more than that many
+    * docs (corpus boilerplate — standard winnowing practice): it bounds
+    * any single join key's fanout to maxDf², keeps the pair frame
+    * candidate-sized, and removes exactly the fingerprints that carry no
+    * containment evidence. Denominators count the SURVIVING fingerprints
+    * (both engines agree on the filtered universe —
+    * q_dedup_containment). */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      w: Int = 4,
+      tau: Double = 0.7,
+      maxDf: Int = 1000): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    val fps = winnowFingerprints(docs, textCol, w)
+    val rare = fps.groupBy("fingerprint").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fingerprint")
+    val kept = fps.join(rare, "fingerprint")
+    val sizes = kept.groupBy(col("doc_id").as("contained")).agg(count(lit(1)).as("n_contained"))
+    val shared = kept.as("x")
+      .join(kept.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("container"), col("y.doc_id").as("contained"))
+      .agg(count(lit(1)).as("shared"))
+    shared.join(sizes, "contained")
+      .withColumn("containment", round(col("shared").cast("double") / col("n_contained"), 6))
+      .where(col("containment") >= tau)
+      .select("container", "contained", "shared", "n_contained", "containment")
+  }
+
   /** Exact duplicate groups by content fingerprint. Returns one row per
     * fingerprint with the representative (min doc_id) and group size.
     * Single hash-aggregation shuffle on the fingerprint — optimal. */

@@ -63,7 +63,7 @@ class FuncsSpec extends SparkSpec {
     // the extension class is the same registration table install() uses
     assert(graft.functions.GraftExtensions.registrations.map(_._1.funcName).sorted ==
       Seq("cms_estimate", "cms_sketch", "dot_f", "in_subnet", "kmv_distinct",
-        "like_bin", "match_bin", "norm_f", "rfc3339", "simhash64"))
+        "kmv_hashes", "like_bin", "match_bin", "norm_f", "rfc3339", "simhash64"))
   }
 
   test("GraftExtensions: sketch aggregates are SQL-callable and match the Column API") {
@@ -74,6 +74,10 @@ class FuncsSpec extends SparkSpec {
     val sqlKmv = spark.sql("SELECT kmv_distinct(x, 32) FROM sk_vals").head().getDouble(0)
     val colKmv = df.agg(graft.functions.KmvSketch.kmvDistinct(col("x"), 32)).head().getDouble(0)
     assert(sqlKmv == colKmv)
+    // KMV hashes: SQL array == Column API array, ascending, k-bounded
+    val sqlH = spark.sql("SELECT kmv_hashes(x, 16) FROM sk_vals").head().getSeq[Long](0)
+    val colH = df.agg(graft.functions.KmvSketch.kmvHashes(col("x"), 16)).head().getSeq[Long](0)
+    assert(sqlH == colH && sqlH.length == 16 && sqlH == sqlH.sorted)
     // CMS: sketch + estimate round-trip in pure SQL == Column API
     val sqlEst = spark.sql(
       """SELECT v, cms_estimate(sk, v, 4, 64) AS est FROM

@@ -1392,6 +1392,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("containmentPairs: wrapper contains the embedded doc, not vice versa; exact dups both ways") {
+    val short = (1 to 30).map(i => s"core$i").mkString(" ")
+    val long = (1 to 15).map(i => s"pre$i").mkString(" ") + " " + short + " " +
+      (1 to 15).map(i => s"post$i").mkString(" ")
+    val d = docs(
+      (1, short), (2, long), (4, short),
+      (3, "completely different text about unrelated topics entirely elsewhere"))
+    val pairs = Dedup.containmentPairs(d, tau = 0.7, maxDf = 100)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    // the long doc contains the short one; the short doc does NOT contain
+    // the long one (asymmetry is the point)
+    assert(pairs.contains((2, 1)) && pairs((2, 1)) >= 0.7)
+    assert(!pairs.contains((1, 2)))
+    // exact duplicates contain each other fully
+    assert(pairs((1, 4)) == 1.0 && pairs((4, 1)) == 1.0)
+    // doc 3 shares nothing
+    assert(!pairs.keys.exists { case (a, b) => a == 3 || b == 3 })
+    // stop-fingerprint bound: maxDf below any sharing level kills all pairs
+    assert(Dedup.containmentPairs(d, tau = 0.1, maxDf = 1).count() == 0)
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount screen, single-token docs carry no pairs") {
     import graft.operators.TextOps
     // bigrams: doc1 (a,b) (b,a) (a,b); doc2 (a,b) (b,c); doc3 none
