@@ -2843,6 +2843,53 @@ object PipelineQueries {
         .orderBy("window_start", "bin")
     },
 
+    // per-window Count-Min sketches IN STREAMING STATE: each hour's state
+    // is the fixed 4x256 counter matrix however many distinct users the
+    // hour sees (a groupBy(window, key) count grows state with the key
+    // domain; the sketch never does); estimates for probe users are read
+    // from the drained sketches map-side. The oracle rebuilds every
+    // probed cell per hour and takes the same min-over-depth
+    q("q_stream_cms",
+      """WITH seeds AS (SELECT unnest(range(0, 4)) AS i),
+        |cells AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS wt, s.i AS i,
+        |    ('0x' || substring(md5(CAST(s.i AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS b,
+        |    count(*) AS c
+        |  FROM events e CROSS JOIN seeds s GROUP BY 1, 2, 3),
+        |items AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS wt, user_id,
+        |    count(*) AS n_true FROM events WHERE user_id <= 5 GROUP BY 1, 2)
+        |SELECT strftime(it.wt, '%Y-%m-%d %H:%M:%S') AS window_start, it.user_id,
+        |  CAST(it.n_true AS BIGINT) AS n_true, CAST(min(c.c) AS BIGINT) AS est_cms
+        |FROM items it JOIN cells c ON c.wt = it.wt
+        |  AND c.b = ('0x' || substring(md5(CAST(c.i AS VARCHAR) || ':' || CAST(it.user_id AS VARCHAR)), 1, 15))::BIGINT % 256
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { c =>
+      import graft.functions.CmsSketch
+      val spark = c.spark
+      val path = s"${c.dataDir}/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val src = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
+      val sinkName = s"q_stream_cms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.windowedSketch(src, "user_id", 4, 256, "1 hour", "2 hours")
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val probes = StreamOps.eventTime(c.resolve("events"))
+        .where(col("user_id") <= 5)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_true"))
+        .select(col("w.start").as("window_start"), col("user_id"), col("n_true"))
+      probes.join(spark.table(sinkName), "window_start")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("user_id"), col("n_true"),
+          CmsSketch.estimate(col("sk"), col("user_id"), 4, 256).as("est_cms"))
+        .orderBy("window_start", "user_id")
+    },
+
     // ordered conversion funnel with a 6-hour conversion window: users
     // reaching each step within the window after their earliest completion
     // of the previous one — the oracle chains the same min-after-frontier

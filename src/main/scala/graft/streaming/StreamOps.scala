@@ -108,6 +108,30 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("bin"), col("n"))
   }
 
+  /** Per-window Count-Min sketch of `valueCol` — the native sketch
+    * aggregate ([[graft.functions.CmsSketch]]) composing with Structured
+    * Streaming state: each window's state is the FIXED d×w counter matrix
+    * (8 KB at 4×256) regardless of how many distinct values the window
+    * sees, and micro-batches fold in via the aggregate's merge through
+    * the state store. The streaming answer to "track per-window key
+    * frequencies" when the key domain is unbounded — a groupBy(window,
+    * key) count grows state with distinct keys; this never does.
+    * Downstream, point frequencies come from [[graft.functions.CmsSketch
+    * .estimate]] against the emitted sketches (overcount-only, engine-
+    * replayable cell arithmetic). */
+  def windowedSketch(
+      events: DataFrame,
+      valueCol: String,
+      depth: Int = 4,
+      sketchWidth: Int = 256,
+      width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(graft.functions.CmsSketch.cms(col(valueCol), depth, sketchWidth).as("sk"))
+      .select(col("w.start").as("window_start"), col("sk"))
+
   /** Exact streaming deduplication by key columns within the watermark
     * horizon (the streaming face of Dedup.exact). */
   def dedupStream(

@@ -35,6 +35,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedSketch merges CMS state across micro-batches, equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.CmsSketch
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps
+      .windowedSketch(events, "user_id", 4, 64, "1 hour", "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("win_sketch")
+      .outputMode("complete")
+      .start()
+    try {
+      // same window fed over TWO micro-batches: the sketch state must merge
+      input.addData((ts("2024-01-01 00:10:00"), 7L), (ts("2024-01-01 00:20:00"), 7L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:30:00"), 7L), (ts("2024-01-01 00:40:00"), 9L))
+      q.processAllAvailable()
+      val streamed = spark.table("win_sketch")
+        .where(col("window_start") === ts("2024-01-01 00:00:00"))
+        .head().getSeq[Long](1)
+      val batch = Seq(7L, 7L, 7L, 9L).toDF("user_id")
+        .agg(CmsSketch.cms(col("user_id"), 4, 64)).head().getSeq[Long](0)
+      assert(streamed == batch)
+      // and the estimate over the streamed sketch reads the true counts
+      val est = spark.table("win_sketch")
+        .where(col("window_start") === ts("2024-01-01 00:00:00"))
+        .select(
+          CmsSketch.estimate(col("sk"), lit(7L), 4, 64),
+          CmsSketch.estimate(col("sk"), lit(9L), 4, 64))
+        .head()
+      assert(est.getLong(0) == 3L && est.getLong(1) == 1L)
+    } finally q.stop()
+  }
+
   test("sessionCounts merges gap-close events into one session window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
