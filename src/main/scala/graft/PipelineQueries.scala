@@ -334,6 +334,51 @@ object PipelineQueries {
       Dedup.winnowFingerprints(c.resolve("documents")).orderBy("doc_id", "fingerprint")
     },
 
+    // classifier-based filtering in closed form: multinomial Naive Bayes
+    // with Laplace smoothing, trained on even doc_ids (label = lang),
+    // swept over odd doc_ids — the fastText-filter shape whose "training"
+    // is one counting job and whose model is a vocabulary-sized broadcast.
+    // Log-probs are QUANTIZED to integer micro-nats at model build, so
+    // scores are exact BIGINTs and the argmax needs no float epsilon; the
+    // oracle replays counts, quantization, integer sums, and the
+    // score-desc/label-desc tie order
+    q("q_text_nb_lang",
+      s"""WITH tr AS (SELECT lang, $duckToks AS toks FROM documents WHERE doc_id % 2 = 0),
+         |te AS (SELECT doc_id, lang, $duckToks AS toks FROM documents WHERE doc_id % 2 = 1),
+         |tok AS (SELECT lang AS label, unnest(toks) AS token FROM tr),
+         |cnt AS (SELECT label, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT label, sum(c) AS tot FROM cnt GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
+         |pri AS (SELECT lang AS label, count(*) AS nd FROM tr GROUP BY 1),
+         |nn AS (SELECT CAST(sum(nd) AS DOUBLE) AS n FROM pri),
+         |lm AS (SELECT p.label,
+         |        CAST(round(ln(CAST(p.nd AS DOUBLE) / n) * 1000000.0) AS BIGINT) AS qprior,
+         |        CAST(round(ln(1.0 / (CAST(t.tot AS DOUBLE) + v)) * 1000000.0) AS BIGINT) AS qdefault
+         |      FROM pri p CROSS JOIN nn CROSS JOIN voc JOIN tot t USING (label)),
+         |tm AS (SELECT c.label, c.token,
+         |        CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / (CAST(t.tot AS DOUBLE) + v)) * 1000000.0) AS BIGINT) AS qlog
+         |      FROM cnt c JOIN tot t USING (label) CROSS JOIN voc),
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM te),
+         |nt AS (SELECT doc_id, lang, length(toks) AS n_tok FROM te),
+         |part AS (SELECT e.doc_id, m.label, sum(m.qlog - l.qdefault) AS part
+         |         FROM ex e JOIN tm m USING (token) JOIN lm l ON l.label = m.label
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT n.doc_id, n.lang, l.label,
+         |        l.qprior + n.n_tok * l.qdefault + coalesce(p.part, 0) AS score
+         |       FROM nt n CROSS JOIN lm l
+         |       LEFT JOIN part p ON p.doc_id = n.doc_id AND p.label = l.label),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score DESC, label DESC) AS r FROM sc)
+         |SELECT doc_id, lang AS actual, label AS predicted, CAST(score AS BIGINT) AS score
+         |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val (tm, lm) = TextOps.nbTrain(docs.where(col("doc_id") % 2 === 0), "lang")
+      TextOps.nbClassify(docs.where(col("doc_id") % 2 === 1), tm, lm)
+        .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+        .select(col("doc_id"), col("actual"), col("predicted"), col("score"))
+        .orderBy("doc_id")
+    },
+
     // ASYMMETRIC near-containment: doc B mostly embedded in doc A
     // (|fp(A)∩fp(B)|/|fp(B)| >= 0.7 over winnow fingerprints) — the
     // quote/mirror/wrapper case symmetric Jaccard near-dup misses. Both

@@ -772,6 +772,83 @@ object TextOps {
       .where(col("n") >= minCount)
   }
 
+  // ===== Naive Bayes classifier filtering =================================
+  //
+  // The classifier-based quality/language filter of the standard pipeline
+  // (a fastText-style linear classifier trained on labeled reference text,
+  // then swept over the crawl) in its closed-form member: multinomial
+  // Naive Bayes with Laplace smoothing. Training is pure counting — one
+  // (label, token) aggregation — so the "training run" is a Spark job, not
+  // an optimizer loop, and the model is a vocabulary-sized broadcast.
+  //
+  // Determinism contract: log-probabilities are QUANTIZED to integers
+  // (round(ln(p)·1e6)) at model build; scoring sums integers, so scores
+  // are exact BIGINTs any engine reproduces regardless of float summation
+  // order — the argmax needs no epsilon. Ties break to the
+  // lexicographically largest label (struct-max semantics, mirrored in the
+  // oracle's ORDER BY score DESC, label DESC).
+
+  /** Train: (tokenModel(label, token, qlog), labelModel(label, qprior,
+    * qdefault)). qlog = quantized ln((c+1)/(tot_label+V)); qdefault is the
+    * unseen-token likelihood of each label; V is the training vocabulary
+    * size (one bounded driver scalar, like distributionDrift's cuts). */
+  def nbTrain(
+      docs: DataFrame,
+      labelCol: String,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val toks = docs.select(col(labelCol).as("label"), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("label", "token").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("label").agg(sum("c").as("tot"))
+    val vocabV = counts.select("token").distinct().count().toDouble
+    def quant(x: Column): Column = round(log(x) * 1e6).cast("long")
+    val tokenModel = counts.join(totals, "label")
+      .select(
+        col("label"), col("token"),
+        quant((col("c") + 1).cast("double") / (col("tot").cast("double") + lit(vocabV)))
+          .as("qlog"))
+    val priors = docs.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
+    val nDocs = priors.agg(sum("nd").cast("double").as("n"))
+    val labelModel = priors.crossJoin(nDocs).join(totals, "label")
+      .select(
+        col("label"),
+        quant(col("nd").cast("double") / col("n")).as("qprior"),
+        quant(lit(1.0) / (col("tot").cast("double") + lit(vocabV))).as("qdefault"))
+    (tokenModel, labelModel)
+  }
+
+  /** Score + argmax: per doc, score(label) = qprior + n_tok·qdefault +
+    * Σ_{joined tokens} (qlog − qdefault) — the unseen-token default is
+    * factored out so only MODEL HITS join (the exploded corpus inner-joins
+    * the broadcast model; absent (token, label) cells cost nothing).
+    * Returns (id, predicted, score).
+    *
+    * Scale shape: one corpus explode + broadcast join + (doc, label)
+    * partial sum; the scaffold cross-join is |labels| rows per doc,
+    * broadcast side. Nothing shuffles but the per-doc aggregation. */
+  def nbClassify(
+      docs: DataFrame,
+      tokenModel: DataFrame,
+      labelModel: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n_tok", size(col("__t")))
+    val part = base.select(col(idCol), explode(col("__t")).as("token"))
+      .join(broadcast(tokenModel), "token")
+      .join(broadcast(labelModel.select(col("label"), col("qdefault"))), "label")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("qlog") - col("qdefault")).as("__part"))
+    base.select(col(idCol), col("__n_tok"))
+      .crossJoin(broadcast(labelModel))
+      .join(part, Seq(idCol, "label"), "left")
+      .withColumn(
+        "__score",
+        col("qprior") + col("__n_tok") * col("qdefault") + coalesce(col("__part"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score"), col("label"))).as("m"))
+      .select(col(idCol), col("m.label").as("predicted"), col("m.__score").as("score"))
+  }
+
   /** Collocation mining by pointwise mutual information: for every adjacent
     * word pair seen >= `minCount` times,
     *   PMI = ln( P(ab) / (P(a)·P(b)) )

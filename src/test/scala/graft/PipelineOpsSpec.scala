@@ -1392,6 +1392,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("nbTrain/nbClassify: learns separable classes, integer scores, documented tie-break") {
+    import graft.operators.TextOps
+    val train = Seq(
+      ("sports", "goal match striker penalty referee goal team"),
+      ("sports", "match team goal keeper defender striker"),
+      ("finance", "market stock bond yield dividend market"),
+      ("finance", "stock yield market earnings dividend bond"))
+      .toDF("cls", "text")
+    val (tm, lm) = TextOps.nbTrain(train, "cls")
+    val test = Seq(
+      (1, "the striker scored a goal for the team"),
+      (2, "bond yield and dividend in the stock market"))
+      .toDF("doc_id", "text")
+    val out = TextOps.nbClassify(test, tm, lm)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1)._1 == "sports" && out(2)._1 == "finance")
+    // scores are exact integers: replay doc 2's finance score by hand
+    val V = 14.0 // distinct training tokens (8 sports + 6 finance)
+    def q(x: Double) = math.round(math.log(x) * 1e6)
+    val finTot = 12.0
+    val qdef = q(1.0 / (finTot + V))
+    val counts = Map("market" -> 3, "stock" -> 2, "bond" -> 2, "yield" -> 2, "dividend" -> 2, "earnings" -> 1)
+    val toks = Seq("bond", "yield", "and", "dividend", "in", "the", "stock", "market")
+    val expected = q(2.0 / 4.0) + toks.map(t =>
+      counts.get(t).map(c => q((c + 1).toDouble / (finTot + V))).getOrElse(qdef)).sum
+    assert(out(2)._2 == expected)
+    // tie-break: empty text scores qprior only (equal priors) -> largest label wins
+    val tie = TextOps.nbClassify(Seq((9, "")).toDF("doc_id", "text"), tm, lm)
+      .head()
+    assert(tie.getString(1) == "sports")
+  }
+
   test("containmentPairs: wrapper contains the embedded doc, not vice versa; exact dups both ways") {
     val short = (1 to 30).map(i => s"core$i").mkString(" ")
     val long = (1 to 15).map(i => s"pre$i").mkString(" ") + " " + short + " " +
