@@ -2935,6 +2935,23 @@ object PipelineQueries {
         .orderBy("window_start", "user_id")
     },
 
+    // OLAP rollup in one pass: (type, day) detail + per-type subtotals +
+    // grand total via grouping sets, every level partial-aggregated
+    // map-side; gid (the grouping bitmask) distinguishes rolled-up levels
+    // from NULL data values. The oracle runs the same ROLLUP
+    q("q_events_rollup",
+      """SELECT event_type, strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+        |  GROUPING(event_type, strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d')) AS gid,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP(event_type, strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d'))
+        |ORDER BY gid, event_type, day""".stripMargin) { c =>
+      Events.rollupDaily(c.resolve("events"))
+        .select(col("event_type"), col("day"), col("gid").cast("long").as("gid"),
+          col("n"), col("sum_value"))
+        .orderBy("gid", "event_type", "day")
+    },
+
     // ordered conversion funnel with a 6-hour conversion window: users
     // reaching each step within the window after their earliest completion
     // of the previous one — the oracle chains the same min-after-frontier

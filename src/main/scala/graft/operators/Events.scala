@@ -74,6 +74,31 @@ object Events {
   }
 
   /** JSON property extraction at query time (get_json_object — codegen'd). */
+  /** OLAP rollup: (event_type, day) detail, per-type subtotals, and the
+    * grand total from ONE aggregation pass — Catalyst expands the rollup
+    * to grouping sets and every level partial-aggregates map-side, so the
+    * pre-aggregated report cube that would otherwise be three scans is one
+    * shuffle whose input is already collapsed per partition. `gid` is the
+    * grouping bitmask (0 = detail, 1 = day rolled up, 3 = grand total) —
+    * it distinguishes a NULL data value from a rolled-up level, which no
+    * column-NULL inspection can. Sum is rounded 2dp inside the query (the
+    * q_agg float-sum discipline). */
+  def rollupDaily(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame =
+    events
+      .select(
+        col(typeCol).as("event_type"),
+        date_format(col(tsCol), "yyyy-MM-dd").as("day"),
+        col(valueCol).as("v"))
+      .rollup(col("event_type"), col("day"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("v")), 2).as("sum_value"))
+
   def jsonPropStats(events: DataFrame): DataFrame =
     events
       .select(

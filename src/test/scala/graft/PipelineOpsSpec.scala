@@ -1392,6 +1392,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("rollupDaily: levels are consistent and gid separates rolled-up from NULL data") {
+    import graft.operators.Events
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), "click", 1.0),
+      (ts("2024-01-01 11:00:00"), "click", 2.0),
+      (ts("2024-01-02 10:00:00"), "click", 4.0),
+      (ts("2024-01-01 10:00:00"), "view", 8.0),
+      (ts("2024-01-01 12:00:00"), null, 16.0)) // NULL data value, not a subtotal
+      .toDF("ts", "event_type", "value")
+    val out = Events.rollupDaily(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Long]("gid"), r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+    // detail rows carry gid 0 — including the NULL-typed data row
+    assert(out.filter(_._3 == 0L).toSet == Set(
+      ("click", "2024-01-01", 0L, 2L, 3.0), ("click", "2024-01-02", 0L, 1L, 4.0),
+      ("view", "2024-01-01", 0L, 1L, 8.0), (null, "2024-01-01", 0L, 1L, 16.0)))
+    // per-type subtotal (gid 1) sums that type's days; NULL type keeps its own
+    assert(out.filter(_._3 == 1L).toSet == Set(
+      ("click", null, 1L, 3L, 7.0), ("view", null, 1L, 1L, 8.0),
+      (null, null, 1L, 1L, 16.0)))
+    // grand total (gid 3) covers everything
+    assert(out.filter(_._3 == 3L).toSeq == Seq((null, null, 3L, 5L, 31.0)))
+  }
+
   test("nbTrain/nbClassify: learns separable classes, integer scores, documented tie-break") {
     import graft.operators.TextOps
     val train = Seq(
