@@ -2070,6 +2070,22 @@ object PipelineQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // zone-map data skipping over the z-ordered layout: a range read that
+    // opens ONLY files whose per-file [min, max] overlaps the predicate —
+    // the metadata-pruned scan a clustered layout exists to enable. The
+    // oracle is the FULL glob with the same predicate: pruning must not
+    // change the answer (LayoutSpec pins that it actually prunes)
+    q("q_layout_zonemap",
+      s"""SELECT id, a, b
+         |FROM read_parquet('${ZoneCorpus.dir}/*.parquet')
+         |WHERE a >= 1000 AND a <= 3000 ORDER BY id""".stripMargin) { c =>
+      import graft.operators.Layout
+      ZoneCorpus.ensure(c.spark)
+      val zmap = Layout.zoneMap(c.spark, ZoneCorpus.dir, Seq("a"))
+      Layout.readPruned(c.spark, ZoneCorpus.dir, zmap, "a", 1000L, 3000L)
+        .select("id", "a", "b").orderBy("id")
+    },
+
     // join/agg-key skew diagnosis: heaviest keys, their share, skew factor
     // vs the mean key, and the salt-bucket count saltedJoin would need —
     // the measurement that decides between plain shuffle / AQE / salting

@@ -120,6 +120,49 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
 
+  /** Per-FILE zone map: min/max of `cols` for every parquet file under
+    * `dir` — the data-skipping index that makes a clustered layout
+    * ([[zOrderRepartition]], range partitioning) queryable without
+    * scanning: a predicate on any mapped column prunes to the files whose
+    * [min, max] intervals overlap it. One scan builds the map (a
+    * FILES-sized frame — store it next to the table and maintain it
+    * incrementally on append, like [[manifest]]); at read time pruning is
+    * pure metadata. Hash-bucketed stores gain nothing (hashing spreads
+    * every value range across all buckets) — zone maps pay exactly where
+    * the layout CLUSTERS the column, which is the point of running the
+    * clustering pass. */
+  def zoneMap(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Range read through a zone map: open ONLY the files whose
+    * [min_`colName`, max_`colName`] overlaps [lo, hi], then apply the
+    * exact predicate (zone overlap is necessary, not sufficient). The file
+    * list is map-sized driver metadata — the same economics as any
+    * manifest-driven scan planner. Result EQUALS the full read with the
+    * same predicate (law-tested); only the I/O shrinks. */
+  def readPruned(
+      spark: SparkSession,
+      dir: String,
+      zmap: DataFrame,
+      colName: String,
+      lo: Long,
+      hi: Long): DataFrame = {
+    require(lo <= hi, "empty range")
+    val files = zmap
+      .where(col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    val pruned =
+      if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    pruned.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+
   /** Key-skew diagnosis for a join/aggregation key: the `topN` heaviest
     * keys with their row counts, share of the table, skew factor (count ÷
     * mean count over all keys) and a suggested salt-bucket count

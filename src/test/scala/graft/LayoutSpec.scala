@@ -100,6 +100,32 @@ class LayoutSpec extends SparkSpec {
     assert(zy < sy / 2, s"z-order must beat single-dim on the other dim: $zy vs $sy")
   }
 
+  test("zoneMap + readPruned: equals the full filtered read and opens fewer files") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-zone").toString
+    val rows = spark.range(20000).select(
+      col("id"),
+      ((col("id") * 2654435761L) % 10007L).as("a"),
+      ((col("id") * 7919L) % 9973L).as("b"))
+    Layout.zOrderRepartition(rows, "a", "b", numFiles = 16, bits = 14)
+      .write.mode("overwrite").parquet(dir)
+    val zmap = Layout.zoneMap(spark, dir, Seq("a", "b"))
+    val nFiles = zmap.count()
+    assert(nFiles == 16)
+    // equality law: pruned read == full read with the same predicate
+    val pruned = Layout.readPruned(spark, dir, zmap, "a", 100L, 800L)
+    val full = spark.read.parquet(dir).where(col("a") >= 100L && col("a") <= 800L)
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      full.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // and it actually PRUNES: the clustered layout confines a 7% range
+    // of `a` to a strict subset of files
+    assert(pruned.inputFiles.length < nFiles,
+      s"expected pruning, opened ${pruned.inputFiles.length}/$nFiles files")
+    // empty range prunes everything and returns no rows
+    val none = Layout.readPruned(spark, dir, zmap, "a", 20000L, 30000L)
+    assert(none.count() == 0)
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("id", "av")
