@@ -26,7 +26,8 @@ object Bench {
       StixCorpus.ensure(spark); TranslateCorpus.ensure(spark)
       WoodCorpus.ensure(spark); MediaCorpus.ensure(spark)
       AudioCorpus.ensure(spark); VideoCorpus.ensure(spark)
-      DeltaCorpus.ensure(spark)
+      DeltaCorpus.ensure(spark); UnicodeCorpus.ensure(spark)
+      ZoneCorpus.ensure(spark)
     } catch { case _: Throwable => () }
     // min of `reps` INTERLEAVED repetitions per query. Interleaved, not
     // consecutive: with back-to-back reps of one query, a sustained

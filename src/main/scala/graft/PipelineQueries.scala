@@ -2123,6 +2123,31 @@ object PipelineQueries {
         .orderBy("src")
     },
 
+    // delta-store compaction report: per bucket, base/delta file and row
+    // counts plus the due-for-compaction flag (the write path's own
+    // threshold predicate) — the maintenance-scheduling frame that prices
+    // read-side glob fan-out against a bucket rewrite. The oracle derives
+    // the same frame from the raw glob's filenames
+    q("q_layout_compaction",
+      s"""SELECT CAST(regexp_extract(filename, '__bucket=(\\d+)', 1) AS BIGINT) AS bucket,
+         |  count(DISTINCT CASE WHEN filename NOT LIKE '%/delta-%' THEN filename END) AS n_base_files,
+         |  count(DISTINCT CASE WHEN filename LIKE '%/delta-%' THEN filename END) AS n_delta_files,
+         |  CAST(sum(CASE WHEN filename NOT LIKE '%/delta-%' THEN 1 ELSE 0 END) AS BIGINT) AS base_rows,
+         |  CAST(sum(CASE WHEN filename LIKE '%/delta-%' THEN 1 ELSE 0 END) AS BIGINT) AS delta_rows,
+         |  count(DISTINCT CASE WHEN filename LIKE '%/delta-%' THEN filename END)
+         |    > ${graft.ingest.UpsertWriter.DeltaFilesMax} AS needs_compaction
+         |FROM read_parquet('${DeltaCorpus.dir}/${DeltaCorpus.table}.parquet/**/*.parquet',
+         |                  hive_partitioning=0, filename=1)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { c =>
+      import graft.operators.Layout
+      DeltaCorpus.ensure(c.spark)
+      Layout.compactionReport(c.spark, DeltaCorpus.dir, DeltaCorpus.table)
+        .select(col("bucket").cast("long").as("bucket"), col("n_base_files"),
+          col("n_delta_files"), col("base_rows"), col("delta_rows"),
+          col("needs_compaction"))
+        .orderBy("bucket")
+    },
+
     // equi-depth quantile binning: the cut points are ONE percentile agg
     // (6dp-rounded, same quantile_cont interpolation both engines), the
     // label a broadcast CASE chain — distributed ntile without the single
@@ -2966,6 +2991,42 @@ object PipelineQueries {
         .select(col("event_type"), col("day"), col("gid").cast("long").as("gid"),
           col("n"), col("sum_value"))
         .orderBy("gid", "event_type", "day")
+    },
+
+    // per-window KMV distinct estimate in streaming state — the
+    // cardinality sibling of q_stream_cms: k-bounded state per window
+    // however many distinct users arrive, estimator replayed per hour by
+    // the oracle from the k smallest distinct 60-bit hashes
+    q("q_stream_kmv",
+      """WITH h AS (SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS wt,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM events),
+        |r AS (SELECT wt, hv, row_number() OVER (PARTITION BY wt ORDER BY hv) AS rn,
+        |             count(*) OVER (PARTITION BY wt) AS nd FROM h)
+        |SELECT strftime(wt, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |        ELSE 63.0 * 1152921504606846976
+        |             / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END, 6) AS est_distinct
+        |FROM r GROUP BY wt ORDER BY 1""".stripMargin) { c =>
+      val spark = c.spark
+      val path = s"${c.dataDir}/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val src = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
+      val sinkName = s"q_stream_kmv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.windowedDistinct(src, "user_id", 64, "1 hour", "2 hours")
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(sinkName)
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("est_distinct"))
+        .orderBy("window_start")
     },
 
     // ordered conversion funnel with a 6-hour conversion window: users

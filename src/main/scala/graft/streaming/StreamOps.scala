@@ -132,6 +132,24 @@ object StreamOps {
       .agg(graft.functions.CmsSketch.cms(col(valueCol), depth, sketchWidth).as("sk"))
       .select(col("w.start").as("window_start"), col("sk"))
 
+  /** Per-window DISTINCT-count estimate via the KMV sketch — the
+    * cardinality sibling of [[windowedSketch]]: state per window is the
+    * k-bounded hash set however many distinct values arrive (streaming
+    * `approx_count_distinct` with an ENGINE-REPLAYABLE estimator — the
+    * oracle recomputes it from the k smallest distinct hashes per
+    * window). */
+  def windowedDistinct(
+      events: DataFrame,
+      valueCol: String,
+      k: Int = 64,
+      width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(round(graft.functions.KmvSketch.kmvDistinct(col(valueCol), k), 6).as("est_distinct"))
+      .select(col("w.start").as("window_start"), col("est_distinct"))
+
   /** Exact streaming deduplication by key columns within the watermark
     * horizon (the streaming face of Dedup.exact). */
   def dedupStream(

@@ -100,6 +100,32 @@ class LayoutSpec extends SparkSpec {
     assert(zy < sy / 2, s"z-order must beat single-dim on the other dim: $zy vs $sy")
   }
 
+  test("compactionReport: counts base/delta files and rows, flags past-threshold buckets") {
+    import graft.ingest.UpsertWriter
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    def batch(tag: String, n: Int) = {
+      import spark.implicits._
+      (0 until n).map(i => (s"$tag-$i", i.toLong)).toDF("id", "v")
+    }
+    UpsertWriter.insertIgnore(spark, dir, "t", batch("base", 320))
+    (0 until 3).foreach(b => UpsertWriter.insertIgnore(spark, dir, "t", batch(s"d$b", 64)))
+    val rep = Layout.compactionReport(spark, dir, "t").collect()
+    assert(rep.nonEmpty)
+    // totals reconcile with the table
+    val total = UpsertWriter.readTable(spark, dir, "t").count()
+    assert(rep.map(r => r.getAs[Long]("base_rows") + r.getAs[Long]("delta_rows")).sum == total)
+    // three pure-insert batches -> up to 3 delta files per bucket, below
+    // the default threshold: nothing flagged
+    assert(rep.forall(!_.getAs[Boolean]("needs_compaction")))
+    assert(rep.exists(_.getAs[Long]("n_delta_files") > 0))
+    // a tighter threshold flags exactly the buckets past it
+    val tight = Layout.compactionReport(spark, dir, "t", deltaFilesMax = 1).collect()
+    tight.foreach(r =>
+      assert(r.getAs[Boolean]("needs_compaction") == (r.getAs[Long]("n_delta_files") > 1)))
+    assert(tight.exists(_.getAs[Boolean]("needs_compaction")))
+  }
+
   test("zoneMap + readPruned: equals the full filtered read and opens fewer files") {
     import graft.operators.Layout
     val dir = java.nio.file.Files.createTempDirectory("graft-zone").toString

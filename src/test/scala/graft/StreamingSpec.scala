@@ -70,6 +70,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinct merges KMV state across micro-batches, equals the batch estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.KmvSketch
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps
+      .windowedDistinct(events, "user_id", 16, "1 hour", "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("win_kmv")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData((ts("2024-01-01 00:10:00"), 1L), (ts("2024-01-01 00:20:00"), 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:30:00"), 2L), (ts("2024-01-01 00:40:00"), 3L))
+      q.processAllAvailable()
+      val streamed = spark.table("win_kmv")
+        .where(col("window_start") === ts("2024-01-01 00:00:00"))
+        .head().getDouble(1)
+      val batch = Seq(1L, 2L, 2L, 3L).toDF("user_id")
+        .agg(round(KmvSketch.kmvDistinct(col("user_id"), 16), 6)).head().getDouble(0)
+      assert(streamed == batch && streamed == 3.0) // k > distinct -> exact
+    } finally q.stop()
+  }
+
   test("sessionCounts merges gap-close events into one session window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
