@@ -2148,6 +2148,25 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // bucket-pruned POINT LOOKUP on the delta store: probe ids open ONLY
+    // the bucket dirs they hash to (1/N of the table per probe bucket at
+    // scale) with the exact predicate pushed into those scans; a probe for
+    // an absent id reads its bucket and returns nothing. Oracle = the full
+    // glob with the same IN filter — pruning must not change the answer
+    q("q_layout_point_lookup",
+      s"""SELECT id, CAST(v AS BIGINT) AS v
+         |FROM read_parquet('${DeltaCorpus.dir}/${DeltaCorpus.table}.parquet/**/*.parquet',
+         |                  hive_partitioning=0)
+         |WHERE id IN ('base-0', 'base-17', 'base-39999', 'delta3-500', 'absent-id')
+         |ORDER BY id""".stripMargin) { c =>
+      DeltaCorpus.ensure(c.spark)
+      graft.ingest.UpsertWriter.readForKeys(
+        c.spark, DeltaCorpus.dir, DeltaCorpus.table, "id",
+        Seq("base-0", "base-17", "base-39999", "delta3-500", "absent-id"))
+        .select(col("id"), col("v"))
+        .orderBy("id")
+    },
+
     // equi-depth quantile binning: the cut points are ONE percentile agg
     // (6dp-rounded, same quantile_cont interpolation both engines), the
     // label a broadcast CASE chain — distributed ntile without the single

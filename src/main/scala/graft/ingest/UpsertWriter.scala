@@ -153,6 +153,46 @@ object UpsertWriter {
     spark.read.parquet(pathOf(dir, table).toString).drop(BucketCol)
   }
 
+  /** Bucket-pruned POINT LOOKUP: read only the bucket directories the
+    * probed keys hash to, then apply the exact key predicate. On a
+    * 4096-bucket 100 TB store a handful of ids opens a handful of buckets
+    * — 1/4096th of the table per distinct probe bucket — instead of the
+    * full glob; the equality OR-chain pushes down into the parquet scan
+    * of those buckets. Uses the SAME hash the write path routes with
+    * (pmod(murmur3, n)), so a stored key can never hide in an unprobed
+    * bucket (law-tested against the full-scan filter). Probe keys are
+    * cast to the stored key type before hashing — a probe rendered as
+    * text still lands on the right bucket. Falls back to a filtered full
+    * read on a legacy flat table. */
+  def readForKeys(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      keyCol: String,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one probe key")
+    val p = pathOf(dir, table)
+    repairPending(p)
+    val idType = spark.read.parquet(p.toString).schema(keyCol).dataType
+    val keyLits = keys.map(k => lit(k).cast(idType))
+    val pred = keyLits.map(col(s"`$keyCol`") === _).reduce(_ || _)
+    bucketCount(p) match {
+      case None => readTable(spark, dir, table).where(pred)
+      case Some(n) =>
+        import spark.implicits._
+        val buckets = keys.toDF(keyCol)
+          .select(pmod(hash(col(s"`$keyCol`").cast(idType)), lit(n)).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val dirs = buckets.map(b => p.resolve(s"$BucketCol=$b"))
+          .filter(Files.exists(_)).map(_.toString)
+        if (dirs.isEmpty) readTable(spark, dir, table).where(lit(false))
+        else
+          spark.read.option("basePath", p.toString).parquet(dirs.toIndexedSeq: _*)
+            .drop(BucketCol)
+            .where(pred)
+    }
+  }
+
   // ----- bucket layout bookkeeping ----------------------------------------
 
   private def markerOf(p: Path): Path = p.resolve("_graft_buckets")

@@ -60,6 +60,30 @@ class UpsertBucketSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("readForKeys: point lookup opens only the probed buckets, equals the full-scan filter") {
+    val dir = Files.createTempDirectory("graft-point").toString
+    val table = java.nio.file.Paths.get(dir, "t.parquet")
+    UpsertWriter.upsert(spark, dir, "t",
+      df((0 until 300).map(i => (s"id-$i", s"n$i", i.toLong))))
+    val probes = Seq("id-7", "id-123", "id-7", "absent")
+    val got = UpsertWriter.readForKeys(spark, dir, "t", "id", probes)
+    // equality law: pruned lookup == full scan with the same predicate
+    val want = UpsertWriter.readTable(spark, dir, "t")
+      .where(col("id").isin(probes: _*))
+      .collect().map(_.getAs[String]("id")).sorted.toSeq
+    assert(got.collect().map(_.getAs[String]("id")).sorted.toSeq == want)
+    assert(want == Seq("id-123", "id-7"))
+    // pruning: files opened come from at most |distinct probe| buckets
+    val probedBuckets = got.inputFiles
+      .map(_.replaceAll(".*__bucket=", "").replaceAll("/.*", "")).distinct
+    assert(probedBuckets.length <= 3, s"opened buckets: ${probedBuckets.toSeq}")
+    val allBuckets = filesByBucket(table).size
+    assert(probedBuckets.length < allBuckets)
+    // a probe set hashing to no existing bucket dir returns empty
+    assert(UpsertWriter.readForKeys(spark, dir, "t", "id", Seq("absent")).count() == 0)
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("incremental merge's old-side scan is partition-pruned to touched buckets") {
     val dir = Files.createTempDirectory("graft-bucket-prune").toString
     UpsertWriter.upsert(spark, dir, "t",
