@@ -2123,6 +2123,34 @@ object PipelineQueries {
         .orderBy("src")
     },
 
+    // edit-distance near-dup for short metadata strings (nothing to
+    // shingle): distinct part names sharing a 2-char prefix block, kept at
+    // levenshtein <= 3 — blocking join, never all-pairs; DuckDB computes
+    // the same DP distance
+    q("q_dedup_editdist",
+      """WITH n AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.v AS value_a, b.v AS value_b,
+        |  CAST(levenshtein(a.v, b.v) AS INT) AS dist
+        |FROM n a JOIN n b
+        |  ON substring(a.v, 1, 2) = substring(b.v, 1, 2) AND a.v < b.v
+        |WHERE levenshtein(a.v, b.v) <= 3
+        |ORDER BY value_a, value_b""".stripMargin) { c =>
+      Dedup.editDistancePairs(c.resolve("part"), "p_name", maxDist = 3, blockPrefix = 2)
+        .orderBy("value_a", "value_b")
+    },
+
+    // k-anonymity audit on quasi-identifiers: every (nation, segment)
+    // combination's population with the below-k re-identification flag —
+    // one map-side-combinable aggregate, group-domain-sized output
+    q("q_profile_kanon",
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(*) >= 10 AS anonymous
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { c =>
+      import graft.operators.Profile
+      Profile.kAnonymity(c.resolve("customer"), Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // delta-store compaction report: per bucket, base/delta file and row
     // counts plus the due-for-compaction flag (the write path's own
     // threshold predicate) — the maintenance-scheduling frame that prices

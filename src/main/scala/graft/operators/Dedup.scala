@@ -131,6 +131,32 @@ object Dedup {
     spread(docs).select(col("doc_id"), explode(kernel(col(textCol))).as("fingerprint"))
   }
 
+  /** Edit-distance near-duplicate pairs for SHORT strings — titles,
+    * names, metadata fields — where token-shingle machinery has nothing
+    * to shingle: distinct values sharing a `blockPrefix`-char prefix are
+    * candidates, kept when codegen'd levenshtein <= `maxDist`. The
+    * blocking join is the scale contract (candidates meet on the prefix
+    * key, never all-pairs) and also the recall contract: pairs that
+    * differ inside the first `blockPrefix` chars are not candidates —
+    * the standard trade, widen the prefix window by unioning a
+    * suffix-block pass if the field edits its head. Distinct-values
+    * first: the pair frame is vocabulary-sized, not row-sized. */
+  def editDistancePairs(
+      df: DataFrame,
+      valueCol: String,
+      maxDist: Int = 3,
+      blockPrefix: Int = 2): DataFrame = {
+    require(maxDist >= 1 && blockPrefix >= 1, "need positive maxDist/blockPrefix")
+    val names = df.select(col(valueCol).as("v")).where(col("v").isNotNull).distinct()
+      .withColumn("blk", substring(col("v"), 1, blockPrefix))
+    names.as("x")
+      .join(names.as("y"), col("x.blk") === col("y.blk") && col("x.v") < col("y.v"))
+      .select(
+        col("x.v").as("value_a"), col("y.v").as("value_b"),
+        levenshtein(col("x.v"), col("y.v")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** ASYMMETRIC near-containment pairs: (container, contained) where the
     * contained doc's winnow fingerprints are mostly a subset of the
     * container's — |fp(A) ∩ fp(B)| / |fp(B)| >= `tau`. Jaccard-style

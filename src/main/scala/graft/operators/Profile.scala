@@ -276,6 +276,19 @@ object Profile {
         col("psi"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns — the data-release
+    * check that every QI combination is shared by at least k rows (a
+    * group below k re-identifies its members by those attributes alone;
+    * Sweeney 2002). One map-side-combinable aggregation on the QI tuple;
+    * output is group-domain-sized. NULL QI values form their own groups
+    * (a NULL pattern is itself identifying). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, "need QI columns and k >= 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", col("n") >= k)
+  }
+
   /** Cross-source DISTINCT-overlap matrix from KMV sketches — set algebra
     * on O(k) state instead of a corpus join. For every source pair (a, b)
     * it estimates |A|, |B|, |A ∪ B| and |A ∩ B| of the sources' distinct

@@ -1392,6 +1392,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("editDistancePairs: blocked candidates, threshold, dedup to distinct values") {
+    val d = Seq("color widget", "color widgit", "color gadget", "dolor widget",
+      "color widget", "zz").toDF("name")
+    val pairs = Dedup.editDistancePairs(d, "name", maxDist = 1, blockPrefix = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // widget/widgit at distance 1 inside the 'co' block
+    assert(pairs.contains(("color widget", "color widgit", 1)))
+    // gadget is 2 edits from widget -> above the maxDist=1 threshold
+    assert(!pairs.exists(p => p._2 == "color gadget" || p._1 == "color gadget"))
+    // dolor widget differs IN the prefix -> different block, not a candidate
+    assert(!pairs.exists(p => p._1 == "dolor widget" || p._2 == "dolor widget"))
+    // duplicates collapse first: the pair appears once, not per occurrence
+    assert(pairs.size == 1)
+  }
+
+  test("kAnonymity: flags below-k groups, NULLs group separately") {
+    import graft.operators.Profile
+    val d = Seq(("us", "a"), ("us", "a"), ("us", "a"), ("de", "b"), ("de", "b"),
+      (null, "b")).toDF("country", "seg")
+    val out = Profile.kAnonymity(d, Seq("country", "seg"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out == Set(
+      ("us", "a", 3L, true),
+      ("de", "b", 2L, false),
+      (null, "b", 1L, false)))
+  }
+
   test("rollupDaily: levels are consistent and gid separates rolled-up from NULL data") {
     import graft.operators.Events
     val ts = java.sql.Timestamp.valueOf(_: String)
