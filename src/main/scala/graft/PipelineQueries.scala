@@ -2151,6 +2151,40 @@ object PipelineQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // join-size estimation from sketches (AMS/CM inner product): price
+    // |lineitem ⋈ orders| BEFORE any shuffle from two one-pass O(d·w)
+    // sketches — min over depth of the row-wise counter inner product,
+    // overcount-only, integer end-to-end. The oracle rebuilds both
+    // matrices cell-for-cell and takes the same min; the true size rides
+    // along to show the estimate's quality
+    q("q_profile_join_size",
+      """WITH seeds AS (SELECT unnest(range(0, 4)) AS i),
+        |ca AS (SELECT s.i AS i,
+        |    ('0x' || substring(md5(CAST(s.i AS VARCHAR) || ':' || CAST(l.l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 65536 AS b,
+        |    count(*) AS c
+        |  FROM lineitem l CROSS JOIN seeds s GROUP BY 1, 2),
+        |cb AS (SELECT s.i AS i,
+        |    ('0x' || substring(md5(CAST(s.i AS VARCHAR) || ':' || CAST(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 65536 AS b,
+        |    count(*) AS c
+        |  FROM orders o CROSS JOIN seeds s GROUP BY 1, 2),
+        |ip AS (SELECT ca.i, sum(ca.c * cb.c) AS p
+        |       FROM ca JOIN cb ON ca.i = cb.i AND ca.b = cb.b GROUP BY ca.i)
+        |SELECT CAST((SELECT min(p) FROM ip) AS BIGINT) AS est_join_size,
+        |  CAST((SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS BIGINT)
+        |    AS true_join_size""".stripMargin) { c =>
+      import graft.functions.CmsSketch
+      val (d, w) = (4, 65536)
+      val ska = c.resolve("lineitem").agg(CmsSketch.cms(col("l_orderkey"), d, w).as("ska"))
+      val skb = c.resolve("orders").agg(CmsSketch.cms(col("o_orderkey"), d, w).as("skb"))
+      val tru = c.resolve("lineitem")
+        .join(c.resolve("orders"), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("true_join_size"))
+      ska.crossJoin(skb).crossJoin(tru)
+        .select(
+          CmsSketch.joinSizeEstimate(col("ska"), col("skb"), d, w).as("est_join_size"),
+          col("true_join_size"))
+    },
+
     // delta-store compaction report: per bucket, base/delta file and row
     // counts plus the due-for-compaction flag (the write path's own
     // threshold predicate) — the maintenance-scheduling frame that prices

@@ -125,4 +125,24 @@ object CmsSketch {
     array_min(transform(
       buckets(value, depth, width),
       (b, i) => element_at(sketch, i * width + b + 1)))
+
+  /** JOIN-SIZE estimate from two sketches over the join key (AMS / CM
+    * inner product, Cormode & Muthukrishnan 2005): |A ⋈ B| = Σ_k
+    * f_A(k)·f_B(k), estimated as min over depth of the row-wise inner
+    * product Σ_w A[d][w]·B[d][w] — collisions only ADD, so like
+    * [[estimate]] it overcounts, never undercounts. The pre-shuffle
+    * optimizer statistic at 100 TB: both sides sketch in one pass each
+    * (O(d·w) state), and the estimate prices the join BEFORE any shuffle
+    * of either table. Integer arithmetic end-to-end. */
+  def joinSizeEstimate(skA: Column, skB: Column, depth: Int, width: Int): Column =
+    array_min(transform(
+      sequence(lit(0), lit(depth - 1)),
+      d =>
+        aggregate(
+          zip_with(
+            slice(skA, d * width + 1, lit(width)),
+            slice(skB, d * width + 1, lit(width)),
+            (a, b) => a * b),
+          lit(0L),
+          (acc, x) => acc + x)))
 }

@@ -1392,6 +1392,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("joinSizeEstimate: exact when collision-free, overcount-only when not") {
+    import graft.functions.CmsSketch
+    // A: key 1 x3, key 2 x2; B: key 1 x2, key 3 x4 -> true join size 3*2 = 6
+    val a = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
+    val b = Seq(1L, 1L, 3L, 3L, 3L, 3L).toDF("k")
+    def est(w: Int): Long = a.agg(CmsSketch.cms(col("k"), 4, w).as("ska"))
+      .crossJoin(b.agg(CmsSketch.cms(col("k"), 4, w).as("skb")))
+      .select(CmsSketch.joinSizeEstimate(col("ska"), col("skb"), 4, w))
+      .head().getLong(0)
+    // wide sketch: no collisions in any depth row -> exact inner product
+    assert(est(4096) == 6L)
+    // near-degenerate width: keys collide -> overcount, never undercount,
+    // bounded by the all-in-one-cell ceiling ||A||1 * ||B||1
+    val tight = est(2)
+    assert(tight >= 6L && tight <= 30L)
+  }
+
   test("editDistancePairs: blocked candidates, threshold, dedup to distinct values") {
     val d = Seq("color widget", "color widgit", "color gadget", "dolor widget",
       "color widget", "zz").toDF("name")
