@@ -2151,6 +2151,52 @@ object PipelineQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // gap-filled hourly series with last-observation-carried-forward: the
+    // dense-grid resample (every hour exists for every type; silent hours
+    // carry n=0 and the last observed mean) — scaffold is a generated
+    // sequence, LOCF a calendar-bounded running window per type
+    q("q_events_gapfill",
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |             date_trunc('hour', max(ts)) AS hi FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |sc AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS hour
+        |       FROM ty CROSS JOIN b),
+        |h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n0,
+        |        round(avg(value), 6) AS v FROM events GROUP BY 1, 2)
+        |SELECT sc.event_type, strftime(sc.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(coalesce(h.n0, 0) AS BIGINT) AS n,
+        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY sc.event_type ORDER BY sc.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM sc LEFT JOIN h USING (event_type, hour)
+        |ORDER BY 1, 2""".stripMargin) { c =>
+      Events.gapFill(c.resolve("events"))
+        .select(col("event_type"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("locf_value"))
+        .orderBy("event_type", "hour")
+    },
+
+    // per-source token-distribution entropy with nano-nat integer terms:
+    // summing integers makes the distributed partial aggregation and the
+    // oracle's sequential replay agree bit-for-bit under any summation
+    // order (a raw float sum over the vocabulary would be order-sensitive
+    // at the rounding margin)
+    q("q_profile_entropy",
+      s"""WITH w AS (SELECT source, unnest($duckToks) AS v FROM documents),
+         |c AS (SELECT source, v, count(*) AS c FROM w GROUP BY 1, 2),
+         |t AS (SELECT source, sum(c) AS tot FROM c GROUP BY 1),
+         |q AS (SELECT c.source,
+         |        CAST(round((c.c / CAST(t.tot AS DOUBLE)) * ln(c.c / CAST(t.tot AS DOUBLE))
+         |          * 1000000000.0) AS BIGINT) AS q
+         |      FROM c JOIN t USING (source))
+         |SELECT source, round(-CAST(sum(q) AS DOUBLE) / 1000000000.0, 6) AS entropy
+         |FROM q GROUP BY source ORDER BY source""".stripMargin) { c =>
+      import graft.operators.Profile
+      val toks = c.resolve("documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("v"))
+      Profile.valueEntropy(toks, "v", "source").orderBy("source")
+    },
+
     // join-size estimation from sketches (AMS/CM inner product): price
     // |lineitem ⋈ orders| BEFORE any shuffle from two one-pass O(d·w)
     // sketches — min over depth of the row-wise counter inner product,

@@ -74,6 +74,43 @@ object Events {
   }
 
   /** JSON property extraction at query time (get_json_object — codegen'd). */
+  /** Gap-filled hourly series per event type: every hour between the
+    * corpus bounds exists for every type — observed hours carry their
+    * count and 6dp mean value, silent hours carry n=0 and the LAST
+    * observed mean carried forward (LOCF — the standard sensor/metric
+    * resample before downstream models that assume a dense grid).
+    *
+    * Scale shape: one (type, hour) aggregation over the corpus; the
+    * scaffold is a generated sequence (types × hours — report-sized, no
+    * driver loop); LOCF is a running window per type whose partition is
+    * calendar-bounded (hours in the time range), never data-bounded. */
+  def gapFill(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hour = date_trunc("hour", col(tsCol))
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"), hour.as("hour"))
+      .agg(count(lit(1)).as("n0"), round(avg(col(valueCol)), 6).as("v"))
+    val bounds = events.agg(
+      min(date_trunc("hour", col(tsCol))).as("lo"),
+      max(date_trunc("hour", col(tsCol))).as("hi"))
+    val scaffold = events.select(col(typeCol).as("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    scaffold.join(hourly, Seq("event_type", "hour"), "left")
+      .select(
+        col("event_type"), col("hour"),
+        coalesce(col("n0"), lit(0L)).as("n"),
+        last(col("v"), ignoreNulls = true)
+          .over(Window.partitionBy(col("event_type")).orderBy(col("hour"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("locf_value"))
+  }
+
   /** OLAP rollup: (event_type, day) detail, per-type subtotals, and the
     * grand total from ONE aggregation pass — Catalyst expands the rollup
     * to grouping sets and every level partial-aggregates map-side, so the

@@ -276,6 +276,27 @@ object Profile {
         col("psi"))
   }
 
+  /** Shannon entropy of each source's value distribution (nats, 6dp) —
+    * the corpus-diversity signal: a crawl slice whose token entropy
+    * collapses is template spam; one whose entropy spikes is noise.
+    * H = −Σ p·ln p with each term QUANTIZED to an integer nano-nat
+    * before the sum (the nbTrain discipline): summing integers makes the
+    * result exact under ANY summation order, so distributed partial
+    * aggregation and a sequential replay agree bit-for-bit — a raw float
+    * Σ over a large vocabulary would be order-sensitive at the rounding
+    * margin. One (source, value) count shuffle; totals broadcast. */
+  def valueEntropy(df: DataFrame, valueCol: String, sourceCol: String): DataFrame = {
+    val counts = df
+      .groupBy(col(sourceCol).as("source"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").as("tot"))
+    val p = col("c").cast("double") / col("tot").cast("double")
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), round(p * log(p) * 1e9).cast("long").as("q"))
+      .groupBy("source")
+      .agg(round(-sum(col("q")).cast("double") / 1e9, 6).as("entropy"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the data-release
     * check that every QI combination is shared by at least k rows (a
     * group below k re-identifies its members by those attributes alone;

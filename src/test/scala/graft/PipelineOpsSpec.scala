@@ -1392,6 +1392,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("gapFill: dense hourly grid, zero counts on silent hours, LOCF carries the last mean") {
+    import graft.operators.Events
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (ts("2024-01-01 00:10:00"), "click", 2.0),
+      (ts("2024-01-01 00:20:00"), "click", 4.0),
+      // hour 01 silent, hour 02 observed again
+      (ts("2024-01-01 02:30:00"), "click", 10.0),
+      (ts("2024-01-01 01:15:00"), "view", 7.0))
+      .toDF("ts", "event_type", "value")
+    val out = Events.gapFill(ev)
+      .select(col("event_type"), date_format(col("hour"), "HH").as("h"), col("n"), col("locf_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), Option(r.get(3)))).toSet
+    assert(out == Set(
+      ("click", "00", 2L, Some(3.0)),           // mean of 2,4
+      ("click", "01", 0L, Some(3.0)),           // silent -> LOCF
+      ("click", "02", 1L, Some(10.0)),
+      ("view", "00", 0L, None),                 // nothing observed yet -> NULL
+      ("view", "01", 1L, Some(7.0)),
+      ("view", "02", 0L, Some(7.0))))           // carried to the corpus bound
+  }
+
+  test("valueEntropy: hand-computed entropy, uniform max, single-value zero") {
+    import graft.operators.Profile
+    val d = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(4)(("b", "z")) ++ Seq(("c", "p"), ("c", "q"), ("c", "q"), ("c", "q")))
+      .toDF("source", "v")
+    val out = Profile.valueEntropy(d, "v", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def q(p: Double) = math.round(p * math.log(p) * 1e9)
+    def h(ps: Double*) = BigDecimal(-ps.map(q).sum.toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a") == h(0.5, 0.5))             // uniform two values: ln 2
+    assert(out("b") == 0.0)                     // single value: zero entropy
+    assert(out("c") == h(0.25, 0.75))
+    assert(math.abs(out("a") - math.log(2)) < 1e-6)
+  }
+
   test("joinSizeEstimate: exact when collision-free, overcount-only when not") {
     import graft.functions.CmsSketch
     // A: key 1 x3, key 2 x2; B: key 1 x2, key 3 x4 -> true join size 3*2 = 6
