@@ -1342,6 +1342,46 @@ object PipelineQueries {
       Dedup.minhashPairs(c.resolve("documents")).orderBy("a_id", "b_id")
     },
 
+    // measured LSH quality: precision/recall of banded-minhash pairs (est
+    // >= 0.5) against the EXACT all-pairs Jaccard truth at the same
+    // threshold, on a content-hash quarter-sample (hash of the normalized
+    // text keeps exact-dup groups intact inside the sample; the truth side
+    // is quadratic by design — that is what LSH avoids in production).
+    // The oracle replays BOTH pipelines and the ratio arithmetic
+    q("q_dedup_lsh_quality",
+      s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+         |  WHERE ('0x' || substring(md5($duckNorm), 1, 15))::BIGINT % 4 = 0),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM docs2),
+         |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
+         |m AS (SELECT doc_id, sh, $duckSig AS sig FROM s),
+         |b AS (SELECT doc_id, sig, j, md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS h
+         |      FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
+         |        a.sig AS asig, b2.sig AS bsig
+         |      FROM b a JOIN b b2 ON a.j = b2.j AND a.h = b2.h AND a.doc_id < b2.doc_id),
+         |pred AS (SELECT a_id, b_id FROM cand
+         |      WHERE round(list_sum(list_transform(range(1, 17),
+         |        i -> CASE WHEN asig[i] = bsig[i] THEN 1 ELSE 0 END)) / 16.0, 6) >= 0.5),
+         |d AS (SELECT doc_id, list_distinct(sh) AS dsh FROM m WHERE length(sh) > 0),
+         |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |      WHERE round(length(list_filter(a.dsh, x -> list_contains(b.dsh, x)))::DOUBLE
+         |        / (length(a.dsh) + length(b.dsh)
+         |           - length(list_filter(a.dsh, x -> list_contains(b.dsh, x)))), 6) >= 0.5),
+         |np AS (SELECT count(*) AS n_pred FROM pred),
+         |nt AS (SELECT count(*) AS n_truth FROM truth),
+         |nb AS (SELECT count(*) AS n_both FROM pred JOIN truth USING (a_id, b_id))
+         |SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_both AS BIGINT) AS n_both,
+         |  CASE WHEN n_pred > 0 THEN round(CAST(n_both AS DOUBLE) / n_pred, 6) ELSE 0.0 END AS precision,
+         |  CASE WHEN n_truth > 0 THEN round(CAST(n_both AS DOUBLE) / n_truth, 6) ELSE 0.0 END AS recall
+         |FROM np CROSS JOIN nt CROSS JOIN nb""".stripMargin) { c =>
+      import graft.functions.Funcs
+      val sample = c.resolve("documents")
+        .where(pmod(Funcs.md5Hash60(TextOps.normalized(col("text"))), lit(4)) === 0)
+      Dedup.lshQuality(sample, tau = 0.5)
+    },
+
     // cross-document duplicate spans: per-doc fraction of 8-token windows
     // whose hash occurs in at least one OTHER document — substring-level
     // repetition (boilerplate/templates) that whole-doc dedup misses

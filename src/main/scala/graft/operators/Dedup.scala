@@ -131,6 +131,57 @@ object Dedup {
     spread(docs).select(col("doc_id"), explode(kernel(col(textCol))).as("fingerprint"))
   }
 
+  /** EXACT all-pairs shingle Jaccard >= `minJaccard` — the O(N²) ground
+    * truth. NOT a production path (the point of minhash/LSH is to avoid
+    * this join); exists so [[lshQuality]] can measure LSH against an
+    * answer that is not itself candidate-restricted. Run it on a
+    * content-hash SAMPLE of the corpus, never the corpus. */
+  def exactJaccardPairs(
+      docs: DataFrame,
+      minJaccard: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    val s = docs
+      .select(col("doc_id"), array_distinct(shingles(col(textCol))).as("dsh"))
+      .where(size(col("dsh")) > 0)
+    val inter = size(array_intersect(col("x.dsh"), col("y.dsh")))
+    s.as("x").join(s.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        round(
+          inter.cast("double") / (size(col("x.dsh")) + size(col("y.dsh")) - inter),
+          6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Measured LSH dedup quality — precision/recall of the banded-minhash
+    * pair set (est_jaccard >= `tau`) against the EXACT all-pairs truth at
+    * the same threshold. The "measure, don't guess" answer to "are my
+    * band/row parameters right for THIS corpus": recall falls when bands
+    * are too selective for the similarity level, precision when the
+    * estimator passes pairs the exact Jaccard rejects. The truth side is
+    * quadratic — feed a content-hash sample (hash of the normalized text,
+    * so exact-duplicate groups stay intact inside the sample). */
+  def lshQuality(
+      docs: DataFrame,
+      tau: Double = 0.5,
+      k: Int = 16,
+      bands: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    val pred = minhashPairs(docs, textCol, k, bands)
+      .where(col("est_jaccard") >= tau).select("a_id", "b_id")
+    val truth = exactJaccardPairs(docs, tau, textCol).select("a_id", "b_id")
+    val both = pred.join(truth, Seq("a_id", "b_id"))
+    val counts = pred.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+    counts.select(
+      col("n_pred"), col("n_truth"), col("n_both"),
+      when(col("n_pred") > 0, round(col("n_both").cast("double") / col("n_pred"), 6))
+        .otherwise(lit(0.0)).as("precision"),
+      when(col("n_truth") > 0, round(col("n_both").cast("double") / col("n_truth"), 6))
+        .otherwise(lit(0.0)).as("recall"))
+  }
+
   /** Edit-distance near-duplicate pairs for SHORT strings — titles,
     * names, metadata fields — where token-shingle machinery has nothing
     * to shingle: distinct values sharing a `blockPrefix`-char prefix are

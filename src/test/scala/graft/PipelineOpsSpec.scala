@@ -1392,6 +1392,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("lshQuality: perfect scores on an exact-dup corpus, guarded zeros with no dups") {
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val d = docs((1, body), (2, body), (3, other), (4, "tiny unrelated snippet here"))
+    val r = Dedup.lshQuality(d, tau = 0.5).head()
+    // one true pair (1,2); LSH must band-match identical signatures
+    assert(r.getAs[Long]("n_truth") == 1L && r.getAs[Long]("n_pred") == 1L)
+    assert(r.getAs[Double]("precision") == 1.0 && r.getAs[Double]("recall") == 1.0)
+    // no duplicates at all: both denominators guard to 0.0
+    val none = Dedup.lshQuality(docs((1, body), (2, other)), tau = 0.5).head()
+    assert(none.getAs[Long]("n_truth") == 0L)
+    assert(none.getAs[Double]("precision") == 0.0 && none.getAs[Double]("recall") == 0.0)
+    // exact truth and estimated pairs agree on the pair identity
+    val truth = Dedup.exactJaccardPairs(d, 0.5).collect()
+    assert(truth.map(r2 => (r2.getInt(0), r2.getInt(1), r2.getDouble(2))).toSeq ==
+      Seq((1, 2, 1.0)))
+  }
+
   test("gapFill: dense hourly grid, zero counts on silent hours, LOCF carries the last mean") {
     import graft.operators.Events
     val ts = java.sql.Timestamp.valueOf(_: String)
