@@ -2191,6 +2191,36 @@ object PipelineQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // CUSUM change-point detection: S_t = max(0, S_{t-1} + x_t - mu -
+    // slack) over per-type daily counts accumulates small persistent
+    // shifts that per-day z-scores never see; integer arithmetic
+    // end-to-end, the oracle walks the same recurrence with a recursive
+    // CTE
+    q("q_events_cusum",
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |          FROM events GROUP BY 1, 2),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |       FROM daily),
+        |mu AS (SELECT event_type, CAST(round(avg(n)) AS BIGINT) AS mu FROM rn
+        |       WHERE rn <= 7 GROUP BY 1),
+        |cs AS (
+        |  SELECT r.event_type, r.rn, r.day, r.n, m.mu,
+        |    greatest(0, r.n - m.mu - 10) AS s
+        |  FROM rn r JOIN mu m USING (event_type) WHERE r.rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.n, cs.mu,
+        |    greatest(0, cs.s + r.n - cs.mu - 10)
+        |  FROM cs JOIN rn r ON r.event_type = cs.event_type AND r.rn = cs.rn + 1)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+        |  mu, CAST(s AS BIGINT) AS cusum, s > 30 AS changed
+        |FROM cs ORDER BY event_type, day""".stripMargin) { c =>
+      Events.cusumChangePoints(c.resolve("events"), slack = 10L, threshold = 30L)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("mu"), col("cusum"), col("changed"))
+        .orderBy("event_type", "day")
+    },
+
     // gap-filled hourly series with last-observation-carried-forward: the
     // dense-grid resample (every hour exists for every type; silent hours
     // carry n=0 and the last observed mean) — scaffold is a generated

@@ -74,6 +74,59 @@ object Events {
   }
 
   /** JSON property extraction at query time (get_json_object — codegen'd). */
+  /** CUSUM change-point detection on daily counts (Page 1954): per type,
+    * S_t = max(0, S_{t−1} + (x_t − μ − slack)) with μ the integer-rounded
+    * mean of the first `baselineDays` days; days where S_t > `threshold`
+    * are flagged. CUSUM accumulates SMALL persistent shifts that per-day
+    * z-scores ([[dailyAnomalies]]) never see — the volume-drift alarm for
+    * a feed that quietly ramps.
+    *
+    * The recurrence is inherently sequential, but only over the per-type
+    * DAILY series — calendar-bounded (years ≈ thousands of rows), never
+    * data-bounded, so each type's fold is one in-memory array pass after
+    * the one corpus-sized daily aggregation. All arithmetic is integer:
+    * any engine replays the fold exactly (the oracle walks the same
+    * recurrence with a recursive CTE). */
+  def cusumChangePoints(
+      events: DataFrame,
+      slack: Long = 10L,
+      threshold: Long = 30L,
+      baselineDays: Int = 7,
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val withRn = daily.withColumn(
+      "rn", row_number().over(Window.partitionBy("event_type").orderBy("day")))
+    val mu = withRn.where(col("rn") <= baselineDays)
+      .groupBy("event_type").agg(round(avg("n")).cast("long").as("mu"))
+    val packed = withRn.join(broadcast(mu), "event_type")
+      .groupBy("event_type", "mu")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"))
+    val hist = aggregate(
+      col("ds"),
+      struct(lit(0L).as("s"), array().cast("array<bigint>").as("hist")),
+      (acc, d) => {
+        val ns = greatest(
+          lit(0L), acc.getField("s") + d.getField("n") - col("mu") - lit(slack))
+        struct(ns.as("s"), concat(acc.getField("hist"), array(ns)).as("hist"))
+      }).getField("hist")
+    packed
+      .withColumn("cs", hist)
+      .select(
+        col("event_type"), col("mu"),
+        posexplode(arrays_zip(col("ds"), col("cs"))).as(Seq("i", "z")))
+      .select(
+        col("event_type"),
+        col("z.ds.day").as("day"),
+        col("z.ds.n").as("n"),
+        col("mu"),
+        col("z.cs").as("cusum"),
+        (col("z.cs") > threshold).as("changed"))
+  }
+
   /** Gap-filled hourly series per event type: every hour between the
     * corpus bounds exists for every type — observed hours carry their
     * count and 6dp mean value, silent hours carry n=0 and the LAST

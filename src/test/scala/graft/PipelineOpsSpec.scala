@@ -1392,6 +1392,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("cusumChangePoints: accumulates a small persistent shift past the threshold") {
+    import graft.operators.Events
+    // 14 days at 50/day (baseline mu = 50), then 10 days at 80/day:
+    // post-shift drift is +20/day over mu+slack -> S = 20, 40, 60, ...
+    val rows = (1 to 24).flatMap { d =>
+      val c = if (d <= 14) 50 else 80
+      (1 to c).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:${i % 60}%02d:00"), "feed", 1.0))
+    }
+    val ev = rows.toDF("ts", "event_type", "value")
+    val out = Events.cusumChangePoints(ev, slack = 10L, threshold = 30L, baselineDays = 7)
+      .orderBy("day")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("cusum"), r.getAs[Boolean]("changed")))
+    assert(out.length == 24)
+    // baseline days: S pinned at 0, nothing flagged
+    assert(out.take(14).forall { case (n, s, f) => n == 50L && s == 0L && !f })
+    // shift: S ramps 20, 40, 60...; the flag fires from the SECOND shifted
+    // day — one noisy day can't trip it, a persistent shift must
+    assert(out(14) == ((80L, 20L, false)))
+    assert(out(15) == ((80L, 40L, true)))
+    assert(out.drop(15).forall(_._3))
+    assert(out.last._2 == 20L * 10)
+  }
+
   test("lshQuality: perfect scores on an exact-dup corpus, guarded zeros with no dups") {
     val body = (1 to 40).map(i => s"w$i").mkString(" ")
     val other = (100 to 140).map(i => s"w$i").mkString(" ")
