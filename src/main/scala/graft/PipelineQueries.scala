@@ -3226,6 +3226,54 @@ object PipelineQueries {
         .orderBy("window_start")
     },
 
+    // STREAMING funnel: per-user (step, frontier) state — two numbers per
+    // user however many events arrive — advanced by the same
+    // min-after-frontier rule as the batch operator (time-ordered walk ==
+    // the batch min()); drained availableNow, the per-step user counts
+    // must equal the BATCH funnel oracle exactly
+    q("q_stream_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN s1 ON e.user_id = s1.user_id
+        |      WHERE e.event_type = 'view' AND e.ts > s1.t
+        |        AND e.ts <= s1.t + INTERVAL '6 hours' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN s2 ON e.user_id = s2.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |        AND e.ts <= s2.t + INTERVAL '6 hours' GROUP BY e.user_id)
+        |SELECT 1 AS step, 'signup' AS event_type, (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin) { c =>
+      val spark = c.spark
+      val path = s"${c.dataDir}/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val steps = Seq("signup", "view", "purchase")
+      val src = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
+      val sinkName = s"q_stream_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = StreamOps.funnelProgress(src, steps)
+        .toDF("user_id", "steps_completed")
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val perUser = spark.table(sinkName)
+        .groupBy("user_id").agg(max(col("steps_completed")).as("sc"))
+      val stepFrame = spark
+        .createDataFrame(steps.zipWithIndex.map { case (s, i) => (i + 1, s) })
+        .toDF("step", "event_type")
+      stepFrame
+        .join(perUser, col("sc") >= col("step"), "left")
+        .groupBy("step", "event_type")
+        .agg(count(col("user_id")).as("n_users"))
+        .orderBy("step")
+    },
+
     // ordered conversion funnel with a 6-hour conversion window: users
     // reaching each step within the window after their earliest completion
     // of the previous one — the oracle chains the same min-after-frontier

@@ -215,6 +215,47 @@ object StreamOps {
   /** Per-user running event counter via mapGroupsWithState — the custom-state
     * escape hatch (reference has no streaming; SURVEY §2.7). Emits one
     * updated (user_id, count) row per user per micro-batch. */
+  /** STREAMING funnel: per-user ordered step progression as custom state
+    * (the mapGroupsWithState face of Events.funnel). State per user is
+    * (current step, frontier micros) — two numbers however many events
+    * the user ever sends. Each batch's events for a user are sorted by
+    * event time inside the group (bounded per user per batch) and walked
+    * through the same min-after-frontier rule the batch operator uses:
+    * the FIRST step-i event after the step-(i−1) frontier and within
+    * `maxGap` advances the state — in time order that IS the batch
+    * semantics' min(). Emits (user, steps_completed) per batch; the
+    * per-step user counts downstream reproduce the batch funnel exactly
+    * when the drain preserves per-user event-time order across batches
+    * (single-batch availableNow, or in-order feeds; cross-batch
+    * stragglers can under-count a step — the standard state-machine
+    * trade, document at the sink). */
+  def funnelProgress(
+      events: Dataset[Row],
+      steps: Seq[String],
+      maxGapMicros: Long = 6L * 3600L * 1000000L): Dataset[(Long, Int)] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val gapMicros = maxGapMicros
+    import events.sparkSession.implicits._
+    val stepArr = steps.toArray
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[(Int, Long)]) =>
+          var (step, frontier) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, us) =>
+            if (step < stepArr.length && tpe == stepArr(step) &&
+              (step == 0 || (us > frontier && us <= frontier + gapMicros))) {
+              frontier = us
+              step += 1
+            }
+          }
+          state.update((step, frontier))
+          (user, step)
+      }
+  }
+
   def runningCounts(events: Dataset[Row]): Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
     events

@@ -35,6 +35,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelProgress: per-user state machine advances in order across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamOps
+      .funnelProgress(events, Seq("signup", "view", "purchase"),
+        maxGapMicros = 3600L * 1000000L) // 1 hour
+      .toDF("user_id", "steps_completed")
+      .writeStream
+      .format("memory")
+      .queryName("funnel_state")
+      .outputMode("update")
+      .start()
+    try {
+      // batch 1: u1 signs up and views (in window); u2 signs up;
+      // u3 views BEFORE any signup (no credit); u4 signs up
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "signup"),
+        (ts("2024-01-01 00:30:00"), 1L, "view"),
+        (ts("2024-01-01 00:00:00"), 2L, "signup"),
+        (ts("2024-01-01 00:00:00"), 3L, "view"),
+        (ts("2024-01-01 00:00:00"), 4L, "signup"))
+      q.processAllAvailable()
+      // batch 2 (later event times — in-order feed): u1 purchases within
+      // the window of the view; u4 views AFTER the 1h gap (no credit)
+      input.addData(
+        (ts("2024-01-01 01:00:00"), 1L, "purchase"),
+        (ts("2024-01-01 02:30:00"), 4L, "view"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_state")
+        .groupBy("user_id").agg(max("steps_completed").as("sc"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(last == Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 1))
+    } finally q.stop()
+  }
+
   test("windowedSketch merges CMS state across micro-batches, equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.CmsSketch
