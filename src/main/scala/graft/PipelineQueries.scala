@@ -2246,6 +2246,60 @@ object PipelineQueries {
         .orderBy("event_type", "hour")
     },
 
+    // winsorization through the quantile SKETCH: clamp to sampled
+    // [p01, p99], thresholds from the mergeable bottom-k draw (no global
+    // sort), clamp map-side against the 1-row broadcast — the
+    // outlier-robust normalization as a two-pass shape. The oracle
+    // re-draws the identical sample and replays thresholds and clamp
+    q("q_profile_winsorize",
+      """WITH s AS (SELECT l_extendedprice AS v,
+        |    ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem ORDER BY h, v LIMIT 1024),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM s),
+        |th AS (SELECT
+        |  round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.01) AS BIGINT) + 1 THEN v END), 6) AS lo,
+        |  round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.99) AS BIGINT) + 1 THEN v END), 6) AS hi
+        | FROM o),
+        |w AS (SELECT l_extendedprice AS v0,
+        |        least(greatest(l_extendedprice, lo), hi) AS vw, lo, hi
+        |      FROM lineitem CROSS JOIN th)
+        |SELECT lo, hi,
+        |  CAST(sum(CASE WHEN v0 < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN v0 > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  round(min(vw), 6) AS min_w, round(max(vw), 6) AS max_w,
+        |  round(avg(vw), 2) AS avg_w
+        |FROM w GROUP BY lo, hi""".stripMargin) { c =>
+      import graft.operators.Profile
+      val li = c.resolve("lineitem")
+      val idc = concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+      val th = Profile.sampleQuantiles(li, "l_extendedprice", idc, 1024, Seq(0.01, 0.99))
+        .agg(
+          min(when(col("p") === 0.01, col("q"))).as("lo"),
+          min(when(col("p") === 0.99, col("q"))).as("hi"))
+      Profile.winsorize(li, "l_extendedprice", idc, 0.01, 0.99, 1024)
+        .crossJoin(broadcast(th))
+        .groupBy("lo", "hi")
+        .agg(
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          round(min(col("l_extendedprice_w")), 6).as("min_w"),
+          round(max(col("l_extendedprice_w")), 6).as("max_w"),
+          round(avg(col("l_extendedprice_w")), 2).as("avg_w"))
+    },
+
+    // exact phrase occurrences, map-side over each row's own token array
+    // (a fixed phrase needs no postings index; this is the boolean
+    // complement of BM25's ranked retrieval). Oracle runs the same
+    // positional conjunction
+    q("q_text_phrase",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |h AS (SELECT doc_id, CAST(length(list_filter(range(1, length(toks) - 1), p ->
+         |    toks[p] = 'slow' AND toks[p+1] = 'hash' AND toks[p+2] = 'batch')) AS INT) AS n_hits
+         |  FROM t WHERE length(toks) >= 3)
+         |SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id""".stripMargin) { c =>
+      TextOps.phraseHits(c.resolve("documents"), "slow hash batch").orderBy("doc_id")
+    },
+
     // per-source token-distribution entropy with nano-nat integer terms:
     // summing integers makes the distributed partial aggregation and the
     // oracle's sequential replay agree bit-for-bit under any summation

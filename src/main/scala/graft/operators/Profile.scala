@@ -276,6 +276,32 @@ object Profile {
         col("psi"))
   }
 
+  /** Winsorize: clamp `valueCol` to its sketch-estimated [pLo, pHi]
+    * quantiles — the outlier-robust normalization before means/regressions
+    * that a single corrupt magnitude would otherwise own. Thresholds come
+    * from [[sampleQuantiles]] (mergeable bottom-k-by-hash sample, NO
+    * global sort), land as a 1-row broadcast, and the clamp itself is
+    * map-side codegen: two passes total, corpus never sorted or shuffled.
+    * Adds `<valueCol>_w` (clamped, double). */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      idCol: Column,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99,
+      k: Int = 1024): DataFrame = {
+    require(pLo < pHi, "pLo must be below pHi")
+    val th = sampleQuantiles(df, valueCol, idCol, k, Seq(pLo, pHi))
+      .agg(
+        min(when(col("p") === pLo, col("q"))).as("__lo"),
+        min(when(col("p") === pHi, col("q"))).as("__hi"))
+    df.crossJoin(broadcast(th))
+      .withColumn(
+        s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Shannon entropy of each source's value distribution (nats, 6dp) —
     * the corpus-diversity signal: a crawl slice whose token entropy
     * collapses is template spam; one whose entropy spikes is noise.

@@ -772,6 +772,36 @@ object TextOps {
       .where(col("n") >= minCount)
   }
 
+  /** Exact phrase occurrences per document — the boolean complement of
+    * ranked retrieval ([[bm25TopK]]): count positions where the phrase's
+    * tokens appear CONSECUTIVELY. Pure map-side codegen over each row's
+    * own token array (a fixed phrase needs no postings index — the scan
+    * shape is one pass, zero shuffle; an index only pays once queries
+    * outnumber scans). Matching is on normalized tokens, like every text
+    * operator here. */
+  def phraseHits(
+      docs: DataFrame,
+      phrase: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty phrase")
+    val kk = terms.length
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn(
+        "n_hits",
+        when(
+          size(col("__t")) >= kk,
+          size(filter(
+            sequence(lit(1), size(col("__t")) - (kk - 1)),
+            p => terms.zipWithIndex
+              .map { case (t, i) => element_at(col("__t"), p + lit(i)) === lit(t) }
+              .reduce(_ && _))))
+          .otherwise(lit(0)))
+      .where(col("n_hits") > 0)
+      .select(col(idCol), col("n_hits"))
+  }
+
   // ===== Naive Bayes classifier filtering =================================
   //
   // The classifier-based quality/language filter of the standard pipeline

@@ -1392,6 +1392,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("winsorize: clamps to sampled quantiles, interior values untouched") {
+    import graft.operators.Profile
+    val d = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // k >= n: the sample is the data, thresholds are exact discrete quantiles
+    val w = Profile.winsorize(d, "v", col("id"), pLo = 0.1, pHi = 0.9, k = 1024)
+      .select("id", "v", "v_w")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // floor((100-1)*0.1)=9 -> 10th smallest = 10; floor(99*0.9)=89 -> 90
+    assert(w.forall { case (_, v, vw) => vw == math.min(math.max(v, 10.0), 90.0) })
+    assert(w.count { case (_, v, vw) => vw != v } == 9 + 10)
+  }
+
+  test("phraseHits: consecutive-token conjunction, counts multiples, no partial credit") {
+    import graft.operators.TextOps
+    val d = docs(
+      (1, "alpha beta gamma x alpha beta gamma"),
+      (2, "alpha gamma beta"),   // right tokens, wrong order
+      (3, "Alpha  BETA gamma"),  // normalization applies
+      (4, "beta gamma"))         // shorter than the phrase
+    val out = TextOps.phraseHits(d, "alpha beta gamma")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out == Map(1 -> 2, 3 -> 1))
+  }
+
   test("cusumChangePoints: accumulates a small persistent shift past the threshold") {
     import graft.operators.Events
     // 14 days at 50/day (baseline mu = 50), then 10 days at 80/day:
