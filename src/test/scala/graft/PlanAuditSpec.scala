@@ -370,6 +370,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"nothing here warrants a shuffle join:\n$p")
   }
 
+  test("stripBoilerplate's strip pass is map-side: corpus rejoins only a 1-row broadcast") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = physical(graft.operators.TextOps.stripBoilerplate(docs))
+    // the boilerplate set arrives as a broadcast nested-loop of a 1-row
+    // aggregate; the corpus itself must not shuffle for the strip
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not join by shuffle:\n$plan")
+    // the ONLY hash shuffles are inside the detection aggregate (line
+    // counts), which runs on exploded lines — not on document rows
+    assert(!plan.contains("Window"), s"no window anywhere:\n$plan")
+  }
+
+  test("sketchOverlap: one corpus aggregation; the pair frame never re-shuffles the corpus") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val df = graft.operators.Profile.sketchOverlap(
+      orders.select(col("o_orderpriority").as("src"), col("o_custkey")), "o_custkey", "src", 64)
+    val plan = physical(df)
+    assert(plan.contains("partial_kmv_hashes"),
+      s"sketches must build through partial object aggregation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the S² pair join runs on sketch rows — must not sort-merge:\n$plan")
+  }
+
+  test("nbClassify: model joins broadcast; the only corpus shuffle keys on (doc, label)") {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (tm, lm) = TextOps.nbTrain(docs.where(col("doc_id") % 2 === 0), "lang")
+    val plan = physical(TextOps.nbClassify(docs.where(col("doc_id") % 2 === 1), tm, lm))
+    assert(plan.contains("BroadcastHashJoin"), s"model must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"argmax is a struct-max aggregate, not a window:\n$plan")
+  }
+
+  test("pmiBigrams: unigram counts broadcast back onto the bigram frame") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = physical(graft.operators.TextOps.pmiBigrams(docs, minCount = 20L))
+    assert(plan.contains("BroadcastHashJoin"), s"vocab-sized counts must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join on the bigram frame:\n$plan")
+  }
+
+  test("phraseHits and winsorize clamp plan zero corpus shuffles and no global sort") {
+    import graft.operators.{Profile, TextOps}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pPlan = physical(TextOps.phraseHits(docs, "slow hash batch"))
+    assert(!pPlan.contains("Exchange"), s"phrase scan is pure map-side:\n$pPlan")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val wPlan = physical(Profile.winsorize(
+      li, "l_extendedprice", concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
+    // thresholds ride a TakeOrdered sample + 1-row broadcast; the corpus
+    // itself is never globally sorted
+    assert(wPlan.contains("TakeOrderedAndProject"), s"sample must be TakeOrdered:\n$wPlan")
+    assert(wPlan.contains("BroadcastNestedLoopJoin"),
+      s"thresholds must broadcast:\n$wPlan")
+    assert(!wPlan.contains("SortMergeJoin"), s"corpus never shuffles for the clamp:\n$wPlan")
+  }
+
   test("CMS / sampleQuantiles aggregate through partials (no raw-value shuffle)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val sk = li.agg(graft.functions.CmsSketch.cms(col("l_suppkey"), 4, 256))
