@@ -2246,6 +2246,31 @@ object PipelineQueries {
         .orderBy("event_type", "hour")
     },
 
+    // PER-GROUP quantile sketch: each return flag's sample is its 256
+    // smallest distinct (id-hash, value) pairs held in O(k) aggregate
+    // state — per-group quantiles with no group ever sorted or buffered
+    // whole. The oracle re-draws every group's sample and applies the
+    // same discrete lower-quantile index
+    q("q_profile_group_quantiles",
+      """WITH s AS (SELECT DISTINCT l_returnflag AS g, l_extendedprice AS v,
+        |    ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn FROM s),
+        |smp AS (SELECT g, v FROM r WHERE rn <= 256),
+        |o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n FROM smp),
+        |ps AS (SELECT unnest([0.1, 0.5, 0.9]::DOUBLE[]) AS p)
+        |SELECT g AS l_returnflag, p,
+        |  round(max(CASE WHEN rn = CAST(floor((n - 1) * p) AS BIGINT) + 1 THEN v END), 6) AS q
+        |FROM ps CROSS JOIN o GROUP BY g, p ORDER BY 1, 2""".stripMargin) { c =>
+      import graft.operators.Profile
+      Profile.groupQuantiles(
+        c.resolve("lineitem"), "l_extendedprice",
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        "l_returnflag", k = 256, ps = Seq(0.1, 0.5, 0.9))
+        .orderBy("l_returnflag", "p")
+    },
+
     // winsorization through the quantile SKETCH: clamp to sampled
     // [p01, p99], thresholds from the mergeable bottom-k draw (no global
     // sort), clamp map-side against the 1-row broadcast — the

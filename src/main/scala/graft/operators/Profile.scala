@@ -276,6 +276,35 @@ object Profile {
         col("psi"))
   }
 
+  /** PER-GROUP quantile estimates through [[graft.functions
+    * .BottomKSample]] — the grouped face of [[sampleQuantiles]]: every
+    * group's sample is its k smallest distinct (id-hash, value) pairs,
+    * held in O(k) mergeable aggregate state through the partial-agg
+    * shuffle, so no group is ever sorted or buffered whole. Same discrete
+    * lower-quantile index as the global sketch; same engine-replay
+    * contract (q_profile_group_quantiles re-draws each group's sample).
+    * Output: (group, p, q) — NULL q for groups with no non-null values. */
+  def groupQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      idCol: Column,
+      groupCol: String,
+      k: Int = 256,
+      ps: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.BottomKSample
+        .bottomKByHash(col(valueCol), idCol, k).as("vs"))
+      .select(col(groupCol), explode(typedlit(ps)).as("p"), col("vs"))
+      .select(
+        col(groupCol), col("p"),
+        when(size(col("vs")) === 0, lit(null).cast("double"))
+          .otherwise(round(
+            element_at(
+              col("vs"),
+              floor((size(col("vs")) - 1).cast("double") * col("p")).cast("int") + 1),
+            6)).as("q"))
+
   /** Winsorize: clamp `valueCol` to its sketch-estimated [pLo, pHi]
     * quantiles — the outlier-robust normalization before means/regressions
     * that a single corrupt magnitude would otherwise own. Thresholds come

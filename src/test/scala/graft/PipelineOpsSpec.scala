@@ -1392,6 +1392,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("groupQuantiles: exact per group when k covers it, mergeable across layout") {
+    import graft.operators.Profile
+    // group a: 1..100 (k covers -> exact); group b: single value
+    val d = ((1 to 100).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("b", 500L, 42.0))).toDF("g", "id", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Profile.groupQuantiles(df, "v", col("id"), "g", k = 256, ps = Seq(0.1, 0.5, 0.9))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val out = run(d)
+    // discrete lower quantile over the full group: floor(99*p)+1-th value
+    assert(out(("a", 0.1)) == 10.0 && out(("a", 0.5)) == 50.0 && out(("a", 0.9)) == 90.0)
+    assert(out(("b", 0.5)) == 42.0)
+    // layout invariance: the sample is hash-determined, not partition-determined
+    assert(run(d.repartition(13)) == out)
+  }
+
   test("winsorize: clamps to sampled quantiles, interior values untouched") {
     import graft.operators.Profile
     val d = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")

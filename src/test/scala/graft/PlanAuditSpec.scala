@@ -441,5 +441,15 @@ class PlanAuditSpec extends SparkSpec {
     val qsPlan = physical(qs)
     assert(qsPlan.contains("TakeOrderedAndProject"),
       s"bottom-k-by-hash must be a distributed TakeOrdered, not a global sort:\n$qsPlan")
+    // the GROUPED sample flows as O(k) object-aggregate state — no group
+    // is sorted or buffered whole
+    val gq = graft.operators.Profile.groupQuantiles(
+      li, "l_extendedprice",
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")), "l_returnflag")
+    val gqPlan = physical(gq)
+    assert(gqPlan.contains("partial_bottom_k_sample"),
+      s"grouped sample must partial-aggregate:\n$gqPlan")
+    assert(!gqPlan.contains("Window") && !gqPlan.contains("Sort "),
+      s"no per-group sort/window allowed:\n$gqPlan")
   }
 }
