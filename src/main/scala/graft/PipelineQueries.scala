@@ -2246,6 +2246,36 @@ object PipelineQueries {
         .orderBy("event_type", "hour")
     },
 
+    // robust MAD outliers: z = 0.6745|x - med|/MAD with both statistics
+    // from the quantile sketch (50% breakdown — one corrupt magnitude
+    // cannot mask the rest, unlike mean/stddev z-scores); flagging is
+    // map-side against two 1-row broadcasts. The oracle re-draws both
+    // sketch samples and replays the arithmetic
+    q("q_profile_mad",
+      """WITH s1 AS (SELECT value AS v,
+        |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events ORDER BY h, v LIMIT 1024),
+        |o1 AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM s1),
+        |mt AS (SELECT round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END), 6) AS med FROM o1),
+        |d AS (SELECT event_id, value, abs(value - med) AS dev, med FROM events CROSS JOIN mt),
+        |s2 AS (SELECT dev AS v,
+        |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM d ORDER BY h, v LIMIT 1024),
+        |o2 AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM s2),
+        |at AS (SELECT round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END), 6) AS mad FROM o2),
+        |f AS (SELECT d.med, at.mad, round(0.6745 * d.dev / at.mad, 6) AS z
+        |      FROM d CROSS JOIN at WHERE at.mad > 0)
+        |SELECT med, mad, CAST(sum(CASE WHEN z > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(z), 6) AS max_z
+        |FROM f GROUP BY med, mad""".stripMargin) { c =>
+      import graft.operators.Profile
+      Profile.madOutliers(c.resolve("events"), "value", col("event_id"))
+        .groupBy("med", "mad")
+        .agg(
+          sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          round(max(col("robust_z")), 6).as("max_z"))
+    },
+
     // PER-GROUP quantile sketch: each return flag's sample is its 256
     // smallest distinct (id-hash, value) pairs held in O(k) aggregate
     // state — per-group quantiles with no group ever sorted or buffered

@@ -305,6 +305,34 @@ object Profile {
               floor((size(col("vs")) - 1).cast("double") * col("p")).cast("int") + 1),
             6)).as("q"))
 
+  /** Robust outlier flagging by MEDIAN ABSOLUTE DEVIATION: robust z =
+    * 0.6745·|x − med| / MAD (the consistency constant makes MAD estimate
+    * σ under normality; Iglewicz & Hoaglin's 3.5 cutoff is the usual
+    * threshold). Mean/stddev z-scores let one corrupt magnitude inflate σ
+    * and mask every other outlier — median and MAD have 50% breakdown.
+    * Both statistics come from the [[sampleQuantiles]] sketch (two
+    * TakeOrdered passes, 1-row broadcasts); the flagging pass is map-side
+    * codegen. Adds med, mad, robust_z (6dp, NULL when MAD = 0), outlier. */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      idCol: Column,
+      k: Int = 1024,
+      zThreshold: Double = 3.5): DataFrame = {
+    val med = sampleQuantiles(df, valueCol, idCol, k, Seq(0.5))
+      .agg(min(col("q")).as("med"))
+    val dev = df.crossJoin(broadcast(med))
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
+    val mad = sampleQuantiles(dev, "__dev", idCol, k, Seq(0.5))
+      .agg(min(col("q")).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn(
+        "robust_z",
+        when(col("mad") > 0, round(lit(0.6745) * col("__dev") / col("mad"), 6)))
+      .withColumn("outlier", coalesce(col("robust_z") > zThreshold, lit(false)))
+      .drop("__dev")
+  }
+
   /** Winsorize: clamp `valueCol` to its sketch-estimated [pLo, pHi]
     * quantiles — the outlier-robust normalization before means/regressions
     * that a single corrupt magnitude would otherwise own. Thresholds come

@@ -1392,6 +1392,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("madOutliers: 50%-breakdown statistics flag the planted point, zero-MAD guarded") {
+    import graft.operators.Profile
+    val d = ((1 to 99).map(i => (i.toLong, i.toDouble)) :+ (1000L, 1000.0)).toDF("id", "v")
+    val out = Profile.madOutliers(d, "v", col("id"), k = 2048)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), Option(r.get(4)).map(_ => r.getDouble(4)), r.getBoolean(5)))
+      .toMap
+    // k covers the data: med = 50, MAD = 25 exactly
+    val (med, mad, _, _) = out(1L)
+    assert(med == 50.0 && mad == 25.0)
+    // the planted 1000 is the only robust-z > 3.5 point
+    assert(out(1000L)._4 && out(1000L)._3.get == BigDecimal(0.6745 * 950 / 25)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.count(_._2._4) == 1)
+    // constant column: MAD = 0 -> z NULL, nothing flagged (no div-by-zero)
+    val const = Profile.madOutliers(
+      (1 to 10).map(i => (i.toLong, 7.0)).toDF("id", "v"), "v", col("id")).collect()
+    assert(const.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+  }
+
   test("groupQuantiles: exact per group when k covers it, mergeable across layout") {
     import graft.operators.Profile
     // group a: 1..100 (k covers -> exact); group b: single value
