@@ -2246,6 +2246,29 @@ object PipelineQueries {
         .orderBy("event_type", "hour")
     },
 
+    // mutual information between categorical columns (does source leak
+    // lang?) with per-term integer nano-nat quantization — like
+    // q_profile_entropy, the distributed sum is exact under any order.
+    // Marginal entropies ride along for normalization context
+    q("q_profile_mi",
+      """WITH j AS (SELECT source AS a, lang AS b, count(*) AS c FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(c) AS ca FROM j GROUP BY a),
+        |mb AS (SELECT b, sum(c) AS cb FROM j GROUP BY b),
+        |nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM j),
+        |t AS (SELECT CAST(round(((j.c / n) * ln((j.c * n) / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))))
+        |        * 1000000000.0) AS BIGINT) AS qmi
+        |      FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+        |ha AS (SELECT sum(CAST(round(((ca / n) * ln(ca / n)) * 1000000000.0) AS BIGINT)) AS sa
+        |       FROM ma CROSS JOIN nn),
+        |hb AS (SELECT sum(CAST(round(((cb / n) * ln(cb / n)) * 1000000000.0) AS BIGINT)) AS sb
+        |       FROM mb CROSS JOIN nn)
+        |SELECT round(CAST((SELECT sum(qmi) FROM t) AS DOUBLE) / 1000000000.0, 6) AS mi,
+        |  round(-CAST((SELECT sa FROM ha) AS DOUBLE) / 1000000000.0, 6) AS h_a,
+        |  round(-CAST((SELECT sb FROM hb) AS DOUBLE) / 1000000000.0, 6) AS h_b""".stripMargin) { c =>
+      import graft.operators.Profile
+      Profile.mutualInformation(c.resolve("documents"), "source", "lang")
+    },
+
     // robust MAD outliers: z = 0.6745|x - med|/MAD with both statistics
     // from the quantile sketch (50% breakdown — one corrupt magnitude
     // cannot mask the rest, unlike mean/stddev z-scores); flagging is

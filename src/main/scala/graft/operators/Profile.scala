@@ -305,6 +305,46 @@ object Profile {
               floor((size(col("vs")) - 1).cast("double") * col("p")).cast("int") + 1),
             6)).as("q"))
 
+  /** Mutual information between two categorical columns (nats, 6dp) —
+    * the dependence audit: does `source` leak `lang`, does a quasi-
+    * identifier determine a sensitive column, is a feature redundant.
+    * I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))), with each term quantized to
+    * integer nano-nats before summing (the [[valueEntropy]] discipline:
+    * integer sums are exact under any summation order, so distributed
+    * partials and a sequential replay agree bit-for-bit). Marginal
+    * entropies ride along for normalization context. One (a, b) count
+    * shuffle; margins are domain-sized broadcasts. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val ma = joint.groupBy("a").agg(sum("c").as("ca"))
+    val mb = joint.groupBy("b").agg(sum("c").as("cb"))
+    val n = joint.agg(sum("c").cast("double").as("n"))
+    def quant(x: Column): Column = round(x * lit(1e9)).cast("long")
+    val terms = joint
+      .join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(n))
+      .select(
+        quant((col("c").cast("double") / col("n")) *
+          log((col("c").cast("double") * col("n")) /
+            (col("ca").cast("double") * col("cb").cast("double")))).as("qmi"),
+        col("ca"), col("cb"), col("a"), col("b"), col("n"))
+    val hA = terms.select(col("a"), col("ca"), col("n")).distinct()
+      .select(quant((col("ca").cast("double") / col("n")) *
+        log(col("ca").cast("double") / col("n"))).as("qa"))
+      .agg(sum("qa").as("sa"))
+    val hB = terms.select(col("b"), col("cb"), col("n")).distinct()
+      .select(quant((col("cb").cast("double") / col("n")) *
+        log(col("cb").cast("double") / col("n"))).as("qb"))
+      .agg(sum("qb").as("sb"))
+    terms.agg(sum("qmi").as("smi")).crossJoin(hA).crossJoin(hB)
+      .select(
+        round(col("smi").cast("double") / 1e9, 6).as("mi"),
+        round(-col("sa").cast("double") / 1e9, 6).as("h_a"),
+        round(-col("sb").cast("double") / 1e9, 6).as("h_b"))
+  }
+
   /** Robust outlier flagging by MEDIAN ABSOLUTE DEVIATION: robust z =
     * 0.6745·|x − med| / MAD (the consistency constant makes MAD estimate
     * σ under normality; Iglewicz & Hoaglin's 3.5 cutoff is the usual

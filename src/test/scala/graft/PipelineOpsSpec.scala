@@ -1392,6 +1392,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cdcHit.toDouble / cdcTot > fixHit.toDouble / fixTot)
   }
 
+  test("mutualInformation: zero for independent columns, H(A) for determined ones") {
+    import graft.operators.Profile
+    // B = f(A): I(A;B) = H(B); here each a maps to one b
+    val det = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val d = Profile.mutualInformation(det, "a", "b").head()
+    assert(d.getDouble(0) == d.getDouble(2)) // mi == h_b
+    assert(math.abs(d.getDouble(0) - math.log(2)) < 1e-6)
+    // independent uniform columns: every (a, b) cell equally likely -> MI 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q") } yield (a, b)).toDF("a", "b")
+    assert(Profile.mutualInformation(ind, "a", "b").head().getDouble(0) == 0.0)
+  }
+
   test("madOutliers: 50%-breakdown statistics flag the planted point, zero-MAD guarded") {
     import graft.operators.Profile
     val d = ((1 to 99).map(i => (i.toLong, i.toDouble)) :+ (1000L, 1000.0)).toDF("id", "v")
