@@ -131,24 +131,35 @@ object Dedup {
     spread(docs).select(col("doc_id"), explode(kernel(col(textCol))).as("fingerprint"))
   }
 
-  /** EXACT all-pairs shingle Jaccard >= `minJaccard` — the O(N²) ground
-    * truth. NOT a production path (the point of minhash/LSH is to avoid
-    * this join); exists so [[lshQuality]] can measure LSH against an
-    * answer that is not itself candidate-restricted. Run it on a
-    * content-hash SAMPLE of the corpus, never the corpus. */
+  /** EXACT shingle Jaccard >= `minJaccard` — the ground truth LSH is
+    * measured against, free of LSH's own candidate restriction. Requires
+    * minJaccard > 0, which makes the EQUI-JOIN formulation exact: a pair
+    * with positive Jaccard shares at least one shingle, so generating
+    * candidates from shared shingles (one (doc, shingle) equi-join +
+    * per-pair shared counts) loses nothing, and the zero-overlap pairs it
+    * skips were excluded anyway. Logically all-pairs truth, physically
+    * never a cross join — docs meet only where they share a shingle.
+    * Still quadratic in the worst case (every doc sharing every shingle);
+    * run it on a content-hash SAMPLE of the corpus, never the corpus. */
   def exactJaccardPairs(
       docs: DataFrame,
       minJaccard: Double = 0.5,
       textCol: String = "text"): DataFrame = {
+    require(minJaccard > 0.0, "equi-join truth needs a positive threshold")
     val s = docs
-      .select(col("doc_id"), array_distinct(shingles(col(textCol))).as("dsh"))
-      .where(size(col("dsh")) > 0)
-    val inter = size(array_intersect(col("x.dsh"), col("y.dsh")))
-    s.as("x").join(s.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("doc_id"), explode(array_distinct(shingles(col(textCol)))).as("sh"))
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = s.as("x")
+      .join(s.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .select(
-        col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("a_id"), col("b_id"),
         round(
-          inter.cast("double") / (size(col("x.dsh")) + size(col("y.dsh")) - inter),
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")),
           6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }

@@ -787,7 +787,15 @@ object TextOps {
     val terms = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
     require(terms.nonEmpty, "empty phrase")
     val kk = terms.length
-    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    docs
+      // EXACT prefilter before the positional lambda: normalized text IS
+      // the tokens joined by single spaces, so space-padded substring
+      // presence <=> consecutive-token presence. The (interpreted) lambda
+      // then runs only on matching docs — the codegen'd contains() scan
+      // carries the corpus
+      .where(concat(lit(" "), normalized(col(textCol)), lit(" "))
+        .contains(" " + terms.mkString(" ") + " "))
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
       .withColumn(
         "n_hits",
         when(
