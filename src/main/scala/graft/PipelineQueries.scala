@@ -2200,8 +2200,15 @@ object PipelineQueries {
       """WITH RECURSIVE
         |daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
         |          FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+        |      FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |sc AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 day)) AS day
+        |       FROM ty CROSS JOIN b),
+        |dense AS (SELECT sc.event_type, sc.day, coalesce(daily.n, 0) AS n
+        |          FROM sc LEFT JOIN daily USING (event_type, day)),
         |rn AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
-        |       FROM daily),
+        |       FROM dense),
         |mu AS (SELECT event_type, CAST(round(avg(n)) AS BIGINT) AS mu FROM rn
         |       WHERE rn <= 7 GROUP BY 1),
         |cs AS (
@@ -2429,7 +2436,8 @@ object PipelineQueries {
         .agg(count(lit(1)).as("true_join_size"))
       ska.crossJoin(skb).crossJoin(tru)
         .select(
-          CmsSketch.joinSizeEstimate(col("ska"), col("skb"), d, w).as("est_join_size"),
+          CmsSketch.joinSizeEstimate(col("ska"), col("skb"), d, w)
+            .cast("long").as("est_join_size"),
           col("true_join_size"))
     },
 

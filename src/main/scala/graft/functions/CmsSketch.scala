@@ -134,7 +134,13 @@ object CmsSketch {
     * optimizer statistic at 100 TB: both sides sketch in one pass each
     * (O(d·w) state), and the estimate prices the join BEFORE any shuffle
     * of either table. Integer arithmetic end-to-end. */
-  def joinSizeEstimate(skA: Column, skB: Column, depth: Int, width: Int): Column =
+  def joinSizeEstimate(skA: Column, skB: Column, depth: Int, width: Int): Column = {
+    // DECIMAL(38,0) accumulation: the true inner product is bounded by
+    // |A|·|B| — two 10^10-row sides already exceed Long range (~9.2e18),
+    // and a wrapped negative sum would invert the overcount-only
+    // guarantee exactly at the scale this statistic exists for. Decimal
+    // keeps every cell product and the row sum exact to 38 digits.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     array_min(transform(
       sequence(lit(0), lit(depth - 1)),
       d =>
@@ -142,7 +148,8 @@ object CmsSketch {
           zip_with(
             slice(skA, d * width + 1, lit(width)),
             slice(skB, d * width + 1, lit(width)),
-            (a, b) => a * b),
-          lit(0L),
+            (a, b) => a.cast(dec) * b.cast(dec)),
+          lit(0L).cast(dec),
           (acc, x) => acc + x)))
+  }
 }

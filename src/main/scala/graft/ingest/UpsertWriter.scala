@@ -347,6 +347,39 @@ object UpsertWriter {
   private def isDeltaFile(name: String): Boolean =
     name.startsWith("delta-") && name.endsWith(".parquet")
 
+  /** Column mirror of [[isDeltaFile]] over input_file_name() paths. */
+  private def isDeltaFileCol: Column =
+    input_file_name().rlike("/delta-[^/]*\\.parquet$")
+
+  /** Operational report for the delta store: per bucket, base/delta file
+    * and row counts plus the due-for-compaction flag — the SAME threshold
+    * predicate the write path's auto-compaction uses. Lives here (not in
+    * an operator module) because it must see a CONSISTENT table: it rolls
+    * forward any interrupted publish first, like every other read
+    * surface, and shares the bucket-column/path/delta-name definitions
+    * instead of re-hardcoding them. One metadata-cheap scan; output is
+    * buckets-sized. */
+  def compactionReport(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      deltaFilesMax: Int = DeltaFilesMax): DataFrame = {
+    val p = pathOf(dir, table)
+    repairPending(p)
+    spark.read.parquet(p.toString)
+      .select(
+        col(BucketCol).as("bucket"),
+        isDeltaFileCol.as("d"),
+        input_file_name().as("f"))
+      .groupBy("bucket")
+      .agg(
+        countDistinct(when(!col("d"), col("f"))).as("n_base_files"),
+        countDistinct(when(col("d"), col("f"))).as("n_delta_files"),
+        sum(when(!col("d"), 1L).otherwise(0L)).as("base_rows"),
+        sum(when(col("d"), 1L).otherwise(0L)).as("delta_rows"))
+      .withColumn("needs_compaction", col("n_delta_files") > deltaFilesMax)
+  }
+
   /** Append `content` — rows that are PURE INSERTS w.r.t. the live table,
     * already aligned to the stored schema — as `delta-*.parquet` files
     * inside their bucket dirs. Writes O(batch) bytes; every base file stays

@@ -98,7 +98,20 @@ object Events {
     val daily = events
       .groupBy(col(typeCol).as("event_type"), date_trunc("day", col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
-    val withRn = daily.withColumn(
+    // DENSIFY before folding: a day with zero events must enter the
+    // recurrence as x_t = 0 (each silent day drains S by mu + slack) — a
+    // gapped series would carry stale elevated S across the gap and flag
+    // normal-volume days after it. Same generated scaffold as [[gapFill]].
+    val bounds = events.agg(
+      min(date_trunc("day", col(tsCol))).as("lo"),
+      max(date_trunc("day", col(tsCol))).as("hi"))
+    val scaffold = events.select(col(typeCol).as("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val dense = scaffold.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val withRn = dense.withColumn(
       "rn", row_number().over(Window.partitionBy("event_type").orderBy("day")))
     val mu = withRn.where(col("rn") <= baselineDays)
       .groupBy("event_type").agg(round(avg("n")).cast("long").as("mu"))

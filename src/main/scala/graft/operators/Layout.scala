@@ -120,30 +120,17 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
 
-  /** Operational report for the bucket-local delta store: per bucket, how
-    * many base and delta files it holds, their row counts, and whether the
-    * bucket is due for compaction (delta files past the threshold — the
-    * same predicate the write path's auto-compaction uses). The decision
-    * input for scheduling maintenance I/O on a 100 TB store: deltas cost
-    * glob fan-out at read time, compaction costs a bucket rewrite, and
-    * this frame (buckets-sized, one metadata-cheap scan) prices both
-    * sides. */
+  /** Delta-store maintenance pricing — delegates to [[graft.ingest
+    * .UpsertWriter.compactionReport]], which owns the store's layout
+    * definitions and rolls forward interrupted publishes before reading
+    * (this used to live here reading the glob directly, which could
+    * report from a torn table after a crash mid-publish). */
   def compactionReport(
       spark: SparkSession,
       dir: String,
       table: String,
-      deltaFilesMax: Int = graft.ingest.UpsertWriter.DeltaFilesMax): DataFrame = {
-    val isDelta = input_file_name().rlike("/delta-[^/]*\\.parquet$")
-    spark.read.parquet(s"$dir/$table.parquet")
-      .select(col("__bucket").as("bucket"), isDelta.as("d"), input_file_name().as("f"))
-      .groupBy("bucket")
-      .agg(
-        countDistinct(when(!col("d"), col("f"))).as("n_base_files"),
-        countDistinct(when(col("d"), col("f"))).as("n_delta_files"),
-        sum(when(!col("d"), 1L).otherwise(0L)).as("base_rows"),
-        sum(when(col("d"), 1L).otherwise(0L)).as("delta_rows"))
-      .withColumn("needs_compaction", col("n_delta_files") > deltaFilesMax)
-  }
+      deltaFilesMax: Int = graft.ingest.UpsertWriter.DeltaFilesMax): DataFrame =
+    graft.ingest.UpsertWriter.compactionReport(spark, dir, table, deltaFilesMax)
 
   /** Per-FILE zone map: min/max of `cols` for every parquet file under
     * `dir` — the data-skipping index that makes a clustered layout

@@ -291,8 +291,10 @@ object Profile {
       groupCol: String,
       k: Int = 256,
       ps: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame =
-    df.where(col(valueCol).isNotNull)
-      .groupBy(col(groupCol))
+    // no isNotNull prefilter: the aggregate itself skips NULL values, and
+    // dropping the rows would drop ALL-NULL groups entirely — the
+    // contract gives those groups NULL q, not absence
+    df.groupBy(col(groupCol))
       .agg(graft.functions.BottomKSample
         .bottomKByHash(col(valueCol), idCol, k).as("vs"))
       .select(col(groupCol), explode(typedlit(ps)).as("p"), col("vs"))
@@ -395,7 +397,11 @@ object Profile {
     df.crossJoin(broadcast(th))
       .withColumn(
         s"${valueCol}_w",
-        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+        // NULL stays NULL: greatest/least SKIP null operands, so without
+        // the guard a NULL value would be "clamped" to the low threshold
+        // — a fabricated data point
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 

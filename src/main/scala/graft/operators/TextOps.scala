@@ -784,7 +784,10 @@ object TextOps {
       phrase: String,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val terms = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: the corpus side lowercases with Spark's locale-
+    // independent lower(); a default-locale toLowerCase would break the
+    // match on locale-sensitive characters (Turkish dotless i)
+    val terms = phrase.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
     require(terms.nonEmpty, "empty phrase")
     val kk = terms.length
     docs

@@ -1438,6 +1438,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(("b", 0.5)) == 42.0)
     // layout invariance: the sample is hash-determined, not partition-determined
     assert(run(d.repartition(13)) == out)
+    // an ALL-NULL group still appears, with NULL q (contract: NULL, not absence)
+    val withNull = d.unionByName(
+      Seq(("c", 900L)).toDF("g", "id").withColumn("v", lit(null).cast("double"))
+        .select("g", "id", "v"))
+    val nq = Profile.groupQuantiles(withNull, "v", col("id"), "g", k = 256, ps = Seq(0.5))
+      .where(col("g") === "c").collect()
+    assert(nq.length == 1 && nq.head.isNullAt(2))
   }
 
   test("winsorize: clamps to sampled quantiles, interior values untouched") {
@@ -1450,6 +1457,12 @@ class PipelineOpsSpec extends SparkSpec {
     // floor((100-1)*0.1)=9 -> 10th smallest = 10; floor(99*0.9)=89 -> 90
     assert(w.forall { case (_, v, vw) => vw == math.min(math.max(v, 10.0), 90.0) })
     assert(w.count { case (_, v, vw) => vw != v } == 9 + 10)
+    // NULL values stay NULL — not fabricated low-threshold points
+    val withNull = d.unionByName(
+      Seq(999L).toDF("id").withColumn("v", lit(null).cast("double")).select("id", "v"))
+    val nrow = Profile.winsorize(withNull, "v", col("id"), 0.1, 0.9, 1024)
+      .where(col("id") === 999L).head()
+    assert(nrow.isNullAt(nrow.fieldIndex("v_w")))
   }
 
   test("phraseHits: consecutive-token conjunction, counts multiples, no partial credit") {
@@ -1486,6 +1499,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(15) == ((80L, 40L, true)))
     assert(out.drop(15).forall(_._3))
     assert(out.last._2 == 20L * 10)
+    // SILENT GAP drains the statistic: 7 baseline days at 60 (mu=60), two
+    // 90-days (S 20 then 40, flagged), three days with NO events (x=0
+    // enters the recurrence, S collapses to 0), then a normal day
+    val gappy = ((1 to 9) ++ (13 to 13)).flatMap { d =>
+      val c = if (d <= 7) 60 else if (d <= 9) 90 else 60
+      (1 to c).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-02-$d%02d 00:${i % 60}%02d:00"), "feed", 1.0))
+    }.toDF("ts", "event_type", "value")
+    val g = Events.cusumChangePoints(gappy, slack = 10L, threshold = 30L, baselineDays = 7)
+      .orderBy("day")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("cusum"), r.getAs[Boolean]("changed")))
+    assert(g.length == 13, "scaffold must densify the silent days")
+    assert(g(8) == ((90L, 40L, true)))            // last loud day flagged
+    assert(g(9) == ((0L, 0L, false)))             // first silent day drains fully
+    assert(g(12) == ((60L, 0L, false)))           // normal resume is NOT flagged
   }
 
   test("lshQuality: perfect scores on an exact-dup corpus, guarded zeros with no dups") {
@@ -1551,7 +1579,7 @@ class PipelineOpsSpec extends SparkSpec {
     val b = Seq(1L, 1L, 3L, 3L, 3L, 3L).toDF("k")
     def est(w: Int): Long = a.agg(CmsSketch.cms(col("k"), 4, w).as("ska"))
       .crossJoin(b.agg(CmsSketch.cms(col("k"), 4, w).as("skb")))
-      .select(CmsSketch.joinSizeEstimate(col("ska"), col("skb"), 4, w))
+      .select(CmsSketch.joinSizeEstimate(col("ska"), col("skb"), 4, w).cast("long"))
       .head().getLong(0)
     // wide sketch: no collisions in any depth row -> exact inner product
     assert(est(4096) == 6L)
