@@ -81,6 +81,15 @@ object GraftExtensions {
           "kmv_hashes(value, k) - the KMV sketch itself: ascending array of the k smallest distinct 60-bit md5 hashes"),
         (args: Seq[Expression]) =>
           KmvHashes(e(Funcs.md5Hash60(c(args(0)))), litInt(args(1), "k"))),
+      (FunctionIdentifier("bottom_k_sample"),
+        info("bottom_k_sample",
+          "bottom_k_sample(value, id, k) - the group's k-smallest-by-id-hash sample of value, ascending array<double>"),
+        (args: Seq[Expression]) =>
+          BottomKSample(
+            e(org.apache.spark.sql.functions.struct(
+              Funcs.md5Hash60(c(args(1))).as("h"),
+              c(args(0)).cast("double").as("v"))),
+            litInt(args(2), "k"))),
       (FunctionIdentifier("cms_sketch"),
         info("cms_sketch",
           "cms_sketch(value, depth, width) - Count-Min counter matrix (row-major array<bigint>)"),

@@ -62,8 +62,9 @@ class FuncsSpec extends SparkSpec {
   test("GraftExtensions: builder-time injection lists the same functions") {
     // the extension class is the same registration table install() uses
     assert(graft.functions.GraftExtensions.registrations.map(_._1.funcName).sorted ==
-      Seq("cms_estimate", "cms_sketch", "dot_f", "in_subnet", "kmv_distinct",
-        "kmv_hashes", "like_bin", "match_bin", "norm_f", "rfc3339", "simhash64"))
+      Seq("bottom_k_sample", "cms_estimate", "cms_sketch", "dot_f", "in_subnet",
+        "kmv_distinct", "kmv_hashes", "like_bin", "match_bin", "norm_f", "rfc3339",
+        "simhash64"))
   }
 
   test("GraftExtensions: sketch aggregates are SQL-callable and match the Column API") {
@@ -78,6 +79,12 @@ class FuncsSpec extends SparkSpec {
     val sqlH = spark.sql("SELECT kmv_hashes(x, 16) FROM sk_vals").head().getSeq[Long](0)
     val colH = df.agg(graft.functions.KmvSketch.kmvHashes(col("x"), 16)).head().getSeq[Long](0)
     assert(sqlH == colH && sqlH.length == 16 && sqlH == sqlH.sorted)
+    // bottom-k sample: SQL array == Column API array, ascending
+    val sqlBk = spark.sql("SELECT bottom_k_sample(length(x), x, 8) FROM sk_vals")
+      .head().getSeq[Double](0)
+    val colBk = df.agg(graft.functions.BottomKSample
+      .bottomKByHash(length(col("x")), col("x"), 8)).head().getSeq[Double](0)
+    assert(sqlBk == colBk && sqlBk.length == 8 && sqlBk == sqlBk.sorted)
     // CMS: sketch + estimate round-trip in pure SQL == Column API
     val sqlEst = spark.sql(
       """SELECT v, cms_estimate(sk, v, 4, 64) AS est FROM
