@@ -163,7 +163,12 @@ object UpsertWriter {
     * bucket (law-tested against the full-scan filter). Probe keys are
     * cast to the stored key type before hashing — a probe rendered as
     * text still lands on the right bucket. Falls back to a filtered full
-    * read on a legacy flat table. */
+    * read on a legacy flat table, AND whenever the table's recorded
+    * routing keys are not exactly [keyCol] (multi-column dedup keys,
+    * full-row distinct buckets, or a pre-key-recording marker): pruning
+    * on a column the rows were not hashed by would silently miss stored
+    * rows, so unknown/mismatched routing degrades to correct-but-unpruned
+    * rather than fast-but-wrong. */
   def readForKeys(
       spark: SparkSession,
       dir: String,
@@ -173,12 +178,22 @@ object UpsertWriter {
     require(keys.nonEmpty, "need at least one probe key")
     val p = pathOf(dir, table)
     repairPending(p)
-    val idType = spark.read.parquet(p.toString).schema(keyCol).dataType
+    // key type from ONE parquet footer, not the whole-table glob: every
+    // bucket shares one schema by construction (schema-evolution batches
+    // rewrite the full table), so any single file is authoritative — a
+    // full listing at the 4096-bucket shape would cost more than the
+    // pruned read this method exists to make cheap
+    val idType = firstParquetFile(p) match {
+      case Some(f) => spark.read.parquet(f.toString).schema(keyCol).dataType
+      case None    => spark.read.parquet(p.toString).schema(keyCol).dataType
+    }
     val keyLits = keys.map(k => lit(k).cast(idType))
     val pred = keyLits.map(col(s"`$keyCol`") === _).reduce(_ || _)
-    bucketCount(p) match {
-      case None => readTable(spark, dir, table).where(pred)
-      case Some(n) =>
+    (bucketCount(p), bucketKeys(p)) match {
+      case (None, _) => readTable(spark, dir, table).where(pred)
+      case (Some(_), bk) if !bk.contains(Seq(keyCol)) =>
+        readTable(spark, dir, table).where(pred)
+      case (Some(n), _) =>
         import spark.implicits._
         val buckets = keys.toDF(keyCol)
           .select(pmod(hash(col(s"`$keyCol`").cast(idType)), lit(n)).as("b"))
@@ -193,17 +208,47 @@ object UpsertWriter {
     }
   }
 
+  /** First parquet data file under the table tree (any one — all buckets
+    * share a single schema). Walks bucket dirs lazily and stops at the
+    * first hit, so it touches O(1) directory entries, not the full glob. */
+  private def firstParquetFile(p: Path): Option[Path] = {
+    if (!Files.exists(p)) return None
+    val s = Files.walk(p)
+    try s.iterator().asScala
+      .find(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
   // ----- bucket layout bookkeeping ----------------------------------------
 
   private def markerOf(p: Path): Path = p.resolve("_graft_buckets")
 
+  /** Marker body: bucket count on line 1, then ONE ROUTING KEY COLUMN PER
+    * LINE — the catalog of how rows were hashed into buckets. Readers that
+    * prune by key ([[readForKeys]]) validate their probe column against
+    * these lines; a marker written before keys were recorded (count-only)
+    * reads as keys-unknown and pruning falls back to the full filtered
+    * read rather than guessing. */
+  private def markerContent(n: Int, keys: Seq[String]): Array[Byte] =
+    (n.toString +: keys).mkString("", "\n", "\n").getBytes("UTF-8")
+
+  private def markerLines(p: Path): Option[Seq[String]] =
+    if (!Files.exists(markerOf(p))) None
+    else
+      try Some(new String(Files.readAllBytes(markerOf(p)), "UTF-8")
+        .split('\n').map(_.trim).filter(_.nonEmpty).toSeq)
+      catch { case _: Exception => None }
+
   /** Bucket count of a stored table; None for a legacy flat directory
     * (its next write migrates it to the bucketed layout). */
   private def bucketCount(p: Path): Option[Int] =
-    if (!Files.exists(markerOf(p))) None
-    else
-      try Some(new String(Files.readAllBytes(markerOf(p)), "UTF-8").trim.toInt)
-      catch { case _: Exception => None }
+    markerLines(p).flatMap(_.headOption).flatMap(_.toIntOption)
+
+  /** The routing key columns recorded at table creation; None when the
+    * marker predates key recording (then only whole-table reads are safe
+    * to prune-free, and key-pruned reads must fall back). */
+  private def bucketKeys(p: Path): Option[Seq[String]] =
+    markerLines(p).map(_.drop(1)).filter(_.nonEmpty)
 
   private def bucketOf(keys: Seq[String], n: Int): Column =
     pmod(hash(keys.map(k => col(s"`$k`")): _*), lit(n))
@@ -256,13 +301,14 @@ object UpsertWriter {
 
   /** Record the intent marker, perform the moves, clean up — the only code
     * path that mutates a live table tree. */
-  private def publishStaged(p: Path, tmp: Path, entries: Seq[String], n: Int): Unit = {
+  private def publishStaged(
+      p: Path, tmp: Path, entries: Seq[String], n: Int, keys: Seq[String]): Unit = {
     Files.createDirectories(p)
     Files.write(pendingOf(p),
       (tmp.getFileName.toString +: entries).mkString("", "\n", "\n").getBytes("UTF-8"))
     entries.foreach(applyEntry(p, tmp, _))
     if (!Files.exists(markerOf(p)))
-      Files.write(markerOf(p), s"$n\n".getBytes("UTF-8"))
+      Files.write(markerOf(p), markerContent(n, keys))
     Files.deleteIfExists(pendingOf(p))
     if (Files.exists(tmp)) FsUtil.deleteTree(tmp)
   }
@@ -332,7 +378,7 @@ object UpsertWriter {
     val entries = touched
       .filter(k => Files.exists(tmp.resolve(s"$BucketCol=$k")))
       .map(k => s"swap|$BucketCol=$k")
-    publishStaged(p, tmp, entries, n)
+    publishStaged(p, tmp, entries, n, keys)
   }
 
   // ----- bucket-local delta appends ----------------------------------------
@@ -404,7 +450,7 @@ object UpsertWriter {
     val entries = staged.zipWithIndex.map { case (rel, i) =>
       s"file|$rel|${rel.getParent}/delta-$stamp-$i.parquet"
     }
-    publishStaged(p, tmp, entries, n)
+    publishStaged(p, tmp, entries, n, keys)
     staged.map(_.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt).distinct
   }
 
@@ -451,7 +497,7 @@ object UpsertWriter {
         n * f, col(BucketCol),
         pmod(hash(keys.map(k => col(s"`$k`")) :+ lit("fanout"): _*), lit(f)))
     spread.write.partitionBy(BucketCol).mode("overwrite").parquet(tmp.toString)
-    Files.write(tmp.resolve("_graft_buckets"), s"$n\n".getBytes("UTF-8"))
+    Files.write(tmp.resolve("_graft_buckets"), markerContent(n, keys))
     // the delete-then-move pair is its own torn window (a crash between
     // them loses the table); the staged tmp is complete, so a sibling
     // intent marker lets repairPending roll the swap forward

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Physical-layout tools for 100 TB operation: skew-salted joins and
   * bucketed co-located joins. Neither changes results — only where rows
@@ -157,7 +158,16 @@ object Layout {
     * exact predicate (zone overlap is necessary, not sufficient). The file
     * list is map-sized driver metadata — the same economics as any
     * manifest-driven scan planner. Result EQUALS the full read with the
-    * same predicate (law-tested); only the I/O shrinks. */
+    * same predicate (law-tested); only the I/O shrinks.
+    *
+    * Staleness guard: a zone map built before files were appended to
+    * `dir` would silently hide those files' rows from the "equals the
+    * full read" law. Before pruning, the directory's parquet-file set is
+    * compared against the map's (a cheap metadata listing, no data read);
+    * any file the map has never seen forces a fall back to the full
+    * filtered read — correct-but-unpruned beats fast-but-wrong. Rebuild
+    * the map (or maintain it incrementally on append) to restore
+    * pruning. */
   def readPruned(
       spark: SparkSession,
       dir: String,
@@ -166,13 +176,34 @@ object Layout {
       lo: Long,
       hi: Long): DataFrame = {
     require(lo <= hi, "empty range")
-    val files = zmap
-      .where(col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi))
-      .select("file").collect().map(_.getString(0))
+    // one collect carries both the map's file census (for the staleness
+    // check) and each file's range-overlap verdict
+    val entries = zmap.select(
+      col("file"),
+      (col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi)).as("o"))
+      .collect()
+    // input_file_name() renders URIs (file:///...); normalize both sides
+    // to plain absolute paths before comparing
+    def norm(s: String): String =
+      java.net.URLDecoder.decode(s.stripPrefix("file:"), "UTF-8")
+        .replaceAll("^/+", "/")
+    val mappedSet = entries.map(r => norm(r.getString(0))).toSet
+    val actual = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toList
+      finally s.close()
+    }
+    val rangePred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    if (actual.exists(f => !mappedSet.contains(norm(f))))
+      return spark.read.parquet(dir).where(rangePred)
+    val files = entries.filter(r => !r.isNullAt(1) && r.getBoolean(1)).map(_.getString(0))
     val pruned =
       if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
       else spark.read.parquet(files.toIndexedSeq: _*)
-    pruned.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    pruned.where(rangePred)
   }
 
   /** Key-skew diagnosis for a join/aggregation key: the `topN` heaviest

@@ -354,7 +354,17 @@ object Profile {
     * and mask every other outlier — median and MAD have 50% breakdown.
     * Both statistics come from the [[sampleQuantiles]] sketch (two
     * TakeOrdered passes, 1-row broadcasts); the flagging pass is map-side
-    * codegen. Adds med, mad, robust_z (6dp, NULL when MAD = 0), outlier. */
+    * codegen. Adds med, mad, robust_z (6dp), outlier.
+    *
+    * MAD = 0 (≥50% of values identical — e.g. a mostly-constant column
+    * with a few extreme corruptions, exactly where outliers are most
+    * obvious) would make the MAD z-score undefined for every row. Per
+    * Iglewicz & Hoaglin's recommendation the scale then falls back to the
+    * MEAN absolute deviation from the median: robust_z = |x − med| /
+    * (1.253314·MeanAD) (that constant makes MeanAD estimate σ under
+    * normality). Only when BOTH scales are zero — a perfectly constant
+    * column, which by definition has no outliers — is robust_z NULL and
+    * nothing flagged. */
   def madOutliers(
       df: DataFrame,
       valueCol: String,
@@ -365,14 +375,19 @@ object Profile {
       .agg(min(col("q")).as("med"))
     val dev = df.crossJoin(broadcast(med))
       .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
+    // one 1-row broadcast carrying both scales: the sketch median of the
+    // deviations (MAD) and their exact mean (the MAD=0 fallback)
     val mad = sampleQuantiles(dev, "__dev", idCol, k, Seq(0.5))
       .agg(min(col("q")).as("mad"))
+      .crossJoin(dev.agg(avg(col("__dev")).as("__mean_ad")))
     dev.crossJoin(broadcast(mad))
       .withColumn(
         "robust_z",
-        when(col("mad") > 0, round(lit(0.6745) * col("__dev") / col("mad"), 6)))
+        when(col("mad") > 0, round(lit(0.6745) * col("__dev") / col("mad"), 6))
+          .otherwise(when(col("__mean_ad") > 0,
+            round(col("__dev") / (lit(1.253314) * col("__mean_ad")), 6))))
       .withColumn("outlier", coalesce(col("robust_z") > zThreshold, lit(false)))
-      .drop("__dev")
+      .drop("__dev", "__mean_ad")
   }
 
   /** Winsorize: clamp `valueCol` to its sketch-estimated [pLo, pHi]

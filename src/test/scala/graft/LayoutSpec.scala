@@ -150,6 +150,24 @@ class LayoutSpec extends SparkSpec {
     // empty range prunes everything and returns no rows
     val none = Layout.readPruned(spark, dir, zmap, "a", 20000L, 30000L)
     assert(none.count() == 0)
+    // STALENESS GUARD: append files the map has never seen — the read
+    // must fall back to the full filtered scan (their rows included),
+    // not silently skip them because the map says nothing about them
+    spark.range(5).select(
+      (col("id") + 50000L).as("id"),
+      lit(400L).as("a"),
+      lit(1L).as("b"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val afterAppend = Layout.readPruned(spark, dir, zmap, "a", 100L, 800L)
+    val fullAfter = spark.read.parquet(dir).where(col("a") >= 100L && col("a") <= 800L)
+    assert(afterAppend.count() == fullAfter.count())
+    assert(afterAppend.where(col("id") >= 50000L).count() == 5,
+      "appended rows must be visible despite the stale zone map")
+    // rebuilding the map restores pruning
+    val zmap2 = Layout.zoneMap(spark, dir, Seq("a", "b"))
+    val repruned = Layout.readPruned(spark, dir, zmap2, "a", 100L, 800L)
+    assert(repruned.count() == fullAfter.count())
+    assert(repruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
   }
 
   test("bucketed tables join without a shuffle") {

@@ -1418,10 +1418,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1000L)._4 && out(1000L)._3.get == BigDecimal(0.6745 * 950 / 25)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(out.count(_._2._4) == 1)
-    // constant column: MAD = 0 -> z NULL, nothing flagged (no div-by-zero)
+    // constant column: MAD = 0 AND MeanAD = 0 -> z NULL, nothing flagged
     val const = Profile.madOutliers(
       (1 to 10).map(i => (i.toLong, 7.0)).toDF("id", "v"), "v", col("id")).collect()
     assert(const.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+    // MAD = 0 but NOT constant (mostly-constant column, one corruption):
+    // the MeanAD fallback scale kicks in and the corruption is flagged —
+    // previously this degenerate case flagged nothing
+    val fb = Profile.madOutliers(
+      ((1 to 20).map(i => (i.toLong, 7.0)) :+ (99L, 1000.0)).toDF("id", "v"),
+      "v", col("id"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(5))).toMap
+    assert(fb.values.forall(_._1 == 0.0)) // MAD really is 0 here
+    assert(fb(99L)._2 && fb.count(_._2._2) == 1)
   }
 
   test("groupQuantiles: exact per group when k covers it, mergeable across layout") {

@@ -84,6 +84,34 @@ class UpsertBucketSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("readForKeys: non-[keyCol] routing keys and legacy markers fall back, stay correct") {
+    val dir = Files.createTempDirectory("graft-point-fb").toString
+    val sp = spark
+    import sp.implicits._
+    // table bucketed on the dedup key TUPLE (k1, k2): probing by k1 alone
+    // would prune to the wrong buckets (k1 hashes differently than
+    // (k1, k2)) — the recorded routing keys force the full filtered read
+    val rows = (0 until 300).map(i => (s"a-${i % 50}", s"b-$i", i.toLong)).toDF("k1", "k2", "v")
+    UpsertWriter.appendKeyedFirst(spark, dir, "t", rows, Seq("k1", "k2"))
+    val marker = new String(
+      Files.readAllBytes(java.nio.file.Paths.get(dir, "t.parquet", "_graft_buckets")), "UTF-8")
+    assert(marker.trim.split('\n').head == UpsertWriter.DefaultBuckets.toString,
+      s"marker should lead with the bucket count, got: $marker")
+    assert(marker.trim.split('\n').toSeq.drop(1) == Seq("k1", "k2"),
+      s"marker should record the routing keys, got: $marker")
+    val want = UpsertWriter.readTable(spark, dir, "t")
+      .where(col("k1").isin("a-7", "a-11")).count()
+    assert(want == 12L) // 6 rows per k1 value
+    assert(UpsertWriter.readForKeys(spark, dir, "t", "k1", Seq("a-7", "a-11")).count() == want)
+    // legacy count-only marker (pre-key-recording store): keys unknown ->
+    // fall back to the full filtered read rather than guess
+    val n = marker.trim.split('\n').head
+    Files.write(java.nio.file.Paths.get(dir, "t.parquet", "_graft_buckets"),
+      s"$n\n".getBytes("UTF-8"))
+    assert(UpsertWriter.readForKeys(spark, dir, "t", "k1", Seq("a-7", "a-11")).count() == want)
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("incremental merge's old-side scan is partition-pruned to touched buckets") {
     val dir = Files.createTempDirectory("graft-bucket-prune").toString
     UpsertWriter.upsert(spark, dir, "t",
