@@ -212,61 +212,124 @@ object StreamOps {
         col(s"r.$typeCol").as("r_type"))
   }
 
-  /** Per-user running event counter via mapGroupsWithState — the custom-state
-    * escape hatch (reference has no streaming; SURVEY §2.7). Emits one
-    * updated (user_id, count) row per user per micro-batch. */
   /** STREAMING funnel: per-user ordered step progression as custom state
-    * (the mapGroupsWithState face of Events.funnel). State per user is
-    * (current step, frontier micros) — two numbers however many events
-    * the user ever sends. Each batch's events for a user are sorted by
-    * event time inside the group (bounded per user per batch) and walked
-    * through the same min-after-frontier rule the batch operator uses:
-    * the FIRST step-i event after the step-(i−1) frontier and within
-    * `maxGap` advances the state — in time order that IS the batch
-    * semantics' min(). Emits (user, steps_completed) per batch; the
-    * per-step user counts downstream reproduce the batch funnel exactly
-    * when the drain preserves per-user event-time order across batches
-    * (single-batch availableNow, or in-order feeds; cross-batch
-    * stragglers can under-count a step — the standard state-machine
-    * trade, document at the sink). */
+    * (the flatMapGroupsWithState face of Events.funnel). State per user is
+    * (current step, frontier micros, last-seen ms) — three numbers however
+    * many events the user ever sends — and, unlike a NoTimeout state
+    * machine, the state store is BOUNDED on an endless stream:
+    *
+    *  - **Late-event policy**: an event whose time is below the current
+    *    watermark is DROPPED (both by Spark's stateful-operator late-row
+    *    filter and an explicit in-function guard), so the emitted counts
+    *    equal the batch funnel restricted to the watermark-visible prefix
+    *    of the stream. A NoTimeout/no-watermark machine would instead
+    *    apply stragglers in arrival order — a silently different answer
+    *    than the batch operator on the same data.
+    *  - **State expiry (EventTimeTimeout)**: a user mid-funnel can only
+    *    advance via an event within `maxGap` of the current frontier;
+    *    once the watermark passes frontier+gap any such event would be
+    *    late (= dropped), so evicting at that instant is semantically
+    *    lossless. Completed users expire as soon as the watermark moves.
+    *    Step-0 users (nothing but a two-number default yet) expire after
+    *    `idleTimeoutMicros` of event-time silence — a user returning
+    *    later restarts at step 0, which is exactly what a fresh state
+    *    computes. Net: state ∝ users active inside the horizon, not all
+    *    users ever seen.
+    *
+    * Each batch's events for a user are sorted by event time inside the
+    * group (bounded per user per batch) and walked through the same
+    * min-after-frontier rule the batch operator uses: the FIRST step-i
+    * event after the step-(i−1) frontier and within `maxGap` advances the
+    * state — in time order that IS the batch semantics' min(). Emits
+    * (user, steps_completed) per batch with data. */
   def funnelProgress(
       events: Dataset[Row],
       steps: Seq[String],
-      maxGapMicros: Long = 6L * 3600L * 1000000L): Dataset[(Long, Int)] = {
+      maxGapMicros: Long = 6L * 3600L * 1000000L,
+      watermark: String = "2 hours",
+      idleTimeoutMicros: Long = 24L * 3600L * 1000000L): Dataset[(Long, Int)] = {
     require(steps.nonEmpty, "need at least one funnel step")
     val gapMicros = maxGapMicros
+    val idleMs = idleTimeoutMicros / 1000L
     import events.sparkSession.implicits._
     val stepArr = steps.toArray
     events
-      .selectExpr("user_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
-      .as[(Long, String, Long)]
+      .select(col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[(Int, Long)]) =>
-          var (step, frontier) = state.getOption.getOrElse((0, Long.MinValue))
-          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, us) =>
-            if (step < stepArr.length && tpe == stepArr(step) &&
-              (step == 0 || (us > frontier && us <= frontier + gapMicros))) {
-              frontier = us
-              step += 1
-            }
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[(Int, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // Past this instant no on-time event can change the answer
+            // (see expiry rule above) — drop the state, emit nothing.
+            state.remove()
+            Iterator.empty
+          } else {
+            var (step, frontier, lastMs) =
+              state.getOption.getOrElse((0, Long.MinValue, 0L))
+            val wmMs = state.getCurrentWatermarkMs()
+            rows
+              .map { case (_, tpe, t) =>
+                (tpe, t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+              }
+              .filter { case (_, us) => us >= wmMs * 1000L } // drop-late guard
+              .toSeq.sortBy { case (tpe, us) => (us, tpe) }
+              .foreach { case (tpe, us) =>
+                if (us / 1000L > lastMs) lastMs = us / 1000L
+                if (step < stepArr.length && tpe == stepArr(step) &&
+                  (step == 0 || (us > frontier && us <= frontier + gapMicros))) {
+                  frontier = us
+                  step += 1
+                }
+              }
+            state.update((step, frontier, lastMs))
+            val expiryMs =
+              if (step == 0) lastMs + idleMs // idle horizon for not-started users
+              else if (step == stepArr.length) wmMs // complete: evict on next advance
+              else (frontier + gapMicros) / 1000L // no on-time advance possible after
+            state.setTimeoutTimestamp(math.max(wmMs + 1L, expiryMs))
+            Iterator.single((user, step))
           }
-          state.update((step, frontier))
-          (user, step)
       }
   }
 
-  def runningCounts(events: Dataset[Row]): Dataset[(Long, Long)] = {
+  /** Per-user running event counter — the custom-state escape hatch
+    * (reference has no streaming; SURVEY §2.7), state-bounded like
+    * [[funnelProgress]]: one (count, last-seen ms) pair per user, evicted
+    * by EventTimeTimeout after `idleTimeoutMicros` of event-time silence.
+    * A user returning after eviction restarts from zero, so the operator's
+    * contract on an endless stream is "running count within the idle
+    * horizon" — the only bounded reading of a per-key counter when the key
+    * domain grows without limit. Emits one updated (user_id, count) row
+    * per user per micro-batch with data. */
+  def runningCounts(
+      events: Dataset[Row],
+      watermark: String = "2 hours",
+      idleTimeoutMicros: Long = 24L * 3600L * 1000000L): Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
+    val idleMs = idleTimeoutMicros / 1000L
     events
-      .selectExpr("user_id", "event_id")
-      .as[(Long, Long)]
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          (user, n)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (n, lastMs) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { case (_, t) =>
+              n += 1L
+              if (t.getTime > lastMs) lastMs = t.getTime
+            }
+            state.update((n, lastMs))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1L, lastMs + idleMs))
+            Iterator.single((user, n))
+          }
       }
   }
 }

@@ -286,8 +286,8 @@ class StreamingSpec extends SparkSpec {
 
   test("runningCounts keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(Long, Long)]
-    val events = input.toDF().toDF("user_id", "event_id")
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
     val q = StreamOps
       .runningCounts(events)
       .toDF("user_id", "n")
@@ -297,12 +297,93 @@ class StreamingSpec extends SparkSpec {
       .outputMode("update")
       .start()
     try {
-      input.addData((7L, 1L), (7L, 2L))
+      input.addData((ts("2024-01-01 00:00:00"), 7L), (ts("2024-01-01 00:01:00"), 7L))
       q.processAllAvailable()
-      input.addData((7L, 3L))
+      input.addData((ts("2024-01-01 00:02:00"), 7L))
       q.processAllAvailable()
       val last = spark.table("run_counts").collect().map(r => r.getLong(1)).max
       assert(last == 3L)
+    } finally q.stop()
+  }
+
+  test("runningCounts expires idle per-user state at the event-time horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps
+      .runningCounts(events, watermark = "1 hour",
+        idleTimeoutMicros = 2L * 3600L * 1000000L)
+      .toDF("user_id", "n")
+      .writeStream
+      .format("memory")
+      .queryName("run_counts_expiry")
+      .outputMode("update")
+      .start()
+    try {
+      // batch 1: u7 twice, u8 once (u8 keeps the stream alive later)
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 7L),
+        (ts("2024-01-01 00:30:00"), 7L),
+        (ts("2024-01-01 00:00:00"), 8L))
+      q.processAllAvailable()
+      // batch 2: only u8, far in the future — watermark advances to 09:00,
+      // past u7's idle deadline (00:30 + 2h = 02:30)
+      input.addData((ts("2024-01-01 10:00:00"), 8L))
+      q.processAllAvailable()
+      // batch 3: u8 again — u7's timeout FIRES here (timeouts are evaluated
+      // against the watermark computed at the previous batch's end)
+      input.addData((ts("2024-01-01 10:30:00"), 8L))
+      q.processAllAvailable()
+      // batch 4: u7 returns after eviction — count restarts from a fresh
+      // state (1), NOT 3: the state really was removed, not kept forever
+      input.addData((ts("2024-01-01 11:00:00"), 7L))
+      q.processAllAvailable()
+      val u7 = spark.table("run_counts_expiry").collect()
+        .filter(_.getLong(0) == 7L).map(_.getLong(1)).toSet
+      assert(u7.contains(2L), s"pre-expiry count missing: $u7")
+      assert(u7.contains(1L), s"post-expiry restart missing: $u7")
+      assert(!u7.contains(3L), s"state survived the idle horizon: $u7")
+    } finally q.stop()
+  }
+
+  test("funnelProgress drops events below the watermark (late-event policy)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamOps
+      .funnelProgress(events, Seq("signup", "view"),
+        maxGapMicros = 6L * 3600L * 1000000L, watermark = "1 hour")
+      .toDF("user_id", "steps_completed")
+      .writeStream
+      .format("memory")
+      .queryName("funnel_late")
+      .outputMode("update")
+      .start()
+    try {
+      // batch 1: u1 signs up at 00:00; a noise event at 06:00 pushes the
+      // watermark to 05:00 at batch end
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "signup"),
+        (ts("2024-01-01 06:00:00"), 9L, "noise"))
+      q.processAllAvailable()
+      // batch 2: u1's view at 00:30 would advance the funnel (after the
+      // 00:00 frontier, inside the 6h gap) — but it is BELOW the 05:00
+      // watermark, so the late-event policy drops it: u1 stays at step 1,
+      // matching the batch funnel on the watermark-visible prefix
+      input.addData((ts("2024-01-01 00:30:00"), 1L, "view"))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_late").collect()
+        .filter(_.getLong(0) == 1L).map(_.getInt(1)).toSet
+      assert(u1.contains(1), s"signup not counted: $u1")
+      assert(!u1.contains(2), s"late view advanced the funnel: $u1")
+      // an ON-TIME view at 05:30 (above the 05:00 watermark, still inside
+      // the 6h gap of the 00:00 frontier) advances the funnel: lateness,
+      // not the gap, was the only barrier for the dropped event
+      input.addData((ts("2024-01-01 05:30:00"), 1L, "view"))
+      q.processAllAvailable()
+      val u1b = spark.table("funnel_late").collect()
+        .filter(_.getLong(0) == 1L).map(_.getInt(1)).toSet
+      assert(u1b.contains(2), s"on-time view did not advance: $u1b")
     } finally q.stop()
   }
 
