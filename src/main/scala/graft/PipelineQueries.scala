@@ -1232,6 +1232,26 @@ object PipelineQueries {
         .orderBy("pair")
     },
 
+    // corpus-scale BPE ENCODE through the heap kernel (O(len·log len) per
+    // word, independent of the merge-table size): the tokenizer is trained
+    // driver-side on a deterministic 200-doc sample (the standard
+    // sample-train / corpus-encode split), then the whole corpus is
+    // encoded with the ~1.2k-merge table. The oracle pins the lossless-
+    // partition invariant — the concatenated symbol stream of every doc
+    // equals its de-spaced normalized text (no character dropped,
+    // duplicated, or reordered by the kernel); the merge CHOICES are
+    // pinned separately by the heap==fold and local==engine trainer laws
+    q("q_text_bpe_encode",
+      s"""SELECT doc_id, md5(replace($duckNorm, ' ', '')) AS detok_md5
+         |FROM documents ORDER BY doc_id""".stripMargin) { c =>
+      val sample = c.resolve("documents").select(col("doc_id"), col("text"))
+        .orderBy("doc_id").limit(200).collect().map(_.getString(1)).toSeq
+      val merges = TextOps.bpeTrainLocal(sample, 1200).map(m => (m._2, m._3))
+      TextOps.bpeEncodeJoined(c.resolve("documents"), merges)
+        .select(col("doc_id"), md5(col("detok")).as("detok_md5"))
+        .orderBy("doc_id")
+    },
+
     // weighted sampling without replacement (bottom-k of replicated
     // hashes): odds proportional to an integer quality weight, integer
     // arithmetic end to end — the oracle recomputes the same min-of-w

@@ -456,28 +456,149 @@ object TextOps {
     * actually apply. The set only grows (a consumed symbol is merely a
     * missed skip), so the result is EXACTLY the naive rank-order fold —
     * law-tested in PipelineOpsSpec. */
+  /** Rank-order fold encode of ONE word (the skip-set fast path above). */
+  private[graft] def encodeWordFold(
+      w: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = w.split("").toSeq.filter(_.nonEmpty)
+    val present = scala.collection.mutable.HashSet.empty[String]
+    syms.foreach(present += _)
+    merges.foreach { case (a, b) =>
+      if (present.contains(a) && present.contains(b)) {
+        val merged = mergePair(syms, a, b)
+        if (merged.length != syms.length) {
+          syms = merged
+          present += (a + b)
+        }
+      }
+    }
+    syms
+  }
+
   def bpeEncode(
       docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val encode = udf((toks: Seq[String]) =>
-      toks.flatMap { w =>
-        var syms: Seq[String] = w.split("").toSeq.filter(_.nonEmpty)
-        val present = scala.collection.mutable.HashSet.empty[String]
-        syms.foreach(present += _)
-        merges.foreach { case (a, b) =>
-          if (present.contains(a) && present.contains(b)) {
-            val merged = mergePair(syms, a, b)
-            if (merged.length != syms.length) {
-              syms = merged
-              present += (a + b)
-            }
-          }
-        }
-        syms
-      })
+    val encode = udf((toks: Seq[String]) => toks.flatMap(encodeWordFold(_, merges)))
     docs
       .select(col(idCol), explode(encode(tokens(col(textCol)))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heap encode of ONE word: a doubly-linked symbol list plus a priority
+    * queue of adjacent pairs ordered by (merge rank, position), popped with
+    * lazy invalidation — O(len·log len) per word INDEPENDENT of the merge
+    * table size, vs the fold's O(|merges|) skip-set scan per word. At a
+    * real 50k-entry vocabulary the fold pays 50k set probes per word even
+    * when three merges apply; the heap pays only for pairs that exist.
+    *
+    * Produces EXACTLY the rank-order fold's output for any table produced
+    * by BPE training (law-tested): a merge's operands are characters or
+    * products of strictly earlier merges, so merging the currently
+    * lowest-ranked pair can only create pairs of HIGHER rank — the heap's
+    * global min-rank order and the fold's rank-by-rank passes linearize
+    * identically, and the (rank, position) order reproduces the fold's
+    * leftmost-first non-overlapping pass within each rank. */
+  private[graft] def encodeWordHeap(
+      w: String, rank: scala.collection.Map[(String, String), Int]): Seq[String] = {
+    val chars = w.split("").filter(_.nonEmpty)
+    val n = chars.length
+    if (n == 0) return Nil
+    val sym = scala.collection.mutable.ArrayBuffer[String](chars.toIndexedSeq: _*)
+    val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
+    val prev = Array.tabulate(n)(i => i - 1)
+    val alive = Array.fill(n)(true)
+    // min-heap on (rank, left position); node ids never renumber, so
+    // position order IS current sequence order
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Int, String, String)](
+      Ordering.by[(Int, Int, String, String), (Int, Int)](t => (t._1, t._2)).reverse)
+    def push(i: Int): Unit = {
+      val j = if (i >= 0) next(i) else -1
+      if (i >= 0 && j >= 0)
+        rank.get((sym(i), sym(j))).foreach(r => pq.enqueue((r, i, sym(i), sym(j))))
+    }
+    (0 until n - 1).foreach(push)
+    while (pq.nonEmpty) {
+      val (_, i, a, b) = pq.dequeue()
+      // lazy invalidation: the entry is live iff the pair still sits at i
+      val j = if (alive(i)) next(i) else -1
+      if (j >= 0 && alive(j) && sym(i) == a && sym(j) == b) {
+        sym(i) = a + b
+        alive(j) = false
+        val k = next(j)
+        next(i) = k
+        if (k >= 0) prev(k) = i
+        if (prev(i) >= 0) push(prev(i))
+        push(i)
+      }
+    }
+    (0 until n).collect { case i if alive(i) => sym(i) }
+  }
+
+  /** [[bpeEncode]] through the heap kernel — same output, vocabulary-size-
+    * independent per-word cost (the encode to use with real tokenizers). */
+  def bpeEncodeHeap(
+      docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rank = merges.zipWithIndex.toMap
+    val encode = udf((toks: Seq[String]) => toks.flatMap(encodeWordHeap(_, rank)))
+    docs
+      .select(col(idCol), explode(encode(tokens(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heap-encode each document and return the per-doc SYMBOL STREAM joined
+    * back to one string — the lossless-partition invariant of BPE (encode
+    * never drops, duplicates, or reorders a character), which an external
+    * engine can verify as equality with the de-spaced normalized text. */
+  def bpeEncodeJoined(
+      docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rank = merges.zipWithIndex.toMap
+    val encode = udf((toks: Seq[String]) => toks.flatMap(encodeWordHeap(_, rank)))
+    docs.select(
+      col(idCol),
+      array_join(encode(tokens(col(textCol))), "").as("detok"))
+  }
+
+  /** Driver-side serial BPE trainer over a SAMPLE of texts — the way real
+    * tokenizers are trained (a bounded sample on one node) before the
+    * corpus-scale encode runs distributed. Mirrors [[bpeTrain]]'s exact
+    * semantics: whitespace-normalized lowercase tokens, pair counts
+    * weighted by word frequency, rank by (count desc, "a|b" string asc),
+    * greedy leftmost non-overlapping substitution — law-tested equal to
+    * the Spark trainer on seeded corpora. ASCII-equivalent lowercasing
+    * (Locale.ROOT) — like the engine, pair keys never leave the sample. */
+  def bpeTrainLocal(
+      texts: Seq[String], numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    val wordN = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach { t =>
+      t.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+        .split(" ").filter(_.nonEmpty)
+        .foreach(w => wordN.update(w, wordN.getOrElse(w, 0L) + 1L))
+    }
+    var words: Seq[(Seq[String], Long)] =
+      wordN.toSeq.map { case (w, c) => (w.split("").toSeq.filter(_.nonEmpty), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x + "|" + y) }
+        merges += ((rank, a, b, a + b, cnt))
+        rank += 1
+        words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
+      }
+    }
+    merges.toSeq
   }
 
   /** PII redaction patterns, applied in order (emails before bare numbers so

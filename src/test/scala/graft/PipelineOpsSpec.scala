@@ -130,6 +130,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("bpeEncodeHeap law: heap kernel == rank-order fold on trained tables") {
+    // two seeded corpora -> real trained merge tables (operands are chars
+    // or earlier products — the precondition under which min-rank-first
+    // and rank-by-rank passes provably linearize identically)
+    Seq(3, 17).foreach { seed =>
+      val vocab = Seq("low", "lower", "lowest", "newest", "widest", "newer",
+        "wider", "borrow", "barrel", "lowly", "stow", "widow")
+      val r = new scala.util.Random(seed)
+      val texts = (1 to 40).map(_ =>
+        (1 to 12).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+      val merges = TextOps.bpeTrainLocal(texts, 60).map(m => (m._2, m._3))
+      val rank = merges.zipWithIndex.toMap
+      // word-level: every vocab word plus adversarial repeats
+      (vocab ++ Seq("aaaa", "lowlowlow", "widestwidest", "")).foreach { w =>
+        assert(
+          TextOps.encodeWordHeap(w, rank) == TextOps.encodeWordFold(w, merges),
+          s"seed $seed word '$w'")
+      }
+      // frame-level: the two encodes agree on a whole corpus
+      val d = docs(texts.zipWithIndex.map { case (t, i) => (i, t) }: _*)
+      val viaHeap = TextOps.bpeEncodeHeap(d, merges)
+        .orderBy("doc_id", "token").collect()
+        .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
+      val viaFold = TextOps.bpeEncode(d, merges)
+        .orderBy("doc_id", "token").collect()
+        .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
+      assert(viaHeap == viaFold, s"seed $seed")
+    }
+  }
+
+  test("bpeTrainLocal == bpeTrain: the driver-side sample trainer matches the engine") {
+    val vocab = Seq("low", "lower", "newest", "widest", "boring", "zebra",
+      "quick", "jumps", "foxes", "crates")
+    Seq(7, 29).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val texts = (1 to 25).map(_ =>
+        (1 to 18).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+      val d = docs(texts.zipWithIndex.map { case (t, i) => (i, t) }: _*)
+      val viaSpark = TextOps.bpeTrain(d, numMerges = 30)
+      val viaLocal = TextOps.bpeTrainLocal(texts, 30)
+      assert(viaLocal == viaSpark, s"seed $seed: local trainer diverged")
+    }
+  }
+
   test("dsirScores: target-like docs outrank off-target; short docs unscored; layout-invariant") {
     val raw = docs(
       (1, "the cat sat on the mat"),
