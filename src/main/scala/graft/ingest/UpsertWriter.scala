@@ -316,6 +316,79 @@ object UpsertWriter {
   private def swapMarkerOf(p: Path): Path =
     p.resolveSibling(p.getFileName.toString + ".swap_pending")
 
+  // ----- advisory write lease ---------------------------------------------
+  // The pending markers make every publish crash-ATOMIC, but two writers on
+  // one table can still interleave read-merge-write cycles and lose the
+  // earlier writer's update (both read the same base, the later swap wins).
+  // A per-table lease file serializes the verbs: acquire = atomic
+  // CREATE_NEW of `<table>.parquet.lease` holding (holder token, expiry
+  // millis); a competing writer waits, and STEALS the lease only once its
+  // expiry has passed (a crashed holder therefore blocks the table for at
+  // most `DefaultLeaseMs`). Reentrant within a thread (verbs may nest), so
+  // the lease serializes PROCESSES, not call depth. On a shared filesystem
+  // this is the standard advisory pattern; on an object store swap the
+  // CREATE_NEW for a conditional PUT — the call sites are unchanged.
+
+  /** How long one verb may hold the table before a peer may steal. Verbs
+    * renew nothing mid-flight — size this above the longest expected merge
+    * (steals only matter after a CRASH; live writers release in finally). */
+  val DefaultLeaseMs: Long = 10L * 60L * 1000L
+  private val processToken = java.util.UUID.randomUUID().toString
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
+    override def initialValue(): scala.collection.mutable.Map[String, Int] =
+      scala.collection.mutable.Map.empty
+  }
+  private def leaseOf(p: Path): Path =
+    p.resolveSibling(p.getFileName.toString + ".lease")
+
+  /** Run `body` holding the table's advisory write lease. */
+  private[graft] def withTableLease[T](
+      p: Path,
+      leaseMs: Long = DefaultLeaseMs,
+      acquireTimeoutMs: Long = 10L * 60L * 1000L)(body: => T): T = {
+    val key = p.toAbsolutePath.toString
+    val depth = heldLeases.get()
+    if (depth.getOrElse(key, 0) > 0) { // reentrant: already ours on this thread
+      depth(key) += 1
+      try body finally depth(key) -= 1
+    } else {
+      val lease = leaseOf(p)
+      val deadline = System.currentTimeMillis() + acquireTimeoutMs
+      var acquired = false
+      while (!acquired) {
+        try {
+          Files.createDirectories(lease.toAbsolutePath.getParent)
+          Files.write(lease,
+            s"$processToken ${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          acquired = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val expiry =
+              try new String(Files.readAllBytes(lease), "UTF-8").trim
+                .split(' ').lastOption.flatMap(_.toLongOption).getOrElse(0L)
+              catch { case _: java.io.IOException => 0L } // holder released between probe and read
+            if (expiry < System.currentTimeMillis()) {
+              // steal-after-expiry: delete and re-contend (two stealers race
+              // on CREATE_NEW — exactly one wins)
+              try Files.deleteIfExists(lease)
+              catch { case _: java.io.IOException => () }
+            } else if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"timed out acquiring write lease $lease (holder live until $expiry)")
+            else Thread.sleep(50L)
+        }
+      }
+      depth(key) = 1
+      try body
+      finally {
+        depth(key) -= 1
+        try Files.deleteIfExists(lease)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
   /** Finish an interrupted publish (no-op in the common case: two local
     * Files.exists probes). The marker's moves are idempotent; if the staged
     * tmp dir is already gone every move already happened and only the
@@ -536,10 +609,17 @@ object UpsertWriter {
   // ----- public write verbs -----------------------------------------------
 
   /** Merge-upsert `incoming` into `dir/table.parquet` by `id`, rewriting
-    * only the id-hash buckets the batch touches. */
+    * only the id-hash buckets the batch touches. Serialized against
+    * concurrent writers by the table's advisory lease. */
   def upsert(
       spark: SparkSession, dir: String, table: String, incoming: DataFrame,
-      numBuckets: Int = DefaultBuckets): Unit = {
+      numBuckets: Int = DefaultBuckets): Unit =
+    withTableLease(pathOf(dir, table))(
+      upsertLocked(spark, dir, table, incoming, numBuckets))
+
+  private def upsertLocked(
+      spark: SparkSession, dir: String, table: String, incoming: DataFrame,
+      numBuckets: Int): Unit = {
     rejectReserved(incoming)
     val p = pathOf(dir, table)
     repairPending(p)
@@ -611,7 +691,13 @@ object UpsertWriter {
     * existing ids keep their stored row untouched. */
   def insertIgnore(
       spark: SparkSession, dir: String, table: String, incoming: DataFrame,
-      numBuckets: Int = DefaultBuckets): Unit = {
+      numBuckets: Int = DefaultBuckets): Unit =
+    withTableLease(pathOf(dir, table))(
+      insertIgnoreLocked(spark, dir, table, incoming, numBuckets))
+
+  private def insertIgnoreLocked(
+      spark: SparkSession, dir: String, table: String, incoming: DataFrame,
+      numBuckets: Int): Unit = {
     rejectReserved(incoming)
     val p = pathOf(dir, table)
     repairPending(p)
@@ -650,7 +736,13 @@ object UpsertWriter {
     * distinct equals global distinct. */
   def appendDistinct(
       spark: SparkSession, dir: String, table: String, incoming: DataFrame,
-      numBuckets: Int = DefaultBuckets): Unit = {
+      numBuckets: Int = DefaultBuckets): Unit =
+    withTableLease(pathOf(dir, table))(
+      appendDistinctLocked(spark, dir, table, incoming, numBuckets))
+
+  private def appendDistinctLocked(
+      spark: SparkSession, dir: String, table: String, incoming: DataFrame,
+      numBuckets: Int): Unit = {
     rejectReserved(incoming)
     val p = pathOf(dir, table)
     repairPending(p)
@@ -696,7 +788,14 @@ object UpsertWriter {
   def appendKeyedFirst(
       spark: SparkSession, dir: String, table: String,
       incoming: DataFrame, keys: Seq[String],
-      numBuckets: Int = DefaultBuckets): Unit = {
+      numBuckets: Int = DefaultBuckets): Unit =
+    withTableLease(pathOf(dir, table))(
+      appendKeyedFirstLocked(spark, dir, table, incoming, keys, numBuckets))
+
+  private def appendKeyedFirstLocked(
+      spark: SparkSession, dir: String, table: String,
+      incoming: DataFrame, keys: Seq[String],
+      numBuckets: Int): Unit = {
     rejectReserved(incoming)
     val p = pathOf(dir, table)
     repairPending(p)

@@ -527,6 +527,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res.filter(_.getInt(0) == 0).forall(_.getInt(2) % 2 == 0))
   }
 
+  test("IVF scaling rule: nlistFor/nprobeFor hold recall@k >= 0.8 on a 10x corpus") {
+    // nlist = sqrt(N) with a constant probed FRACTION: the law is that the
+    // rescaled (nlist, nprobe) keeps recall, so the index can re-train on
+    // the cadence hook as the corpus grows without re-tuning by hand
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(42)
+      val anchors = Array.fill(25)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+      (0 until n).map { i =>
+        val a = anchors(i % anchors.length)
+        (i.toLong, a.map(v => v + 0.05f * (rnd.nextFloat() - 0.5f)))
+      }.toDF("vec_id", "embedding")
+    }
+    Seq(400, 4000).foreach { n =>
+      val df = corpus(n)
+      val nlist = Similarity.nlistFor(n)
+      val nprobe = Similarity.nprobeFor(nlist)
+      val learned = Similarity.kmeansCentroids(df, k = nlist, iters = 3)
+      val probes = df.where(col("vec_id") < 20)
+      val approx = Similarity.ivfTopK(df, probes, k = 5, nlist = nlist,
+        nprobe = nprobe, learnedCentroids = learned)
+      val exact = Similarity.bruteForceTopK(df, probes, k = 5)
+      val recall = Similarity.recallAtK(approx, exact, 5)
+        .agg(avg(col("recall"))).head.getDouble(0)
+      assert(recall >= 0.8, s"n=$n nlist=$nlist nprobe=$nprobe recall=$recall")
+    }
+    // the sizing rule itself: sqrt scaling, clamped; cadence fires on 2x growth
+    assert(Similarity.nlistFor(2000) == 45)
+    assert(Similarity.nlistFor(1L) == 4)
+    assert(Similarity.nlistFor(10L * 1000 * 1000 * 1000, maxNlist = 65536) == 65536)
+    assert(!Similarity.ivfRetrainDue(1000, 1500))
+    assert(Similarity.ivfRetrainDue(1000, 2000))
+  }
+
   test("cosine: orthogonal=0, identical=1") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f), 0.0),

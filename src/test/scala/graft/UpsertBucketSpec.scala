@@ -412,4 +412,64 @@ class UpsertBucketSpec extends SparkSpec {
     assert(out.where(col("id") === "od-new").count() == 1)
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("concurrent upserts from two writers lose no rows (advisory lease)") {
+    // without the lease the two writers interleave read-merge-write cycles
+    // and the later swap silently drops the earlier writer's inserts; with
+    // it, the verbs serialize and every row of every batch survives
+    val dir = Files.createTempDirectory("graft-lease").toString
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until 3).foreach { r =>
+          UpsertWriter.upsert(spark, dir, "t",
+            df((0 until 25).map(i => (s"w$w-r$r-$i", s"n$i", 1L))))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    val got = UpsertWriter.readTable(spark, dir, "t")
+      .select("id").collect().map(_.getString(0)).toSet
+    val want = (for (w <- 0 until 2; r <- 0 until 3; i <- 0 until 25)
+      yield s"w$w-r$r-$i").toSet
+    assert(got == want,
+      s"lost ${(want -- got).size} rows, gained ${(got -- want).size}")
+    // the lease file is released
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "t.parquet.lease")))
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("write lease: stale leases are stolen, live leases block acquisition") {
+    val dir = Files.createTempDirectory("graft-lease2").toString
+    val p = java.nio.file.Paths.get(dir, "t.parquet")
+    val lease = java.nio.file.Paths.get(dir, "t.parquet.lease")
+    // stale: expiry in the past -> a new writer steals and proceeds
+    Files.write(lease, s"dead-holder ${System.currentTimeMillis() - 1000}\n".getBytes("UTF-8"))
+    UpsertWriter.upsert(spark, dir, "t", df(Seq(("a", "n", 1L))))
+    assert(!Files.exists(lease), "stolen lease not released after the verb")
+    assert(UpsertWriter.readTable(spark, dir, "t").count() == 1)
+    // live: held by a peer -> acquisition times out instead of clobbering
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      UpsertWriter.withTableLease(p, leaseMs = 60000L) {
+        held.countDown(); release.await()
+      })
+    holder.start()
+    held.await()
+    val ex = intercept[IllegalStateException] {
+      UpsertWriter.withTableLease(p, acquireTimeoutMs = 300L)(())
+    }
+    assert(ex.getMessage.contains("lease"))
+    release.countDown()
+    holder.join()
+    // and reentrancy: nested sections on one thread do not self-deadlock
+    UpsertWriter.withTableLease(p) {
+      UpsertWriter.withTableLease(p)(())
+    }
+    assert(!Files.exists(lease))
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
