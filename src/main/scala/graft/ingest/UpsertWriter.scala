@@ -547,6 +547,43 @@ object UpsertWriter {
     }
   }
 
+  /** Compact EVERY bucket carrying at least `minDeltaFiles` delta files
+    * back to its one-file form — the periodic maintenance pass a
+    * long-running trickle ingest schedules (e.g. [[graft.streaming
+    * .StreamOps.sinkToStore]]'s compactEveryBatches hook) so the store
+    * converges to single-file buckets instead of idling at
+    * [[DeltaFilesMax]] deltas per bucket (the per-upsert threshold only
+    * fires for buckets the triggering batch touches). Metadata-only scan
+    * to find due buckets; rewrites only those; holds the table lease.
+    * Returns the compacted bucket ids. */
+  def compactAll(
+      spark: SparkSession, dir: String, table: String,
+      minDeltaFiles: Int = 1): Seq[Int] = {
+    val p = pathOf(dir, table)
+    withTableLease(p) {
+      repairPending(p)
+      (bucketCount(p), bucketKeys(p)) match {
+        case (Some(n), Some(keys)) if Files.exists(p) =>
+          val due = (0 until n).filter { k =>
+            val b = p.resolve(s"$BucketCol=$k")
+            Files.exists(b) && {
+              val s = Files.list(b)
+              try s.iterator().asScala
+                .count(f => isDeltaFile(f.getFileName.toString)) >= minDeltaFiles
+              finally s.close()
+            }
+          }
+          if (due.nonEmpty) {
+            val rows = spark.read.parquet(p.toString)
+              .where(col(BucketCol).isin(due: _*)).drop(BucketCol)
+            swapTouchedBuckets(rows, p, keys, n, due)
+          }
+          due
+        case _ => Nil // absent or legacy flat table: nothing bucket-shaped to compact
+      }
+    }
+  }
+
   /** Files written per bucket on a full-table write. 1 keeps local test
     * stores compact (N tasks, one file each); a cluster doing the initial
     * bulk load sets this so write parallelism = N × fanout tasks instead

@@ -76,11 +76,23 @@ object StreamOps {
       stream: DataFrame,
       dir: String,
       table: String,
-      numBuckets: Int = graft.ingest.UpsertWriter.DefaultBuckets)
+      numBuckets: Int = graft.ingest.UpsertWriter.DefaultBuckets,
+      /** > 0: every that many micro-batches, run a full-table compaction
+        * pass ([[graft.ingest.UpsertWriter.compactAll]]) so a long-running
+        * trickle stream converges to single-file buckets. The per-upsert
+        * threshold alone only compacts buckets the triggering batch
+        * touches, so an endless stream otherwise idles at up to
+        * DeltaFilesMax deltas per bucket. 0 keeps threshold-only
+        * behavior. */
+      compactEveryBatches: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       graft.ingest.UpsertWriter.upsert(
         batch.sparkSession, dir, table, batch.toDF(), numBuckets)
+      if (compactEveryBatches > 0 && (batchId + 1) % compactEveryBatches == 0) {
+        graft.ingest.UpsertWriter.compactAll(batch.sparkSession, dir, table)
+        ()
+      }
     }
 
   /** Per-window BINNED value counts against a static reference's bin

@@ -4,6 +4,7 @@ import graft.streaming.StreamOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -384,6 +385,38 @@ class StreamingSpec extends SparkSpec {
       val u1b = spark.table("funnel_late").collect()
         .filter(_.getLong(0) == 1L).map(_.getInt(1)).toSet
       assert(u1b.contains(2), s"on-time view did not advance: $u1b")
+    } finally q.stop()
+  }
+
+  test("sinkToStore periodic compaction converges a trickle stream to zero deltas") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_compact").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps
+      .sinkToStore(input.toDF().toDF("id", "v"), base, "t", compactEveryBatches = 6)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      // 3 x DeltaFilesMax micro-batches of PURE INSERTS: each appends
+      // delta files; the per-upsert threshold alone would leave buckets
+      // idling below DeltaFilesMax deltas forever on a trickle like this
+      val nBatches = 3 * graft.ingest.UpsertWriter.DeltaFilesMax
+      (0 until nBatches).foreach { b =>
+        input.addData((0 until 5).map(i => (b * 100L + i, s"v$b-$i")): _*)
+        q.processAllAvailable()
+      }
+      // nBatches is a multiple of compactEveryBatches, so the last batch
+      // ran compactAll: every bucket is back to its one-file form
+      val table = java.nio.file.Paths.get(base, "t.parquet")
+      val s = java.nio.file.Files.walk(table)
+      val deltas =
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("delta-") && n.endsWith(".parquet")).toList
+        finally s.close()
+      assert(deltas.isEmpty, s"uncompacted deltas after the stream: $deltas")
+      // and no row was lost on the way
+      assert(graft.ingest.UpsertWriter.readTable(spark, base, "t").count()
+        == nBatches * 5L)
     } finally q.stop()
   }
 
