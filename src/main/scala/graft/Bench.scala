@@ -18,17 +18,31 @@ object Bench {
     // family measures the operator, not HotSpot compilation
     Seq("q_projection", "q_dedup_minhash", "q_ann_lsh").foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] warmup $q failed: ${t.getClass.getSimpleName}: " +
+            String.valueOf(t.getMessage).take(200))
+      }
     }
     // one-time fixture corpora (deterministic synthetic STIX workdirs) are
     // built untimed: the benchmark measures the operators, not test setup
-    try {
-      StixCorpus.ensure(spark); TranslateCorpus.ensure(spark)
-      WoodCorpus.ensure(spark); MediaCorpus.ensure(spark)
-      AudioCorpus.ensure(spark); VideoCorpus.ensure(spark)
-      DeltaCorpus.ensure(spark); UnicodeCorpus.ensure(spark)
-      ZoneCorpus.ensure(spark)
-    } catch { case _: Throwable => () }
+    // a corpus-build failure surfaces as every dependent query timing -1.0;
+    // one stderr line per failure names the culprit instead of leaving
+    // only that symptom
+    Seq[(String, SparkSession => Any)](
+      ("StixCorpus", StixCorpus.ensure), ("TranslateCorpus", TranslateCorpus.ensure),
+      ("WoodCorpus", WoodCorpus.ensure), ("MediaCorpus", MediaCorpus.ensure),
+      ("AudioCorpus", AudioCorpus.ensure), ("VideoCorpus", VideoCorpus.ensure),
+      ("DeltaCorpus", DeltaCorpus.ensure), ("UnicodeCorpus", UnicodeCorpus.ensure),
+      ("ZoneCorpus", ZoneCorpus.ensure)
+    ).foreach { case (name, ensure) =>
+      try { ensure(spark); () }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] corpus $name failed: ${t.getClass.getSimpleName}: " +
+            String.valueOf(t.getMessage).take(200))
+      }
+    }
     // min of `reps` INTERLEAVED repetitions per query. Interleaved, not
     // consecutive: with back-to-back reps of one query, a sustained
     // co-tenant burst covers all its reps and the min is still inflated

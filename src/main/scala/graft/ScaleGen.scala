@@ -21,10 +21,14 @@ import org.apache.spark.sql.functions._
   *    each replica reproduces the original near-dup structure exactly
   *    (slightly pessimistic for vocabulary-shaped ops: vocab grows k×,
   *    where Heaps' law predicts sublinear growth);
-  *  - `embeddings.embedding`: replica i>0 adds a deterministic per-replica
-  *    pseudo-random offset (hash-derived, ±0.5/dim) so cross-replica
-  *    vectors are far apart while each replica keeps the original cluster
-  *    geometry;
+  *  - `embeddings.embedding`: replica i>0 applies a seeded per-replica
+  *    DIMENSION PERMUTATION + SIGN FLIP — cosine similarity is invariant
+  *    under both, so each replica reproduces the original similarity
+  *    structure EXACTLY (same near-dup pairs, same cluster geometry),
+  *    while cross-replica vectors decorrelate (an additive offset or
+  *    small noise would instead leave each vector with k−1 near-identical
+  *    cross-replica copies, quadratically exploding near-dup pair counts
+  *    — measured as a 20× wall-time blowup before this fix);
   *  - `events`: user/event ids shift per replica, timestamps are kept — a
   *    k× event stream over the same wall-clock span has k× the concurrent
   *    users, which is how real traffic scales.
@@ -108,18 +112,21 @@ object ScaleGen {
       "documents")
 
     val emb = rd("embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
     wr(
       replicate(
         emb,
         Seq("vec_id" -> stride(emb, "vec_id")),
-        (d, i) =>
+        (d, i) => {
+          val rnd = new scala.util.Random(1000 + i)
+          val perm = rnd.shuffle((0 until dim).toList)
+          val sign = (0 until dim).map(_ => if (rnd.nextBoolean()) 1.0f else -1.0f)
           d.withColumn(
             "embedding",
-            transform(
-              col("embedding"),
-              (x, j) =>
-                (x + (pmod(hash(lit(i), j), lit(997)).cast("double") / 997.0 - 0.5))
-                  .cast("float")))),
+            array((0 until dim).map(j =>
+              (element_at(col("embedding"), perm(j) + 1) * lit(sign(j)))
+                .cast("float")): _*))
+        }),
       "embeddings")
 
     spark.stop()
