@@ -560,6 +560,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Similarity.ivfRetrainDue(1000, 2000))
   }
 
+  test("embedding-LSH sizing rule: bitsFor holds candidate volume sub-quadratic at 10x") {
+    def randVecs(n: Int, dim: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(7)
+      (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+    }
+    val dim = 32
+    def candidates(n: Int): Long = {
+      val bits = Similarity.bitsFor(n, bands = 2, dim = dim)
+      Similarity.bandedCandidatePairs(randVecs(n, dim), bands = 2, bits = bits).count()
+    }
+    val (c1, c10) = (candidates(1000), candidates(10000))
+    // fixed-width buckets would give ~100x the pairs at 10x the vectors;
+    // the rescaled width must stay well under that (near-linear in practice)
+    assert(c10 > 0 && c10 < 30L * math.max(c1, 1L),
+      s"candidate volume exploded: $c1 -> $c10")
+    // rule shape: log2 growth, dimension clamp, floor
+    assert(Similarity.bitsFor(1000, 2, 32) == 10)
+    assert(Similarity.bitsFor(1000000, 2, 32) == 16) // dim/bands clamp
+    assert(Similarity.bitsFor(2, 4, 64) == 4) // floor
+  }
+
   test("cosine: orthogonal=0, identical=1") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f), 0.0),
