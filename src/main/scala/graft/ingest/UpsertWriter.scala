@@ -692,33 +692,53 @@ object UpsertWriter {
           val old = spark.read.parquet(p.toString)
             .where(col(BucketCol).isin(touched: _*)) // partition-pruned scan
             .drop(BucketCol)
-          val updBuckets =
-            touchedBuckets(batch.join(old.select("id"), Seq("id"), "left_semi"),
-              Seq("id"), nb)
-          // materialize the inserts BEFORE any bucket rewrite: their plan
-          // reads the pre-rewrite file listing, which the swap deletes
-          val inserts = batch
-            .join(old.select("id"), Seq("id"), "left_anti")
-            .where(!bucketOf(Seq("id"), nb).isin(updBuckets :+ -1: _*))
+          // ONE pass splits the batch by what each row does to the stored
+          // table AND counts both sides per bucket (previously: separate
+          // semi-join, anti-join, and count jobs — at 5-row verb batches
+          // the fixed per-job cost, not data volume, dominates the verb)
+          val tagged = batch
+            .join(old.select(col("id"), lit(1).as("__stored")), Seq("id"), "left")
             .persist()
-          inserts.count()
-          if (updBuckets.nonEmpty) {
-            // rewrite buckets containing at least one genuine merge, folding
-            // the batch's inserts for those buckets into the same rewrite
-            val oldUpd = spark.read.parquet(p.toString)
-              .where(col(BucketCol).isin(updBuckets: _*)).drop(BucketCol)
-              .withColumn("__seq", lit(-1L))
-            val batchUpd = batch
-              .where(bucketOf(Seq("id"), nb).isin(updBuckets: _*))
-              .withColumn("__seq", lit(0L))
-            swapTouchedBuckets(
-              mergeById(oldUpd.unionByName(batchUpd))
-                .select(stored.columns.map(c => col(s"`$c`")): _*),
-              p, Seq("id"), nb, updBuckets)
-          }
-          val deltaBuckets = appendDeltaFiles(inserts, p, Seq("id"), nb)
-          inserts.unpersist()
-          compactIfNeeded(spark, p, Seq("id"), nb, deltaBuckets)
+          try {
+            val stats = tagged
+              .select(bucketOf(Seq("id"), nb).as("__b"), col("__stored"))
+              .groupBy("__b", "__stored").count().collect()
+            val updBuckets = stats
+              .filter(r => !r.isNullAt(1)).map(_.getInt(0)).toSeq.distinct
+            val nInserts = stats
+              .filter(r => r.isNullAt(1) && !updBuckets.contains(r.getInt(0)))
+              .map(_.getLong(2)).sum
+            // delta-append the pure inserts FIRST: their buckets are
+            // disjoint from the swap set, so ordering them before the
+            // rewrite means no plan ever reads a file listing the swap
+            // is about to delete
+            val deltaBuckets =
+              if (nInserts == 0) Nil // replayed/pure-update batch: skip the write job
+              else appendDeltaFiles(
+                tagged.where(col("__stored").isNull)
+                  .where(!bucketOf(Seq("id"), nb).isin(updBuckets :+ -1: _*))
+                  // re-pin the stored column order: the equi-join put the
+                  // key first, and delta files must be byte-schema-
+                  // identical to base files for the raw-glob contract
+                  .select(stored.columns.map(c => col(s"`$c`")): _*),
+                p, Seq("id"), nb)
+            if (updBuckets.nonEmpty) {
+              // rewrite buckets containing at least one genuine merge,
+              // folding the batch's inserts for those buckets into the
+              // same rewrite
+              val oldUpd = spark.read.parquet(p.toString)
+                .where(col(BucketCol).isin(updBuckets: _*)).drop(BucketCol)
+                .withColumn("__seq", lit(-1L))
+              val batchUpd = batch
+                .where(bucketOf(Seq("id"), nb).isin(updBuckets: _*))
+                .withColumn("__seq", lit(0L))
+              swapTouchedBuckets(
+                mergeById(oldUpd.unionByName(batchUpd))
+                  .select(stored.columns.map(c => col(s"`$c`")): _*),
+                p, Seq("id"), nb, updBuckets)
+            }
+            compactIfNeeded(spark, p, Seq("id"), nb, deltaBuckets)
+          } finally tagged.unpersist()
         } finally batch.unpersist()
       }
     }
