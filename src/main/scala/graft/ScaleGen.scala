@@ -56,7 +56,7 @@ object ScaleGen {
       System.err.println(s"[scalegen] wrote $t")
     }
     def stride(df: DataFrame, c: String): Long =
-      df.agg(max(col(c)).cast("long")).head.getLong(0) + 1L
+      df.agg(max(col(c)).cast("long")).head().getLong(0) + 1L
 
     // Fixed dimensions: verbatim copies.
     Seq("region", "nation").foreach(t => wr(rd(t), t))
@@ -72,7 +72,7 @@ object ScaleGen {
           d.withColumn(c, col(c) + lit(i * s))
         }
         if (i == 0) shifted else mutate(shifted, i)
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
 
     val customer = rd("customer"); val ck = stride(customer, "c_custkey")
     val supplier = rd("supplier"); val sk = stride(supplier, "s_suppkey")
@@ -112,7 +112,7 @@ object ScaleGen {
       "documents")
 
     val emb = rd("embeddings")
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     wr(
       replicate(
         emb,
