@@ -321,31 +321,105 @@ object UpsertWriter {
   // one table can still interleave read-merge-write cycles and lose the
   // earlier writer's update (both read the same base, the later swap wins).
   // A per-table lease file serializes the verbs: acquire = atomic
-  // CREATE_NEW of `<table>.parquet.lease` holding (holder token, expiry
+  // CREATE_NEW of `<table>.parquet.lease` holding (acquisition token, expiry
   // millis); a competing writer waits, and STEALS the lease only once its
   // expiry has passed (a crashed holder therefore blocks the table for at
-  // most `DefaultLeaseMs`). Reentrant within a thread (verbs may nest), so
-  // the lease serializes PROCESSES, not call depth. On a shared filesystem
-  // this is the standard advisory pattern; on an object store swap the
-  // CREATE_NEW for a conditional PUT — the call sites are unchanged.
+  // most `DefaultLeaseMs`). The lease is FENCED:
+  //   - every acquisition carries a unique token, and release deletes the
+  //     lease only if the file still holds that token (a holder whose body
+  //     outlived its expiry can never delete a legitimate stealer's lease);
+  //   - a steal is rename-to-tombstone, not delete: two stealers racing on
+  //     the same stale lease resolve at the atomic rename (exactly one
+  //     succeeds), and the winner verifies the tombstone still holds the
+  //     content it judged stale before contending (a live lease grabbed in
+  //     the read→rename window is restored, not destroyed);
+  //   - a held lease is RENEWED every leaseMs/3 by a daemon timer (rewritten
+  //     via temp-file + atomic rename, token re-verified first), so a live
+  //     verb of any duration — compactAll, a schema-evolution rewrite — is
+  //     never stolen from; expiry only passes on a crashed/stalled holder;
+  //   - an empty/unparseable lease body (CREATE_NEW creates, then the write
+  //     lands — a reader can interleave) is treated as LIVE until the file's
+  //     mtime plus the full lease window passes, never as expiry 0.
+  // Reentrant within a thread (verbs may nest), so the lease serializes
+  // PROCESSES, not call depth. On a shared filesystem this is the standard
+  // advisory pattern; on an object store swap CREATE_NEW / rename for
+  // conditional PUT / conditional copy+delete — the call sites are unchanged.
 
-  /** How long one verb may hold the table before a peer may steal. Verbs
-    * renew nothing mid-flight — size this above the longest expected merge
-    * (steals only matter after a CRASH; live writers release in finally). */
+  /** How long one verb may hold the table before a peer may steal, absent
+    * renewal. Live holders renew at leaseMs/3, so this bounds only how long
+    * a CRASHED holder blocks the table. */
   val DefaultLeaseMs: Long = 10L * 60L * 1000L
   private val processToken = java.util.UUID.randomUUID().toString
   private val heldLeases = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
     override def initialValue(): scala.collection.mutable.Map[String, Int] =
       scala.collection.mutable.Map.empty
   }
+  private lazy val leaseRenewer = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-lease-renewer"); t.setDaemon(true); t
+    })
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
   private def leaseOf(p: Path): Path =
     p.resolveSibling(p.getFileName.toString + ".lease")
+
+  /** (token, expiry) parsed from a lease file, or None if it vanished.
+    * Unparseable/empty content reads as token "" with expiry = mtime +
+    * leaseMs (live with grace — see header comment). */
+  private def readLease(lease: Path, leaseMs: Long): Option[(String, Long)] =
+    try {
+      val parts = new String(Files.readAllBytes(lease), "UTF-8").trim.split(' ')
+      val parsed = for {
+        tok <- parts.headOption.filter(_.nonEmpty)
+        exp <- parts.lastOption.flatMap(_.toLongOption) if parts.length >= 2
+      } yield (tok, exp)
+      parsed.orElse(Some(("", Files.getLastModifiedTime(lease).toMillis + leaseMs)))
+    } catch { case _: java.io.IOException => None } // vanished: holder released
+
+  /** Atomically replace the lease body with a fresh expiry iff it still
+    * holds `token`. Returns false (and renews nothing) once the lease has
+    * been stolen or released. */
+  private def renewLease(lease: Path, token: String, leaseMs: Long): Boolean =
+    readLease(lease, leaseMs).exists(_._1 == token) && {
+      try {
+        val tmp = lease.resolveSibling(lease.getFileName.toString + s".renew.$token")
+        Files.write(tmp, s"$token ${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"))
+        Files.move(tmp, lease,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+  /** Steal a lease judged stale at `seen`: atomic rename to a per-stealer
+    * tombstone (two stealers → exactly one rename succeeds), then verify
+    * the tombstone still holds `seen` — if the path's content changed in the
+    * read→rename window we grabbed a LIVE lease, so restore it. */
+  private def stealLease(lease: Path, seen: (String, Long), leaseMs: Long): Unit = {
+    val tomb = lease.resolveSibling(
+      lease.getFileName.toString + ".steal." + java.util.UUID.randomUUID())
+    try {
+      Files.move(lease, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (readLease(tomb, leaseMs).forall(got => got == seen || got._2 < System.currentTimeMillis()))
+        Files.deleteIfExists(tomb) // confirmed stale: open the path for CREATE_NEW contention
+      else
+        try Files.move(tomb, lease) // grabbed a live lease: put it back
+        catch {
+          case _: java.io.IOException => // path re-occupied in the window: the
+            // displaced holder's release will token-mismatch and warn; drop ours
+            Files.deleteIfExists(tomb)
+            System.err.println(s"graft: lease $lease displaced during contested steal")
+        }
+    } catch { case _: java.io.IOException => () } // lost the rename race: re-contend
+  }
 
   /** Run `body` holding the table's advisory write lease. */
   private[graft] def withTableLease[T](
       p: Path,
       leaseMs: Long = DefaultLeaseMs,
-      acquireTimeoutMs: Long = 10L * 60L * 1000L)(body: => T): T = {
+      acquireTimeoutMs: Long = 10L * 60L * 1000L,
+      renew: Boolean = true)(body: => T): T = {
     val key = p.toAbsolutePath.toString
     val depth = heldLeases.get()
     if (depth.getOrElse(key, 0) > 0) { // reentrant: already ours on this thread
@@ -353,38 +427,49 @@ object UpsertWriter {
       try body finally depth(key) -= 1
     } else {
       val lease = leaseOf(p)
+      val token = processToken + ":" + java.util.UUID.randomUUID()
       val deadline = System.currentTimeMillis() + acquireTimeoutMs
       var acquired = false
       while (!acquired) {
         try {
           Files.createDirectories(lease.toAbsolutePath.getParent)
           Files.write(lease,
-            s"$processToken ${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"),
+            s"$token ${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"),
             java.nio.file.StandardOpenOption.CREATE_NEW)
           acquired = true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            val expiry =
-              try new String(Files.readAllBytes(lease), "UTF-8").trim
-                .split(' ').lastOption.flatMap(_.toLongOption).getOrElse(0L)
-              catch { case _: java.io.IOException => 0L } // holder released between probe and read
-            if (expiry < System.currentTimeMillis()) {
-              // steal-after-expiry: delete and re-contend (two stealers race
-              // on CREATE_NEW — exactly one wins)
-              try Files.deleteIfExists(lease)
-              catch { case _: java.io.IOException => () }
-            } else if (System.currentTimeMillis() > deadline)
-              throw new IllegalStateException(
-                s"timed out acquiring write lease $lease (holder live until $expiry)")
-            else Thread.sleep(50L)
+            readLease(lease, leaseMs) match {
+              case Some(seen) if seen._2 < System.currentTimeMillis() =>
+                stealLease(lease, seen, leaseMs)
+              case Some(seen) if System.currentTimeMillis() > deadline =>
+                throw new IllegalStateException(
+                  s"timed out acquiring write lease $lease (holder live until ${seen._2})")
+              case _ => Thread.sleep(50L) // live holder, or vanished: re-contend shortly
+            }
         }
       }
+      val renewal =
+        if (renew)
+          Some(leaseRenewer.scheduleAtFixedRate(
+            () => { renewLease(lease, token, leaseMs); () },
+            math.max(1L, leaseMs / 3), math.max(1L, leaseMs / 3),
+            java.util.concurrent.TimeUnit.MILLISECONDS))
+        else None
       depth(key) = 1
       try body
       finally {
         depth(key) -= 1
-        try Files.deleteIfExists(lease)
-        catch { case _: java.io.IOException => () }
+        renewal.foreach(_.cancel(false))
+        // fenced release: delete only our own lease — if it was stolen while
+        // the body overran its window, the stealer's lease must survive
+        try {
+          if (readLease(lease, leaseMs).exists(_._1 == token))
+            Files.deleteIfExists(lease)
+          else
+            System.err.println(
+              s"graft: lease $lease no longer held at release (stolen after expiry?) — not deleting")
+        } catch { case _: java.io.IOException => () }
       }
     }
   }

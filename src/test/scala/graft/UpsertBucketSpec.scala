@@ -472,4 +472,86 @@ class UpsertBucketSpec extends SparkSpec {
     assert(!Files.exists(lease))
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("write lease: an overrunning holder cannot delete a stealer's lease") {
+    // the fencing case: a holder (renewal disabled) outlives its window, a
+    // stealer legitimately takes the table, and the slow holder's finally
+    // must NOT remove the stealer's live lease on its way out
+    val dir = Files.createTempDirectory("graft-lease3").toString
+    val p = java.nio.file.Paths.get(dir, "t.parquet")
+    val lease = java.nio.file.Paths.get(dir, "t.parquet.lease")
+    val stolen = new java.util.concurrent.CountDownLatch(1)
+    val stealerDone = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      UpsertWriter.withTableLease(p, leaseMs = 150L, renew = false) {
+        stolen.await() // overrun: sleep far past our own expiry
+      })
+    holder.start()
+    val stealer = new Thread(() =>
+      UpsertWriter.withTableLease(p, leaseMs = 60000L) {
+        stolen.countDown() // we now hold a live lease the slow holder must respect
+        stealerDone.await()
+      })
+    stealer.start()
+    stolen.await()
+    holder.join() // slow holder's release runs while the stealer still holds
+    assert(Files.exists(lease),
+      "overrunning holder deleted the stealer's live lease at release")
+    stealerDone.countDown()
+    stealer.join()
+    assert(!Files.exists(lease), "stealer's own release should remove its lease")
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("write lease: two concurrent stealers of one stale lease serialize") {
+    val dir = Files.createTempDirectory("graft-lease4").toString
+    val p = java.nio.file.Paths.get(dir, "t.parquet")
+    val lease = java.nio.file.Paths.get(dir, "t.parquet.lease")
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.write(lease, s"dead-holder ${System.currentTimeMillis() - 5000}\n".getBytes("UTF-8"))
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 2).map(_ => new Thread(() =>
+      UpsertWriter.withTableLease(p, leaseMs = 60000L) {
+        val now = active.incrementAndGet()
+        maxActive.getAndUpdate(m => math.max(m, now))
+        Thread.sleep(100L)
+        active.decrementAndGet()
+        ran.incrementAndGet()
+      }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(ran.get() == 2, "both stealers must eventually run")
+    assert(maxActive.get() == 1, "two stealers held the table concurrently")
+    assert(!Files.exists(lease))
+    // no tombstone debris left behind
+    val debris = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+    assert(debris.forall(f => !f.contains(".steal.")), s"tombstone leaked: ${debris.toSeq}")
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("write lease: renewal keeps a long-running holder live past its window") {
+    val dir = Files.createTempDirectory("graft-lease5").toString
+    val p = java.nio.file.Paths.get(dir, "t.parquet")
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    // leaseMs far shorter than the hold: without renewal this lease would be
+    // stale (and stealable) many times over by the time the contender probes
+    val holder = new Thread(() =>
+      UpsertWriter.withTableLease(p, leaseMs = 300L) {
+        held.countDown(); release.await()
+      })
+    holder.start()
+    held.await()
+    Thread.sleep(700L) // several nominal expiries pass under renewal
+    val ex = intercept[IllegalStateException] {
+      UpsertWriter.withTableLease(p, acquireTimeoutMs = 700L)(())
+    }
+    assert(ex.getMessage.contains("lease"), "renewed lease was stolen")
+    release.countDown()
+    holder.join()
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "t.parquet.lease")))
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
