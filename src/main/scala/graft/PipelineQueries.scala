@@ -1252,6 +1252,54 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // full fold replay of the BPE ENCODE on a bounded sample: the engine
+    // publishes its trained merge table, then emits each doc's DELIMITED
+    // symbol stream (every symbol wrapped in U+001F, words joined by a
+    // U+0001 boundary symbol). In that form one rank's greedy leftmost
+    // non-overlapping merge pass is exactly one string replace of
+    // ␟a␟␟b␟ → ␟ab␟, so the oracle replays the ENTIRE rank-order fold
+    // with a recursive CTE — one step per merge — and recomputes the
+    // stream md5 and symbol count independently. An encoder that stopped
+    // applying merges (or applied them out of rank order) fails this row.
+    q("q_text_bpe_fold",
+      s"""WITH RECURSIVE
+         |m AS (SELECT rnk, l, r FROM read_parquet('/tmp/graft_bpe_v1/merges.parquet/*.parquet')),
+         |s0 AS (SELECT doc_id,
+         |         coalesce(list_aggregate(list_transform($duckToks, w ->
+         |           list_aggregate(list_transform(split(w, ''), c -> chr(31) || c || chr(31)),
+         |                          'string_agg', '')),
+         |           'string_agg', chr(31) || chr(1) || chr(31)), '') AS s,
+         |         length($duckToks) AS n_words
+         |       FROM documents ORDER BY doc_id LIMIT 30),
+         |enc AS (
+         |  SELECT doc_id, n_words, 0 AS step, s FROM s0
+         |  UNION ALL
+         |  SELECT e.doc_id, e.n_words, e.step + 1,
+         |         replace(e.s, chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+         |                      chr(31) || m.l || m.r || chr(31))
+         |  FROM enc e JOIN m ON m.rnk = e.step),
+         |fin AS (SELECT doc_id, n_words, s FROM enc
+         |        WHERE step = (SELECT count(*) FROM m))
+         |SELECT doc_id,
+         |  CAST((length(s) - length(replace(s, chr(31), ''))) / 2
+         |       - greatest(n_words - 1, 0) AS BIGINT) AS n_symbols,
+         |  md5(s) AS stream_md5
+         |FROM fin ORDER BY doc_id""".stripMargin) { c =>
+      val sp = c.spark
+      import sp.implicits._
+      val sample = c.resolve("documents").select(col("doc_id"), col("text"))
+        .orderBy("doc_id").limit(200).collect().map(_.getString(1)).toSeq
+      val merges = TextOps.bpeTrainLocal(sample, 1200).map(m => (m._2, m._3))
+      // publish the merge table the oracle replays (tiny; deterministic)
+      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("rnk", "l", "r")
+        .coalesce(1).write.mode("overwrite").parquet("/tmp/graft_bpe_v1/merges.parquet")
+      TextOps.bpeEncodeDelimited(
+          c.resolve("documents").orderBy("doc_id").limit(30), merges)
+        .select(col("doc_id"), col("n_symbols"), col("stream_md5"))
+        .orderBy("doc_id")
+    },
+
     // weighted sampling without replacement (bottom-k of replicated
     // hashes): odds proportional to an integer quality weight, integer
     // arithmetic end to end — the oracle recomputes the same min-of-w

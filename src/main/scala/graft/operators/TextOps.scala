@@ -474,7 +474,10 @@ object TextOps {
     syms
   }
 
-  def bpeEncode(
+  /** [[bpeEncode]] through the rank-order fold kernel — the law's reference
+    * implementation (O(|merges|) skip-set scan per word). Kept for the
+    * heap==fold law; production encodes route the heap. */
+  private[graft] def bpeEncodeFold(
       docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val encode = udf((toks: Seq[String]) => toks.flatMap(encodeWordFold(_, merges)))
@@ -482,6 +485,16 @@ object TextOps {
       .select(col(idCol), explode(encode(tokens(col(textCol)))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("cnt"))
   }
+
+  /** Per-doc token counts under a BPE merge table. Routes the heap kernel
+    * ([[encodeWordHeap]]): O(len·log len) per word independent of the merge
+    * table size — at a real 50k vocabulary the fold reference pays 50k set
+    * probes per word even when three merges apply. Output is provably
+    * identical to the rank-order fold on trained tables (law-tested). */
+  def bpeEncode(
+      docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bpeEncodeHeap(docs, merges, textCol, idCol)
 
   /** Heap encode of ONE word: a doubly-linked symbol list plus a priority
     * queue of adjacent pairs ordered by (merge rank, position), popped with
@@ -557,6 +570,33 @@ object TextOps {
     docs.select(
       col(idCol),
       array_join(encode(tokens(col(textCol))), "").as("detok"))
+  }
+
+  /** Per-doc DELIMITED BPE symbol stream: every emitted symbol wrapped in
+    * U+001F and adjacent words joined by a U+0001 boundary symbol, e.g.
+    * `␟lo␟␟w␟␟␟␟es␟␟t␟`. In this form one rank's greedy leftmost
+    * non-overlapping merge pass IS a plain string replace of
+    * `␟a␟␟b␟ → ␟ab␟` (delimiters block operand-prefix/suffix false
+    * matches; the boundary symbol never pairs), so an external engine can
+    * replay the ENTIRE rank-order fold with |merges| replace calls and
+    * verify the merge applications themselves — not just the lossless
+    * partition. Returns (id, n_symbols, stream_md5) where n_symbols counts
+    * emitted symbols excluding word boundaries. */
+  def bpeEncodeDelimited(
+      docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rank = merges.zipWithIndex.toMap
+    val enc = udf { (toks: Seq[String]) =>
+      val streams = toks.map(w => encodeWordHeap(w, rank))
+      val sep = "\u001f"
+      val s = streams
+        .map(_.map(y => sep + y + sep).mkString(""))
+        .mkString(sep + "\u0001" + sep)
+      (s, streams.map(_.size.toLong).sum)
+    }
+    docs
+      .select(col(idCol), enc(tokens(col(textCol))).as("e"))
+      .select(col(idCol), col("e._2").as("n_symbols"), md5(col("e._1")).as("stream_md5"))
   }
 
   /** Driver-side serial BPE trainer over a SAMPLE of texts — the way real

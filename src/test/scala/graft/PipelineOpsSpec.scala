@@ -112,7 +112,7 @@ class PipelineOpsSpec extends SparkSpec {
     val d = docs((1 to 20).map(i =>
       (i, (1 to 15).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))): _*)
     val merges = TextOps.bpeTrain(d, numMerges = 12).map(m => (m._2, m._3))
-    val fast = TextOps.bpeEncode(d, merges)
+    val fast = TextOps.bpeEncodeFold(d, merges)
       .orderBy("doc_id", "token").collect()
       .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
     val naive = {
@@ -153,11 +153,46 @@ class PipelineOpsSpec extends SparkSpec {
       val viaHeap = TextOps.bpeEncodeHeap(d, merges)
         .orderBy("doc_id", "token").collect()
         .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
-      val viaFold = TextOps.bpeEncode(d, merges)
+      val viaFold = TextOps.bpeEncodeFold(d, merges)
         .orderBy("doc_id", "token").collect()
         .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
       assert(viaHeap == viaFold, s"seed $seed")
+      // the public entry point routes the heap kernel
+      val viaDefault = TextOps.bpeEncode(d, merges)
+        .orderBy("doc_id", "token").collect()
+        .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
+      assert(viaDefault == viaHeap, s"seed $seed: bpeEncode is not the heap path")
     }
+  }
+
+  test("bpeEncode flat-cost law: at 10k+ merges the heap kernel beats the fold") {
+    // a trained-table-shaped 10k-merge vocabulary (operands are chars or
+    // strictly earlier products — the precondition of the heap==fold proof):
+    // all 2-char products over a-z, then 3-char extensions, rank = gen order
+    val chars = ('a' to 'z').map(_.toString)
+    val twoChar = for (x <- chars; y <- chars) yield (x, y)
+    val threeChar = for (x <- chars; y <- chars; z <- chars) yield (x + y, z)
+    val merges = (twoChar ++ threeChar).take(12000)
+    assert(merges.size >= 10000)
+    val rank = merges.zipWithIndex.toMap
+    val r = new scala.util.Random(41)
+    val words = (1 to 800).map(_ =>
+      (1 to 8).map(_ => chars(r.nextInt(26))).mkString)
+    def time[A](f: => A): (A, Long) = {
+      val t0 = System.nanoTime(); val a = f; (a, System.nanoTime() - t0)
+    }
+    // warm both kernels (JIT) before measuring
+    words.take(100).foreach { w =>
+      TextOps.encodeWordHeap(w, rank); TextOps.encodeWordFold(w, merges)
+    }
+    val (heapOut, heapNs) = time(words.map(TextOps.encodeWordHeap(_, rank)))
+    val (foldOut, foldNs) = time(words.map(TextOps.encodeWordFold(_, merges)))
+    assert(heapOut == foldOut) // the law holds on the synthetic table too
+    info(f"10k-merge encode, 800 words: heap ${heapNs / 1e6}%.1f ms, fold ${foldNs / 1e6}%.1f ms")
+    // the fold pays |merges| set probes per word; the heap only pays for
+    // pairs that exist — at 12k merges the gap is structural, not noise
+    assert(heapNs * 2 < foldNs,
+      f"heap (${heapNs / 1e6}%.1f ms) not at least 2x faster than fold (${foldNs / 1e6}%.1f ms) at 12k merges")
   }
 
   test("bpeTrainLocal == bpeTrain: the driver-side sample trainer matches the engine") {
