@@ -423,6 +423,52 @@ object PipelineQueries {
         .orderBy("container", "contained")
     },
 
+    // INCREMENTAL containment: the corpus's winnow fingerprints are a
+    // persisted index (built once; only the arriving batch runs the
+    // kernel), and the batch of wrapper docs containment-joins against
+    // it — both directions, df cap over the combined universe. The
+    // oracle independently replays kernel + cap + ratio on both sides
+    // and keeps only cross pairs (one side batch, one side index)
+    q("q_dedup_containment_inc",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    'intro section added here ' || text || ' trailing editorial remarks' AS text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM corpus),
+         |s AS (SELECT doc_id, $duckShingles AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, s ->
+         |        (('0x' || substring(md5(s),1,15))::BIGINT) % 2147483647) AS hs FROM s),
+         |w AS (SELECT doc_id,
+         |        CASE WHEN length(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+         |             ELSE list_transform(range(1, length(hs) - 2),
+         |                    i -> list_aggregate(hs[i:i+3], 'min')) END AS mins
+         |      FROM h),
+         |fp AS (SELECT DISTINCT doc_id, unnest(mins) AS f FROM w),
+         |rare AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 50),
+         |k AS (SELECT fp.doc_id, fp.f FROM fp JOIN rare USING (f)),
+         |sz AS (SELECT doc_id AS contained, count(*) AS n_contained FROM k GROUP BY doc_id),
+         |sh2 AS (SELECT a.doc_id AS container, b.doc_id AS contained, count(*) AS shared
+         |        FROM k a JOIN k b ON a.f = b.f AND a.doc_id <> b.doc_id
+         |        WHERE (a.doc_id >= 1000000) <> (b.doc_id >= 1000000)
+         |        GROUP BY 1, 2),
+         |r AS (SELECT container, contained, shared, n_contained,
+         |        round(CAST(shared AS DOUBLE) / n_contained, 6) AS containment
+         |      FROM sh2 JOIN sz USING (contained))
+         |SELECT container, contained, CAST(shared AS BIGINT) AS shared,
+         |  CAST(n_contained AS BIGINT) AS n_contained, containment
+         |FROM r WHERE containment >= 0.7 ORDER BY container, contained""".stripMargin) { c =>
+      val base = c.resolve("documents").select(col("doc_id"), col("text"))
+      val batch = base.where(col("doc_id") % 11 === 0).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("intro section added here "), col("text"),
+          lit(" trailing editorial remarks")).as("text"))
+      val index = Dedup.winnowFingerprints(base) // persisted at scale; built here
+      Dedup.containmentIncremental(batch, index, tau = 0.7, maxDf = 50)
+        .orderBy("container", "contained")
+    },
+
     // PII scrub: both sides synthesize the same PII-bearing text from the
     // corpus, then run the identical ordered regex chain (patterns are
     // RE2/Java-portable by construction — no lookarounds)

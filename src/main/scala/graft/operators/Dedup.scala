@@ -259,6 +259,57 @@ object Dedup {
       .select("container", "contained", "shared", "n_contained", "containment")
   }
 
+  /** Incremental near-containment: cross pairs between an arriving BATCH
+    * and a persisted winnow-fingerprint INDEX of the already-ingested
+    * corpus — the continuous-crawl shape, where re-running the winnow
+    * kernel over 100 TB per arriving batch is not an option. `index` is a
+    * persisted [[winnowFingerprints]] table (doc_id, fingerprint),
+    * appended per batch like [[minhashBands]]; only the BATCH's text runs
+    * through the kernel. Emits BOTH directions (a batch doc embedded in
+    * an indexed doc, and a batch doc wrapping an indexed doc) with the
+    * same schema as [[containmentPairs]]; in-batch pairs are a separate
+    * pass over the batch alone (the [[minhashIncremental]] convention).
+    *
+    * The document-frequency cap counts over the COMBINED universe
+    * (index ∪ batch), so the result equals [[containmentPairs]] on
+    * corpus ∪ batch restricted to cross pairs (law-tested). The df
+    * aggregation scans the fingerprint INDEX — a long column, orders of
+    * magnitude cheaper than the corpus text — and at scale is itself
+    * maintained incrementally as a persisted (fingerprint, df) side
+    * table. */
+  def containmentIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      textCol: String = "text",
+      w: Int = 4,
+      tau: Double = 0.7,
+      maxDf: Int = 1000): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    val bfps = winnowFingerprints(newDocs, textCol, w)
+    val ifps = index.select(col("doc_id"), col("fingerprint"))
+    val rare = bfps.select("fingerprint").unionByName(ifps.select("fingerprint"))
+      .groupBy("fingerprint").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fingerprint")
+    val keptB = bfps.join(rare, "fingerprint")
+    val keptI = ifps.join(rare, "fingerprint")
+    val sizesB = keptB.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+    val sizesI = keptI.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+    val shared = keptB.as("b")
+      .join(keptI.as("i"), Seq("fingerprint"))
+      .groupBy(col("b.doc_id").as("__bid"), col("i.doc_id").as("__iid"))
+      .agg(count(lit(1)).as("shared"))
+    def direction(container: String, contained: String, sizes: DataFrame): DataFrame =
+      shared
+        .join(sizes.select(col("doc_id").as(contained), col("__n")), Seq(contained))
+        .withColumn("containment", round(col("shared").cast("double") / col("__n"), 6))
+        .where(col("containment") >= tau)
+        .select(
+          col(container).as("container"), col(contained).as("contained"),
+          col("shared"), col("__n").as("n_contained"), col("containment"))
+    direction("__iid", "__bid", sizesB) // batch doc embedded in an indexed doc
+      .unionByName(direction("__bid", "__iid", sizesI)) // batch doc wraps an indexed doc
+  }
+
   /** Exact duplicate groups by content fingerprint. Returns one row per
     * fingerprint with the representative (min doc_id) and group size.
     * Single hash-aggregation shuffle on the fingerprint — optimal. */

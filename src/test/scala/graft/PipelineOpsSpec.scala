@@ -1837,6 +1837,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Dedup.containmentPairs(d, tau = 0.1, maxDf = 1).count() == 0)
   }
 
+  test("containmentIncremental agreement law: equals the pairwise relation's cross pairs") {
+    // corpus (the persisted index side) + a batch of wrappers/duplicates;
+    // the incremental result must equal the full pairwise relation over
+    // corpus ∪ batch restricted to cross pairs (one side in each set),
+    // for ANY tau/maxDf — same kernel, same df universe, same ratios
+    val core = (1 to 25).map(i => s"core$i").mkString(" ")
+    val other = (1 to 25).map(i => s"other$i").mkString(" ")
+    val corpus = docs(
+      (1, core), (2, other),
+      (3, "chrome before " + other + " chrome after"),
+      (4, (1 to 25).map(i => s"noise$i").mkString(" ")))
+    val batch = docs(
+      (101, "intro words here " + core + " trailing remarks"), // wraps corpus doc 1
+      (102, core),                                             // exact dup of corpus doc 1
+      (103, other.split(" ").take(12).mkString(" ")),          // embedded IN corpus docs 2,3
+      (104, "entirely disjoint fresh material nothing shared with anything"))
+    for ((tau, maxDf) <- Seq((0.7, 100), (0.5, 100), (0.7, 3))) {
+      val full = Dedup.containmentPairs(corpus.unionByName(batch), tau = tau, maxDf = maxDf)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .filter { case (a, b, _, _, _) => (a > 100) != (b > 100) }.sortBy(t => (t._1, t._2))
+      val inc = Dedup.containmentIncremental(
+          batch, Dedup.winnowFingerprints(corpus), tau = tau, maxDf = maxDf)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2))
+      assert(inc.toSeq == full.toSeq, s"tau=$tau maxDf=$maxDf")
+    }
+    // and the expected pairs are actually present at the default knobs
+    val got = Dedup.containmentIncremental(batch, Dedup.winnowFingerprints(corpus))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got.contains((101, 1)), "wrapper batch doc should contain corpus doc 1")
+    assert(got.contains((2, 103)), "corpus doc 2 should contain the embedded batch doc")
+    assert(!got.exists { case (a, b) => a == 104 || b == 104 })
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount screen, single-token docs carry no pairs") {
     import graft.operators.TextOps
     // bigrams: doc1 (a,b) (b,a) (a,b); doc2 (a,b) (b,c); doc3 none
