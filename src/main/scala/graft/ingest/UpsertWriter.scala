@@ -277,6 +277,11 @@ object UpsertWriter {
 
   private def pendingOf(p: Path): Path = p.resolve("_graft_pending")
 
+  /** Every protocol MUTATION goes through this seam (see [[TableFs]] for
+    * the object-store mapping); tests swap it to inject crashes between
+    * publish steps. Reads stay direct NIO. */
+  @volatile private[graft] var fs: TableFs = LocalTableFs
+
   /** One pending move: swap a whole bucket dir, or add one delta file. */
   private def applyEntry(p: Path, tmp: Path, entry: String): Unit =
     entry.split('|') match {
@@ -284,16 +289,16 @@ object UpsertWriter {
         val src = tmp.resolve(rel)
         if (Files.exists(src)) { // already moved => done
           val dst = p.resolve(rel)
-          if (Files.exists(dst)) FsUtil.deleteTree(dst)
-          Files.move(src, dst)
+          if (Files.exists(dst)) fs.deleteTree(dst)
+          fs.move(src, dst)
         }
       case Array("file", srcRel, dstRel) =>
         val src = tmp.resolve(srcRel)
         if (Files.exists(src)) {
           val dst = p.resolve(dstRel)
-          Files.createDirectories(dst.getParent)
-          Files.deleteIfExists(dst) // re-run after crash mid-move
-          Files.move(src, dst)
+          fs.mkdirs(dst.getParent)
+          fs.deleteIfExists(dst) // re-run after crash mid-move
+          fs.move(src, dst)
         }
       case other =>
         throw new IllegalStateException(s"corrupt _graft_pending entry: ${other.mkString("|")}")
@@ -303,14 +308,14 @@ object UpsertWriter {
     * path that mutates a live table tree. */
   private def publishStaged(
       p: Path, tmp: Path, entries: Seq[String], n: Int, keys: Seq[String]): Unit = {
-    Files.createDirectories(p)
-    Files.write(pendingOf(p),
+    fs.mkdirs(p)
+    fs.put(pendingOf(p),
       (tmp.getFileName.toString +: entries).mkString("", "\n", "\n").getBytes("UTF-8"))
     entries.foreach(applyEntry(p, tmp, _))
     if (!Files.exists(markerOf(p)))
-      Files.write(markerOf(p), markerContent(n, keys))
-    Files.deleteIfExists(pendingOf(p))
-    if (Files.exists(tmp)) FsUtil.deleteTree(tmp)
+      fs.put(markerOf(p), markerContent(n, keys))
+    fs.deleteIfExists(pendingOf(p))
+    if (Files.exists(tmp)) fs.deleteTree(tmp)
   }
 
   private def swapMarkerOf(p: Path): Path =
@@ -384,10 +389,8 @@ object UpsertWriter {
     readLease(lease, leaseMs).exists(_._1 == token) && {
       try {
         val tmp = lease.resolveSibling(lease.getFileName.toString + s".renew.$token")
-        Files.write(tmp, s"$token ${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"))
-        Files.move(tmp, lease,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        fs.put(tmp, s"$token ${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"))
+        fs.moveReplace(tmp, lease)
         true
       } catch { case _: java.io.IOException => false }
     }
@@ -400,15 +403,15 @@ object UpsertWriter {
     val tomb = lease.resolveSibling(
       lease.getFileName.toString + ".steal." + java.util.UUID.randomUUID())
     try {
-      Files.move(lease, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      fs.move(lease, tomb)
       if (readLease(tomb, leaseMs).forall(got => got == seen || got._2 < System.currentTimeMillis()))
-        Files.deleteIfExists(tomb) // confirmed stale: open the path for CREATE_NEW contention
+        fs.deleteIfExists(tomb) // confirmed stale: open the path for CREATE_NEW contention
       else
-        try Files.move(tomb, lease) // grabbed a live lease: put it back
+        try fs.move(tomb, lease) // grabbed a live lease: put it back
         catch {
           case _: java.io.IOException => // path re-occupied in the window: the
             // displaced holder's release will token-mismatch and warn; drop ours
-            Files.deleteIfExists(tomb)
+            fs.deleteIfExists(tomb)
             System.err.println(s"graft: lease $lease displaced during contested steal")
         }
     } catch { case _: java.io.IOException => () } // lost the rename race: re-contend
@@ -432,10 +435,9 @@ object UpsertWriter {
       var acquired = false
       while (!acquired) {
         try {
-          Files.createDirectories(lease.toAbsolutePath.getParent)
-          Files.write(lease,
-            s"$token ${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
+          fs.mkdirs(lease.toAbsolutePath.getParent)
+          fs.createNew(lease,
+            s"$token ${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"))
           acquired = true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
@@ -465,7 +467,7 @@ object UpsertWriter {
         // the body overran its window, the stealer's lease must survive
         try {
           if (readLease(lease, leaseMs).exists(_._1 == token))
-            Files.deleteIfExists(lease)
+            fs.deleteIfExists(lease)
           else
             System.err.println(
               s"graft: lease $lease no longer held at release (stolen after expiry?) — not deleting")
@@ -486,10 +488,10 @@ object UpsertWriter {
       val tmpName = new String(Files.readAllBytes(swp), "UTF-8").trim
       val tmp = p.resolveSibling(tmpName)
       if (tmpName.nonEmpty && Files.exists(tmp)) {
-        if (Files.exists(p)) FsUtil.deleteTree(p)
-        Files.move(tmp, p)
+        if (Files.exists(p)) fs.deleteTree(p)
+        fs.move(tmp, p)
       }
-      Files.deleteIfExists(swp)
+      fs.deleteIfExists(swp)
     }
     // interrupted per-bucket / delta publish (marker inside the table dir)
     if (Files.exists(pendingOf(p))) {
@@ -497,8 +499,8 @@ object UpsertWriter {
         .split('\n').filter(_.nonEmpty).toSeq
       val tmp = p.resolveSibling(lines.head)
       if (Files.exists(tmp)) lines.tail.foreach(applyEntry(p, tmp, _))
-      Files.deleteIfExists(pendingOf(p))
-      if (Files.exists(tmp)) FsUtil.deleteTree(tmp)
+      fs.deleteIfExists(pendingOf(p))
+      if (Files.exists(tmp)) fs.deleteTree(tmp)
     }
   }
 
@@ -692,15 +694,15 @@ object UpsertWriter {
         n * f, col(BucketCol),
         pmod(hash(keys.map(k => col(s"`$k`")) :+ lit("fanout"): _*), lit(f)))
     spread.write.partitionBy(BucketCol).mode("overwrite").parquet(tmp.toString)
-    Files.write(tmp.resolve("_graft_buckets"), markerContent(n, keys))
+    fs.put(tmp.resolve("_graft_buckets"), markerContent(n, keys))
     // the delete-then-move pair is its own torn window (a crash between
     // them loses the table); the staged tmp is complete, so a sibling
     // intent marker lets repairPending roll the swap forward
     val pend = swapMarkerOf(p)
-    Files.write(pend, (tmp.getFileName.toString + "\n").getBytes("UTF-8"))
-    if (Files.exists(p)) FsUtil.deleteTree(p)
-    Files.move(tmp, p)
-    Files.deleteIfExists(pend)
+    fs.put(pend, (tmp.getFileName.toString + "\n").getBytes("UTF-8"))
+    if (Files.exists(p)) fs.deleteTree(p)
+    fs.move(tmp, p)
+    fs.deleteIfExists(pend)
   }
 
   /** The distinct bucket ids `incoming` lands in (one tiny agg over the

@@ -357,21 +357,22 @@ object Sampling {
     * single-task window no matter where the range boundaries land. The
     * sorted input must be PINNED so both passes see the same partitioning;
     * `pin` picks how:
-    *   - "local" (default): localCheckpoint — fastest, but partitions live
-    *     in executor storage, so an executor loss fails the job. Right for
-    *     local mode and short interactive runs.
-    *   - "persist": persist(DISK_ONLY) — replicated to the block manager's
-    *     disk store; a lost partition RECOMPUTES through the deterministic
-    *     range-sort instead of failing. Right for 1000-executor jobs where
-    *     some executor loss is expected. Both modes produce identical
-    *     shard ids (the pin is a scheduling property, not a semantic one). */
+    *   - "persist" (default): persist(DISK_ONLY) — a lost partition
+    *     RECOMPUTES through the deterministic range-sort instead of
+    *     failing the job, the behavior a 1000-executor run needs (some
+    *     executor loss is expected at that scale).
+    *   - "local": localCheckpoint — marginally faster, but partitions
+    *     live only in executor storage, so an executor loss FAILS the
+    *     job. Opt in for local mode and short interactive runs. Both
+    *     modes produce identical shard ids (the pin is a scheduling
+    *     property, not a semantic one). */
   def packShards(
       df: DataFrame,
       keyCol: String,
       tokensCol: String,
       shardTokens: Long,
       numPartitions: Int = 0,
-      pin: String = "local"): DataFrame =
+      pin: String = "persist"): DataFrame =
     runningOffset(df, keyCol, tokensCol, "__offset", numPartitions, pin)
       // `div`, not `/`: true long division (a double quotient silently
       // loses exactness past 2^53 cumulative tokens)
@@ -471,7 +472,7 @@ object Sampling {
       tokensCol: String,
       outCol: String,
       numPartitions: Int = 0,
-      pin: String = "local"): DataFrame = {
+      pin: String = "persist"): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
@@ -583,7 +584,7 @@ object Sampling {
       tokensCol: String,
       seqLen: Long,
       numPartitions: Int = 0,
-      pin: String = "local"): DataFrame = {
+      pin: String = "persist"): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     runningOffset(
       df.select(col(keyCol), col(tokensCol).cast("long").as("__n")),

@@ -473,6 +473,73 @@ class UpsertBucketSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("fault injection: a crash at EVERY protocol mutation is repaired with no lost rows") {
+    // Swap the TableFs seam for one that dies at the k-th mutation and
+    // stays dead (a real crash: every later op fails too, so finally
+    // blocks cannot "helpfully" clean up). For every k until a run
+    // completes fault-free: run the verb sequence, crash, simulate the
+    // operator's restart (stale lease expires; verbs replay), and require
+    // the final table to be byte-equal to the fault-free outcome. This
+    // exercises every interleaving of the lease + delta + swap publishes.
+    class InjectedCrash extends RuntimeException("injected crash")
+    class FaultFs(killAt: Int) extends graft.ingest.TableFs {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      private def step(): Unit =
+        if (n.incrementAndGet() >= killAt) throw new InjectedCrash
+      def put(p: java.nio.file.Path, c: Array[Byte]): Unit = { step(); graft.ingest.LocalTableFs.put(p, c) }
+      def createNew(p: java.nio.file.Path, c: Array[Byte]): Unit = { step(); graft.ingest.LocalTableFs.createNew(p, c) }
+      def move(s: java.nio.file.Path, d: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.move(s, d) }
+      def moveReplace(s: java.nio.file.Path, d: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.moveReplace(s, d) }
+      def deleteIfExists(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.deleteIfExists(p) }
+      def deleteTree(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.deleteTree(p) }
+      def mkdirs(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.mkdirs(p) }
+    }
+    def scenario(dir: String): Unit = {
+      // creation (whole-dir swap) -> pure insert (delta append) ->
+      // update+insert (bucket swap + delta) — the three publish shapes
+      UpsertWriter.upsert(spark, dir, "t",
+        df((0 until 6).map(i => (s"id-$i", s"n$i", 1L))), numBuckets = 4)
+      UpsertWriter.upsert(spark, dir, "t",
+        df(Seq(("id-6", "n6", 1L), ("id-7", "n7", 1L))), numBuckets = 4)
+      UpsertWriter.upsert(spark, dir, "t",
+        df(Seq(("id-0", "UPD", 9L), ("id-8", "n8", 1L))), numBuckets = 4)
+    }
+    def finalState(dir: String): Seq[(String, String)] =
+      UpsertWriter.readTable(spark, dir, "t")
+        .select("id", "name").collect().map(r => (r.getString(0), r.getString(1)))
+        .toSeq.sorted
+    // fault-free reference outcome
+    val refDir = Files.createTempDirectory("graft-fault-ref").toString
+    scenario(refDir)
+    val expected = finalState(refDir)
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(refDir))
+    var killAt = 1
+    var crashed = true
+    while (crashed) {
+      val dir = Files.createTempDirectory("graft-fault").toString
+      UpsertWriter.fs = new FaultFs(killAt)
+      crashed =
+        try { scenario(dir); false }
+        catch { case _: InjectedCrash => true }
+      UpsertWriter.fs = graft.ingest.LocalTableFs
+      if (crashed) {
+        // restart: the dead holder's lease expires in production — delete
+        // it here (time travel) — then replay the whole verb sequence
+        // (upsert replays are idempotent); repairPending rolls forward any
+        // torn publish on the first verb's entry
+        val s = Files.list(java.nio.file.Paths.get(dir))
+        try s.forEach(f =>
+          if (f.getFileName.toString.endsWith(".lease")) Files.deleteIfExists(f))
+        finally s.close()
+        scenario(dir)
+      }
+      assert(finalState(dir) == expected, s"state diverged after crash at mutation $killAt")
+      graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+      if (crashed) killAt += 1
+    }
+    info(s"verified recovery at ${killAt - 1} distinct crash points")
+  }
+
   test("write lease: an overrunning holder cannot delete a stealer's lease") {
     // the fencing case: a holder (renewal disabled) outlives its window, a
     // stealer legitimately takes the table, and the slow holder's finally
