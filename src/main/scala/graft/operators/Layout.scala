@@ -162,19 +162,27 @@ object Layout {
     *
     * Staleness guard: a zone map built before files were appended to
     * `dir` would silently hide those files' rows from the "equals the
-    * full read" law. Before pruning, the directory's parquet-file set is
-    * compared against the map's (a cheap metadata listing, no data read);
-    * any file the map has never seen forces a fall back to the full
-    * filtered read — correct-but-unpruned beats fast-but-wrong. Rebuild
-    * the map (or maintain it incrementally on append) to restore
-    * pruning. */
+    * full read" law. Before pruning, the store's CURRENT file census
+    * (count + order-independent additive checksum — see [[fileCensus]])
+    * is compared against the map's; any difference (append, delete,
+    * compaction rewrite) forces a fall back to the full filtered read —
+    * correct-but-unpruned beats fast-but-wrong. Rebuild the map (or
+    * maintain it incrementally on append) to restore pruning.
+    *
+    * Pass `census` with the store's maintained current census (two longs
+    * — kept next to the table and updated per append, exactly like the
+    * map itself) and the clean path does NO directory listing at all: at
+    * 100 TB a per-read recursive LIST is millions of keys on an object
+    * store. Without `census` the guard falls back to walking `dir` — the
+    * local-mode convenience, not the scale path. */
   def readPruned(
       spark: SparkSession,
       dir: String,
       zmap: DataFrame,
       colName: String,
       lo: Long,
-      hi: Long): DataFrame = {
+      hi: Long,
+      census: Option[(Long, Long)] = None): DataFrame = {
     require(lo <= hi, "empty range")
     // one collect carries both the map's file census (for the staleness
     // check) and each file's range-overlap verdict
@@ -182,22 +190,11 @@ object Layout {
       col("file"),
       (col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi)).as("o"))
       .collect()
-    // input_file_name() renders URIs (file:///...); normalize both sides
-    // to plain absolute paths before comparing
-    def norm(s: String): String =
-      java.net.URLDecoder.decode(s.stripPrefix("file:"), "UTF-8")
-        .replaceAll("^/+", "/")
-    val mappedSet = entries.map(r => norm(r.getString(0))).toSet
-    val actual = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try s.iterator().asScala
-        .filter(f => java.nio.file.Files.isRegularFile(f) &&
-          f.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toList
-      finally s.close()
-    }
+    val mapped = entries.map(r => normPath(r.getString(0)))
+    val mapCensus = censusOf(mapped)
+    val current = census.getOrElse { censusWalks += 1; censusOf(walkParquet(dir)) }
     val rangePred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
-    if (actual.exists(f => !mappedSet.contains(norm(f))))
+    if (current != mapCensus)
       return spark.read.parquet(dir).where(rangePred)
     val files = entries.filter(r => !r.isNullAt(1) && r.getBoolean(1)).map(_.getString(0))
     val pruned =
@@ -205,6 +202,47 @@ object Layout {
       else spark.read.parquet(files.toIndexedSeq: _*)
     pruned.where(rangePred)
   }
+
+  /** input_file_name() renders URIs (file:///...); normalize to plain
+    * absolute paths so map entries and directory listings compare. */
+  private def normPath(s: String): String =
+    java.net.URLDecoder.decode(s.stripPrefix("file:"), "UTF-8")
+      .replaceAll("^/+", "/")
+
+  /** (file count, additive 64-bit checksum of normalized paths) — order-
+    * independent and incrementally maintainable: appending a file ADDS
+    * (1, hash(path)); deleting subtracts. A store keeps this next to its
+    * zone map and hands it to [[readPruned]] so the clean path never
+    * lists the table. */
+  private def censusOf(paths: Seq[String]): (Long, Long) =
+    (paths.size.toLong,
+      paths.foldLeft(0L) { (acc, p) =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8"))
+        acc + java.nio.ByteBuffer.wrap(d).getLong
+      })
+
+  /** Census of a zone map's file set (tiny collect — the map is
+    * files-sized metadata). */
+  def fileCensus(zmap: DataFrame): (Long, Long) =
+    censusOf(zmap.select(col("file")).collect().map(r => normPath(r.getString(0))).toSeq)
+
+  /** Census of a directory tree by walking it — the local-mode source of
+    * the "current" census when no maintained one exists. O(files) LIST. */
+  def dirCensus(dir: String): (Long, Long) = censusOf(walkParquet(dir))
+
+  private def walkParquet(dir: String): Seq[String] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).toList
+    finally s.close()
+  }
+
+  /** Test seam: how many times a readPruned guard had to fall back to a
+    * full directory walk (no maintained census supplied). */
+  @volatile private[graft] var censusWalks: Long = 0L
 
   /** Key-skew diagnosis for a join/aggregation key: the `topN` heaviest
     * keys with their row counts, share of the table, skew factor (count ÷

@@ -168,6 +168,28 @@ class LayoutSpec extends SparkSpec {
     val repruned = Layout.readPruned(spark, dir, zmap2, "a", 100L, 800L)
     assert(repruned.count() == fullAfter.count())
     assert(repruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+
+    // MAINTAINED CENSUS (the object-store scale path): when the store
+    // hands readPruned its current census, the clean path must not list
+    // the directory at all — a per-read recursive LIST over a 100 TB
+    // table is millions of keys
+    val current = Layout.dirCensus(dir) // one walk, maintained thereafter
+    assert(current == Layout.fileCensus(zmap2), "fresh map must match the dir census")
+    val walksBefore = Layout.censusWalks
+    val viaCensus = Layout.readPruned(spark, dir, zmap2, "a", 100L, 800L, Some(current))
+    assert(viaCensus.count() == fullAfter.count())
+    assert(viaCensus.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+    assert(Layout.censusWalks == walksBefore,
+      "clean path with a maintained census must not walk the directory")
+    // a census that disagrees with the map (stale map after an append)
+    // falls back to the full filtered read — still without walking
+    spark.range(3).select((col("id") + 90000L).as("id"), lit(500L).as("a"), lit(2L).as("b"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val appended = Layout.dirCensus(dir) // the store's maintained census after append
+    val fallback = Layout.readPruned(spark, dir, zmap2, "a", 100L, 800L, Some(appended))
+    assert(fallback.where(col("id") >= 90000L).count() == 3,
+      "rows behind a stale map must be visible through the census fallback")
+    assert(Layout.censusWalks == walksBefore)
   }
 
   test("bucketed tables join without a shuffle") {

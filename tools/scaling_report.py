@@ -23,8 +23,10 @@ base = json.load(open(base_p))
 big = json.load(open(big_p))
 qb, qg = base['queries'], big['queries']
 queries, outliers, failures = {}, [], []
-for q in sorted(qb):
-    b, g = qb[q], qg.get(q, -1.0)
+# union of both runs' query sets: a query present only in one run is a
+# failure of the other run, never silently dropped
+for q in sorted(set(qb) | set(qg)):
+    b, g = qb.get(q, -1.0), qg.get(q, -1.0)
     if b < 0 or g < 0:
         failures.append(q)
         queries[q] = {'base': b, 'big': g, 'ratio': None}
@@ -36,6 +38,7 @@ for q in sorted(qb):
 
 tot_b = round(sum(v for v in qb.values() if v > 0), 3)
 tot_g = round(sum(v for v in qg.values() if v > 0), 3)
+total_ratio = round(tot_g / tot_b, 3) if tot_b > 0 else None
 rec = {
     'metric': 'scaling_10x',
     'base_sf': base.get('sf'),
@@ -44,7 +47,7 @@ rec = {
     'nqueries': len(queries),
     'total_base_sec': tot_b,
     'total_big_sec': tot_g,
-    'total_ratio': round(tot_g / tot_b, 3),
+    'total_ratio': total_ratio,
     'outlier_threshold': THRESH,
     'outliers': outliers,
     'failures': failures,
@@ -52,6 +55,7 @@ rec = {
 }
 with open(out_p, 'w') as f:
     json.dump(rec, f, indent=1)
-print(f"total {tot_b}s -> {tot_g}s (x{tot_g/tot_b:.2f}); "
+ratio_str = f"x{total_ratio:.2f}" if total_ratio is not None else "n/a (no base timings)"
+print(f"total {tot_b}s -> {tot_g}s ({ratio_str}); "
       f"{len(outliers)} outliers > {THRESH}x: {outliers}; "
       f"{len(failures)} failures: {failures}")
