@@ -3288,14 +3288,13 @@ object PipelineQueries {
       val src = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_window_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.windowedCounts(src, "1 hour", "2 hours")
+      StreamOps.startDrained(spark)(StreamOps.windowedCounts(src, "1 hour", "2 hours")
         .writeStream
         .format("memory")
         .queryName(sinkName)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       spark.table(sinkName)
         .select(
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -3331,11 +3330,10 @@ object PipelineQueries {
       val schema = spark.read.parquet(inDir).schema
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val sq = StreamOps.sinkToStore(src, storeDir, "stream_tbl")
+      StreamOps.startDrained(spark)(StreamOps.sinkToStore(src, storeDir, "stream_tbl")
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       graft.ingest.UpsertWriter.readTable(spark, storeDir, "stream_tbl")
         .select(col("id").cast("long"), col("a").cast("long"), col("b").cast("long"))
         .orderBy("id")
@@ -3364,14 +3362,13 @@ object PipelineQueries {
       val src = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_drift_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.windowedBinCounts(src, cuts, "value", "1 hour", "2 hours")
+      StreamOps.startDrained(spark)(StreamOps.windowedBinCounts(src, cuts, "value", "1 hour", "2 hours")
         .writeStream
         .format("memory")
         .queryName(sinkName)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       spark.table(sinkName)
         .select(
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -3406,14 +3403,13 @@ object PipelineQueries {
       val src = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_cms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.windowedSketch(src, "user_id", 4, 256, "1 hour", "2 hours")
+      StreamOps.startDrained(spark)(StreamOps.windowedSketch(src, "user_id", 4, 256, "1 hour", "2 hours")
         .writeStream
         .format("memory")
         .queryName(sinkName)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       val probes = StreamOps.eventTime(c.resolve("events"))
         .where(col("user_id") <= 5)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
@@ -3465,14 +3461,13 @@ object PipelineQueries {
       val src = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_kmv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.windowedDistinct(src, "user_id", 64, "1 hour", "2 hours")
+      StreamOps.startDrained(spark)(StreamOps.windowedDistinct(src, "user_id", 64, "1 hour", "2 hours")
         .writeStream
         .format("memory")
         .queryName(sinkName)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       spark.table(sinkName)
         .select(
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -3507,15 +3502,14 @@ object PipelineQueries {
       val src = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.funnelProgress(src, steps)
+      StreamOps.startDrained(spark)(StreamOps.funnelProgress(src, steps)
         .toDF("user_id", "steps_completed")
         .writeStream
         .format("memory")
         .queryName(sinkName)
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       val perUser = spark.table(sinkName)
         .groupBy("user_id").agg(max(col("steps_completed")).as("sc"))
       val stepFrame = spark
@@ -3581,12 +3575,11 @@ object PipelineQueries {
       val src = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.dedupStream(src.select(col("ts"), col("user_id"), col("event_type")),
+      StreamOps.startDrained(spark)(StreamOps.dedupStream(src.select(col("ts"), col("user_id"), col("event_type")),
           Seq("user_id", "event_type"), watermark = "100 days")
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       spark.table(sinkName)
         .select(col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
@@ -3618,11 +3611,10 @@ object PipelineQueries {
       val src = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.sessionCounts(src, gap = "30 minutes", watermark = "100 days")
+      StreamOps.startDrained(spark)(StreamOps.sessionCounts(src, gap = "30 minutes", watermark = "100 days")
         .writeStream.format("memory").queryName(sinkName).outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       spark.table(sinkName)
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -3652,14 +3644,13 @@ object PipelineQueries {
       def src() = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_interval_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.intervalJoin(
+      StreamOps.startDrained(spark)(StreamOps.intervalJoin(
           src().where(col("event_type") === "signup"),
           src().where(col("event_type") === "purchase"),
           within = "2 hours", watermark = "100 days")
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       spark.table(sinkName)
         .select(
           col("user_id"),
@@ -3696,12 +3687,11 @@ object PipelineQueries {
         // deterministic while exercising the real state-expiry plan
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val sinkName = s"q_stream_dedup_corpus_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.dedupAgainstCorpus(src, seen, watermark = "1 hour")
+      StreamOps.startDrained(spark)(StreamOps.dedupAgainstCorpus(src, seen, watermark = "1 hour")
         .select(col("fingerprint"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       spark.table(sinkName).select(col("fingerprint")).distinct()
         .orderBy("fingerprint")
     },
@@ -3720,12 +3710,11 @@ object PipelineQueries {
       val src = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{events.parquet}"))
       val sinkName = s"q_stream_running_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = StreamOps.runningCounts(src)
+      StreamOps.startDrained(spark)(StreamOps.runningCounts(src)
         .toDF("user_id", "n")
         .writeStream.format("memory").queryName(sinkName).outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+        )
       spark.table(sinkName)
         .groupBy("user_id").agg(max(col("n")).as("n"))
         .orderBy("user_id")

@@ -14,6 +14,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Start a configured stream with a harness-sized state-store partition
+    * count and drain it to completion (AvailableNow / finite sources).
+    *
+    * Why: each stateful operator keeps one state store PER SHUFFLE
+    * PARTITION, fixed at the query's first batch, and every micro-batch
+    * commits a delta file per store — at the session's 32 partitions a
+    * query whose whole state is a few hundred rows pays 32+ file commits
+    * and store inits per batch per operator of pure fixed cost. The small
+    * local streams the harness drains size that to `parts`. A production
+    * job sizes partitions to STATE VOLUME instead — this helper tunes the
+    * drain shape, not the operator semantics (aggregation results are
+    * partition-count-independent). */
+  def startDrained(
+      spark: org.apache.spark.sql.SparkSession,
+      parts: Int = 8)(w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, parts)
+    try w.start().awaitTermination()
+    finally spark.conf.set(key, old)
+  }
+
   /** Normalize an event-time column to TimestampType, the only type
     * `withWatermark` accepts. Three layouts exist in the wild:
     *  - TIMESTAMP(NANOS) parquet read under nanosAsLong → LongType nanos;
