@@ -231,6 +231,39 @@ object Layout {
     * the "current" census when no maintained one exists. O(files) LIST. */
   def dirCensus(dir: String): (Long, Long) = censusOf(walkParquet(dir))
 
+  /** Incrementally maintain a zone map after appends/compactions: scan
+    * ONLY the files the existing map has never seen, drop entries for
+    * files no longer present, and return the updated map (equal to a full
+    * [[zoneMap]] rebuild — law-tested). This moves the O(table) listing
+    * and scan from read time to APPEND time, and the scan itself touches
+    * only the appended bytes — rebuilding a 100 TB table's map per batch
+    * is the same full-rescan anti-pattern the map exists to avoid. The
+    * map frame is files-sized metadata; persist it (and [[fileCensus]] of
+    * it) next to the table and hand both to [[readPruned]]. */
+  def zoneMapIncremental(
+      spark: SparkSession, dir: String, cols: Seq[String], existing: DataFrame): DataFrame = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val current = walkParquet(dir).map(normPath).toSet
+    val fileIdx = existing.schema.fieldIndex("file")
+    val keptRows = existing.collect()
+      .filter(r => current.contains(normPath(r.getString(fileIdx)))).toIndexedSeq
+    val known = keptRows.map(r => normPath(r.getString(fileIdx))).toSet
+    val freshFiles = (current -- known).toSeq.sorted
+    val kept = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(keptRows).asJava),
+      existing.schema)
+    if (freshFiles.isEmpty) kept
+    else {
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val fresh = spark.read.parquet(freshFiles: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      kept.unionByName(fresh)
+    }
+  }
+
   private def walkParquet(dir: String): Seq[String] = {
     val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
     try s.iterator().asScala

@@ -275,7 +275,15 @@ object StreamOps {
     * min-after-frontier rule the batch operator uses: the FIRST step-i
     * event after the step-(i−1) frontier and within `maxGap` advances the
     * state — in time order that IS the batch semantics' min(). Emits
-    * (user, steps_completed) per batch with data. */
+    * (user, steps_completed) per batch with data.
+    *
+    * Memory assumption: the per-user buffer-and-sort holds ONE user's
+    * events from ONE micro-batch — bounded by the trigger interval ×
+    * that user's event rate, not by history. A pathological burst batch
+    * concentrated on a single user lands on one task (the groupByKey
+    * shuffle routes by user); if one user's per-trigger volume can
+    * exceed task memory, shorten the trigger interval (or rate-limit the
+    * source) — the protocol itself never needs more than a batch. */
   def funnelProgress(
       events: Dataset[Row],
       steps: Seq[String],

@@ -190,6 +190,30 @@ class LayoutSpec extends SparkSpec {
     assert(fallback.where(col("id") >= 90000L).count() == 3,
       "rows behind a stale map must be visible through the census fallback")
     assert(Layout.censusWalks == walksBefore)
+
+    // INCREMENTAL MAINTENANCE law: updating the stale map scans only the
+    // appended files and equals a full rebuild — and the updated map's
+    // census matches the store again, so pruning resumes
+    def norm(m: org.apache.spark.sql.DataFrame) = m
+      .collect().map(r => r.toSeq.map(String.valueOf).toList)
+      .sortBy(_.head)
+    val updated = Layout.zoneMapIncremental(spark, dir, Seq("a", "b"), zmap2)
+    val rebuilt = Layout.zoneMap(spark, dir, Seq("a", "b"))
+    assert(norm(updated).map(_.tail).sortBy(_.toString).toSeq ==
+      norm(rebuilt).map(_.tail).sortBy(_.toString).toSeq)
+    assert(Layout.fileCensus(updated) == Layout.dirCensus(dir))
+    val repr2 = Layout.readPruned(spark, dir, updated, "a", 100L, 800L,
+      Some(Layout.fileCensus(updated)))
+    assert(repr2.count() ==
+      spark.read.parquet(dir).where(col("a") >= 100L && col("a") <= 800L).count())
+    // deletion face: drop one parquet file — the incremental update must
+    // shed its entry (still equal to a rebuild on the shrunken dir)
+    val victim = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.delete(victim)
+    val afterDel = Layout.zoneMapIncremental(spark, dir, Seq("a", "b"), updated)
+    assert(Layout.fileCensus(afterDel) == Layout.dirCensus(dir))
+    assert(afterDel.count() == updated.count() - 1)
   }
 
   test("bucketed tables join without a shuffle") {
