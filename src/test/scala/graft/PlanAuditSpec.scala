@@ -240,6 +240,19 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the pigeonhole equi keys in the join:\n$plan")
   }
 
+  test("containmentIncremental is fingerprint equi-joins, never all-pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val index = graft.operators.Dedup.winnowFingerprints(docs)
+    val batch = docs.limit(50)
+    val plan = physical(
+      graft.operators.Dedup.containmentIncremental(batch, index))
+    assert(!plan.contains("CartesianProduct"), s"pair join degenerated:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"pair join degenerated:\n$plan")
+    assert(plan.contains("fingerprint"),
+      s"expected the fingerprint equi key in the join:\n$plan")
+  }
+
   test("kmeansAssign is a broadcast argmax aggregate, not a window") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // localCheckpoint truncates the training lineage (whose deterministic

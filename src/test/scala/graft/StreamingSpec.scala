@@ -420,6 +420,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sinkToStore crash mid-publish: restart from the checkpoint loses no rows") {
+    // end-to-end stream fault tolerance: the writer dies inside a
+    // micro-batch's publish protocol (and stays dead — real crash
+    // semantics), the streaming query fails, and a RESTARTED query on the
+    // same checkpoint replays the uncommitted batch through the
+    // idempotent upsert — exactly-once to the store
+    class InjectedCrash extends RuntimeException("injected crash")
+    class FaultFs(killAt: Int) extends graft.ingest.TableFs {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      private def step(): Unit =
+        if (n.incrementAndGet() >= killAt) throw new InjectedCrash
+      def put(p: java.nio.file.Path, c: Array[Byte]): Unit = { step(); graft.ingest.LocalTableFs.put(p, c) }
+      def createNew(p: java.nio.file.Path, c: Array[Byte]): Unit = { step(); graft.ingest.LocalTableFs.createNew(p, c) }
+      def move(s: java.nio.file.Path, d: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.move(s, d) }
+      def moveReplace(s: java.nio.file.Path, d: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.moveReplace(s, d) }
+      def deleteIfExists(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.deleteIfExists(p) }
+      def deleteTree(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.deleteTree(p) }
+      def mkdirs(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.mkdirs(p) }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_crash").toString
+    val (inDir, storeDir, ck) = (s"$base/in", s"$base/store", s"$base/ck")
+    val sp = spark
+    import sp.implicits._
+    // three 1-file batches with disjoint ids: creation swap, then two
+    // delta appends — order-independent expected state
+    Seq("a" -> 0L, "b" -> 100L, "c" -> 200L).foreach { case (tag, off) =>
+      (off until off + 100L).map(i => (i, s"$tag$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    def startQ() = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      StreamOps.sinkToStore(src, storeDir, "t", numBuckets = 4)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    // die inside the 2nd/3rd micro-batch's publish (table creation takes
+    // the first ~8 protocol mutations)
+    graft.ingest.UpsertWriter.fs = new FaultFs(10)
+    val q1 = startQ()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    graft.ingest.UpsertWriter.fs = graft.ingest.LocalTableFs
+    // restart: the dead holder's lease expires in production — delete it
+    // here — then the same checkpoint replays the uncommitted batch
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(storeDir))
+    try s.forEach(f =>
+      if (f.getFileName.toString.endsWith(".lease")) java.nio.file.Files.deleteIfExists(f))
+    finally s.close()
+    val q2 = startQ()
+    q2.awaitTermination()
+    val got = graft.ingest.UpsertWriter.readTable(spark, storeDir, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Seq("a" -> 0L, "b" -> 100L, "c" -> 200L).flatMap { case (tag, off) =>
+      (off until off + 100L).map(i => (i, s"$tag$i"))
+    }.toSet
+    assert(got == want,
+      s"lost ${(want -- got).size} rows, gained ${(got -- want).size} after crash-restart")
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
+  }
+
   test("sinkToStore drains micro-batches through the delta-write upsert") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
