@@ -1656,6 +1656,32 @@ object PipelineQueries {
       Dedup.simhashPairs(c.resolve("documents")).orderBy("a_id", "b_id")
     },
 
+    // INCREMENTAL simhash near-dup: even doc_ids are the persisted hash
+    // index (8 bytes/doc), odd doc_ids arrive as the batch; survivors are
+    // batch docs with no indexed doc within hamming 3 (candidates via the
+    // same pigeonhole block equi-join). The oracle replays the hash, the
+    // blocks, and the hamming screen on both sides
+    q("q_dedup_simhash_inc",
+      s"""WITH t AS (SELECT doc_id, list_transform(list_distinct($duckToks), t -> md5(t)) AS toks FROM documents),
+         |bits AS (SELECT doc_id, $duckSimBits AS bv FROM t),
+         |bl AS (SELECT doc_id, bv, k,
+         |        list_sum(list_transform(range(0, 16), i -> bv[16*k + i + 1] * (1 << i))) AS block_val
+         |      FROM bits CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks),
+         |dup AS (SELECT DISTINCT n.doc_id AS nid
+         |      FROM bl n JOIN bl o ON n.k = o.k AND n.block_val = o.block_val
+         |      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+         |        AND list_sum(list_transform(range(0, 64), i ->
+         |          CASE WHEN n.bv[i+1] <> o.bv[i+1] THEN 1 ELSE 0 END)) <= 3)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT nid FROM dup)
+         |ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val index = Dedup.simhashFrame(docs.where(col("doc_id") % 2 === 0))
+      Dedup.simhashIncremental(docs.where(col("doc_id") % 2 === 1), index)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // ===== Similarity search =============================================
 
     q("q_ann_bruteforce", s"$duckBruteSql\nORDER BY query_id, rank") { c =>

@@ -852,6 +852,42 @@ object Dedup {
     * 16-bit blocks give 65,536 join-key values per block, which keeps the
     * candidate join linear-ish at corpus scale (8-bit blocks cap at 256 keys
     * and degenerate toward O(N^2/256)). */
+  /** Incremental SimHash near-dup: drop new docs whose simhash is within
+    * `maxDist` hamming of ANY already-indexed doc — the continuous-crawl
+    * face of [[simhashPairs]], completing the incremental family (exact /
+    * bloom / minhash / containment / embedding / simhash). `index` is a
+    * persisted [[simhashFrame]] (doc_id, simhash) appended per batch — 8
+    * bytes a row, so a billion-doc index is single-digit GBs; candidates
+    * come from the same 4×16-bit pigeonhole block equi-join (any pair
+    * within hamming 3 agrees on some block), so work scales with
+    * block-bucket occupancy, never corpus size, and only the BATCH text
+    * runs the hash kernel. In-batch near-dups are a separate
+    * [[simhashPairs]] pass over the batch alone (the
+    * [[minhashIncremental]] convention). */
+  def simhashIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      textCol: String = "text",
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4x16-bit pigeonhole blocks guarantee recall only for maxDist <= 3")
+    val nb = simhashFrame(newDocs, textCol)
+      .select(col("doc_id"), col("simhash").as("__nsh"),
+        explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .withColumn("block_val",
+        expr("shiftrightunsigned(__nsh, cast(block_idx * 16 as int)) & 65535"))
+    val ib = index
+      .select(col("simhash").as("__osh"),
+        explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .withColumn("block_val",
+        expr("shiftrightunsigned(__osh, cast(block_idx * 16 as int)) & 65535"))
+    val dup = nb.join(ib, Seq("block_idx", "block_val"))
+      .where(expr("bit_count(__nsh ^ __osh)") <= maxDist)
+      .select(col("doc_id"))
+      .distinct()
+    newDocs.join(dup, Seq("doc_id"), "left_anti")
+  }
+
   def simhashPairs(docs: DataFrame, textCol: String = "text", maxDist: Int = 3): DataFrame = {
     val sf = simhashFrame(docs, textCol)
     // literal-sequence explode (see minhashPairs note), block value derived

@@ -1837,6 +1837,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Dedup.containmentPairs(d, tau = 0.1, maxDf = 1).count() == 0)
   }
 
+  test("simhashIncremental agreement law: survivors = batch minus cross near-dups") {
+    // survivors of the incremental pass must equal the batch minus every
+    // doc that simhashPairs (over the union) pairs with an INDEX doc —
+    // same hash, same blocks, same hamming screen
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = docs(
+      (2, base),
+      (4, base + " extra"),                                  // near doc 2
+      (6, "completely unrelated legal boilerplate paragraph about contract law"))
+    val batch = docs(
+      (1, base),                                             // dup of indexed 2
+      (3, "totally fresh content about astronomy and telescopes and galaxies"),
+      (5, base + " extra"))                                  // dup of indexed 4
+    val survivors = Dedup.simhashIncremental(batch, Dedup.simhashFrame(corpus))
+      .select("doc_id").collect().map(_.getInt(0)).toSet
+    val crossDup = Dedup.simhashPairs(corpus.unionByName(batch))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(id => (id % 2 == 1) &&
+          Seq(a, b).exists(o => o % 2 == 0)) // batch ids paired with an index id
+      }.toSet
+    assert(survivors == Set(1, 3, 5) -- crossDup)
+    assert(!survivors.contains(1) && !survivors.contains(5) && survivors.contains(3))
+    // empty index: everything survives
+    assert(Dedup.simhashIncremental(batch, Dedup.simhashFrame(corpus.limit(0))).count() == 3)
+  }
+
   test("containmentIncremental agreement law: equals the pairwise relation's cross pairs") {
     // corpus (the persisted index side) + a batch of wrappers/duplicates;
     // the incremental result must equal the full pairwise relation over
