@@ -1882,6 +1882,57 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // PERSISTED-INDEX IVF with an appended batch: the base corpus's
+    // assignment table is built once (ivfAssign — the pass a 100 TB index
+    // pays at build time, persisted thereafter); an arriving batch
+    // (reversed embeddings under shifted ids) assigns ONLY its own
+    // vectors against the same fixed centroids and appends; the search
+    // probes the top-nprobe lists of the union. The oracle replays
+    // centroid choice, both assignments, probing, and the exact re-rank
+    q("q_ann_ivf_indexed",
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, list_reverse(embedding) AS embedding
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |      FROM embeddings ORDER BY vec_id LIMIT 8),
+         |ca AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |        round(list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[])
+         |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         |             * sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))), 6) AS cscore
+         |      FROM corpus e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) z WHERE rk = 1),
+         |probed AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca WHERE vec_id < 5) z
+         |      WHERE rk <= 2),
+         |s AS (SELECT p.query_id, a.neighbor_id,
+         |        round(list_dot_product(p.q_emb::DOUBLE[], a.c_emb::DOUBLE[])
+         |          / (sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[]))
+         |             * sqrt(list_dot_product(a.c_emb::DOUBLE[], a.c_emb::DOUBLE[]))), 6) AS score
+         |      FROM probed p JOIN assigned a ON p.centroid_id = a.centroid_id
+         |      WHERE p.query_id <> a.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      val cents = emb.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+      val batch = emb.select(
+        (col("vec_id") + 100000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      val index = Similarity.ivfAssign(emb, cents) // persisted at scale; built here
+      val appended = index.unionByName(Similarity.ivfAssign(batch, cents))
+      Similarity
+        .ivfSearchIndexed(appended, cents, emb.where(col("vec_id") < 5), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // IVF with LEARNED centroids: the oracle replays Lloyd's iterations
     // (deterministic first-k init, 6dp-rounded cosine argmax, per-dim mean
     // rounded 9dp — avg() fp-ordering noise must not reach the NEXT
