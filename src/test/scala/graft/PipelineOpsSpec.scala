@@ -1837,6 +1837,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Dedup.containmentPairs(d, tau = 0.1, maxDf = 1).count() == 0)
   }
 
+  test("continuous-crawl loop: band index appended per batch == any-earlier-dup semantics") {
+    // the steady-state shape every incremental op is built for, run END TO
+    // END: three arriving batches, the LSH band index appended after each,
+    // survivors screened against everything ingested earlier. Law: a doc
+    // survives iff no EARLIER-batch doc estimates >= threshold against it
+    // (in-batch dups are a separate pass by convention) — computed
+    // independently from the pairwise relation over the concatenation.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val r = new scala.util.Random(13)
+    def fresh(n: Int) = (1 to n).map(_ =>
+      (1 to 12).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+    // batch b occupies ids [b*100, ...): id order encodes arrival order
+    val texts0 = fresh(6)
+    val texts1 = fresh(4) ++ Seq(texts0(0), texts0(2))            // 2 cross-dups of batch 0
+    val texts2 = fresh(3) ++ Seq(texts1(0), texts0(1), texts0(3)) // dups of batches 0 and 1
+    val batches = Seq(texts0, texts1, texts2).zipWithIndex.map { case (ts, b) =>
+      docs(ts.zipWithIndex.map { case (t, i) => (b * 100 + i, t) }: _*)
+    }
+    // the loop: screen against the index of everything earlier, then append
+    var index: org.apache.spark.sql.DataFrame = null
+    val survived = scala.collection.mutable.Set[Int]()
+    batches.foreach { batch =>
+      val out =
+        if (index == null) batch
+        else Dedup.minhashIncremental(batch, index, threshold = 0.5)
+      survived ++= out.select("doc_id").collect().map(_.getInt(0))
+      val bands = Dedup.minhashBands(batch)
+        .select(col("doc_id"), col("sig"), col("band_idx"), col("band_hash"))
+      index = if (index == null) bands else index.unionByName(bands)
+    }
+    // independent truth from the pairwise relation over the concatenation
+    val all = batches.reduce(_ unionByName _)
+    val dropped = Dedup.minhashPairs(all)
+      .where(col("est_jaccard") >= 0.5)
+      .collect().map(x => (x.getInt(0), x.getInt(1)))
+      .collect { case (a, b) if a / 100 < b / 100 => b } // earlier batch kills later doc
+      .toSet
+    val expected = batches.flatMap(_.select("doc_id").collect().map(_.getInt(0))).toSet -- dropped
+    assert(survived.toSet == expected,
+      s"loop survivors diverged: extra=${survived.toSet -- expected} missing=${expected -- survived}")
+    // the planted cross-batch dups really were screened out
+    assert(dropped.nonEmpty, "fixture should contain cross-batch duplicates")
+  }
+
   test("simhashIncremental agreement law: survivors = batch minus cross near-dups") {
     // survivors of the incremental pass must equal the batch minus every
     // doc that simhashPairs (over the union) pairs with an INDEX doc —

@@ -253,6 +253,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the fingerprint equi key in the join:\n$plan")
   }
 
+  test("ivfSearchIndexed joins the index on centroid_id, no corpus re-assignment") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val index = graft.operators.Similarity.ivfAssign(emb, cents).localCheckpoint(true)
+    val plan = physical(graft.operators.Similarity
+      .ivfSearchIndexed(index, cents, emb.where(col("vec_id") < 5)))
+    // the index side must meet the probes on a centroid_id equi-join;
+    // the only nested-loop joins are the deliberate 8-row broadcast
+    // centroid products on the probe side
+    assert(!plan.contains("CartesianProduct"), s"index join degenerated:\n$plan")
+    assert(plan.contains("centroid_id"), s"expected the centroid equi key:\n$plan")
+  }
+
   test("kmeansAssign is a broadcast argmax aggregate, not a window") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // localCheckpoint truncates the training lineage (whose deterministic
