@@ -574,6 +574,37 @@ object PipelineQueries {
       TextOps.lmScore(docs, docs.where(col("lang") === "en")).orderBy("doc_id")
     },
 
+    // interpolated bigram LM NLL (λ·p_bi + (1−λ)·p_uni, add-one smoothed
+    // on both orders, English slice as the reference): the oracle refits
+    // both models and replays the exact interpolation per bigram
+    q("q_text_lm_bigram",
+      s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |rd AS (SELECT $duckToks AS toks FROM documents WHERE lang = 'en'),
+         |runi AS (SELECT w, count(*) AS c
+         |        FROM (SELECT unnest(toks) AS w FROM rd) GROUP BY w),
+         |st AS (SELECT sum(c) AS total, count(*) AS vocab FROM runi),
+         |rbi AS (SELECT v, w, count(*) AS cb FROM (
+         |        SELECT p.v AS v, p.w AS w FROM (
+         |          SELECT unnest(list_transform(range(1, length(toks)), i ->
+         |            {'v': toks[i], 'w': toks[i+1]})) AS p
+         |          FROM rd WHERE length(toks) >= 2) z) y
+         |      GROUP BY v, w),
+         |g AS (SELECT doc_id, p.v AS v, p.w AS w FROM (
+         |        SELECT doc_id, unnest(list_transform(range(1, length(toks)), i ->
+         |          {'v': toks[i], 'w': toks[i+1]})) AS p
+         |        FROM d WHERE length(toks) >= 2) z)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(-ln(0.7 * (coalesce(rbi.cb, 0) + 1.0) / (coalesce(cv.c, 0) + st.vocab + 1.0)
+         |              + (1.0 - 0.7) * (coalesce(cw.c, 0) + 1.0) / (st.total + st.vocab + 1.0))), 6) AS nll
+         |FROM g LEFT JOIN rbi ON g.v = rbi.v AND g.w = rbi.w
+         |  LEFT JOIN runi cv ON g.v = cv.w
+         |  LEFT JOIN runi cw ON g.w = cw.w
+         |  CROSS JOIN st
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      TextOps.lmScoreBigram(docs, docs.where(col("lang") === "en")).orderBy("doc_id")
+    },
+
     // DSIR importance weights (target = English slice, raw = full corpus):
     // hashed-bigram LM log-ratio per doc — the data-selection signal.
     // Both models are 8192-bucket tables; the oracle replays the same

@@ -781,6 +781,53 @@ object TextOps {
       .select(col(idCol), col("n_tokens"), col("nll"))
   }
 
+  /** Interpolated BIGRAM corpus-LM scoring — the CCNet-style quality
+    * signal one order above [[lmScore]]: per-doc mean NLL of
+    * −ln(λ·p_bi + (1−λ)·p_uni) over the doc's adjacent token pairs,
+    * where p_bi(w|v) = (c(v,w)+1)/(c(v)+V+1) (add-one over the reference
+    * vocabulary conditioned on v) and p_uni is [[lmScore]]'s add-one
+    * unigram. Interpolation, not backoff: every position mixes both
+    * orders, so unseen bigrams degrade smoothly instead of cliffing.
+    * Docs with < 2 tokens carry no bigrams and are not scored.
+    *
+    * Scale shape: both models are REFERENCE-slice-sized (the slice is
+    * bounded by contract — MBs against a 100 TB corpus) and broadcast to
+    * map-side joins; the only corpus-sized shuffle is the per-document
+    * average. Same portability contract as the rest of the family:
+    * integer counts, IEEE double math, 6dp round inside the query. */
+  def lmScoreBigram(
+      docs: DataFrame,
+      ref: DataFrame,
+      lambda: Double = 0.7,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val uni = ref
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val stats = uni.agg(sum("c").as("total"), count(lit(1)).as("vocab"))
+    def bigrams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(ngramStrings(col(textCol), 2)).as("g"): _*)
+        .withColumn("v", split(col("g"), " ").getItem(0))
+        .withColumn("w", split(col("g"), " ").getItem(1))
+    val bi = bigrams(ref).groupBy("v", "w").agg(count(lit(1)).as("cb"))
+    bigrams(docs, col(idCol))
+      .join(broadcast(bi), Seq("v", "w"), "left")
+      .join(broadcast(uni.select(col("w").as("v"), col("c").as("cv"))), Seq("v"), "left")
+      .join(broadcast(uni.select(col("w"), col("c").as("cw"))), Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          avg(-log(
+            lit(lambda) * (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+              (coalesce(col("cv"), lit(0L)) + col("vocab") + lit(1.0)) +
+            (lit(1.0) - lit(lambda)) * (coalesce(col("cw"), lit(0L)) + lit(1.0)) /
+              (col("total") + col("vocab") + lit(1.0)))), 6).as("nll"))
+      .select(col(idCol), col("n_bigrams"), col("nll"))
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score each raw document by how much more likely its hashed n-gram

@@ -998,6 +998,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(0).getDouble(2) > rows(1).getDouble(2), "OOV doc must score worse")
   }
 
+  test("lmScoreBigram: hand-computed interpolated NLL; short docs unscored") {
+    // reference "a b a b c": unigrams c(a)=2 c(b)=2 c(c)=1, T=5, V=3;
+    // bigrams c(a,b)=2 c(b,a)=1 c(b,c)=1
+    val ref = docs((0, "a b a b c"))
+    val out = TextOps.lmScoreBigram(docs((1, "a b z"), (2, "a")), ref, lambda = 0.7)
+      .orderBy("doc_id").collect()
+    def pU(c: Long) = (c + 1.0) / (5 + 3 + 1.0)
+    def pB(cb: Long, cv: Long) = (cb + 1.0) / (cv + 3 + 1.0)
+    val nll = -(
+      math.log(0.7 * pB(2, 2) + (1.0 - 0.7) * pU(2)) + // (a,b): seen bigram
+      math.log(0.7 * pB(0, 2) + (1.0 - 0.7) * pU(0))   // (b,z): OOV w
+    ) / 2
+    assert(out.length == 1, "a 1-token doc carries no bigrams and is unscored")
+    assert(out(0).getInt(0) == 1 && out(0).getLong(1) == 2)
+    assert(math.abs(out(0).getDouble(2) - nll) < 1e-6, s"got ${out(0).getDouble(2)}, want $nll")
+    // lambda=0 degenerates to the unigram distribution over positions 2..n
+    val uniOnly = TextOps.lmScoreBigram(docs((1, "a b z")), ref, lambda = 0.0)
+      .head().getDouble(2)
+    val wantUni = -(math.log(pU(2)) + math.log(pU(0))) / 2
+    assert(math.abs(uniOnly - wantUni) < 1e-6)
+  }
+
   test("retention: cohort by first-event week, offsets count active weeks") {
     import java.sql.Timestamp
     val ev = Seq(
