@@ -2248,6 +2248,41 @@ object PipelineQueries {
         .orderBy("column")
     },
 
+    // MERGEABLE stats: the table profiled as two parity batches whose
+    // stats frames merge via Chan's parallel moment algebra + a KMV
+    // union — the maintain-without-rescan face. The oracle computes the
+    // same statistics DIRECTLY over the whole table (merged == direct is
+    // the operator's contract) and replays the bottom-256 KMV estimator
+    q("q_profile_stats_merge", {
+      def block(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  round(avg($c), 6) AS mean,
+           |  round(sqrt(var_pop($c)), 6) AS stddev,
+           |  min($c)::DOUBLE AS min_val, max($c)::DOUBLE AS max_val,
+           |  (WITH h AS (SELECT DISTINCT
+           |       ('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS hv
+           |     FROM documents),
+           |   r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+           |                count(*) OVER () AS nd FROM h)
+           |   SELECT round(CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
+           |     ELSE 255.0 * 1152921504606846976
+           |          / CAST(max(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) END, 4)
+           |   FROM r) AS distinct_est
+           |FROM documents""".stripMargin
+      s"""${block("doc_id")}
+         |UNION ALL
+         |${block("n_chars")}
+         |ORDER BY "column"""".stripMargin
+    }) { c =>
+      val d = c.resolve("documents")
+      val a = graft.operators.Profile.statsOf(d.where(col("doc_id") % 2 === 0), Seq("doc_id", "n_chars"))
+      val b = graft.operators.Profile.statsOf(d.where(col("doc_id") % 2 === 1), Seq("doc_id", "n_chars"))
+      graft.operators.Profile
+        .finalizeStats(graft.operators.Profile.mergeStats(a, b))
+        .orderBy("column")
+    },
+
     // exact quantile profiling: percentile == quantile_cont interpolation
     // (lo + (hi-lo)·frac) in both engines — 6dp-rounded value parity
     q("q_profile_quantiles", {

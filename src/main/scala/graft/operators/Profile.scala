@@ -16,6 +16,77 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * plan shape. */
 object Profile {
 
+  /** MERGEABLE per-column numeric statistics — the maintain-without-rescan
+    * face of [[profile]]: [[statsOf]] computes one mergeable row per
+    * column over a batch (counts, mean, M2, min/max, KMV distinct
+    * sketch); [[mergeStats]] combines two such frames with Chan's
+    * parallel mean/M2 update and a KMV union, so a 100 TB table's stats
+    * update per arriving batch at BATCH cost, never a rescan;
+    * [[finalizeStats]] renders (stddev, distinct estimate). The moment
+    * algebra is exact up to fp associativity (law-tested against a
+    * direct whole-table pass); the distinct estimate is KMV-mergeable by
+    * construction — the merged bottom-k set IS the union's bottom-k. */
+  def statsOf(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "statsOf needs at least one column")
+    cols.map { name =>
+      val c = col(name).cast("double")
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(c).as("n_valid"),
+        coalesce(avg(c), lit(0.0)).as("mean"),
+        coalesce(var_pop(c) * count(c), lit(0.0)).as("m2"),
+        min(c).as("min_val"),
+        max(c).as("max_val"),
+        graft.functions.KmvSketch.kmvHashes(col(name), k).as("kmv"))
+        .select(lit(name).as("column"), col("*"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Combine two [[statsOf]] frames (same columns, same k). */
+  def mergeStats(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    val bb = b.select(
+      col("column"), col("n_rows").as("rb"), col("n_valid").as("vb"),
+      col("mean").as("mb"), col("m2").as("m2b"),
+      col("min_val").as("minb"), col("max_val").as("maxb"), col("kmv").as("kmvb"))
+    val n = col("n_valid") + col("vb")
+    a.join(bb, Seq("column"))
+      .select(
+        col("column"),
+        (col("n_rows") + col("rb")).as("n_rows"),
+        n.as("n_valid"),
+        when(n > 0, (col("n_valid") * col("mean") + col("vb") * col("mb")) / n)
+          .otherwise(lit(0.0)).as("mean"),
+        // Chan's parallel M2 update: exact variance composition without
+        // revisiting either side's rows
+        when(n > 0,
+          col("m2") + col("m2b") +
+            pow(col("mean") - col("mb"), 2) * col("n_valid") * col("vb") / n)
+          .otherwise(lit(0.0)).as("m2"),
+        least(col("min_val"), col("minb")).as("min_val"),
+        greatest(col("max_val"), col("maxb")).as("max_val"),
+        slice(array_sort(array_union(col("kmv"), col("kmvb"))), 1, k).as("kmv"))
+  }
+
+  /** Render a [[statsOf]]/[[mergeStats]] frame as human statistics. */
+  def finalizeStats(stats: DataFrame, k: Int = 256): DataFrame = {
+    val twoPow60 = 1152921504606846976.0
+    val est =
+      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+        .otherwise(
+          lit((k - 1).toDouble) * lit(twoPow60) /
+            element_at(col("kmv"), size(col("kmv"))).cast("double"))
+    stats.select(
+      col("column"),
+      col("n_rows"),
+      (col("n_rows") - col("n_valid")).as("n_null"),
+      round(col("mean"), 6).as("mean"),
+      round(when(col("n_valid") > 0, sqrt(col("m2") / col("n_valid")))
+        .otherwise(lit(0.0)), 6).as("stddev"),
+      col("min_val"),
+      col("max_val"),
+      round(est, 4).as("distinct_est"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields.filter(f => cols.isEmpty || cols.contains(f.name))

@@ -1020,6 +1020,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(uniOnly - wantUni) < 1e-6)
   }
 
+  test("mergeStats law: batch-merged statistics equal the whole-table pass") {
+    val sp = spark
+    import sp.implicits._
+    val d = (1 to 400).map(i => (i, (i * 37 % 211).toDouble, s"s${i % 97}"))
+      .toDF("id", "x", "s")
+    val whole = graft.operators.Profile.finalizeStats(graft.operators.Profile.statsOf(d, Seq("id", "x")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // three arbitrary splits merged pairwise (associativity in practice)
+    val parts = Seq(d.where(col("id") % 3 === 0), d.where(col("id") % 3 === 1),
+      d.where(col("id") % 3 === 2)).map(graft.operators.Profile.statsOf(_, Seq("id", "x")))
+    val merged = graft.operators.Profile.finalizeStats(parts.reduce(graft.operators.Profile.mergeStats(_, _)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("id", "x")) {
+      val (w, m) = (whole(c), merged(c))
+      assert(m.getLong(1) == w.getLong(1) && m.getLong(2) == w.getLong(2)) // counts exact
+      assert(math.abs(m.getDouble(3) - w.getDouble(3)) < 1e-6, s"$c mean")
+      assert(math.abs(m.getDouble(4) - w.getDouble(4)) < 1e-6, s"$c stddev")
+      assert(m.getDouble(5) == w.getDouble(5) && m.getDouble(6) == w.getDouble(6)) // min/max
+      // the merged bottom-k set IS the union's bottom-k -> estimate EXACT
+      assert(m.getDouble(7) == w.getDouble(7), s"$c distinct_est")
+    }
+    // empty side is the identity
+    val z = graft.operators.Profile.statsOf(d.limit(0), Seq("id", "x"))
+    val withEmpty = graft.operators.Profile.finalizeStats(
+      graft.operators.Profile.mergeStats(graft.operators.Profile.statsOf(d, Seq("id", "x")), z))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("id", "x"))
+      assert(withEmpty(c).getDouble(3) == whole(c).getDouble(3), s"$c empty-merge mean")
+  }
+
   test("retention: cohort by first-event week, offsets count active weeks") {
     import java.sql.Timestamp
     val ev = Seq(
