@@ -283,12 +283,23 @@ object Dedup {
       textCol: String = "text",
       w: Int = 4,
       tau: Double = 0.7,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 1000,
+      /** precomputed (fingerprint, df) counts of the INDEX side — the
+        * persisted side table a steady-state deployment maintains
+        * alongside the index (append = add the batch's counts), so each
+        * batch skips the full index re-aggregation. null recomputes from
+        * `index`. Identical results either way (law-tested). */
+      indexDf: DataFrame = null): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     val bfps = winnowFingerprints(newDocs, textCol, w)
     val ifps = index.select(col("doc_id"), col("fingerprint"))
-    val rare = bfps.select("fingerprint").unionByName(ifps.select("fingerprint"))
-      .groupBy("fingerprint").agg(count(lit(1)).as("__df"))
+    val idxCounts = Option(indexDf)
+      .map(_.select(col("fingerprint"), col("df").cast("long").as("__c")))
+      .getOrElse(ifps.groupBy("fingerprint").agg(count(lit(1)).as("__c")))
+    val rare = bfps.groupBy("fingerprint").agg(count(lit(1)).as("__bc"))
+      .join(idxCounts, Seq("fingerprint"), "full_outer")
+      .select(col("fingerprint"),
+        (coalesce(col("__bc"), lit(0L)) + coalesce(col("__c"), lit(0L))).as("__df"))
       .where(col("__df") <= maxDf).select("fingerprint")
     val keptB = bfps.join(rare, "fingerprint")
     val keptI = ifps.join(rare, "fingerprint")

@@ -1993,6 +1993,12 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.contains((101, 1)), "wrapper batch doc should contain corpus doc 1")
     assert(got.contains((2, 103)), "corpus doc 2 should contain the embedded batch doc")
     assert(!got.exists { case (a, b) => a == 104 || b == 104 })
+    // the persisted (fingerprint, df) side table gives identical results
+    val idx = Dedup.winnowFingerprints(corpus)
+    val sideDf = idx.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+    val viaSide = Dedup.containmentIncremental(batch, idx, indexDf = sideDf)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(viaSide == got, "precomputed index df table diverged from recompute")
   }
 
   test("pmiBigrams: hand-computed PMI, minCount screen, single-token docs carry no pairs") {

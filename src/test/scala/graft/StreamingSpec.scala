@@ -484,6 +484,46 @@ class StreamingSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
   }
 
+  test("streaming stats maintenance: per-batch mergeStats equals the whole-stream pass") {
+    // the mergeable-stats consumer shape: each micro-batch folds its
+    // statsOf frame into the running stats (what a foreachBatch sink
+    // persists), and the final row equals a single pass over everything
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    var running: org.apache.spark.sql.DataFrame = null
+    val all = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = graft.operators.Profile.statsOf(batch.toDF(), Seq("id", "v"))
+          .localCheckpoint(true) // pin: the running frame outlives the batch
+        running = if (running == null) s else graft.operators.Profile.mergeStats(running, s)
+        ()
+      }
+      .start()
+    try {
+      val r = new scala.util.Random(7)
+      (0 until 4).foreach { b =>
+        val rows = (0 until 50).map(i => (b * 50L + i, r.nextDouble() * 100))
+        all ++= rows
+        input.addData(rows: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sp = spark
+    import sp.implicits._
+    val direct = graft.operators.Profile
+      .finalizeStats(graft.operators.Profile.statsOf(all.toSeq.toDF("id", "v"), Seq("id", "v")))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val merged = graft.operators.Profile.finalizeStats(running)
+      .collect().map(x => x.getString(0) -> x).toMap
+    for (c <- Seq("id", "v")) {
+      assert(merged(c).getLong(1) == direct(c).getLong(1), s"$c n_rows")
+      assert(math.abs(merged(c).getDouble(3) - direct(c).getDouble(3)) < 1e-6, s"$c mean")
+      assert(math.abs(merged(c).getDouble(4) - direct(c).getDouble(4)) < 1e-6, s"$c stddev")
+      assert(merged(c).getDouble(7) == direct(c).getDouble(7), s"$c distinct_est")
+    }
+  }
+
   test("sinkToStore drains micro-batches through the delta-write upsert") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
