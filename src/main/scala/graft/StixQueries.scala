@@ -576,6 +576,38 @@ object StixQueries {
       graft.operators.Graph.pageRank(edges, iters = 3).orderBy("id")
     },
 
+    // ----- weakly-connected components over the same reference graph:
+    //       which SCOs form one connected cluster of activity. The oracle
+    //       computes the transitive closure with a recursive CTE and takes
+    //       min reachable id (lexicographic — matches the engine's label)
+    q("q_stix_components",
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT source_ref AS src, target_ref AS dst FROM ${t("__reflist")}
+         |  UNION
+         |  SELECT id, src_ref FROM ${t("network-traffic")} WHERE src_ref IS NOT NULL
+         |  UNION
+         |  SELECT id, dst_ref FROM ${t("network-traffic")} WHERE dst_ref IS NOT NULL),
+         |e0 AS (SELECT DISTINCT src, dst FROM edges WHERE src IS NOT NULL AND dst IS NOT NULL),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |grp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+         |sz AS (SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+         |       FROM grp GROUP BY component_id)
+         |SELECT g.id, g.component_id, sz.component_size
+         |FROM grp g JOIN sz USING (component_id) ORDER BY g.id""".stripMargin) { st =>
+      val rl = st.catalog.resolve("__reflist")
+        .select(col("source_ref").as("src"), col("target_ref").as("dst"))
+      val nt = st.catalog.resolve("network-traffic")
+      val edges = rl
+        .unionByName(nt.select(col("id").as("src"), col("src_ref").as("dst")))
+        .unionByName(nt.select(col("id").as("src"), col("dst_ref").as("dst")))
+      graft.operators.Graph.connectedComponents(edges).orderBy("id")
+    },
+
     // ----- per-node triangle counts over the same reference graph plus
     //       __contains edges (observed-data→SCO containment closes the
     //       observed-data / network-traffic / address triangles): the

@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Weakly-connected components of a directed edge list: every node
+    * labeled with the smallest node id reachable through edges in EITHER
+    * direction, plus its component's size — the hunt question "which
+    * entities form one connected cluster of activity" (and the prelude to
+    * per-component rollups). Thin wrapper over the dup-group engine
+    * ([[Dedup.dupGroups]]): the near-dup pair graph there IS a component
+    * problem, so this inherits its two-mode scale shape — driver
+    * union-find below the edge bound, distributed min-label propagation
+    * (per-iteration equi-join + min aggregate, no windows) above it. For
+    * string ids the label is the lexicographic minimum, matching SQL
+    * `min` — engine-reproducible. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val e = edges
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val labeled = Dedup
+      .dupGroups(nodes, e.select(col("src").as("a_id"), col("dst").as("b_id")), idCol = "id")
+      .withColumnRenamed("group_id", "component_id")
+    val sizes = labeled.groupBy("component_id").agg(count(lit(1)).as("component_size"))
+    // components ≪ nodes: the size table broadcasts back
+    labeled.join(broadcast(sizes), Seq("component_id"))
+      .select(col("id"), col("component_id"), col("component_size"))
+  }
+
   /** Damped PageRank, fixed iteration count. Simplified standard form: no
     * dangling-mass redistribution (sink-leaked mass just contracts the
     * total — ranking order is unaffected for the hub-detection use), and

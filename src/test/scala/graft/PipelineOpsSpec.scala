@@ -1081,6 +1081,23 @@ class PipelineOpsSpec extends SparkSpec {
       && r(2).getLong(3) == 0)
   }
 
+  test("connectedComponents: direction-blind labels, min-id label, sizes") {
+    val sp = spark
+    import sp.implicits._
+    // two components: {a,b,c} connected through directed edges both ways,
+    // {x,y}; direction must not split a weak component
+    val edges = Seq(("b", "a"), ("b", "c"), ("y", "x")).toDF("src", "dst")
+    val out = graft.operators.Graph.connectedComponents(edges)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("a", "a", 3L), ("b", "a", 3L), ("c", "a", 3L),
+      ("x", "x", 2L), ("y", "x", 2L)))
+    // null endpoints and duplicate edges are ignored
+    val noisy = edges.unionByName(Seq(("b", "a"), (null, "a"), ("a", null))
+      .toDF("src", "dst"))
+    assert(graft.operators.Graph.connectedComponents(noisy).count() == 5)
+  }
+
   test("pageRank: hand-computed two-iteration values on a three-node chain") {
     // a->b, a->c, b->c; N=3, d=0.85, per-iteration 9dp rounding
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
