@@ -1291,6 +1291,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // shard EXPORT round-trip: packShards assignments materialized as one
+    // parquet file per shard (writeShards), then aggregated FROM THE
+    // WRITTEN FILES; the oracle recomputes the assignment independently
+    // from the documents table — the on-disk artifact must carry exactly
+    // the independently-derived shard contents
+    q("q_sample_shard_export",
+      """WITH t AS (SELECT doc_id,
+        |    length(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |      x -> length(x) > 0)) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t),
+        |a AS (SELECT doc_id, n_tokens, CAST(floor(before / 4096.0) AS BIGINT) AS shard_id
+        |  FROM c)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin) { c =>
+      val withTokens = c.resolve("documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val assigned = graft.operators.Sampling
+        .packShards(withTokens, "doc_id", "n_tokens", 4096L)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      val dir = "/tmp/graft_shard_export_v1"
+      graft.operators.Sampling.writeShards(assigned, dir)
+      c.spark.read.parquet(dir)
+        .groupBy(col("shard_id").cast("long").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("shard_id")
+    },
+
     // BPE training statistics: the word-frequency table (the one
     // corpus-sized job in tokenizer training) and the weighted adjacent
     // character-pair counts that drive the first merge decision

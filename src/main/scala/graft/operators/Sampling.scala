@@ -379,6 +379,20 @@ object Sampling {
       .withColumn("shard_id", expr(s"__offset div ${shardTokens}L"))
       .drop("__offset")
 
+  /** MATERIALIZE shard assignments as one parquet file per shard under
+    * `dir/shard_id=K/` — the artifact step after [[packShards]] /
+    * [[curriculumShards]] that training dataloaders actually consume.
+    * The repartition on the shard id routes each shard's rows to one
+    * task, so partitionBy emits exactly one file per shard; shards are
+    * budget-bounded by construction, so no file exceeds ~shardTokens of
+    * content. Read back with Hive partitioning (the shard id is the
+    * partition column). */
+  def writeShards(
+      assigned: DataFrame, dir: String, shardCol: String = "shard_id"): Unit =
+    assigned
+      .repartition(col(shardCol))
+      .write.partitionBy(shardCol).mode("overwrite").parquet(dir)
+
   /** MATERIALIZE a [[mixturePlan]]: select, per source, the prefix of
     * documents in deterministic md5(id) order whose cumulative token count
     * stays within the source's `alloc` — the step that turns the planner's
