@@ -746,6 +746,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("writeShards: exactly one file per shard; round-trip preserves rows") {
     val sp = spark
     import sp.implicits._
+    import graft.operators.Sampling
     val d = (1 to 60).map(i => (i, (i % 7 + 1).toLong)).toDF("doc_id", "n_tokens")
     val assigned = Sampling.packShards(d, "doc_id", "n_tokens", 40L)
       .select("doc_id", "n_tokens", "shard_id")
