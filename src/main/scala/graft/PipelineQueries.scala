@@ -1913,6 +1913,34 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // matryoshka truncation measured: recall@5 of brute-force search in
+    // the FIRST-32-dims space against the full-64-dim truth — the
+    // half-the-index-bytes trade, quantified per query instead of assumed
+    q("q_embed_trunc_recall",
+      s"""WITH tp AS (SELECT vec_id AS query_id, embedding[1:32] AS q FROM embeddings WHERE vec_id < 5),
+         |tc AS (SELECT vec_id AS neighbor_id, embedding[1:32] AS e FROM embeddings),
+         |ts AS (SELECT query_id, neighbor_id,
+         |        round(list_dot_product(q::DOUBLE[], e::DOUBLE[])
+         |          / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) * sqrt(list_dot_product(e::DOUBLE[], e::DOUBLE[]))), 6) AS score
+         |      FROM tp CROSS JOIN tc WHERE query_id <> neighbor_id),
+         |a AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM ts) z WHERE rank <= 5),
+         |e AS ($duckBruteSql),
+         |en AS (SELECT query_id, count(*) AS exn FROM e GROUP BY query_id),
+         |h AS (SELECT a.query_id, count(*) AS hits
+         |      FROM a JOIN e USING (query_id, neighbor_id) GROUP BY a.query_id)
+         |SELECT en.query_id, round(coalesce(h.hits, 0) / least(5, en.exn), 6) AS recall
+         |FROM en LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      val trunc = Similarity.truncateDims(emb, 32)
+      Similarity
+        .recallAtK(
+          Similarity.bruteForceTopK(trunc, trunc.where(col("vec_id") < 5), k = 5),
+          Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 5), 5)
+        .orderBy("query_id")
+    },
+
     q("q_ann_ivf",
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
          |      FROM embeddings ORDER BY vec_id LIMIT 8),
