@@ -246,6 +246,41 @@ object StreamOps {
         col(s"r.$typeCol").as("r_type"))
   }
 
+  /** LEFT OUTER face of [[intervalJoin]]: unmatched left events emit with
+    * a null right side once the watermark PROVES no match can arrive
+    * (the join state for that window has expired) — the "which events
+    * never got their expected follow-up" stream. Null emission is
+    * therefore watermark-gated: a left row whose join window the
+    * watermark has not yet passed sits in state, matched-or-not, and on
+    * a drained finite stream rows in the trailing `within` + delay
+    * window may never produce their null row — standard stream-stream
+    * outer-join semantics (a bounded completeness horizon), not data
+    * loss. Law-tested in StreamingSpec: matched rows equal the inner
+    * join, a provably-unmatched row emits null, and a trailing-window
+    * row emits nothing. */
+  def intervalJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      within: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"),
+      "leftOuter")
+      .select(
+        col(s"l.$keyCol").as(keyCol),
+        col("l.ts").as("l_ts"),
+        col(s"l.$typeCol").as("l_type"),
+        col("r.ts").as("r_ts"),
+        col(s"r.$typeCol").as("r_type"))
+  }
+
   /** STREAMING funnel: per-user ordered step progression as custom state
     * (the flatMapGroupsWithState face of Events.funnel). State per user is
     * (current step, frontier micros, last-seen ms) — three numbers however

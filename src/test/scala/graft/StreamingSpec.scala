@@ -484,6 +484,46 @@ class StreamingSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
   }
 
+  test("intervalJoinLeft: inner matches, watermark-proven nulls, trailing-window gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val lIn = MemoryStream[(Long, String, Timestamp)]
+    val rIn = MemoryStream[(Long, String, Timestamp)]
+    val sinkName = s"ijl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = StreamOps
+      .intervalJoinLeft(
+        lIn.toDF().toDF("user_id", "event_type", "ts"),
+        rIn.toDF().toDF("user_id", "event_type", "ts"),
+        within = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName(sinkName).outputMode("append")
+      .start()
+    try {
+      // user 1 matches inside the window; user 2 has provably no match
+      // once the watermark passes 10:10+1min; user 8 (the left pusher at
+      // 11:00) has a join window the final watermark never clears
+      lIn.addData((1L, "a", ts(0)), (2L, "b", ts(0)))
+      rIn.addData((1L, "c", ts(5)))
+      q.processAllAvailable()
+      lIn.addData((8L, "lpush", Timestamp.valueOf("2024-01-01 11:00:00")))
+      rIn.addData((9L, "rpush", Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // one more batch so the watermark computed from 11:00 propagates
+      // and flushes the expired outer state
+      lIn.addData((8L, "lpush2", Timestamp.valueOf("2024-01-01 11:00:30")))
+      rIn.addData((9L, "rpush2", Timestamp.valueOf("2024-01-01 11:00:30")))
+      q.processAllAvailable()
+      val rows = spark.table(sinkName)
+        .collect()
+        .map(x => (x.getLong(0), x.getString(2), Option(x.getString(4))))
+        .toSet
+      assert(rows.contains((1L, "a", Some("c"))), s"matched pair missing: $rows")
+      assert(rows.contains((2L, "b", None)), s"proven non-match must emit null: $rows")
+      assert(!rows.exists { case (u, _, r) => u == 8L && r.isEmpty },
+        s"trailing-window left rows must NOT emit nulls before the watermark clears them: $rows")
+    } finally q.stop()
+  }
+
   test("streaming stats maintenance: per-batch mergeStats equals the whole-stream pass") {
     // the mergeable-stats consumer shape: each micro-batch folds its
     // statsOf frame into the running stats (what a foreachBatch sink
