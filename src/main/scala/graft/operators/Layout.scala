@@ -277,6 +277,40 @@ object Layout {
     * full directory walk (no maintained census supplied). */
   @volatile private[graft] var censusWalks: Long = 0L
 
+  /** Spill-aware shuffle sizing from Catalyst's OWN size estimate: one
+    * advisory row with the partition count that keeps post-shuffle
+    * partitions near `targetPartitionBytes`, plus the scan-side
+    * maxPartitionBytes to match. sizeInBytes for a parquet scan is the
+    * compressed file footprint; `inflation` covers decode + unsafe-row
+    * overhead (the usual ~3× parquet→in-memory rule of thumb), and
+    * `scale` projects the recommendation to a larger deployment of the
+    * same data shape (the sf0.1 plan sized for the 100 TB run is
+    * scale = 10^6). Pure plan metadata — no job runs. A job logs this
+    * row and sets spark.sql.shuffle.partitions /
+    * spark.sql.files.maxPartitionBytes accordingly; AQE then coalesces
+    * within the recommendation instead of rescuing a wild guess. */
+  def shuffleAdvisor(
+      df: DataFrame,
+      targetPartitionBytes: Long = 128L << 20,
+      scale: Double = 1.0,
+      inflation: Double = 3.0): DataFrame = {
+    require(targetPartitionBytes > 0 && scale > 0 && inflation > 0, "positive knobs only")
+    val spark = df.sparkSession
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val projected = (BigDecimal(estBytes) * scale * inflation)
+      .setScale(0, BigDecimal.RoundingMode.CEILING)
+    val parts = (projected / targetPartitionBytes)
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toLong.max(1L)
+    import spark.implicits._
+    Seq((
+      estBytes.toLong, scale, inflation, projected.toLong,
+      targetPartitionBytes, parts,
+      targetPartitionBytes)) // scan side: read splits sized like shuffle targets
+      .toDF("est_bytes", "scale", "inflation", "projected_bytes",
+        "target_partition_bytes", "recommended_shuffle_partitions",
+        "recommended_max_partition_bytes")
+  }
+
   /** Key-skew diagnosis for a join/aggregation key: the `topN` heaviest
     * keys with their row counts, share of the table, skew factor (count ÷
     * mean count over all keys) and a suggested salt-bucket count

@@ -216,6 +216,25 @@ class LayoutSpec extends SparkSpec {
     assert(afterDel.count() == updated.count() - 1)
   }
 
+  test("shuffleAdvisor: plan-stat arithmetic, scale monotonicity, no job") {
+    import graft.operators.Layout
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val base = Layout.shuffleAdvisor(df, targetPartitionBytes = 1L << 20).head()
+    val est = base.getAs[Long]("est_bytes")
+    assert(est > 0, "catalyst should estimate a positive parquet footprint")
+    // the recommendation is exactly ceil(est * scale * inflation / target)
+    val want = math.ceil(est * 1.0 * 3.0 / (1L << 20)).toLong.max(1L)
+    assert(base.getAs[Long]("recommended_shuffle_partitions") == want)
+    // 10x the data -> ~10x the partitions (exact up to ceiling)
+    val x10 = Layout.shuffleAdvisor(df, targetPartitionBytes = 1L << 20, scale = 10.0).head()
+    val p1 = base.getAs[Long]("recommended_shuffle_partitions")
+    val p10 = x10.getAs[Long]("recommended_shuffle_partitions")
+    assert(p10 >= 10 * p1 - 10 && p10 <= 10 * p1 + 10, s"$p1 -> $p10")
+    // a tiny frame still recommends at least one partition
+    assert(Layout.shuffleAdvisor(df.limit(0))
+      .head().getAs[Long]("recommended_shuffle_partitions") >= 1L)
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("id", "av")
