@@ -3864,6 +3864,66 @@ object PipelineQueries {
         .orderBy("user_id", "l_ts", "r_ts")
     },
 
+    // LEFT OUTER stream-stream interval join drained to completeness:
+    // signups that never saw a purchase within 2 hours emit with a null
+    // right side. Outer nulls are watermark-gated, so the input is staged
+    // as 3 micro-batch files — the corpus, then two far-future pusher
+    // batches (user_id < 0, excluded from output) that advance the
+    // watermark past every real join window and flush the expired state.
+    // The oracle is the plain batch LEFT JOIN — streaming must equal it
+    // exactly once the watermark has cleared everything
+    q("q_stream_interval_left",
+      """WITH l AS (SELECT user_id, ts, event_type FROM events WHERE event_type = 'signup'),
+        |r AS (SELECT user_id, ts, event_type FROM events WHERE event_type = 'purchase')
+        |SELECT l.user_id AS user_id,
+        |  strftime(CAST(l.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS l_ts,
+        |  l.event_type AS l_type,
+        |  strftime(CAST(r.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS r_ts,
+        |  r.event_type AS r_type
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '2 hours'
+        |ORDER BY 1, 2, 4""".stripMargin) { c =>
+      val spark = c.spark
+      import spark.implicits._
+      val base = "/tmp/graft_streamleft_v1"
+      graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
+      val inDir = s"$base/in"
+      val ev = c.resolve("events")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"))
+      ev.coalesce(1).write.mode("append").parquet(inDir)
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      def pushers(offsetMs: Long) = Seq(
+        (-1L, new java.sql.Timestamp(maxTs.getTime + offsetMs), "signup"),
+        (-2L, new java.sql.Timestamp(maxTs.getTime + offsetMs), "purchase"))
+        .toDF("user_id", "ts", "event_type")
+      // distinct mtimes order the micro-batches: corpus, pusher, pusher2
+      Thread.sleep(150)
+      pushers(10L * 24 * 3600 * 1000).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(150)
+      pushers(10L * 24 * 3600 * 1000 + 60000).coalesce(1).write.mode("append").parquet(inDir)
+      val schema = spark.read.parquet(inDir).schema
+      def src() = StreamOps.eventTime(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir))
+      val sinkName = s"q_stream_ileft_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      StreamOps.startDrained(spark)(StreamOps.intervalJoinLeft(
+          src().where(col("event_type") === "signup"),
+          src().where(col("event_type") === "purchase"),
+          within = "2 hours", watermark = "1 minute")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        )
+      spark.table(sinkName)
+        .where(col("user_id") >= 0)
+        .select(
+          col("user_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"),
+          col("l_type"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts"),
+          col("r_type"))
+        .orderBy("user_id", "l_ts", "r_ts")
+    },
+
     // streaming dedup AGAINST A PERSISTED CORPUS (stream-static LEFT ANTI
     // join on content fingerprints + in-stream dropDuplicatesWithinWatermark
     // — the continuous-ingest face of Dedup.exactIncremental): documents
