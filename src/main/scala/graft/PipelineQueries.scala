@@ -3885,23 +3885,30 @@ object PipelineQueries {
         |ORDER BY 1, 2, 4""".stripMargin) { c =>
       val spark = c.spark
       import spark.implicits._
-      val base = "/tmp/graft_streamleft_v1"
-      graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
+      // staged input is deterministic per source dir: build once, marker-keep
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dataDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val base = s"/tmp/graft_streamleft_v1/$key"
       val inDir = s"$base/in"
-      val ev = c.resolve("events")
-        .select(col("user_id").cast("long").as("user_id"),
-          col("ts").cast("timestamp").as("ts"), col("event_type"))
-      ev.coalesce(1).write.mode("append").parquet(inDir)
-      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-      def pushers(offsetMs: Long) = Seq(
-        (-1L, new java.sql.Timestamp(maxTs.getTime + offsetMs), "signup"),
-        (-2L, new java.sql.Timestamp(maxTs.getTime + offsetMs), "purchase"))
-        .toDF("user_id", "ts", "event_type")
-      // distinct mtimes order the micro-batches: corpus, pusher, pusher2
-      Thread.sleep(150)
-      pushers(10L * 24 * 3600 * 1000).coalesce(1).write.mode("append").parquet(inDir)
-      Thread.sleep(150)
-      pushers(10L * 24 * 3600 * 1000 + 60000).coalesce(1).write.mode("append").parquet(inDir)
+      val ready = java.nio.file.Paths.get(base, "_READY")
+      if (!java.nio.file.Files.exists(ready)) {
+        graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
+        val ev = c.resolve("events")
+          .select(col("user_id").cast("long").as("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("event_type"))
+        ev.coalesce(1).write.mode("append").parquet(inDir)
+        val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+        def pushers(offsetMs: Long) = Seq(
+          (-1L, new java.sql.Timestamp(maxTs.getTime + offsetMs), "signup"),
+          (-2L, new java.sql.Timestamp(maxTs.getTime + offsetMs), "purchase"))
+          .toDF("user_id", "ts", "event_type")
+        // distinct mtimes order the micro-batches: corpus, pusher, pusher2
+        Thread.sleep(150)
+        pushers(10L * 24 * 3600 * 1000).coalesce(1).write.mode("append").parquet(inDir)
+        Thread.sleep(150)
+        pushers(10L * 24 * 3600 * 1000 + 60000).coalesce(1).write.mode("append").parquet(inDir)
+        java.nio.file.Files.write(ready, Array.emptyByteArray)
+      }
       val schema = spark.read.parquet(inDir).schema
       def src() = StreamOps.eventTime(spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir))
