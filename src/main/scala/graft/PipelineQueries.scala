@@ -1396,10 +1396,23 @@ object PipelineQueries {
          |FROM fin ORDER BY doc_id""".stripMargin) { c =>
       val sp = c.spark
       import sp.implicits._
-      val sample = c.resolve("documents").select(col("doc_id"), col("text"))
-        .orderBy("doc_id").limit(200).collect().map(_.getString(1)).toSeq
+      // train the PUBLISHED table on a fixed deterministic English-like
+      // sample, NOT the resolved corpus: the published parquet must be
+      // byte-identical at every SF, or a bench run at another SF between
+      // Verify and the DuckDB compare would swap the table the oracle
+      // replays. The merges are ordinary English character pairs, so they
+      // genuinely apply to the documents being encoded (sample-train /
+      // corpus-encode realism lives in q_text_bpe_encode, whose oracle
+      // never reads a shared path).
+      val vocab = TextOps.enStop ++ TextOps.deStop ++ TextOps.frStop ++ TextOps.esStop ++
+        Seq("training", "pipeline", "document", "quality", "filter", "sample",
+          "corpus", "token", "merge", "stream", "shard", "batch", "index",
+          "window", "signal", "vector", "cluster", "weight", "model", "scale")
+      val rnd = new scala.util.Random(42)
+      val sample = (1 to 200).map(_ =>
+        (1 to 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
       val merges = TextOps.bpeTrainLocal(sample, 1200).map(m => (m._2, m._3))
-      // publish the merge table the oracle replays (tiny; deterministic)
+      // publish the merge table the oracle replays (tiny; SF-independent)
       merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
         .toDF("rnk", "l", "r")
         .coalesce(1).write.mode("overwrite").parquet("/tmp/graft_bpe_v1/merges.parquet")
