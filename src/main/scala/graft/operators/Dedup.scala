@@ -802,7 +802,15 @@ object Dedup {
           .localCheckpoint()
         var changed = 1L
         var iter = 0
-        while (changed > 0 && iter < maxIters) {
+        while (changed > 0) {
+          // a silent stop at maxIters would hand back labels that are NOT
+          // component minima (long-path graphs: diameter > iters) and the
+          // caller's "keep doc_id == group_id" dedup would keep dup rows —
+          // fail loud so the caller raises maxIters deliberately
+          if (iter >= maxIters)
+            throw new IllegalStateException(
+              s"dupGroups: min-label propagation did not converge in $maxIters " +
+                "iterations (component diameter exceeds maxIters) — raise maxIters")
           val neighborMin = edges
             .join(lbl, edges("src") === lbl("vid"))
             .select(col("dst").as("vid"), col("label"))

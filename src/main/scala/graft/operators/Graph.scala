@@ -21,18 +21,24 @@ object Graph {
     * (per-iteration equi-join + min aggregate, no windows) above it. For
     * string ids the label is the lexicographic minimum, matching SQL
     * `min` — engine-reproducible. */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame,
+      maxIters: Int = 20,
+      driverMaxEdges: Long = 5000000L): DataFrame = {
     val e = edges
       .where(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val labeled = Dedup
-      .dupGroups(nodes, e.select(col("src").as("a_id"), col("dst").as("b_id")), idCol = "id")
+      .dupGroups(nodes, e.select(col("src").as("a_id"), col("dst").as("b_id")),
+        idCol = "id", maxIters = maxIters, driverMaxEdges = driverMaxEdges)
       .withColumnRenamed("group_id", "component_id")
     val sizes = labeled.groupBy("component_id").agg(count(lit(1)).as("component_size"))
-    // components ≪ nodes: the size table broadcasts back
-    labeled.join(broadcast(sizes), Seq("component_id"))
+    // usually components ≪ nodes, but an edge-sparse graph degenerates to
+    // ~one component per node — a plain join lets Catalyst broadcast only
+    // when the size table actually fits (AQE decides from runtime stats)
+    labeled.join(sizes, Seq("component_id"))
       .select(col("id"), col("component_id"), col("component_size"))
   }
 

@@ -184,19 +184,22 @@ object Layout {
       hi: Long,
       census: Option[(Long, Long)] = None): DataFrame = {
     require(lo <= hi, "empty range")
-    // one collect carries both the map's file census (for the staleness
-    // check) and each file's range-overlap verdict
-    val entries = zmap.select(
-      col("file"),
-      (col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi)).as("o"))
-      .collect()
-    val mapped = entries.map(r => normPath(r.getString(0)))
-    val mapCensus = censusOf(mapped)
+    // census check: ONE 2-long aggregate over the map — never a collect of
+    // the map's file column (files-sized at 100 TB: ~800k paths through
+    // the driver per read at 128 MB/file)
+    val mapCensus = fileCensus(zmap)
     val current = census.getOrElse { censusWalks += 1; censusOf(walkParquet(dir)) }
     val rangePred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
     if (current != mapCensus)
       return spark.read.parquet(dir).where(rangePred)
-    val files = entries.filter(r => !r.isNullAt(1) && r.getBoolean(1)).map(_.getString(0))
+    // only the SURVIVING file list crosses the driver — that list is the
+    // read's own scan set, so its size is bounded by what we're about to
+    // open anyway (selective ranges collect little; a range that hits
+    // every zone was going to read the table regardless)
+    val files = zmap
+      .where(col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi))
+      .select(col("file")).collect().map(_.getString(0))
+    driverPathRows += files.length
     val pruned =
       if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
       else spark.read.parquet(files.toIndexedSeq: _*)
@@ -208,6 +211,17 @@ object Layout {
   private def normPath(s: String): String =
     java.net.URLDecoder.decode(s.stripPrefix("file:"), "UTF-8")
       .replaceAll("^/+", "/")
+
+  /** Column mirror of [[normPath]] — decode AFTER the prefix strip, then
+    * collapse leading slashes, exactly like the driver version. */
+  private def normPathCol(c: Column): Column =
+    regexp_replace(url_decode(regexp_replace(c, "^file:", "")), "^/+", "/")
+
+  /** Column mirror of the per-path census hash: first 8 bytes of the MD5
+    * as a signed big-endian long (conv with a negative target base gives
+    * the signed reading of the 16 hex digits). */
+  private def censusHashCol(c: Column): Column =
+    conv(substring(md5(c), 1, 16), 16, -10).cast("long")
 
   /** (file count, additive 64-bit checksum of normalized paths) — order-
     * independent and incrementally maintainable: appending a file ADDS
@@ -222,14 +236,44 @@ object Layout {
         acc + java.nio.ByteBuffer.wrap(d).getLong
       })
 
-  /** Census of a zone map's file set (tiny collect — the map is
-    * files-sized metadata). */
-  def fileCensus(zmap: DataFrame): (Long, Long) =
-    censusOf(zmap.select(col("file")).collect().map(r => normPath(r.getString(0))).toSeq)
+  /** Census of a zone map's file set: ONE (count, sum) aggregate over the
+    * map frame — two longs cross the driver, never the paths. The sum runs
+    * in decimal (ANSI long-sum would overflow-throw on the wrapping
+    * checksum) and the low 64 bits are exactly the driver fold's
+    * wraparound arithmetic. */
+  def fileCensus(zmap: DataFrame): (Long, Long) = {
+    val r = zmap.agg(
+      count(lit(1)).as("n"),
+      coalesce(
+        sum(censusHashCol(normPathCol(col("file"))).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s"))
+      .head()
+    (r.getLong(0), r.getDecimal(1).toBigInteger.longValue)
+  }
 
   /** Census of a directory tree by walking it — the local-mode source of
     * the "current" census when no maintained one exists. O(files) LIST. */
   def dirCensus(dir: String): (Long, Long) = censusOf(walkParquet(dir))
+
+  /** Persist a zone map + its census as a side table next to the data
+    * (mapDir/map as parquet, mapDir/_census as two text longs) — the store
+    * shape [[readPruned]]'s clean path wants: load gives back the map
+    * frame and the maintained census without listing the data tree. */
+  def saveZoneMap(zmap: DataFrame, mapDir: String): Unit = {
+    zmap.write.mode("overwrite").parquet(s"$mapDir/map")
+    val c = fileCensus(zmap)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mapDir, "_census"),
+      s"${c._1} ${c._2}\n".getBytes("UTF-8"))
+    ()
+  }
+
+  /** Load a [[saveZoneMap]] side table: (map frame, maintained census). */
+  def loadZoneMap(spark: SparkSession, mapDir: String): (DataFrame, (Long, Long)) = {
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mapDir, "_census")), "UTF-8").trim.split(' ')
+    (spark.read.parquet(s"$mapDir/map"), (parts(0).toLong, parts(1).toLong))
+  }
 
   /** Incrementally maintain a zone map after appends/compactions: scan
     * ONLY the files the existing map has never seen, drop entries for
@@ -237,31 +281,67 @@ object Layout {
     * [[zoneMap]] rebuild — law-tested). This moves the O(table) listing
     * and scan from read time to APPEND time, and the scan itself touches
     * only the appended bytes — rebuilding a 100 TB table's map per batch
-    * is the same full-rescan anti-pattern the map exists to avoid. The
-    * map frame is files-sized metadata; persist it (and [[fileCensus]] of
-    * it) next to the table and hand both to [[readPruned]]. */
+    * is the same full-rescan anti-pattern the map exists to avoid.
+    *
+    * Set algebra is DISTRIBUTED: the current file list is produced by a
+    * per-directory listing stage (the driver holds directory names —
+    * bucket-count sized — never file paths), keep = equi-join of the
+    * existing map against it, fresh = anti-join the other way. Only the
+    * fresh (appended-batch-sized) path list crosses the driver, to open
+    * the new files. The map frame is files-sized metadata; persist it via
+    * [[saveZoneMap]] and hand map + census to [[readPruned]]. */
   def zoneMapIncremental(
       spark: SparkSession, dir: String, cols: Seq[String], existing: DataFrame): DataFrame = {
     require(cols.nonEmpty, "zone map needs at least one column")
-    val current = walkParquet(dir).map(normPath).toSet
-    val fileIdx = existing.schema.fieldIndex("file")
-    val keptRows = existing.collect()
-      .filter(r => current.contains(normPath(r.getString(fileIdx)))).toIndexedSeq
-    val known = keptRows.map(r => normPath(r.getString(fileIdx))).toSet
-    val freshFiles = (current -- known).toSeq.sorted
-    val kept = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(keptRows).asJava),
-      existing.schema)
-    if (freshFiles.isEmpty) kept
-    else {
-      val aggs = cols.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      val fresh = spark.read.parquet(freshFiles: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-      kept.unionByName(fresh)
+    val current = listParquetDF(spark, dir)
+      .select(normPathCol(col("file")).as("__nf"))
+    val ex = existing.withColumn("__nf", normPathCol(col("file")))
+    val kept = ex.join(current, Seq("__nf")).drop("__nf")
+    val freshFiles = current
+      .join(ex.select(col("__nf")), Seq("__nf"), "left_anti")
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    driverPathRows += freshFiles.length
+    val result =
+      if (freshFiles.isEmpty) kept
+      else {
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val fresh = spark.read.parquet(freshFiles: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+        kept.unionByName(fresh)
+      }
+    // materialize: the returned map is a metadata ARTIFACT — it must stay
+    // readable after the data files it summarizes are compacted/deleted
+    // (the next incremental round feeds it back in), so it cannot stay a
+    // lazy plan over those files. Eager, distributed, map-frame-sized.
+    result.localCheckpoint(true)
+  }
+
+  /** The table's parquet files as a DISTRIBUTED one-column frame: the
+    * driver enumerates only the DIRECTORIES (bucket-count sized, bounded
+    * by layout, not data); a flatMap stage lists each directory's files on
+    * executors. File paths never materialize on the driver. */
+  private def listParquetDF(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dirs = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.toAbsolutePath.toString).toList
+      finally s.close()
     }
+    spark.createDataset(dirs)
+      .repartition(math.max(1, math.min(dirs.size, 32)))
+      .flatMap { d =>
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        try s.iterator().asScala
+          .filter(f => java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet"))
+          .map(_.toAbsolutePath.toString).toList
+        finally s.close()
+      }
+      .toDF("file")
   }
 
   private def walkParquet(dir: String): Seq[String] = {
@@ -276,6 +356,12 @@ object Layout {
   /** Test seam: how many times a readPruned guard had to fall back to a
     * full directory walk (no maintained census supplied). */
   @volatile private[graft] var censusWalks: Long = 0L
+
+  /** Test seam: how many PATH ROWS the zone-map machinery materialized on
+    * the driver (fresh-file lists, pruned scan sets). The maintenance laws
+    * assert this stays batch-sized — a files-sized collect here is the
+    * anti-pattern the side-table design exists to avoid. */
+  @volatile private[graft] var driverPathRows: Long = 0L
 
   /** Spill-aware shuffle sizing from Catalyst's OWN size estimate: one
     * advisory row with the partition count that keeps post-shuffle

@@ -28,28 +28,55 @@ object Profile {
     * construction — the merged bottom-k set IS the union's bottom-k. */
   def statsOf(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
     require(cols.nonEmpty, "statsOf needs at least one column")
-    cols.map { name =>
+    // ONE aggregation job for ALL columns: every column's seven aggregates
+    // fold into a single agg as array(struct(...)) entries and unpivot with
+    // one explode — C columns used to cost C jobs / C file listings / C
+    // task waves, pure fixed cost at a 50-column 100 TB table. The sketch
+    // parameter k travels INSIDE the frame so merge/finalize can never
+    // silently trim with a mismatched k.
+    val perCol = cols.map { name =>
       val c = col(name).cast("double")
-      df.agg(
+      struct(
+        lit(name).as("column"),
         count(lit(1)).as("n_rows"),
         count(c).as("n_valid"),
         coalesce(avg(c), lit(0.0)).as("mean"),
         coalesce(var_pop(c) * count(c), lit(0.0)).as("m2"),
         min(c).as("min_val"),
         max(c).as("max_val"),
-        graft.functions.KmvSketch.kmvHashes(col(name), k).as("kmv"))
-        .select(lit(name).as("column"), col("*"))
-    }.reduce(_ unionByName _)
+        graft.functions.KmvSketch.kmvHashes(col(name), k).as("kmv"),
+        lit(k).as("k"))
+    }
+    df.agg(array(perCol: _*).as("__s"))
+      .select(explode(col("__s")).as("__r"))
+      .select(col("__r.*"))
   }
 
-  /** Combine two [[statsOf]] frames (same columns, same k). */
+  /** The sketch size recorded in the frame; `fallback` only for frames
+    * predating the carried-k column. A k the frame itself carries is the
+    * only safe source — merging with an independently-guessed k silently
+    * trims the KMV union and biases the estimator. */
+  private def carriedK(df: DataFrame, fallback: Int): Column =
+    if (df.columns.contains("k")) col("k") else lit(fallback)
+
+  /** Combine two [[statsOf]] frames (same columns). The sketch size is read
+    * from the frames themselves; a k mismatch between the two sides fails
+    * the job rather than trimming to the wrong size. `k` is only the
+    * fallback for legacy frames without the carried column. */
   def mergeStats(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
-    val bb = b.select(
-      col("column"), col("n_rows").as("rb"), col("n_valid").as("vb"),
-      col("mean").as("mb"), col("m2").as("m2b"),
-      col("min_val").as("minb"), col("max_val").as("maxb"), col("kmv").as("kmvb"))
+    val aa = a.withColumn("k", carriedK(a, k))
     val n = col("n_valid") + col("vb")
-    a.join(bb, Seq("column"))
+    val kOk = when(col("k") === col("kb"), col("k"))
+      .otherwise(raise_error(concat(
+        lit("mergeStats: sketch size mismatch between frames (k="), col("k"),
+        lit(" vs k="), col("kb"), lit(") for column "), col("column"))))
+    aa.join(
+        b.withColumn("k", carriedK(b, k)).select(
+          col("column"), col("n_rows").as("rb"), col("n_valid").as("vb"),
+          col("mean").as("mb"), col("m2").as("m2b"),
+          col("min_val").as("minb"), col("max_val").as("maxb"),
+          col("kmv").as("kmvb"), col("k").as("kb")),
+        Seq("column"))
       .select(
         col("column"),
         (col("n_rows") + col("rb")).as("n_rows"),
@@ -64,16 +91,19 @@ object Profile {
           .otherwise(lit(0.0)).as("m2"),
         least(col("min_val"), col("minb")).as("min_val"),
         greatest(col("max_val"), col("maxb")).as("max_val"),
-        slice(array_sort(array_union(col("kmv"), col("kmvb"))), 1, k).as("kmv"))
+        slice(array_sort(array_union(col("kmv"), col("kmvb"))), lit(1), kOk).as("kmv"),
+        kOk.as("k"))
   }
 
-  /** Render a [[statsOf]]/[[mergeStats]] frame as human statistics. */
+  /** Render a [[statsOf]]/[[mergeStats]] frame as human statistics. The
+    * estimator's k is the frame's own; the parameter is a legacy fallback. */
   def finalizeStats(stats: DataFrame, k: Int = 256): DataFrame = {
     val twoPow60 = 1152921504606846976.0
+    val kc = carriedK(stats, k)
     val est =
-      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+      when(size(col("kmv")) < kc, size(col("kmv")).cast("double"))
         .otherwise(
-          lit((k - 1).toDouble) * lit(twoPow60) /
+          (kc - 1).cast("double") * lit(twoPow60) /
             element_at(col("kmv"), size(col("kmv"))).cast("double"))
     stats.select(
       col("column"),

@@ -197,11 +197,34 @@ class LayoutSpec extends SparkSpec {
     def norm(m: org.apache.spark.sql.DataFrame) = m
       .collect().map(r => r.toSeq.map(String.valueOf).toList)
       .sortBy(_.head)
+    // the maintenance pass must be driver-light: only the ONE appended
+    // file's path crosses the driver (seam-counted), and the censuses are
+    // two-long aggregates, never path collects
+    val pathRowsBefore = Layout.driverPathRows
     val updated = Layout.zoneMapIncremental(spark, dir, Seq("a", "b"), zmap2)
+    updated.count() // force the lazy joins so the fresh collect has happened
+    assert(Layout.driverPathRows - pathRowsBefore == 1,
+      s"incremental update materialized ${Layout.driverPathRows - pathRowsBefore} " +
+        "path rows on the driver; only the appended file should cross")
     val rebuilt = Layout.zoneMap(spark, dir, Seq("a", "b"))
     assert(norm(updated).map(_.tail).sortBy(_.toString).toSeq ==
       norm(rebuilt).map(_.tail).sortBy(_.toString).toSeq)
+    val censusRowsBefore = Layout.driverPathRows
     assert(Layout.fileCensus(updated) == Layout.dirCensus(dir))
+    assert(Layout.driverPathRows == censusRowsBefore,
+      "fileCensus must aggregate, not collect paths")
+    // side-table round trip: save map+census, load, and the clean pruned
+    // read uses the loaded census without walking the data tree
+    val mapDir = java.nio.file.Files.createTempDirectory("graft-zmside").toString
+    Layout.saveZoneMap(updated, mapDir)
+    val (loadedMap, loadedCensus) = Layout.loadZoneMap(spark, mapDir)
+    assert(loadedCensus == Layout.fileCensus(updated))
+    val walksBeforeSide = Layout.censusWalks
+    val viaSide = Layout.readPruned(spark, dir, loadedMap, "a", 100L, 800L, Some(loadedCensus))
+    assert(viaSide.count() ==
+      spark.read.parquet(dir).where(col("a") >= 100L && col("a") <= 800L).count())
+    assert(Layout.censusWalks == walksBeforeSide)
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(mapDir))
     val repr2 = Layout.readPruned(spark, dir, updated, "a", 100L, 800L,
       Some(Layout.fileCensus(updated)))
     assert(repr2.count() ==

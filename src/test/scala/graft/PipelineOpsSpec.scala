@@ -487,6 +487,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaPropagation == expected)
   }
 
+  test("dupGroups: propagation on a diameter > maxIters path fails loud, converges with raised iters") {
+    // a 12-node path graph has diameter 11: min-label needs ~11 rounds to
+    // carry label 1 to node 12 — stopping silently at 3 would return labels
+    // that are not component minima (and a dedup keeping doc_id == group_id
+    // would keep duplicate rows)
+    val d = (1 to 12).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val path = (1 to 11).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalStateException] {
+      Dedup.dupGroups(d, path, maxIters = 3, driverMaxEdges = 0L).collect()
+    }
+    assert(ex.getMessage.contains("maxIters"))
+    val ok = Dedup.dupGroups(d, path, maxIters = 15, driverMaxEdges = 0L)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(ok.forall(_._2 == 1), s"all nodes reach label 1, got $ok")
+  }
+
   test("winnowing fingerprints: shared passage detected at any position") {
     val passage = "the quick brown fox jumps over the lazy dog again and again"
     val a = s"AAA BBB CCC DDD EEE $passage"
@@ -1072,6 +1088,42 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r).toMap
     for (c <- Seq("id", "x"))
       assert(withEmpty(c).getDouble(3) == whole(c).getDouble(3), s"$c empty-merge mean")
+  }
+
+  test("statsOf: many columns fold into ONE aggregation pass; carried k guards merges") {
+    val sp = spark
+    import sp.implicits._
+    val cols = (0 until 10).map(i => s"c$i")
+    val d = (1 to 50).map(i => (i, i * 2, i * 3, i * 5, i * 7, i * 11, i * 13, i * 17, i * 19, i * 23))
+      .toDF(cols: _*)
+    val s = graft.operators.Profile.statsOf(d, cols)
+    // plan shape: ONE Aggregate over ONE relation — not a union of
+    // per-column aggregates (10 columns used to mean 10 jobs/scans)
+    val plan = s.queryExecution.optimizedPlan
+    val nAgg = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    val nUnion = plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.size
+    val nLeaves = plan.collectLeaves().size
+    assert(nAgg == 1, s"expected one Aggregate, plan has $nAgg")
+    assert(nUnion == 0, "per-column aggregates must not union")
+    assert(nLeaves == 1, s"expected one scan, plan has $nLeaves leaves")
+    assert(s.count() == 10)
+    // k travels inside the frame; merging frames with different k must fail
+    // loudly, not silently trim the KMV union to the wrong size
+    val a = graft.operators.Profile.statsOf(d, Seq("c0"), k = 64)
+    val b = graft.operators.Profile.statsOf(d, Seq("c0"), k = 128)
+    assert(a.select("k").head().getInt(0) == 64)
+    val ex = intercept[Exception] {
+      graft.operators.Profile.mergeStats(a, b).collect()
+    }
+    assert(ex.getMessage.contains("mismatch"), s"got: ${ex.getMessage}")
+    // same-k merges carry k through to the finalize estimator
+    val m = graft.operators.Profile.mergeStats(a, graft.operators.Profile.statsOf(d, Seq("c0"), k = 64))
+    assert(m.select("k").head().getInt(0) == 64)
+    assert(graft.operators.Profile.finalizeStats(m).where(col("column") === "c0").count() == 1)
   }
 
   test("retention: cohort by first-event week, offsets count active weeks") {
