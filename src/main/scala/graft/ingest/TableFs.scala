@@ -46,6 +46,16 @@ trait TableFs {
   def deleteIfExists(p: Path): Unit
   def deleteTree(p: Path): Unit
   def mkdirs(p: Path): Unit
+  /** Whether [[move]] of a DIRECTORY is a single atomic step (POSIX
+    * rename) or a LIST + per-key COPY + per-key DELETE (object stores).
+    * Publishers branch on this: a non-atomic move of a bucket dir needs a
+    * copy-complete phase marker so a crash mid-source-delete can never be
+    * "repaired" by clearing the only complete copy. */
+  def atomicMove: Boolean = true
+  /** Copy a directory tree per key, overwriting — idempotent on re-run
+    * (re-copying an already-copied key rewrites identical staged bytes).
+    * Object stores: LIST + server-side COPY per key. */
+  def copyTree(src: Path, dst: Path): Unit
 }
 
 /** NIO implementation — the local/POSIX default. */
@@ -62,4 +72,17 @@ object LocalTableFs extends TableFs {
   def deleteIfExists(p: Path): Unit = { Files.deleteIfExists(p); () }
   def deleteTree(p: Path): Unit = FsUtil.deleteTree(p)
   def mkdirs(p: Path): Unit = { Files.createDirectories(p); () }
+  def copyTree(src: Path, dst: Path): Unit = {
+    val s = Files.walk(src)
+    val keys =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+      } finally s.close()
+    keys.foreach { k =>
+      val to = dst.resolve(src.relativize(k))
+      Files.createDirectories(to.getParent)
+      Files.copy(k, to, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 }

@@ -282,23 +282,52 @@ object UpsertWriter {
     * publish steps. Reads stay direct NIO. */
   @volatile private[graft] var fs: TableFs = LocalTableFs
 
-  /** One pending move: swap a whole bucket dir, or add one delta file. */
+  /** Replace directory `dst` with directory `src`, surviving a crash at
+    * any point — THE directory-swap primitive, branched on the store's
+    * move atomicity. POSIX: clear + one rename (the marker would be dead
+    * weight). Object stores (copy+delete moves): once the source starts
+    * dying key-by-key, the destination is the only complete copy, so a
+    * naive re-run's "clear dst, re-move src" would destroy data. The
+    * `done` phase marker (one atomic PUT) freezes dst the instant the
+    * copy phase completes; a repair that finds it skips straight to
+    * finishing the source deletion. Every phase is idempotent:
+    * clear-dst/copy re-run while src is still complete, delete-src and
+    * marker cleanup re-run key-by-key. */
+  private def moveTree(src: Path, dst: Path, done: Path): Unit =
+    if (fs.atomicMove) {
+      if (Files.exists(dst)) fs.deleteTree(dst)
+      fs.move(src, dst)
+    } else {
+      if (!Files.exists(done)) {
+        if (Files.exists(dst)) fs.deleteTree(dst)
+        fs.copyTree(src, dst)
+        fs.put(done, Array.emptyByteArray)
+      }
+      fs.deleteTree(src)
+      fs.deleteIfExists(done)
+    }
+
+  /** The copy-complete marker for one pending bucket swap — inside the
+    * table dir (underscore-prefixed: invisible to parquet readers). */
+  private def swapDoneOf(p: Path, rel: String): Path =
+    p.resolve(s"_graft_swapdone_$rel")
+
+  /** One pending move: swap a whole bucket dir, or add one delta file.
+    * Idempotent under replay — including replays where the source is
+    * already consumed but a copy-complete marker remains. */
   private def applyEntry(p: Path, tmp: Path, entry: String): Unit =
     entry.split('|') match {
       case Array("swap", rel) =>
         val src = tmp.resolve(rel)
-        if (Files.exists(src)) { // already moved => done
-          val dst = p.resolve(rel)
-          if (Files.exists(dst)) fs.deleteTree(dst)
-          fs.move(src, dst)
-        }
+        if (Files.exists(src)) moveTree(src, p.resolve(rel), swapDoneOf(p, rel))
+        else fs.deleteIfExists(swapDoneOf(p, rel)) // src consumed: only cleanup was lost
       case Array("file", srcRel, dstRel) =>
         val src = tmp.resolve(srcRel)
         if (Files.exists(src)) {
           val dst = p.resolve(dstRel)
           fs.mkdirs(dst.getParent)
-          fs.deleteIfExists(dst) // re-run after crash mid-move
-          fs.move(src, dst)
+          fs.deleteIfExists(dst) // re-run after crash mid-move; src is still
+          fs.move(src, dst)      // complete (copy lands before the delete)
         }
       case other =>
         throw new IllegalStateException(s"corrupt _graft_pending entry: ${other.mkString("|")}")
@@ -320,6 +349,11 @@ object UpsertWriter {
 
   private def swapMarkerOf(p: Path): Path =
     p.resolveSibling(p.getFileName.toString + ".swap_pending")
+
+  /** Copy-complete marker for the WHOLE-DIR swap — a sibling (the table
+    * dir itself is mid-replacement, so it cannot live inside). */
+  private def swapAllDoneOf(p: Path): Path =
+    p.resolveSibling(p.getFileName.toString + ".swap_copied")
 
   // ----- advisory write lease ---------------------------------------------
   // The pending markers make every publish crash-ATOMIC, but two writers on
@@ -383,10 +417,22 @@ object UpsertWriter {
     } catch { case _: java.io.IOException => None } // vanished: holder released
 
   /** Atomically replace the lease body with a fresh expiry iff it still
-    * holds `token`. Returns false (and renews nothing) once the lease has
-    * been stolen or released. */
+    * holds `token` AND has not already expired. Returns false (and renews
+    * nothing) once the lease has been stolen, released, or allowed to
+    * lapse. The expiry check is the anti-zombie guard: a process frozen
+    * past its whole window (GC pause, SIGSTOP) whose renewer fires late
+    * must NOT revive its claim — by then a stealer may legitimately hold
+    * the path, and an unconditional replace would clobber it. Residual
+    * window: the check and the moveReplace are still two steps, so a
+    * steal landing in between (requires the expiry instant itself to fall
+    * inside those few milliseconds) can be overwritten; closing it needs a
+    * content-conditional replace (object stores: PUT with If-Match), which
+    * [[TableFs]] deliberately omits because S3's ETag-conditional PUT is
+    * the only real implementation and the local protocol never relies on
+    * it — the data-layer publish remains crash-atomic regardless. */
   private def renewLease(lease: Path, token: String, leaseMs: Long): Boolean =
-    readLease(lease, leaseMs).exists(_._1 == token) && {
+    readLease(lease, leaseMs)
+      .exists(l => l._1 == token && l._2 > System.currentTimeMillis()) && {
       try {
         val tmp = lease.resolveSibling(lease.getFileName.toString + s".renew.$token")
         fs.put(tmp, s"$token ${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"))
@@ -415,6 +461,35 @@ object UpsertWriter {
             System.err.println(s"graft: lease $lease displaced during contested steal")
         }
     } catch { case _: java.io.IOException => () } // lost the rename race: re-contend
+  }
+
+  /** Fenced release, symmetric with [[stealLease]]: atomically rename the
+    * lease to a per-release tombstone (claiming whatever the path holds),
+    * verify the tombstone carries OUR token, and only then delete. The old
+    * read-token-then-delete release had a TOCTOU: a steal landing between
+    * the read and the delete left the releaser deleting the stealer's live
+    * lease. Here the rename is the claim — if verification shows a foreign
+    * token we grabbed a live lease, so we restore it (or, if the path was
+    * re-occupied inside the window, drop our tombstone and warn, exactly
+    * like the contested-steal path). */
+  private def releaseLease(lease: Path, token: String, leaseMs: Long): Unit = {
+    val tomb = lease.resolveSibling(
+      lease.getFileName.toString + ".release." + java.util.UUID.randomUUID())
+    try {
+      fs.move(lease, tomb)
+      if (readLease(tomb, leaseMs).exists(_._1 == token))
+        fs.deleteIfExists(tomb) // confirmed ours: released
+      else {
+        System.err.println(
+          s"graft: lease $lease no longer held at release (stolen after expiry?) — not deleting")
+        try fs.move(tomb, lease) // grabbed a live lease: put it back
+        catch {
+          case _: java.io.IOException =>
+            fs.deleteIfExists(tomb)
+            System.err.println(s"graft: lease $lease displaced during contested release")
+        }
+      }
+    } catch { case _: java.io.IOException => () } // already gone: nothing to release
   }
 
   /** Run `body` holding the table's advisory write lease. */
@@ -463,15 +538,7 @@ object UpsertWriter {
       finally {
         depth(key) -= 1
         renewal.foreach(_.cancel(false))
-        // fenced release: delete only our own lease — if it was stolen while
-        // the body overran its window, the stealer's lease must survive
-        try {
-          if (readLease(lease, leaseMs).exists(_._1 == token))
-            fs.deleteIfExists(lease)
-          else
-            System.err.println(
-              s"graft: lease $lease no longer held at release (stolen after expiry?) — not deleting")
-        } catch { case _: java.io.IOException => () }
+        releaseLease(lease, token, leaseMs)
       }
     }
   }
@@ -487,18 +554,19 @@ object UpsertWriter {
     if (Files.exists(swp)) {
       val tmpName = new String(Files.readAllBytes(swp), "UTF-8").trim
       val tmp = p.resolveSibling(tmpName)
-      if (tmpName.nonEmpty && Files.exists(tmp)) {
-        if (Files.exists(p)) fs.deleteTree(p)
-        fs.move(tmp, p)
-      }
+      if (tmpName.nonEmpty && Files.exists(tmp)) moveTree(tmp, p, swapAllDoneOf(p))
+      else fs.deleteIfExists(swapAllDoneOf(p)) // tmp consumed: only cleanup was lost
       fs.deleteIfExists(swp)
     }
-    // interrupted per-bucket / delta publish (marker inside the table dir)
+    // interrupted per-bucket / delta publish (marker inside the table dir).
+    // Entries replay even when the staged tmp is gone: a swap entry whose
+    // source was fully consumed may still owe its copy-complete marker
+    // cleanup (applyEntry handles the missing-source case itself).
     if (Files.exists(pendingOf(p))) {
       val lines = new String(Files.readAllBytes(pendingOf(p)), "UTF-8")
         .split('\n').filter(_.nonEmpty).toSeq
       val tmp = p.resolveSibling(lines.head)
-      if (Files.exists(tmp)) lines.tail.foreach(applyEntry(p, tmp, _))
+      lines.tail.foreach(applyEntry(p, tmp, _))
       fs.deleteIfExists(pendingOf(p))
       if (Files.exists(tmp)) fs.deleteTree(tmp)
     }
@@ -700,8 +768,7 @@ object UpsertWriter {
     // intent marker lets repairPending roll the swap forward
     val pend = swapMarkerOf(p)
     fs.put(pend, (tmp.getFileName.toString + "\n").getBytes("UTF-8"))
-    if (Files.exists(p)) fs.deleteTree(p)
-    fs.move(tmp, p)
+    moveTree(tmp, p, swapAllDoneOf(p))
     fs.deleteIfExists(pend)
   }
 

@@ -438,6 +438,7 @@ class StreamingSpec extends SparkSpec {
       def deleteIfExists(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.deleteIfExists(p) }
       def deleteTree(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.deleteTree(p) }
       def mkdirs(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.mkdirs(p) }
+      def copyTree(s: java.nio.file.Path, d: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.copyTree(s, d) }
     }
     val base = java.nio.file.Files.createTempDirectory("graft_sink_crash").toString
     val (inDir, storeDir, ck) = (s"$base/in", s"$base/store", s"$base/ck")

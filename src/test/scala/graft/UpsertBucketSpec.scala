@@ -473,15 +473,75 @@ class UpsertBucketSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  // ----- fault injection over BOTH filesystem semantics ---------------------
+  // Die at the k-th mutation and stay dead (a real crash: every later op
+  // fails too, so finally blocks cannot "helpfully" clean up). For every k
+  // until a run completes fault-free: run the verb sequence, crash, simulate
+  // the operator's restart (stale lease expires; verbs replay), and require
+  // the final table to be byte-equal to the fault-free outcome. This
+  // exercises every interleaving of the lease + delta + swap publishes.
+  // Runs twice: over POSIX semantics (atomic rename — seam-level crash
+  // grid) and over OBJECT-STORE semantics (S3SimTableFs: copy+delete moves,
+  // no directories — crash grid between every per-KEY request, the grid a
+  // real S3 writer dies on).
+  private class InjectedCrash extends RuntimeException("injected crash")
+
+  private def faultScenario(dir: String): Unit = {
+    // creation (whole-dir swap) -> pure insert (delta append) ->
+    // update+insert (bucket swap + delta) — the three publish shapes
+    UpsertWriter.upsert(spark, dir, "t",
+      df((0 until 6).map(i => (s"id-$i", s"n$i", 1L))), numBuckets = 4)
+    UpsertWriter.upsert(spark, dir, "t",
+      df(Seq(("id-6", "n6", 1L), ("id-7", "n7", 1L))), numBuckets = 4)
+    UpsertWriter.upsert(spark, dir, "t",
+      df(Seq(("id-0", "UPD", 9L), ("id-8", "n8", 1L))), numBuckets = 4)
+  }
+
+  private def faultFinalState(dir: String): Seq[(String, String)] =
+    UpsertWriter.readTable(spark, dir, "t")
+      .select("id", "name").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq.sorted
+
+  /** Sweep killAt = 1, 2, ... until a run completes fault-free.
+    * `arm(killAt)` installs the crashing fs; `disarm()` reverts to the
+    * SAME semantics without the crash hook (the restart must replay under
+    * the store's real semantics, not get bailed out by POSIX renames). */
+  private def faultSweep(arm: Int => Unit, disarm: () => Unit): Int = {
+    val refDir = Files.createTempDirectory("graft-fault-ref").toString
+    disarm()
+    faultScenario(refDir)
+    val expected = faultFinalState(refDir)
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(refDir))
+    var killAt = 1
+    var crashed = true
+    try {
+      while (crashed) {
+        val dir = Files.createTempDirectory("graft-fault").toString
+        arm(killAt)
+        crashed =
+          try { faultScenario(dir); false }
+          catch { case _: InjectedCrash => true }
+        disarm()
+        if (crashed) {
+          // restart: the dead holder's lease expires in production — delete
+          // it here (time travel) — then replay the whole verb sequence
+          // (upsert replays are idempotent); repairPending rolls forward any
+          // torn publish on the first verb's entry
+          val s = Files.list(java.nio.file.Paths.get(dir))
+          try s.forEach(f =>
+            if (f.getFileName.toString.endsWith(".lease")) Files.deleteIfExists(f))
+          finally s.close()
+          faultScenario(dir)
+        }
+        assert(faultFinalState(dir) == expected, s"state diverged after crash at mutation $killAt")
+        graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+        if (crashed) killAt += 1
+      }
+    } finally UpsertWriter.fs = graft.ingest.LocalTableFs
+    killAt - 1
+  }
+
   test("fault injection: a crash at EVERY protocol mutation is repaired with no lost rows") {
-    // Swap the TableFs seam for one that dies at the k-th mutation and
-    // stays dead (a real crash: every later op fails too, so finally
-    // blocks cannot "helpfully" clean up). For every k until a run
-    // completes fault-free: run the verb sequence, crash, simulate the
-    // operator's restart (stale lease expires; verbs replay), and require
-    // the final table to be byte-equal to the fault-free outcome. This
-    // exercises every interleaving of the lease + delta + swap publishes.
-    class InjectedCrash extends RuntimeException("injected crash")
     class FaultFs(killAt: Int) extends graft.ingest.TableFs {
       val n = new java.util.concurrent.atomic.AtomicInteger(0)
       private def step(): Unit =
@@ -493,51 +553,113 @@ class UpsertBucketSpec extends SparkSpec {
       def deleteIfExists(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.deleteIfExists(p) }
       def deleteTree(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.deleteTree(p) }
       def mkdirs(p: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.mkdirs(p) }
+      def copyTree(s: java.nio.file.Path, d: java.nio.file.Path): Unit = { step(); graft.ingest.LocalTableFs.copyTree(s, d) }
     }
-    def scenario(dir: String): Unit = {
-      // creation (whole-dir swap) -> pure insert (delta append) ->
-      // update+insert (bucket swap + delta) — the three publish shapes
+    val points = faultSweep(
+      killAt => UpsertWriter.fs = new FaultFs(killAt),
+      () => UpsertWriter.fs = graft.ingest.LocalTableFs)
+    info(s"verified recovery at $points distinct crash points (POSIX semantics)")
+  }
+
+  test("fault injection under OBJECT-STORE semantics: a crash between every per-key request converges") {
+    // S3SimTableFs: move = COPY + DELETE per key (non-atomic), mkdirs a
+    // no-op, every key-level request a crash point. This is the grid where
+    // the old "clear dst, re-move src" repair would LOSE DATA (crash
+    // mid-source-delete leaves dst as the only complete copy); the
+    // phase-marker protocol must converge at every point.
+    val fs = graft.ingest.S3SimTableFs
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val points = faultSweep(
+      killAt => {
+        counter.set(0)
+        fs.stepHook = () => { if (counter.incrementAndGet() >= killAt) throw new InjectedCrash }
+        UpsertWriter.fs = fs
+      },
+      () => { fs.stepHook = () => (); UpsertWriter.fs = fs })
+    info(s"verified recovery at $points distinct crash points (object-store semantics)")
+  }
+
+  test("object-store semantics end-to-end: upsert, delta read, compaction over S3SimTableFs") {
+    UpsertWriter.fs = graft.ingest.S3SimTableFs
+    try {
+      val dir = Files.createTempDirectory("graft-s3sim").toString
       UpsertWriter.upsert(spark, dir, "t",
-        df((0 until 6).map(i => (s"id-$i", s"n$i", 1L))), numBuckets = 4)
+        df((0 until 20).map(i => (s"id-$i", s"n$i", 1L))), numBuckets = 4)
       UpsertWriter.upsert(spark, dir, "t",
-        df(Seq(("id-6", "n6", 1L), ("id-7", "n7", 1L))), numBuckets = 4)
-      UpsertWriter.upsert(spark, dir, "t",
-        df(Seq(("id-0", "UPD", 9L), ("id-8", "n8", 1L))), numBuckets = 4)
-    }
-    def finalState(dir: String): Seq[(String, String)] =
-      UpsertWriter.readTable(spark, dir, "t")
-        .select("id", "name").collect().map(r => (r.getString(0), r.getString(1)))
-        .toSeq.sorted
-    // fault-free reference outcome
-    val refDir = Files.createTempDirectory("graft-fault-ref").toString
-    scenario(refDir)
-    val expected = finalState(refDir)
-    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(refDir))
-    var killAt = 1
-    var crashed = true
-    while (crashed) {
-      val dir = Files.createTempDirectory("graft-fault").toString
-      UpsertWriter.fs = new FaultFs(killAt)
-      crashed =
-        try { scenario(dir); false }
-        catch { case _: InjectedCrash => true }
-      UpsertWriter.fs = graft.ingest.LocalTableFs
-      if (crashed) {
-        // restart: the dead holder's lease expires in production — delete
-        // it here (time travel) — then replay the whole verb sequence
-        // (upsert replays are idempotent); repairPending rolls forward any
-        // torn publish on the first verb's entry
-        val s = Files.list(java.nio.file.Paths.get(dir))
-        try s.forEach(f =>
-          if (f.getFileName.toString.endsWith(".lease")) Files.deleteIfExists(f))
-        finally s.close()
-        scenario(dir)
-      }
-      assert(finalState(dir) == expected, s"state diverged after crash at mutation $killAt")
+        df(Seq(("id-3", "UPD", 9L), ("id-20", "n20", 1L))), numBuckets = 4)
+      val got = UpsertWriter.readTable(spark, dir, "t")
+        .select("id", "name").collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got.size == 21 && got("id-3") == "UPD" && got("id-20") == "n20")
+      UpsertWriter.compactAll(spark, dir, "t")
+      val after = UpsertWriter.readTable(spark, dir, "t")
+        .select("id", "name").collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(after == got, "compaction changed visible rows under object-store semantics")
       graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
-      if (crashed) killAt += 1
+    } finally UpsertWriter.fs = graft.ingest.LocalTableFs
+  }
+
+  test("fenced release: a steal landing inside the release window loses nothing") {
+    // Deterministic interleaving via the TableFs seam: gate the RELEASER's
+    // first mutation (its tombstone rename) until a stealer has fully
+    // stolen the stale lease and acquired its own. The release must then
+    // detect the foreign token on its tombstone and RESTORE the stealer's
+    // live lease — the old read-token-then-delete release would have
+    // deleted it here.
+    val dir = Files.createTempDirectory("graft-lease6").toString
+    val p = java.nio.file.Paths.get(dir, "t.parquet")
+    val lease = java.nio.file.Paths.get(dir, "t.parquet.lease")
+    val releaserBlocked = new java.util.concurrent.CountDownLatch(1)
+    val stealerHolds = new java.util.concurrent.CountDownLatch(1)
+    @volatile var releaserThread: Thread = null
+    class GateFs extends graft.ingest.TableFs {
+      private val L = graft.ingest.LocalTableFs
+      private def gate(src: java.nio.file.Path): Unit =
+        if (Thread.currentThread() == releaserThread && src == lease) {
+          releaserBlocked.countDown()
+          stealerHolds.await()
+        }
+      def put(p: java.nio.file.Path, c: Array[Byte]): Unit = L.put(p, c)
+      def createNew(p: java.nio.file.Path, c: Array[Byte]): Unit = L.createNew(p, c)
+      def move(s: java.nio.file.Path, d: java.nio.file.Path): Unit = { gate(s); L.move(s, d) }
+      def moveReplace(s: java.nio.file.Path, d: java.nio.file.Path): Unit = L.moveReplace(s, d)
+      def deleteIfExists(p: java.nio.file.Path): Unit = L.deleteIfExists(p)
+      def deleteTree(p: java.nio.file.Path): Unit = L.deleteTree(p)
+      def mkdirs(p: java.nio.file.Path): Unit = L.mkdirs(p)
+      def copyTree(s: java.nio.file.Path, d: java.nio.file.Path): Unit = L.copyTree(s, d)
     }
-    info(s"verified recovery at ${killAt - 1} distinct crash points")
+    UpsertWriter.fs = new GateFs
+    try {
+      val holder = new Thread(() => {
+        releaserThread = Thread.currentThread()
+        UpsertWriter.withTableLease(p, leaseMs = 150L, renew = false) {
+          Thread.sleep(400L) // overrun: our lease is stale by the time we release
+        }
+      })
+      holder.start()
+      releaserBlocked.await() // holder is INSIDE release, pre-rename
+      val stealerDone = new java.util.concurrent.CountDownLatch(1)
+      @volatile var stolenContent: String = null
+      val stealer = new Thread(() =>
+        UpsertWriter.withTableLease(p, leaseMs = 60000L) {
+          stolenContent = new String(Files.readAllBytes(lease), "UTF-8")
+          stealerHolds.countDown() // un-gate the releaser mid-steal-window
+          stealerDone.await()
+        })
+      stealer.start()
+      // wait for the stealer to actually hold before un-gating happened
+      holder.join()
+      // the stealer's lease must have survived the interleaved release
+      assert(Files.exists(lease), "release deleted the stealer's live lease")
+      assert(new String(Files.readAllBytes(lease), "UTF-8") == stolenContent,
+        "release replaced the stealer's lease content")
+      stealerDone.countDown()
+      stealer.join()
+      assert(!Files.exists(lease))
+      val debris = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      assert(debris.forall(f => !f.contains(".release.") && !f.contains(".steal.")),
+        s"tombstone leaked: ${debris.toSeq}")
+    } finally UpsertWriter.fs = graft.ingest.LocalTableFs
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
   test("write lease: an overrunning holder cannot delete a stealer's lease") {
