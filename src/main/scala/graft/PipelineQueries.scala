@@ -3880,9 +3880,12 @@ object PipelineQueries {
     // LEFT OUTER stream-stream interval join drained to completeness:
     // signups that never saw a purchase within 2 hours emit with a null
     // right side. Outer nulls are watermark-gated, so the input is staged
-    // as 3 micro-batch files — the corpus, then two far-future pusher
-    // batches (user_id < 0, excluded from output) that advance the
-    // watermark past every real join window and flush the expired state.
+    // as 2 micro-batch files — the corpus, then ONE far-future pusher
+    // batch (user_id < 0, excluded from output) that advances the
+    // watermark past every real join window; AvailableNow's trailing
+    // no-data micro-batch then flushes the expired state's null rows
+    // (spark.sql.streaming.noDataMicroBatches.enabled, default on), so a
+    // third staged batch would only add a state-store commit round.
     // The oracle is the plain batch LEFT JOIN — streaming must equal it
     // exactly once the watermark has cleared everything
     q("q_stream_interval_left",
@@ -3898,35 +3901,62 @@ object PipelineQueries {
         |ORDER BY 1, 2, 4""".stripMargin) { c =>
       val spark = c.spark
       import spark.implicits._
-      // staged input is deterministic per source dir: build once, marker-keep
+      // staged input is deterministic per (source dir, events content):
+      // build once, marker-keep. The key folds in the events file's
+      // size+mtime so regenerating the corpus in place can never serve
+      // stale staged input
+      val evFile = java.nio.file.Paths.get(s"${c.dataDir}/events.parquet")
+      val fingerprint = c.dataDir + "|" + java.nio.file.Files.size(evFile) + "|" +
+        java.nio.file.Files.getLastModifiedTime(evFile).toMillis
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(c.dataDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val base = s"/tmp/graft_streamleft_v1/$key"
       val inDir = s"$base/in"
       val ready = java.nio.file.Paths.get(base, "_READY")
       if (!java.nio.file.Files.exists(ready)) {
         graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
+        def parquetParts(): Set[java.nio.file.Path] = {
+          val listing = java.nio.file.Files.list(java.nio.file.Paths.get(inDir))
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+          } finally listing.close()
+        }
         val ev = c.resolve("events")
           .select(col("user_id").cast("long").as("user_id"),
             col("ts").cast("timestamp").as("ts"), col("event_type"))
         ev.coalesce(1).write.mode("append").parquet(inDir)
+        val corpusParts = parquetParts()
         val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-        def pushers(offsetMs: Long) = Seq(
-          (-1L, new java.sql.Timestamp(maxTs.getTime + offsetMs), "signup"),
-          (-2L, new java.sql.Timestamp(maxTs.getTime + offsetMs), "purchase"))
+        Seq(
+          (-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000), "signup"),
+          (-2L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000), "purchase"))
           .toDF("user_id", "ts", "event_type")
-        // distinct mtimes order the micro-batches: corpus, pusher, pusher2
-        Thread.sleep(150)
-        pushers(10L * 24 * 3600 * 1000).coalesce(1).write.mode("append").parquet(inDir)
-        Thread.sleep(150)
-        pushers(10L * 24 * 3600 * 1000 + 60000).coalesce(1).write.mode("append").parquet(inDir)
+          .coalesce(1).write.mode("append").parquet(inDir)
+        // EXPLICIT mtimes order the micro-batches (corpus first, pusher
+        // second): FileStreamSource sorts by modification time, and on a
+        // coarse-mtime filesystem write-order ties could let the pusher
+        // sort first, advancing the watermark before the corpus lands and
+        // dropping every real row as late. The write-order grouping is
+        // captured between the two writes, not inferred from mtimes
+        val now = System.currentTimeMillis()
+        parquetParts().foreach { f =>
+          val offset = if (corpusParts.contains(f)) 0L else 2000L
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(now + offset))
+        }
         java.nio.file.Files.write(ready, Array.emptyByteArray)
       }
+      // corpus + pusher land in ONE data micro-batch (no maxFilesPerTrigger):
+      // the watermark is 0 during it so nothing is late, matches join
+      // in-batch, and the post-batch watermark (pusher − delay) lets the
+      // trailing no-data batch expire all real-window state and emit the
+      // nulls — one state-store commit round instead of three
       val schema = spark.read.parquet(inDir).schema
-      def src() = StreamOps.eventTime(spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir))
+      def src() = StreamOps.eventTime(spark.readStream.schema(schema).parquet(inDir))
       val sinkName = s"q_stream_ileft_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      StreamOps.startDrained(spark)(StreamOps.intervalJoinLeft(
+      StreamOps.startDrained(spark, parts = 4)(StreamOps.intervalJoinLeft(
           src().where(col("event_type") === "signup"),
           src().where(col("event_type") === "purchase"),
           within = "2 hours", watermark = "1 minute")

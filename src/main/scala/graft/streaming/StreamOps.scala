@@ -28,13 +28,24 @@ object StreamOps {
     * partition-count-independent). */
   def startDrained(
       spark: org.apache.spark.sql.SparkSession,
-      parts: Int = 8)(w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): Unit = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, parts)
-    try w.start().awaitTermination()
-    finally spark.conf.set(key, old)
-  }
+      parts: Int = 8)(w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): Unit =
+    // The partition count is session conf, read once at the query's first
+    // batch — there is no per-query override, so the set/run/restore is a
+    // critical section: without the lock two concurrent drains race the
+    // save/restore (one could permanently pin the session at `parts`), and
+    // any BATCH query planned mid-drain would silently inherit the reduced
+    // parallelism. The lock serializes drains; batch work concurrent with
+    // a drain still sees `parts` (unavoidable at session scope — the
+    // harness runs queries serially, so this costs nothing there).
+    drainLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, parts)
+      try w.start().awaitTermination()
+      finally spark.conf.set(key, old)
+    }
+
+  private val drainLock = new Object
 
   /** Normalize an event-time column to TimestampType, the only type
     * `withWatermark` accepts. Three layouts exist in the wild:
