@@ -33,6 +33,12 @@ object PipelineQueries {
     s"read_parquet('${VideoCorpus.table}/*.parquet', hive_partitioning=0)"
 
   // DuckDB-side shared fragments (mirrors of TextOps/Dedup column builders)
+  /** Content hash of q_text_bpe_fold's published merge table (first 12 hex
+    * of md5 over "rnk\tl\tr" lines). Keys the shared /tmp publish path so
+    * concurrent runs can only collide on identical bytes; runtime-verified
+    * against the freshly trained table in the query body. */
+  private val bpeFoldHash = "d37942ab7e5f"
+
   private val duckNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"list_filter(string_split($duckNorm, ' '), x -> length(x) > 0)"
   private val duckShingles =
@@ -1315,7 +1321,22 @@ object PipelineQueries {
       val assigned = graft.operators.Sampling
         .packShards(withTokens, "doc_id", "n_tokens", 4096L)
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))
-      val dir = "/tmp/graft_shard_export_v1"
+      // one dir PER INVOCATION: the artifact's content is SF-dependent and
+      // writeShards is the operator under test, so a fixed shared path
+      // would let two concurrent harness runs overwrite each other between
+      // this write and the lazy read below. Stale invocation dirs (older
+      // than 10 min — long past any run's read) are GC'd, never current ones
+      val root = java.nio.file.Paths.get("/tmp/graft_shard_export_v1")
+      java.nio.file.Files.createDirectories(root)
+      val cutoff = System.currentTimeMillis() - 10L * 60 * 1000
+      val listing = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(d => java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff)
+          .foreach(d => graft.ingest.FsUtil.deleteTree(d))
+      } finally listing.close()
+      val dir = root.resolve(java.util.UUID.randomUUID().toString).toString
       graft.operators.Sampling.writeShards(assigned, dir)
       c.spark.read.parquet(dir)
         .groupBy(col("shard_id").cast("long").as("shard_id"))
@@ -1372,7 +1393,7 @@ object PipelineQueries {
     // applying merges (or applied them out of rank order) fails this row.
     q("q_text_bpe_fold",
       s"""WITH RECURSIVE
-         |m AS (SELECT rnk, l, r FROM read_parquet('/tmp/graft_bpe_v1/merges.parquet/*.parquet')),
+         |m AS (SELECT rnk, l, r FROM read_parquet('/tmp/graft_bpe_v1/m$bpeFoldHash/merges.parquet/*.parquet')),
          |s0 AS (SELECT doc_id,
          |         coalesce(list_aggregate(list_transform($duckToks, w ->
          |           list_aggregate(list_transform(split(w, ''), c -> chr(31) || c || chr(31)),
@@ -1412,10 +1433,33 @@ object PipelineQueries {
       val sample = (1 to 200).map(_ =>
         (1 to 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
       val merges = TextOps.bpeTrainLocal(sample, 1200).map(m => (m._2, m._3))
-      // publish the merge table the oracle replays (tiny; SF-independent)
-      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
-        .toDF("rnk", "l", "r")
-        .coalesce(1).write.mode("overwrite").parquet("/tmp/graft_bpe_v1/merges.parquet")
+      // publish the merge table the oracle replays, at a path KEYED BY THE
+      // TABLE'S CONTENT HASH (deterministic, so stable across runs and
+      // SFs): concurrent harness runs can only ever write identical bytes
+      // to the same key, and the write-then-atomic-rename means a reader
+      // never observes a half-published dir. The embedded constant is
+      // runtime-verified so a drifted trainer fails loud, not stale.
+      val canonical = merges.zipWithIndex
+        .map { case ((a, b), i) => s"$i\t$a\t$b" }.mkString("\n")
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      require(hash == bpeFoldHash,
+        s"bpe fold merge table drifted: trained hash $hash != published key " +
+          s"$bpeFoldHash - update bpeFoldHash (and the oracle path) together")
+      val pub = java.nio.file.Paths.get(s"/tmp/graft_bpe_v1/m$bpeFoldHash")
+      if (!java.nio.file.Files.exists(pub)) {
+        val tmp = pub.resolveSibling(
+          pub.getFileName.toString + ".tmp." + java.util.UUID.randomUUID())
+        merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+          .toDF("rnk", "l", "r")
+          .coalesce(1).write.parquet(tmp.resolve("merges.parquet").toString)
+        try java.nio.file.Files.move(tmp, pub,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost the publish race: the winner's bytes are identical
+          case _: java.nio.file.FileSystemException =>
+            graft.ingest.FsUtil.deleteTree(tmp)
+        }
+      }
       TextOps.bpeEncodeDelimited(
           c.resolve("documents").orderBy("doc_id").limit(30), merges)
         .select(col("doc_id"), col("n_symbols"), col("stream_md5"))
