@@ -40,6 +40,24 @@ import javax.imageio.ImageIO
   * hashes on the id so skewed upstream layouts (e.g. one parquet file per
   * crawl host) don't serialize decoding on a few tasks.
   */
+/** The pluggable modality seam: a deployment's REAL codec or embedding
+  * model (an H.264 decoder, a CLIP/CLAP model server, an ONNX runtime)
+  * implements this one method and plugs into [[Multimodal.extractFeatures]]
+  * without touching operator code — the Spark-side contract (schema,
+  * partitioning, fixed-size batches) is identical either way.
+  *
+  * `embed` receives one (media_id, modality, content-bytes) batch at a time
+  * — the same batch shape the built-in kernel sees — so model/codec setup
+  * amortizes per call, exactly like a Pandas UDF's per-Arrow-batch model
+  * load. It must return ONE vector per input row in input order; returning
+  * null for a row abstains, falling that row back to the built-in
+  * JDK-decoder features (so a partial embedder — say, images only — still
+  * composes). Implementations cross the serialization boundary to
+  * executors, so hold heavyweight state in a lazy/transient field. */
+trait MediaEmbedder extends Serializable {
+  def embed(batch: Seq[(Long, String, Array[Byte])]): Seq[Array[Float]]
+}
+
 object Multimodal {
 
   val mediaSchema: StructType = StructType(Seq(
@@ -104,7 +122,10 @@ object Multimodal {
     * call). Rows are processed in fixed-size batches (the Arrow-batch shape
     * a Pandas UDF would see) so a real embedding model can amortize setup
     * per batch. */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  def extractFeatures(
+      media: DataFrame,
+      batchSize: Int = 64,
+      embedder: Option[MediaEmbedder] = None): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("modality", StringType, nullable = false),
@@ -112,35 +133,48 @@ object Multimodal {
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select("media_id", "modality", "content").mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
+        val plugged: Option[Seq[Array[Float]]] = embedder.map { e =>
+          val out = e.embed(batch.map(r =>
+            (r.getLong(0), r.getString(1), r.getAs[Array[Byte]]("content"))))
+          require(out.length == batch.length,
+            s"MediaEmbedder returned ${out.length} vectors for a ${batch.length}-row batch")
+          out
+        }
+        batch.zipWithIndex.map { case (r, i) =>
           val bytes = r.getAs[Array[Byte]]("content")
           val modality = r.getString(1)
-          val f: Array[Float] = modality match {
-            case "image" =>
-              decodeGray(bytes).map { case (_, _, px) =>
-                val c = new Array[Long](featureDim)
-                px.foreach(v => c(math.min(v / 16, featureDim - 1)) += 1)
-                normalized(c)
-              }.getOrElse(byteHist(bytes))
-            case "audio" =>
-              decodePcm(bytes).map { case (_, s) =>
-                val c = new Array[Long](featureDim)
-                s.foreach(v => c(math.min((v + 32768) / 4096, featureDim - 1)) += 1)
-                normalized(c)
-              }.getOrElse(byteHist(bytes))
-            case "video" =>
-              decodeFrames(bytes).map { frames =>
-                val c = new Array[Long](featureDim)
-                frames.foreach(_._3.foreach(v => c(math.min(v / 16, featureDim - 1)) += 1))
-                normalized(c)
-              }.getOrElse(byteHist(bytes))
-            case _ => byteHist(bytes)
-          }
+          val f: Array[Float] = plugged.flatMap(v => Option(v(i)))
+            .getOrElse(builtinFeatures(modality, bytes))
           Row(r.getLong(0), modality, f.toSeq)
         }
       }
     }(encoder)
   }
+
+  /** The built-in JDK-decoder feature kernel [[extractFeatures]] applies
+    * when no [[MediaEmbedder]] is plugged (or one abstains with null). */
+  private def builtinFeatures(modality: String, bytes: Array[Byte]): Array[Float] =
+    modality match {
+      case "image" =>
+        decodeGray(bytes).map { case (_, _, px) =>
+          val c = new Array[Long](featureDim)
+          px.foreach(v => c(math.min(v / 16, featureDim - 1)) += 1)
+          normalized(c)
+        }.getOrElse(byteHist(bytes))
+      case "audio" =>
+        decodePcm(bytes).map { case (_, s) =>
+          val c = new Array[Long](featureDim)
+          s.foreach(v => c(math.min((v + 32768) / 4096, featureDim - 1)) += 1)
+          normalized(c)
+        }.getOrElse(byteHist(bytes))
+      case "video" =>
+        decodeFrames(bytes).map { frames =>
+          val c = new Array[Long](featureDim)
+          frames.foreach(_._3.foreach(v => c(math.min(v / 16, featureDim - 1)) += 1))
+          normalized(c)
+        }.getOrElse(byteHist(bytes))
+      case _ => byteHist(bytes)
+    }
 
   /** STUB resize: stride-sample the payload down to at most `targetBytes`
     * (the byte-level stand-in for image downscaling — a real deployment

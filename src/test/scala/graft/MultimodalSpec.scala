@@ -3,6 +3,29 @@ package graft
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
+/** Toy "external model" for the MediaEmbedder seam spec: embeds the
+  * LOWERCASED letter histogram of the payload (so case variants of one text
+  * embed identically) over an 8-dim space; abstains (null) on non-image
+  * rows to prove per-row fallback composes with the built-in kernel. A
+  * top-level object so the JVM-static call counter survives task
+  * serialization (local[*] executors share the JVM). */
+object ToyClip extends graft.operators.MediaEmbedder {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def embed(batch: Seq[(Long, String, Array[Byte])]): Seq[Array[Float]] = {
+    calls.incrementAndGet()
+    batch.map { case (_, modality, bytes) =>
+      if (modality != "image") null
+      else {
+        val c = new Array[Float](8)
+        new String(bytes, "UTF-8").toLowerCase.foreach(ch =>
+          if (ch.isLetter) c((ch - 'a') % 8) += 1f)
+        val n = math.sqrt(c.map(x => x.toDouble * x).sum).toFloat
+        if (n == 0f) c else c.map(_ / n)
+      }
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -251,5 +274,34 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(frames.length == 2)
     assert(new String(frames(0).getAs[Array[Byte]]("frame"), "UTF-8") == "hell")
+  }
+
+  test("MediaEmbedder seam: an external toy model plugs into extractFeatures and flows through nearDup") {
+    val calls = ToyClip.calls
+    calls.set(0)
+    // corpus: two case-variant near-dups (1,2), one distinct (3), and one
+    // audio row (4) that must fall back to the built-in byte histogram
+    val docs = Seq(
+      (1L, "Hello World Pipeline", "s"), (2L, "hello world pipeline", "s"),
+      (3L, "zzzz qqqq vvvv", "s")).toDF("doc_id", "text", "source")
+    val m = Multimodal.fromDocuments(docs)
+      .unionByName(Multimodal.fromDocuments(
+        Seq((4L, "hello world pipeline", "s")).toDF("doc_id", "text", "source"),
+        modality = "audio"))
+    val feats = Multimodal.extractFeatures(m, batchSize = 2, embedder = Some(ToyClip))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(feats(1).length == 8 && feats(1) == feats(2), "case variants must embed identically")
+    assert(feats(4).length == Multimodal.featureDim,
+      "abstained row must carry built-in features, not the external dim")
+    assert(calls.get() > 0, "the external embed() was never invoked")
+    // external embeddings flow through the standard cosine near-dup
+    // operator unchanged: (1,2) pair surfaces, 3 pairs with nothing
+    val pairs = graft.operators.Similarity.cosineNearDupPairs(
+        Multimodal.extractFeatures(
+            m.where(col("modality") === "image"), embedder = Some(ToyClip))
+          .select(col("media_id").as("vec_id"), col("features").as("embedding")),
+        threshold = 0.95, bands = 2, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly the planted near-dup pair, got $pairs")
   }
 }
