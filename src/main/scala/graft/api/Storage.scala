@@ -233,7 +233,21 @@ class Storage(val spark: SparkSession, val workDir: String) {
     keyed.foreach { case (t, key) =>
       if (UpsertWriter.exists(workDir, t) && !catalog.contains(t)) {
         val tbl = s"graft_f${dirTag}_${t.replaceAll("[^A-Za-z0-9_]", "_")}"
-        graft.operators.Layout.writeBucketed(catalog.resolve(t), tbl, key, buckets)
+        // Idempotent re-finish: the bucketed copy is keyed by the source
+        // table's path census (file rewrites/appends/deletes all change
+        // it — publishes always mint fresh file names). A finish() over an
+        // unchanged store re-registers the existing layout instead of
+        // re-bucketing the warehouse — O(tables) metadata, zero jobs —
+        // which is also what a 100 TB re-run of an ingest pipeline's
+        // trailing finish() step must do.
+        val census = graft.operators.Layout.dirCensus(
+          UpsertWriter.pathOf(workDir, t).toString)
+        val unchanged = Storage.finishCensus.get((dirTag, t)).contains(census) &&
+          spark.catalog.tableExists(s"`$tbl`")
+        if (!unchanged) {
+          graft.operators.Layout.writeBucketed(catalog.resolve(t), tbl, key, buckets)
+          Storage.finishCensus((dirTag, t)) = census
+        }
         catalog.registerDF(t, spark.table(tbl), if (t.startsWith("__")) "" else t)
         finishViews(t) = catalog.viewDefRef(t).get
       }
@@ -1028,4 +1042,13 @@ class Storage(val spark: SparkSession, val workDir: String) {
 
   private def prefixed(df: DataFrame, prefix: String): DataFrame =
     df.select(df.columns.map(c => col(s"`$c`").as(s"$prefix.$c")).toSeq: _*)
+}
+
+object Storage {
+  /** Source-table path census under which each finish() bucketed layout
+    * was written, keyed by (workDir tag, table) — lets a re-finish over an
+    * unchanged store skip the warehouse rewrite. JVM-scoped like the Spark
+    * catalog entries it guards (a fresh JVM re-buckets once and re-seeds). */
+  private[api] val finishCensus =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
 }

@@ -123,7 +123,7 @@ object UpsertWriter {
     spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
   }
 
-  private def pathOf(dir: String, table: String): Path = Paths.get(dir, s"$table.parquet")
+  private[graft] def pathOf(dir: String, table: String): Path = Paths.get(dir, s"$table.parquet")
 
   def exists(dir: String, table: String): Boolean = {
     // a crashed whole-dir swap can leave the table existing only as its

@@ -181,10 +181,16 @@ object Dedup {
     val pred = minhashPairs(docs, textCol, k, bands)
       .where(col("est_jaccard") >= tau).select("a_id", "b_id")
     val truth = exactJaccardPairs(docs, tau, textCol).select("a_id", "b_id")
-    val both = pred.join(truth, Seq("a_id", "b_id"))
-    val counts = pred.agg(count(lit(1)).as("n_pred"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+    // ONE pass over each side: a full-outer join on the pair key classifies
+    // every pair as pred-only / truth-only / both, and a single aggregate
+    // reads off all three counts — the naive both-join + three separate
+    // count jobs evaluates the (expensive) pred and truth plans twice each
+    val counts = pred.withColumn("p", lit(1))
+      .join(truth.withColumn("t", lit(1)), Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        count(col("p")).as("n_pred"),
+        count(col("t")).as("n_truth"),
+        count(when(col("p").isNotNull && col("t").isNotNull, 1)).as("n_both"))
     counts.select(
       col("n_pred"), col("n_truth"), col("n_both"),
       when(col("n_pred") > 0, round(col("n_both").cast("double") / col("n_pred"), 6))

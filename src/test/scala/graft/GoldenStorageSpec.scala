@@ -272,6 +272,55 @@ class GoldenStorageSpec extends SparkSpec {
     assert(s.count("url") == 31)
   }
 
+  test("finish() on an unchanged store skips the warehouse rewrite; new data re-buckets") {
+    val s = bundled()
+    s.finish()
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(s.workDir).getAbsolutePath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    // observable: the bucketed warehouse files' (path, mtime) set — a
+    // rewrite mints fresh part files, a skip leaves every byte untouched
+    def warehouseFiles(): Set[(String, Long)] = {
+      val base = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val root = java.nio.file.Paths.get(base)
+      val st = java.nio.file.Files.list(root)
+      val tabs =
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(s"graft_f$tag")).toList
+        } finally st.close()
+      tabs.flatMap { d =>
+        val w = java.nio.file.Files.walk(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => f.toString ->
+              java.nio.file.Files.getLastModifiedTime(f).toMillis).toList
+        } finally w.close()
+      }.toSet
+    }
+    val before = warehouseFiles()
+    assert(before.nonEmpty, "expected finish() to write bucketed warehouse tables")
+    // a NEW Storage over the same (unchanged) workdir re-finishes: the
+    // census matches, so no warehouse file may be touched
+    val s2 = new Storage(spark, s.workDir)
+    s2.finish()
+    assert(warehouseFiles() == before,
+      "finish() over an unchanged store rewrote the bucketed layout")
+    // queries still answer through the re-registered layout
+    s2.extract("urls_refin", "url", "q1", "[url:value LIKE '%page/1%']")
+    assert(s2.values("url:value", "urls_refin").length == 14)
+    // new data in one table invalidates ITS census: that table re-buckets
+    s2.load("lv_refin", Seq("http://refinish.example.com/z"), "url")
+    val s3 = new Storage(spark, s.workDir)
+    s3.finish()
+    val urlAfter = warehouseFiles().filter(_._1.contains("_url"))
+    assert(urlAfter != before.filter(_._1.contains("_url")),
+      "finish() served a stale bucketed url table after new data landed")
+    s.delete()
+  }
+
   test("replaying the same load/reassign grows no provenance (deterministic qids)") {
     val s = bundled()
     def provCount() = s.catalog.resolve("__queries").count()
