@@ -239,7 +239,10 @@ class Storage(val spark: SparkSession, val workDir: String) {
         // unchanged store re-registers the existing layout instead of
         // re-bucketing the warehouse — O(tables) metadata, zero jobs —
         // which is also what a 100 TB re-run of an ingest pipeline's
-        // trailing finish() step must do.
+        // trailing finish() step must do. Mirrors the reference, where a
+        // repeated finish()'s CREATE INDEX lands on DuplicateTable/
+        // DuplicateObject and is swallowed (firepit/pgstorage.py:487-501,
+        // 254-259) — re-finish is a no-op there too.
         val census = graft.operators.Layout.dirCensus(
           UpsertWriter.pathOf(workDir, t).toString)
         val unchanged = Storage.finishCensus.get((dirTag, t)).contains(census) &&
