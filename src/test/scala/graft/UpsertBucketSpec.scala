@@ -720,6 +720,53 @@ class UpsertBucketSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("write lease under OBJECT-STORE semantics: stealers serialize, writers lose nothing") {
+    // The POSIX lease specs lean on atomic rename for the steal/release
+    // tombstone dance; on an object store rename is COPY + DELETE, so two
+    // stealers can BOTH copy a stale lease to their tombstones and both
+    // clear the path — exclusion must then rest entirely on createNew's
+    // conditional PUT. Re-run the core lease properties over S3SimTableFs
+    // to pin that: (1) two stealers of one stale lease still serialize;
+    // (2) two concurrent upserting writers lose no rows.
+    UpsertWriter.fs = graft.ingest.S3SimTableFs
+    try {
+      val dir = Files.createTempDirectory("graft-s3lease").toString
+      val p = java.nio.file.Paths.get(dir, "t.parquet")
+      val lease = java.nio.file.Paths.get(dir, "t.parquet.lease")
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      Files.write(lease, s"dead-holder ${System.currentTimeMillis() - 5000}\n".getBytes("UTF-8"))
+      val active = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 2).map(_ => new Thread(() =>
+        UpsertWriter.withTableLease(p, leaseMs = 60000L) {
+          val now = active.incrementAndGet()
+          maxActive.getAndUpdate(m => math.max(m, now))
+          Thread.sleep(100L)
+          active.decrementAndGet()
+          ran.incrementAndGet()
+        }))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(ran.get() == 2 && maxActive.get() == 1,
+        s"stealers did not serialize under object-store semantics (ran=${ran.get()}, max=${maxActive.get()})")
+      assert(!Files.exists(lease))
+      // two concurrent writers through the full upsert path
+      val wdir = Files.createTempDirectory("graft-s3writers").toString
+      val writers = (0 until 2).map(w => new Thread(() =>
+        (0 until 3).foreach(b =>
+          UpsertWriter.upsert(spark, wdir, "t",
+            df((0 until 5).map(i => (s"w$w-$b-$i", s"n$i", 1L))), numBuckets = 4))))
+      writers.foreach(_.start())
+      writers.foreach(_.join())
+      val ids = UpsertWriter.readTable(spark, wdir, "t")
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(ids.size == 30, s"lost ${30 - ids.size} rows under concurrent object-store writers")
+      graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+      graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(wdir))
+    } finally UpsertWriter.fs = graft.ingest.LocalTableFs
+  }
+
   test("write lease: renewal keeps a long-running holder live past its window") {
     val dir = Files.createTempDirectory("graft-lease5").toString
     val p = java.nio.file.Paths.get(dir, "t.parquet")
