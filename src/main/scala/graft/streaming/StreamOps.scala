@@ -28,7 +28,7 @@ object StreamOps {
     * partition-count-independent). */
   def startDrained(
       spark: org.apache.spark.sql.SparkSession,
-      parts: Int = 8)(w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): Unit =
+      parts: Int = 4)(w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): Unit =
     // The partition count is session conf, read once at the query's first
     // batch — there is no per-query override, so the set/run/restore is a
     // critical section: without the lock two concurrent drains race the
