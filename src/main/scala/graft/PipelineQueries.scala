@@ -242,6 +242,62 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // full Gopher repetition battery (top-2/3/4-gram char fraction +
+    // overlap-aware dup-5..10-gram token coverage). The synthetic corpus is
+    // repetition-free by construction, so the QUERY injects deterministic
+    // repetition on both sides — each doc re-appends its first 12 tokens
+    // and tokens 30..36 (the 7-block duplicates for n<=7 only, so every n
+    // face computes a distinct value); the oracle independently replays
+    // the coverage union as count(DISTINCT covered index) while the engine
+    // computes it as a sorted-starts linear sweep
+    q("q_text_gopher_battery",
+      """WITH d0 AS (SELECT doc_id,
+        |    list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |      x -> length(x) > 0) AS t0
+        |  FROM documents),
+        |b AS (SELECT doc_id, t0 || t0[1:12] || t0[30:36] AS toks FROM d0),
+        |bb AS (SELECT doc_id, toks, length(toks) AS nt,
+        |    length(array_to_string(toks, ' ')) AS nc FROM b),
+        |g AS (SELECT doc_id, n, nt, nc,
+        |    unnest(list_transform(range(1, greatest(length(toks) - n + 2, 1)),
+        |      i -> {'s': i, 'g': array_to_string(toks[i:i+n-1], ' ')})) AS sg
+        |  FROM bb, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns),
+        |c AS (SELECT doc_id, n, any_value(nt) AS nt, any_value(nc) AS nc,
+        |    sg.g AS gram, count(*) AS cnt, list(sg.s) AS starts
+        |  FROM g GROUP BY doc_id, n, sg.g),
+        |top AS (SELECT doc_id, n,
+        |    round(least(1.0, (cnt * length(gram))::DOUBLE / nc), 6) AS frac,
+        |    row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram DESC) AS rk
+        |  FROM c WHERE n <= 4),
+        |dupst AS (SELECT doc_id, n, nt, unnest(starts) AS s FROM c WHERE n >= 5 AND cnt >= 2),
+        |dupi AS (SELECT doc_id, n, nt, unnest(range(s, s + n)) AS i FROM dupst),
+        |dupcov AS (SELECT doc_id, n, any_value(nt) AS nt, count(DISTINCT i) AS cov
+        |  FROM dupi GROUP BY doc_id, n),
+        |m AS (SELECT doc_id, n, frac FROM top WHERE rk = 1
+        |  UNION ALL
+        |  SELECT doc_id, n, round(cov::DOUBLE / nt, 6) AS frac FROM dupcov)
+        |SELECT doc.doc_id,
+        |  coalesce(max(CASE WHEN m.n = 2 THEN m.frac END), 0.0) AS top2gram_frac,
+        |  coalesce(max(CASE WHEN m.n = 3 THEN m.frac END), 0.0) AS top3gram_frac,
+        |  coalesce(max(CASE WHEN m.n = 4 THEN m.frac END), 0.0) AS top4gram_frac,
+        |  coalesce(max(CASE WHEN m.n = 5 THEN m.frac END), 0.0) AS dup5gram_frac,
+        |  coalesce(max(CASE WHEN m.n = 6 THEN m.frac END), 0.0) AS dup6gram_frac,
+        |  coalesce(max(CASE WHEN m.n = 7 THEN m.frac END), 0.0) AS dup7gram_frac,
+        |  coalesce(max(CASE WHEN m.n = 8 THEN m.frac END), 0.0) AS dup8gram_frac,
+        |  coalesce(max(CASE WHEN m.n = 9 THEN m.frac END), 0.0) AS dup9gram_frac,
+        |  coalesce(max(CASE WHEN m.n = 10 THEN m.frac END), 0.0) AS dup10gram_frac
+        |FROM documents doc LEFT JOIN m ON doc.doc_id = m.doc_id
+        |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin) { c =>
+      val t0 = TextOps.tokens(col("text"))
+      val augmented = c.resolve("documents").select(
+        col("doc_id"),
+        concat_ws(" ",
+          col("text"),
+          concat_ws(" ", slice(t0, 1, 12)),
+          concat_ws(" ", slice(t0, 30, 7))).as("text"))
+      TextOps.gopherRepetitionReport(augmented).orderBy("doc_id")
+    },
+
     // per-source top-k by quality — the salted two-level tournament: a
     // local top-k per (source, hash(doc_id)%salts) bounds any one task's
     // sort even when one source owns half the corpus, then the ≤ salts·k
@@ -1258,6 +1314,31 @@ object PipelineQueries {
       graft.operators.Sampling
         .quotaSample(c.resolve("documents"), "doc_id", "lang", 25, seed = "q1")
         .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // TOKEN-budget selection per stratum (the budgeted sibling of quota:
+    // "take ~2000 tokens per language"): rank by the deterministic draw,
+    // keep rows whose before-mass is under the budget — the oracle replays
+    // the exact cumulative window the two-phase prefilter provably equals
+    q("q_sample_token_budget",
+      """WITH d AS (SELECT doc_id, lang,
+        |    length(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |      x -> length(x) > 0)) AS n_tokens,
+        |    CAST(('0x' || substring(md5(doc_id || 'tb1'), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens FROM c WHERE before < 2000 ORDER BY doc_id""".stripMargin) { c =>
+      val withTokens = c.resolve("documents")
+        .select(
+          col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling
+        .tokenBudgetSample(withTokens, "doc_id", "lang", "n_tokens", 2000L, seed = "tb1")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy("doc_id")
     },
 

@@ -248,6 +248,94 @@ object Sampling {
       .drop("__rk", "__s", "__thr")
   }
 
+  /** TOKEN-budget selection per stratum ("take ~N tokens per language /
+    * domain") — the unit of LLM data curation is tokens, not documents, so
+    * this is the budgeted sibling of [[quotaSample]]: rank rows inside each
+    * stratum by the deterministic draw and keep a row iff the token mass of
+    * rows ranked strictly BEFORE it is < `budget`. The selection therefore
+    * always reaches the budget when the stratum can supply it, overshoots
+    * by at most one document, and is a pure function of (key, seed) —
+    * independent of physical layout, reproducible across engines.
+    *
+    * Scale shape mirrors [[quotaSample]]'s two-phase skew defense. The
+    * naive form is one cumulative-sum window per stratum, serializing a
+    * Zipfian head stratum onto a single task. Phase 1 pre-filters map-side
+    * at draw threshold ≈ budget / stratumTokenMass (the draw is independent
+    * of the token column, so the token mass below draw u concentrates at
+    * u·total; see [[budgetThreshold]] for the slack), then VERIFIES per
+    * stratum that the surviving prefix provably contains the cut: because
+    * `u < thr` keeps an exact PREFIX of the (u, key) stratum order, the cut
+    * lies inside it iff survivor token mass ≥ budget (or the whole stratum
+    * survived when its mass can't reach the budget — checked on row count,
+    * since zero-token rows carry no mass but are still in-budget rows).
+    * Undershoot widens the threshold ×4 and retries — a >6-sigma event at
+    * the default slack. Phase 2 runs the exact cumulative window on the
+    * ~budget-mass survivor set only. Null/negative token values count as 0
+    * mass (they never block the cut from advancing). */
+  def tokenBudgetSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      tokenCol: String,
+      budget: Long,
+      seed: String = "s0"): DataFrame = {
+    require(budget >= 0L, "tokenBudgetSample needs a non-negative budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = greatest(coalesce(col(tokenCol).cast("long"), lit(0L)), lit(0L))
+    // per-stratum (row count, token mass): one map-combined agg, rows = #strata
+    val stats: Seq[(String, Long, Long)] = df
+      .groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(tok).as("__m"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    def prefilter(widen: Double): DataFrame = {
+      val thrDf = stats
+        .map { case (s, _, m) => (s, math.min(1.0, budgetThreshold(budget, m) * widen)) }
+        .toDF("__s", "__thr")
+      df.join(broadcast(thrDf), col(stratumCol).cast("string") <=> col("__s"), "inner")
+        .where(uniformDraw(col(keyCol), seed) < col("__thr"))
+    }
+    var widen = 1.0
+    var pre = prefilter(widen)
+    var verified = stats.isEmpty
+    while (!verified) {
+      val surv = pre
+        .groupBy(col("__s"))
+        .agg(count(lit(1)).as("__k"), sum(tok).as("__sm"))
+        .collect()
+        .map(r => Option(r.getString(0)) ->
+          ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))))
+        .toMap
+      val ok = stats.forall { case (s, n, m) =>
+        val (k, sm) = surv.getOrElse(Option(s), (0L, 0L))
+        if (m >= budget) sm >= budget else k == n
+      }
+      if (ok) verified = true
+      else {
+        widen *= 4.0
+        pre = prefilter(widen)
+      }
+    }
+    val w = Window
+      .partitionBy(col(stratumCol))
+      .orderBy(uniformDraw(col(keyCol), seed), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pre.withColumn("__before", coalesce(sum(tok).over(w), lit(0L)))
+      .where(col("__before") < budget)
+      .drop("__before", "__s", "__thr")
+  }
+
+  /** Phase-1 draw threshold for [[tokenBudgetSample]]: the token mass below
+    * draw u has mean u·M and variance bounded by u·Σtok² ≤ u·M·maxTok; the
+    * slack term mirrors [[quotaThreshold]]'s quota + 6·sqrt(quota) + 16
+    * shape, scaled to mass by treating the budget as the "count" (exact
+    * when every row is one token; conservative verification-plus-widening
+    * catches heavy-document corpora where the mass is lumpier). */
+  private[operators] def budgetThreshold(budget: Long, mass: Long): Double =
+    if (mass <= budget) 1.0
+    else math.min(1.0, (budget.toDouble + 6.0 * math.sqrt(budget.toDouble) + 16.0) / mass.toDouble)
+
   /** Temperature-balanced per-stratum rates — the multilingual mixing rule
     * (sample stratum s with probability ∝ (n_s/N)^tau; tau < 1 upweights
     * tail languages): with w_s = n_s^tau and Z = Σ w_s,

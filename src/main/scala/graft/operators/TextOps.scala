@@ -729,6 +729,124 @@ object TextOps {
     "repetitive" -> (round(repetitionRatio(textCol, 2), 6) <= maxRepetition),
     "low_stopword" -> (round(stopwordRatio(textCol), 6) >= minStopword))
 
+  /** Full Gopher §A1.1 repetition battery (Rae et al. 2021, Table A1) — the
+    * per-document metrics the short [[gopherRules]] set approximates with a
+    * single dup-2-gram ratio:
+    *
+    *  - `top{2,3,4}gram_frac`: fraction of the normalized text's CHARACTERS
+    *    contained in occurrences of the document's most frequent word
+    *    n-gram — occurrences × gram chars / total chars, capped at 1.0
+    *    (overlapping occurrences can over-count); ties on the count break
+    *    to the lexicographically LARGEST gram so the pick is deterministic
+    *    and engine-replayable.
+    *  - `dup{5..10}gram_frac`: fraction of TOKENS covered by any n-token
+    *    window whose gram occurs more than once in the document —
+    *    overlap-aware (a token under several duplicated windows counts
+    *    once), the token-level accounting of the paper's duplicate-n-gram
+    *    character fraction.
+    *
+    * Shape at 100 TB: one union of per-n posexploded gram frames feeds ONE
+    * shuffle keyed (doc, n, gram); per-gram start lists and the per-doc
+    * flatten are bounded by document length, never corpus size (same
+    * precedent as [[Dedup.removeDuplicateSpans]]); the coverage union is a
+    * linear sweep over the sorted starts inside a codegen'd `aggregate`.
+    * Docs shorter than n tokens (no grams) report 0.0 for that n. */
+  def gopherRepetitionReport(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    require(topNs.intersect(dupNs).isEmpty, "topNs and dupNs must be disjoint")
+    val base = docs.select(
+      col(idCol),
+      tokens(col(textCol)).as("__toks"))
+    val exploded = (topNs ++ dupNs).map { n =>
+      val gramArr = when(
+        size(col("__toks")) >= n,
+        transform(
+          sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      base.select(
+        col(idCol),
+        lit(n).as("__n"),
+        size(col("__toks")).as("__nt"),
+        length(array_join(col("__toks"), " ")).as("__nc"),
+        posexplode(gramArr).as(Seq("__s", "__gram")))
+    }.reduce(_.unionByName(_))
+    val grouped = exploded
+      .groupBy(col(idCol), col("__n"), col("__gram"))
+      .agg(
+        count(lit(1)).as("__c"),
+        collect_list(col("__s").cast("long")).as("__starts"),
+        first(col("__nt")).as("__nt"),
+        first(col("__nc")).as("__nc"))
+    val topFrac = grouped
+      .where(col("__n").isin(topNs.map(Integer.valueOf): _*))
+      .groupBy(col(idCol), col("__n"))
+      .agg(
+        max(struct(col("__c").as("c"), col("__gram").as("g"))).as("__t"),
+        first(col("__nc")).as("__nc"))
+      .select(
+        col(idCol), col("__n"),
+        round(
+          least(
+            lit(1.0),
+            (col("__t.c") * length(col("__t.g"))).cast("double") / col("__nc")),
+          6).as("__frac"))
+    val nL = col("__n").cast("long")
+    val dupFrac = grouped
+      .where(col("__n").isin(dupNs.map(Integer.valueOf): _*) && col("__c") >= 2)
+      .groupBy(col(idCol), col("__n"))
+      .agg(
+        flatten(collect_list(col("__starts"))).as("__st"),
+        first(col("__nt")).as("__nt"))
+      .select(
+        col(idCol), col("__n"),
+        round(
+          aggregate(
+            sort_array(col("__st")),
+            struct(lit(0L).as("cov"), lit(0L).as("end")),
+            (acc, s) => struct(
+              (acc.getField("cov") +
+                greatest(s + nL - greatest(acc.getField("end"), s), lit(0L))).as("cov"),
+              greatest(acc.getField("end"), s + nL).as("end")),
+            acc => acc.getField("cov")).cast("double") / col("__nt"),
+          6).as("__frac"))
+    val metrics = topFrac.unionByName(dupFrac)
+    val aggs = topNs.map(n =>
+      max(when(col("__n") === n, col("__frac"))).as(s"top${n}gram_frac")) ++
+      dupNs.map(n =>
+        max(when(col("__n") === n, col("__frac"))).as(s"dup${n}gram_frac"))
+    val wide = metrics.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val names = topNs.map(n => s"top${n}gram_frac") ++ dupNs.map(n => s"dup${n}gram_frac")
+    docs.select(col(idCol))
+      .join(wide, Seq(idCol), "left_outer")
+      .na.fill(0.0, names)
+  }
+
+  /** The published Gopher repetition thresholds (Rae et al. 2021 Table A1)
+    * applied to a [[gopherRepetitionReport]] frame: keep = every metric at
+    * or below its ceiling. Returns (id, keep, reject_reason) in
+    * [[filterReport]] shape — reason names the FIRST failing metric in
+    * battery order. */
+  def gopherRepetitionFilter(report: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val limits = Seq(
+      "top2gram_frac" -> 0.20, "top3gram_frac" -> 0.18, "top4gram_frac" -> 0.16,
+      "dup5gram_frac" -> 0.15, "dup6gram_frac" -> 0.14, "dup7gram_frac" -> 0.13,
+      "dup8gram_frac" -> 0.12, "dup9gram_frac" -> 0.11, "dup10gram_frac" -> 0.10)
+    val present = limits.filter { case (c, _) => report.columns.contains(c) }
+    require(present.nonEmpty, "report carries none of the battery columns")
+    val reason = present.foldRight(lit(null).cast("string")) {
+      case ((name, lim), acc) => when(col(name) > lim, lit(name)).otherwise(acc)
+    }
+    report.select(
+      col(idCol),
+      reason.as("reject_reason"),
+      when(reason.isNull, 1).otherwise(0).as("keep"))
+  }
+
   /** Per-document text-feature frame (the map-side feature extraction pass
     * of a corpus pipeline). */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -2287,4 +2287,91 @@ class PipelineOpsSpec extends SparkSpec {
       Layout.bloomJoin(fact, dim, "l_orderkey", joinType = "left_outer")
     }
   }
+
+  test("tokenBudgetSample equals the naive cumulative window and fills the budget") {
+    import graft.operators.Sampling
+    // Zipfian strata with varied token masses, including zero-token rows
+    val rows = (0 until 3000).map { i =>
+      val lang = if (i % 10 < 7) "en" else if (i % 10 < 9) "de" else "fr"
+      val toks = if (i % 53 == 0) 0L else (i % 37 + 1).toLong
+      (s"d$i", lang, toks)
+    }
+    val d = rows.toDF("doc_id", "lang", "n_tokens")
+    val naiveW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(Sampling.uniformDraw(col("doc_id"), "s0"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def naive(budget: Long): Set[String] = d
+      .withColumn("__b", coalesce(sum(col("n_tokens")).over(naiveW), lit(0L)))
+      .where(col("__b") < budget)
+      .collect().map(_.getString(0)).toSet
+    def got(budget: Long): Set[String] = Sampling
+      .tokenBudgetSample(d, "doc_id", "lang", "n_tokens", budget)
+      .collect().map(_.getString(0)).toSet
+    for (budget <- Seq(0L, 1L, 500L, 5000L, 10000000L)) {
+      assert(got(budget) == naive(budget), s"budget $budget diverged from the naive window")
+    }
+    // budget 0 keeps nothing; huge budget keeps everything (incl. 0-token rows)
+    assert(got(0L).isEmpty)
+    assert(got(10000000L).size == rows.size)
+    // the kept mass reaches the budget and overshoots by at most one doc
+    val budget = 500L
+    val kept = Sampling.tokenBudgetSample(d, "doc_id", "lang", "n_tokens", budget)
+    val perStratum = kept.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("m"), max(col("n_tokens")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    perStratum.foreach { case (lang, m, mx) =>
+      assert(m >= budget, s"$lang under-filled: $m < $budget")
+      assert(m - mx < budget, s"$lang overshot by more than one doc: $m")
+    }
+    // selection is a prefix family: kept(B1) subset of kept(B2) for B1 <= B2
+    assert(got(500L).subsetOf(got(5000L)))
+    // layout-independent
+    assert(got(500L) ==
+      Sampling.tokenBudgetSample(d.repartition(13), "doc_id", "lang", "n_tokens", 500L)
+        .collect().map(_.getString(0)).toSet)
+  }
+
+  test("tokenBudgetSample keeps whole strata whose mass is below the budget") {
+    import graft.operators.Sampling
+    val d = Seq(
+      ("a1", "tiny", 3L), ("a2", "tiny", 0L), ("a3", "tiny", 2L), // mass 5 < 100
+      ("b1", "big", 80L), ("b2", "big", 80L), ("b3", "big", 80L)  // mass 240 > 100
+    ).toDF("doc_id", "lang", "n_tokens")
+    val kept = Sampling.tokenBudgetSample(d, "doc_id", "lang", "n_tokens", 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // tiny: every row survives, zero-token row included
+    assert(kept.count(_._2 == "tiny") == 3)
+    // big: the cut crosses at the second doc (before-mass 160 >= 100 at the third)
+    assert(kept.count(_._2 == "big") == 2)
+  }
+
+  test("gopherRepetitionReport matches hand-computed battery values") {
+    val d = Seq(
+      (1, "a b a b a b"),                   // top2 = 3*3/11, no dup-5
+      (2, "x y z w v x y z w v q"),         // dup-5 covers 10 of 11 tokens
+      (3, "a a a a a a"),                    // overlap: dup5 = 1.0, top2 capped at 1.0
+      (4, "short")                           // 1 token: all zeros
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRepetitionReport(d)
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(1).getAs[Double]("top2gram_frac") == math.rint(9.0 / 11.0 * 1e6) / 1e6)
+    assert(r(1).getAs[Double]("dup5gram_frac") == 0.0)
+    assert(r(2).getAs[Double]("dup5gram_frac") == math.rint(10.0 / 11.0 * 1e6) / 1e6)
+    assert(r(3).getAs[Double]("dup5gram_frac") == 1.0)
+    assert(r(3).getAs[Double]("top2gram_frac") == 1.0) // 5*3/11 caps at 1.0
+    assert((2 to 4).forall(n => r(4).getAs[Double](s"top${n}gram_frac") == 0.0))
+    assert((5 to 10).forall(n => r(4).getAs[Double](s"dup${n}gram_frac") == 0.0))
+    // every doc reports, schema carries the full battery
+    assert(r.size == 4)
+    val battery = (2 to 4).map(n => s"top${n}gram_frac") ++ (5 to 10).map(n => s"dup${n}gram_frac")
+    val cols = TextOps.gopherRepetitionReport(d).columns.toSet
+    assert(battery.forall(cols.contains))
+    // published-threshold filter: doc 3 rejects on the FIRST failing metric
+    val f = TextOps.gopherRepetitionFilter(TextOps.gopherRepetitionReport(d))
+      .collect().map(x => x.getInt(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(f(3) == (("top2gram_frac", 0)))
+    assert(f(4) == ((null, 1)))
+    assert(f(1)._2 == 0) // 0.818 > 0.20 ceiling
+  }
 }
