@@ -946,6 +946,43 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // chunk-level storage dedup (backup-system first-copy accounting over
+    // CDC chunks). The corpus is duplicate-free by construction, so the
+    // QUERY appends one of five shared template texts (doc_id % 5) to
+    // every doc — cross-doc duplicate chunks appear en masse and CDC
+    // boundaries resync inside the shared region; the oracle replays
+    // chunking, md5 ownership (first (doc, idx) instance wins) and the
+    // per-doc novelty rollup
+    q("q_dedup_chunk_novelty",
+      s"""WITH tpl AS (SELECT doc_id AS tid, text AS ttext FROM documents WHERE doc_id < 5),
+         |d0 AS (SELECT d.doc_id, d.text || ' ' || p.ttext AS text
+         |       FROM documents d JOIN tpl p ON p.tid = d.doc_id % 5),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM d0),
+         |b AS (SELECT doc_id, toks, list_filter(range(4, length(toks)), i ->
+         |       ('0x' || substring(md5(array_to_string(toks[i-3:i], ' ')), 1, 15))::BIGINT % 16 = 0) AS bounds
+         |      FROM t WHERE length(toks) > 0),
+         |s AS (SELECT doc_id, toks, list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
+         |        list_append(bounds, length(toks)) AS ends FROM b),
+         |u AS (SELECT doc_id, unnest(starts) AS st, unnest(ends) AS en,
+         |        generate_subscripts(starts, 1) AS ci, toks FROM s),
+         |ch AS (SELECT doc_id, ci - 1 AS chunk_idx, en - st + 1 AS ntok,
+         |        md5(array_to_string(toks[st:en], ' ')) AS h FROM u),
+         |r AS (SELECT doc_id, ntok,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk FROM ch)
+         |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS chunk_tokens,
+         |  CAST(sum(CASE WHEN rk = 1 THEN ntok ELSE 0 END) AS BIGINT) AS novel_tokens,
+         |  round(sum(CASE WHEN rk = 1 THEN ntok ELSE 0 END)::DOUBLE / sum(ntok), 6) AS novelty
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val tpl = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("tid"), col("text").as("ttext"))
+      val aug = docs
+        .select(col("doc_id"), (col("doc_id") % 5).as("tid"), col("text"))
+        .join(tpl, Seq("tid"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("ttext")).as("text"))
+      Dedup.chunkNovelty(aug).orderBy("doc_id")
+    },
+
     // WHY content-defined beats fixed chunking for revision dedup, as a
     // measured row: prepend two tokens to every %7 doc (the edit that
     // shifts every fixed boundary), chunk both versions both ways, count

@@ -327,6 +327,50 @@ object Dedup {
       .unionByName(direction("__bid", "__iid", sizesI)) // batch doc wraps an indexed doc
   }
 
+  /** Chunk-level storage dedup over content-defined chunks — backup-system
+    * accounting applied to a corpus snapshot: a chunk content-hash stores
+    * ONCE; every later instance is a pointer. Per document: total chunk
+    * tokens, NOVEL tokens (instances that are their hash's first occurrence
+    * in (doc_id, chunk_idx) order — the deterministic first-copy rule), and
+    * the novelty ratio. `sum(chunk_tokens) / sum(novel_tokens)` over the
+    * frame is the corpus storage-dedup ratio; a crawl snapshot's
+    * near-zero-novelty documents are re-crawls.
+    *
+    * Shape at 100 TB: chunking ([[TextOps.cdcChunk]]) is zero-shuffle
+    * map-side array codegen; ownership is one hash-keyed aggregate (min
+    * (doc, idx) struct — map-side combinable) plus an equi-join back on the
+    * hash; the rollup is one doc-keyed aggregate. No windows over the
+    * corpus, no driver collects; CDC boundaries resync after edits, so a
+    * revised re-crawl shares every untouched chunk (law-tested on
+    * [[TextOps.cdcChunk]]). Documents with zero tokens produce no chunks
+    * and no row, matching the chunker. */
+  def chunkNovelty(
+      docs: DataFrame,
+      w: Int = 4,
+      divisor: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val chunks = TextOps.cdcChunk(docs, w, divisor, textCol, idCol)
+      .select(
+        col(idCol), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text")).as("__h"))
+    val owner = chunks
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("d"), col("chunk_idx").as("i"))).as("__o"))
+    chunks.join(owner, Seq("__h"))
+      .withColumn(
+        "__novel",
+        col("__o.d") === col(idCol) && col("__o.i") === col("chunk_idx"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("n_tokens").cast("long")).as("chunk_tokens"),
+        sum(when(col("__novel"), col("n_tokens").cast("long")).otherwise(lit(0L)))
+          .as("novel_tokens"))
+      .withColumn(
+        "novelty",
+        round(col("novel_tokens").cast("double") / col("chunk_tokens"), 6))
+  }
+
   /** Exact duplicate groups by content fingerprint. Returns one row per
     * fingerprint with the representative (min doc_id) and group size.
     * Single hash-aggregation shuffle on the fingerprint — optimal. */

@@ -2346,6 +2346,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.count(_._2 == "big") == 2)
   }
 
+  test("chunkNovelty applies first-copy accounting over CDC chunks") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten"
+    val d = Seq(
+      (1, base),                       // first copy: fully novel
+      (2, base),                       // exact re-crawl: zero novelty
+      (3, "totally different words entirely unrelated content stream " +
+        "red orange yellow green blue indigo violet black white gray"),
+      (4, base + " fresh trailing tokens appended after the shared body")
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkNovelty(d, divisor = 4)
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(1).getAs[Double]("novelty") == 1.0)
+    assert(r(2).getAs[Double]("novelty") == 0.0)
+    assert(r(3).getAs[Double]("novelty") == 1.0)
+    // CDC resync: the edited re-crawl shares every untouched chunk
+    val n4 = r(4).getAs[Double]("novelty")
+    assert(n4 > 0.0 && n4 < 1.0, s"partial overlap must land strictly inside (0,1): $n4")
+    // first-copy accounting: novel mass == distinct-chunk token mass
+    val novelSum = r.values.map(_.getAs[Long]("novel_tokens")).sum
+    val distinctMass = graft.operators.TextOps.cdcChunk(d, divisor = 4)
+      .select(md5(col("chunk_text")).as("h"), col("n_tokens"))
+      .groupBy("h").agg(first("n_tokens").as("t"))
+      .agg(sum(col("t").cast("long"))).head().getLong(0)
+    assert(novelSum == distinctMass)
+    // layout-independent (owner pick is a deterministic min, not a race)
+    val r13 = Dedup.chunkNovelty(d.repartition(13), divisor = 4)
+      .collect().map(x => x.getInt(0) -> x.getAs[Double]("novelty")).toMap
+    assert(r.keys.forall(k => r13(k) == r(k).getAs[Double]("novelty")))
+  }
+
   test("gopherRepetitionReport matches hand-computed battery values") {
     val d = Seq(
       (1, "a b a b a b"),                   // top2 = 3*3/11, no dup-5
