@@ -636,6 +636,39 @@ object PipelineQueries {
       TextOps.lmScore(docs, docs.where(col("lang") === "en")).orderBy("doc_id")
     },
 
+    // the CCNet bucketing recipe end-to-end: corpus-LM NLL terciles label
+    // every doc head/middle/tail (CCNet trains on head+middle and drops
+    // tail) — lmScore → equiDepthBins(3) → label map, composed from the
+    // same oracle-pinned pieces so the full recipe replays in SQL
+    q("q_text_ccnet_buckets",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS w FROM documents),
+         |ref AS (SELECT w, count(*) AS c
+         |        FROM (SELECT unnest($duckToks) AS w FROM documents WHERE lang = 'en')
+         |        GROUP BY w),
+         |st AS (SELECT sum(c) AS total, count(*) AS vocab FROM ref),
+         |nll AS (SELECT tok.doc_id,
+         |    round(avg(-ln((coalesce(ref.c, 0) + 1.0) / (st.total + st.vocab + 1.0))), 6) AS nll
+         |  FROM tok LEFT JOIN ref USING (w) CROSS JOIN st GROUP BY tok.doc_id),
+         |cuts AS (SELECT list_transform(quantile_cont(nll, [1.0/3, 2.0/3]),
+         |    x -> round(x, 6)) AS cuts FROM nll)
+         |SELECT doc_id, nll,
+         |  CASE WHEN nll <= cuts[1] THEN 'head'
+         |       WHEN nll <= cuts[2] THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM nll CROSS JOIN cuts ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val scored = TextOps.lmScore(docs, docs.where(col("lang") === "en"))
+        .select(col("doc_id"), col("nll"))
+      graft.operators.Profile
+        .equiDepthBins(scored, "nll", nBins = 3, idCol = "doc_id")
+        .select(
+          col("doc_id"), col("nll"),
+          element_at(
+            array(lit("head"), lit("middle"), lit("tail")),
+            col("bin") + 1).as("bucket"))
+        .orderBy("doc_id")
+    },
+
     // interpolated bigram LM NLL (λ·p_bi + (1−λ)·p_uni, add-one smoothed
     // on both orders, English slice as the reference): the oracle refits
     // both models and replays the exact interpolation per bigram

@@ -479,4 +479,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!gqPlan.contains("Window") && !gqPlan.contains("Sort "),
       s"no per-group sort/window allowed:\n$gqPlan")
   }
+
+  test("tokenBudgetSample cumulative window runs over pre-filtered survivors") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val df = graft.operators.Sampling
+      .tokenBudgetSample(docs, "doc_id", "lang", "n_tokens", 2000L, seed = "tb1")
+    val plan = physical(df)
+    // same contract as quotaSample: the exact cumulative-sum window sits
+    // above the broadcast threshold pre-filter, so a Zipfian stratum's
+    // shuffle carries ~budget token mass, not the corpus
+    val winIdx = plan.indexOf("Window")
+    val bjIdx = plan.indexOf("BroadcastHashJoin")
+    assert(winIdx >= 0 && bjIdx >= 0, s"expected window over broadcast pre-filter:\n$plan")
+    assert(winIdx < bjIdx, s"window must consume the pre-filter output:\n$plan")
+  }
+
+  test("chunkNovelty and the gopher battery plan equi-joins only, no windows") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def badNodes(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val plan = physical(df)
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")
+        .filter(plan.contains)
+    }
+    val cn = graft.operators.Dedup.chunkNovelty(docs)
+    assert(badNodes(cn).isEmpty,
+      s"chunkNovelty must be equi-join + hash aggregates only: ${badNodes(cn)}")
+    val gr = graft.operators.TextOps.gopherRepetitionReport(docs)
+    assert(badNodes(gr).isEmpty,
+      s"gopher battery must be hash aggregates + equi-joins only: ${badNodes(gr)}")
+  }
 }
