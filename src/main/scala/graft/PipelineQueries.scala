@@ -1114,6 +1114,54 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet paragraph dedup PROPER (first occurrence owns the line; later
+    // copies drop — vs stripBoilerplate which deletes frequent lines from
+    // ALL docs): planted lines exercise cross-doc ownership (corpus-wide
+    // header -> only doc 0 keeps it), per-group sharing (7 residue classes,
+    // lowest doc_id in each keeps the intro), case/digit normalization
+    // (the UPPER variant shares its key with the intro so it dies even in
+    // the owner doc), and the empty-key escape (digits/punct line kept
+    // everywhere). The oracle replays ownership with a row_number window
+    // — independent of the engine's min-struct aggregate
+    q("q_text_dedup_lines",
+      """WITH src AS (SELECT doc_id,
+        |    'Common Crawl header' || chr(10)
+        |    || 'Group ' || substring('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1) || ' intro' || chr(10)
+        |    || 'GROUP ' || substring('ABCDEFG', CAST(doc_id % 7 AS INT) + 1, 1) || ' INTRO' || chr(10)
+        |    || '123 456 !!' || chr(10)
+        |    || text AS text
+        |  FROM documents),
+        |ex AS (SELECT doc_id, trim(line0) AS line, pos
+        |       FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line0,
+        |                    generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM src)
+        |       WHERE trim(line0) <> ''),
+        |n AS (SELECT doc_id, line, pos,
+        |        lower(regexp_replace(line, '[^\p{L}]+', '', 'g')) AS key FROM ex),
+        |k AS (SELECT doc_id, line, pos,
+        |        CASE WHEN key = '' THEN TRUE
+        |             ELSE row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) = 1
+        |        END AS keep
+        |      FROM n),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM ex GROUP BY doc_id),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |          count(*) AS n_kept FROM k WHERE keep GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(t.n_lines AS INT) AS n_lines,
+        |  CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin) { c =>
+      val planted = c.resolve("documents").select(
+        col("doc_id"),
+        concat_ws("\n",
+          lit("Common Crawl header"),
+          concat(lit("Group "),
+            expr("substring('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1)"), lit(" intro")),
+          concat(lit("GROUP "),
+            expr("substring('ABCDEFG', CAST(doc_id % 7 AS INT) + 1, 1)"), lit(" INTRO")),
+          lit("123 456 !!"),
+          col("text")).as("text"))
+      TextOps.dedupLines(planted).orderBy("doc_id")
+    },
+
     // curriculum shard packing: docs ordered easy->hard by quality
     // quartile BIN (not raw score — bin order keeps each shard internally
     // mixed), hash-shuffled within bins, packed into 2000-token shards by

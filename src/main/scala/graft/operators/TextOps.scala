@@ -291,6 +291,63 @@ object TextOps {
       .drop("__bl", "__lines", "__kept")
   }
 
+  /** CCNet paragraph deduplication proper (Wenzek et al. 2020 §3.1): every
+    * line is keyed by a normalized hash, each DISTINCT key is owned by its
+    * FIRST corpus occurrence (min (doc, line_idx) — a total order, so the
+    * winner is partitioning-invariant), and every later occurrence is
+    * dropped; docs are rebuilt from their surviving lines.
+    *
+    * This differs from [[stripBoilerplate]], which deletes a frequent line
+    * from ALL docs including the first: dedupLines preserves exactly one
+    * copy of every piece of text, so corpus token mass is never lost —
+    * the semantics CCNet actually ships for its crawl snapshots.
+    *
+    * Keys normalize CCNet-style (lowercase, letters only) when
+    * `normalizeKeys`; a line whose normalized key is EMPTY (digits /
+    * punctuation only) carries no dedupable content and is always kept.
+    *
+    * Returns (idCol, clean_text, n_lines, n_removed) for every input doc —
+    * docs losing all lines surface with empty clean_text, docs with no
+    * non-empty lines pass through unchanged.
+    *
+    * Scale shape: two equi-keyed shuffles and nothing else — ownership is
+    * one hash-keyed min-struct aggregate over the exploded lines (map-side
+    * combinable; state per key is one (doc, idx) pair) joined back on the
+    * key, and reassembly is one groupBy(doc) over SURVIVING lines with an
+    * in-group sort_array (no window, no global sort). The corpus text
+    * never crosses a driver boundary. */
+  def dedupLines(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n", normalizeKeys: Boolean = true): DataFrame = {
+    val rawKey = if (normalizeKeys)
+      (l: Column) => lower(regexp_replace(l, "[^\\p{L}]+", ""))
+    else (l: Column) => l
+    val exploded = docs
+      .select(col(idCol).as("__dl_id"),
+        posexplode(linesOf(col(textCol), sep)).as(Seq("__idx", "__line")))
+      .withColumn("__key", md5(rawKey(col("__line"))))
+      .withColumn("__dedupable", length(rawKey(col("__line"))) > 0)
+    val owners = exploded.where(col("__dedupable"))
+      .groupBy("__key")
+      .agg(min(struct(col("__dl_id"), col("__idx"))).as("__owner"))
+    val kept = exploded
+      .join(owners, Seq("__key"), "left")
+      .where(!col("__dedupable") ||
+        (col("__owner.__dl_id") === col("__dl_id") && col("__owner.__idx") === col("__idx")))
+      .groupBy(col("__dl_id"))
+      .agg(
+        array_join(sort_array(collect_list(struct(col("__idx"), col("__line"))))
+          .getField("__line"), sep).as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    docs
+      .withColumn("n_lines", size(linesOf(col(textCol), sep)))
+      .join(kept.withColumnRenamed("__dl_id", idCol), Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_removed", col("n_lines") - coalesce(col("__n_kept"), lit(0L)))
+      .drop("__n_kept")
+      .select(col(idCol), col("clean_text"), col("n_lines"), col("n_removed"))
+  }
+
   // ===== BPE tokenizer training ==========================================
   //
   // Byte-pair-encoding vocabulary training (Sennrich et al. 2016) at corpus

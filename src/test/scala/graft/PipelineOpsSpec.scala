@@ -2406,4 +2406,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f(4) == ((null, 1)))
     assert(f(1)._2 == 0) // 0.818 > 0.20 ceiling
   }
+
+  test("dedupLines: first occurrence owns a line, later copies drop, empty keys escape") {
+    import graft.operators.TextOps
+    val d = docs(
+      (1, "Shared header\nbody one\n123 !!"),
+      (2, "Shared header\nSHARED   HEADER\nbody two\n123 !!"),
+      (3, "shared header 99\nbody three"),
+      (4, "body one"))
+    val out = TextOps.dedupLines(d).orderBy("doc_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    // doc 1 owns "Shared header" and "body one"; its digits line always survives
+    assert(out(0) == ((1, "Shared header\nbody one\n123 !!", 3, 0L)))
+    // doc 2: both header variants normalize to doc 1's key (case + whitespace
+    // + digit folding) and drop — including the SECOND variant in the same doc
+    assert(out(1) == ((2, "body two\n123 !!", 4, 2L)))
+    // doc 3's "shared header 99" also folds into the same key (digits strip)
+    assert(out(2) == ((3, "body three", 2, 1L)))
+    // doc 4 repeats doc 1's body verbatim -> loses its only line
+    assert(out(3) == ((4, "", 1, 1L)))
+    // conservation law: each distinct dedupable key survives EXACTLY once
+    val keys = d.select(explode(split(col("text"), "\n")).as("l"))
+      .select(lower(regexp_replace(trim(col("l")), "[^\\p{L}]+", "")).as("k"))
+      .where(length(col("k")) > 0).distinct().count()
+    val keptDedupable = TextOps.dedupLines(d)
+      .select(explode(split(col("clean_text"), "\n")).as("l"))
+      .where(length(trim(col("l"))) > 0)
+      .select(lower(regexp_replace(trim(col("l")), "[^\\p{L}]+", "")).as("k"))
+      .where(length(col("k")) > 0).count()
+    assert(keys == keptDedupable)
+    // raw mode: the case variant survives as its own line, but the digits
+    // line is now dedupable (no empty-key escape) so doc 2 loses two lines
+    val raw = TextOps.dedupLines(d, normalizeKeys = false).orderBy("doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(3)))
+    assert(raw.toSeq == Seq((1, 0L), (2, 2L), (3, 0L), (4, 1L)))
+    // layout invariance: ownership is a total order, not a partition accident
+    val a = TextOps.dedupLines(d).orderBy("doc_id").collect().toSeq
+    val b = TextOps.dedupLines(d.repartition(13)).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }

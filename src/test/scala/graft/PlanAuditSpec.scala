@@ -496,6 +496,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(winIdx < bjIdx, s"window must consume the pre-filter output:\n$plan")
   }
 
+  test("dedupLines: min-struct ownership, equi-joins only, no window, no cartesian") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = physical(graft.operators.TextOps.dedupLines(docs))
+    // ownership must be the hash-aggregate min-struct, not a corpus window
+    for (bad <- Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"dedupLines must not plan $bad:\n$plan")
+  }
+
   test("chunkNovelty and the gopher battery plan equi-joins only, no windows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def badNodes(df: org.apache.spark.sql.DataFrame): Seq[String] = {
