@@ -2169,6 +2169,36 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // PCA fit, the distributed half: per-(i,j) sample covariance + means
+    // from the ONE VecMoments pass (count + sums + upper-triangle Gram
+    // sums in a constant-size mergeable buffer). The oracle recomputes
+    // every entry from scratch by self-joining the exploded coordinates —
+    // independent of the engine's fused accumulator. The d x d eigensolve
+    // downstream is driver-side metadata work covered by law specs
+    // (orthonormality, C v = lambda v, projection variance == eigenvalue)
+    // (the + 0.0 after each round folds IEEE -0.0 into +0.0 on both
+    // sides — entries that round to zero must stringify identically)
+    q("q_embed_pca_cov",
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |             unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |st AS (SELECT count(*) AS n FROM embeddings),
+        |p AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY a.i, b.i),
+        |m AS (SELECT i, sum(v) AS sv FROM x GROUP BY i)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+        |  round(mi.sv / st.n, 6) + 0.0 AS mean_i, round(mj.sv / st.n, 6) + 0.0 AS mean_j,
+        |  round((p.s - st.n * (mi.sv / st.n) * (mj.sv / st.n)) / (st.n - 1), 6) + 0.0 AS cov
+        |FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i CROSS JOIN st
+        |ORDER BY p.i, p.j""".stripMargin) { c =>
+      Similarity.pcaCovariance(c.resolve("embeddings"), "embedding", 64)
+        .select(col("i"), col("j"),
+          (round(col("mean_i"), 6) + 0.0).as("mean_i"),
+          (round(col("mean_j"), 6) + 0.0).as("mean_j"),
+          (round(col("cov"), 6) + 0.0).as("cov"))
+        .orderBy("i", "j")
+    },
+
     // matryoshka truncation measured: recall@5 of brute-force search in
     // the FIRST-32-dims space against the full-64-dim truth — the
     // half-the-index-bytes trade, quantified per query instead of assumed

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -70,6 +70,75 @@ object DotF {
       DotF(
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
+}
+
+/** Affine projection kernel `W · (x − μ)` for PCA/whitening: centers the
+  * input vector on `mean` and applies the flattened row-major `k×d` matrix
+  * `mat` in one compiled pass, emitting the k-dim projected vector. Both
+  * `mean` (length d) and `mat` (length k·d) are array<double> — in the PCA
+  * path they are plan-time literals baked into codegen, so projection of a
+  * 100 TB corpus is pure map-side whole-stage-codegen work with zero
+  * shuffle and no per-element lambda interpretation. */
+case class ProjectF(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def isDouble: Boolean = first.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+            ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"project_f needs (array<float|double> vec, array<double> mean, array<double> mat), got $a, $b, $c")
+    }
+  override def nullSafeEval(v: Any, m: Any, w: Any): Any = {
+    val fn = if (isDouble) ProjectF.computeD _ else ProjectF.compute _
+    fn(v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData], w.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isDouble) "computeD" else "compute"
+    defineCodeGen(ctx, ev, (v, m, w) => s"graft.functions.ProjectF.$fn($v, $m, $w)")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ProjectF = copy(f, s, t)
+  override def prettyName: String = "project_f"
+}
+
+object ProjectF {
+  private def kernel(get: Int => Double, mean: ArrayData, mat: ArrayData): ArrayData = {
+    val d = mean.numElements()
+    val k = mat.numElements() / d
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < d) { c(i) = get(i) - mean.getDouble(i); i += 1 }
+    val out = new Array[Double](k)
+    var r = 0
+    while (r < k) {
+      var s = 0.0
+      var j = 0
+      val base = r * d
+      while (j < d) { s += mat.getDouble(base + j) * c(j); j += 1 }
+      out(r) = s
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def compute(v: ArrayData, mean: ArrayData, mat: ArrayData): ArrayData =
+    kernel(i => v.getFloat(i).toDouble, mean, mat)
+
+  def computeD(v: ArrayData, mean: ArrayData, mat: ArrayData): ArrayData =
+    kernel(i => v.getDouble(i), mean, mat)
+
+  def apply(vec: Column, mean: Column, mat: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      ProjectF(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        org.apache.spark.sql.GraftBridge.expression(mean),
+        org.apache.spark.sql.GraftBridge.expression(mat)))
 }
 
 case class NormF(child: Expression) extends UnaryExpression {

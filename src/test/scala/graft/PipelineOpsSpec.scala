@@ -2445,4 +2445,81 @@ class PipelineOpsSpec extends SparkSpec {
     val b = TextOps.dedupLines(d.repartition(13)).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("pcaFit: hand-computed axis-aligned case, sign pin, skip-null contract") {
+    import graft.operators.Similarity
+    // axis-aligned rectangle: mean (1,2); sample cov diag(4/3, 16/3);
+    // first axis = y (larger variance), both sign-pinned positive
+    val base = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(2f, 0f)),
+      (3L, Array(0f, 4f)), (4L, Array(2f, 4f)))
+    val df = base.toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, "embedding", 2)
+    assert(m.n == 4L)
+    assert(m.mean.toSeq.map(x => math.rint(x * 1e9) / 1e9) == Seq(1.0, 2.0))
+    assert(math.abs(m.explainedVariance(0) - 16.0 / 3) < 1e-9)
+    assert(math.abs(m.explainedVariance(1) - 4.0 / 3) < 1e-9)
+    assert(m.components(0).toSeq.map(x => math.rint(x * 1e9) / 1e9) == Seq(0.0, 1.0))
+    assert(m.components(1).toSeq.map(x => math.rint(x * 1e9) / 1e9) == Seq(1.0, 0.0))
+    // projection of (0,0): centered (-1,-2) -> [-2, -1]
+    val p = Similarity.pcaProject(df, m, 2).orderBy("vec_id")
+      .select("pca").head().getSeq[Double](0)
+    assert(p.map(x => math.rint(x * 1e9) / 1e9) == Seq(-2.0, -1.0))
+    // NULL and wrong-length vectors are skipped, not poison
+    val dirty = df.unionByName(Seq(
+      (5L, null.asInstanceOf[Array[Float]]),
+      (6L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding"))
+    val md = Similarity.pcaFit(dirty, "embedding", 2)
+    assert(md.n == 4L && md.mean.toSeq == m.mean.toSeq)
+  }
+
+  test("pcaFit laws on real embeddings: orthonormal basis, eigen residual, variance match") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = 64
+    val m = Similarity.pcaFit(emb, "embedding", dim)
+    def dotv(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // orthonormal rows
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = dotv(m.components(i), m.components(j))
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"<v$i,v$j> = $d")
+    }
+    // descending spectrum; trace preserved
+    assert(m.explainedVariance.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    val covRows = Similarity.pcaCovariance(emb, "embedding", dim)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(4))).toMap
+    def cv(i: Int, j: Int): Double = covRows(if (i <= j) (i, j) else (j, i))
+    val trace = (0 until dim).map(i => cv(i, i)).sum
+    assert(math.abs(m.explainedVariance.sum - trace) < 1e-9)
+    // C v = lambda v for the top axis
+    val v0 = m.components(0)
+    val res = (0 until dim).map { r =>
+      math.abs((0 until dim).map(c => cv(r, c) * v0(c)).sum - m.explainedVariance(0) * v0(r))
+    }.max
+    assert(res < 1e-9, s"eigen residual $res")
+    // projection variance == eigenvalue; whitening normalizes it to 1
+    val proj = Similarity.pcaProject(emb, m, 3)
+    val vs = proj.select((0 until 3).map(i => expr(s"var_samp(pca[$i])").as(s"v$i")): _*).head()
+    for (i <- 0 until 3)
+      assert(math.abs(vs.getDouble(i) - m.explainedVariance(i)) < 1e-9)
+    val ws = Similarity.pcaProject(emb, m, 3, whiten = true)
+      .select((0 until 3).map(i => expr(s"var_samp(pca[$i])").as(s"v$i")): _*).head()
+    for (i <- 0 until 3) assert(math.abs(ws.getDouble(i) - 1.0) < 1e-9)
+    // full-rank projection reconstructs exactly (rotation loses nothing)
+    val rec = Similarity.pcaProject(emb, m, dim)
+      .select(col("embedding"), col("pca")).collect().map { r =>
+        val x = r.getSeq[Float](0).map(_.toDouble)
+        val p = r.getSeq[Double](1)
+        (0 until dim).map { c =>
+          math.abs(m.mean(c) + (0 until dim).map(k => m.components(k)(c) * p(k)).sum - x(c))
+        }.max
+      }.max
+    assert(rec < 1e-6, s"reconstruction error $rec")
+    // partitioning cannot move the fit (deterministic up to fp-merge noise)
+    val m13 = Similarity.pcaFit(emb.repartition(13), "embedding", dim)
+    val cd = m.components.zip(m13.components)
+      .map { case (a, b) => a.zip(b).map { case (x, y) => math.abs(x - y) }.max }.max
+    assert(cd < 1e-9, s"layout moved components by $cd")
+  }
 }

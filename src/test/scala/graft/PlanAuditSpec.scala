@@ -496,6 +496,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(winIdx < bjIdx, s"window must consume the pre-filter output:\n$plan")
   }
 
+  test("PCA: fit is ONE constant-state aggregate pass; projection is map-side codegen") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // the fit's only data job: a single partial/final aggregate over the
+    // scan — one exchange of constant-size buffers, no join, no window
+    val fitPlan = physical(
+      emb.agg(graft.functions.VecMoments.moments(col("embedding"), 64)))
+    assert(fitPlan.contains("vec_moments"), s"expected the moments aggregate:\n$fitPlan")
+    val exchanges = "Exchange".r.findAllIn(fitPlan).size
+    assert(exchanges == 1, s"fit must shuffle once (partial->final), saw $exchanges:\n$fitPlan")
+    for (bad <- Seq("Join", "Window", "Sort "))
+      assert(!fitPlan.contains(bad), s"fit must not plan $bad:\n$fitPlan")
+    // projection: literal matrix baked into a compiled kernel — zero
+    // shuffle, and the ProjectF call sits inside whole-stage codegen
+    val model = graft.operators.Similarity.pcaFit(emb, "embedding", 64)
+    val projPlan = physical(graft.operators.Similarity.pcaProject(emb, model, 16))
+    assert(!projPlan.contains("Exchange"), s"projection must be map-side:\n$projPlan")
+    // executedPlan.toString renders a codegen stage as the "*(n)" prefix
+    assert(projPlan.contains("*(1) Project"), s"projection must codegen:\n$projPlan")
+    assert(projPlan.contains("project_f"), s"expected the ProjectF kernel:\n$projPlan")
+  }
+
   test("dedupLines: min-struct ownership, equi-joins only, no window, no cartesian") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = physical(graft.operators.TextOps.dedupLines(docs))
