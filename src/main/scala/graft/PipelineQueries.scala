@@ -2599,7 +2599,20 @@ object PipelineQueries {
     // union — the maintain-without-rescan face. The oracle computes the
     // same statistics DIRECTLY over the whole table (merged == direct is
     // the operator's contract) and replays the bottom-256 KMV estimator
+    // (q10/q50/q90 replay the carried bottom-k-by-row-hash sample: the
+    // batch samples union+trim to the GLOBAL bottom-k — min-k of a set
+    // union is order-free — so the oracle re-draws it in one query over
+    // the whole table and indexes the discrete lower quantile)
     q("q_profile_stats_merge", {
+      def qsel(c: String, p: Double, name: String) =
+        s"""  (WITH smp AS (SELECT DISTINCT
+           |       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+           |       CAST($c AS DOUBLE) AS v
+           |     FROM documents WHERE $c IS NOT NULL ORDER BY h, v LIMIT 256),
+           |   r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+           |                count(*) OVER () AS n FROM smp)
+           |   SELECT round(max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS INT) + 1
+           |     THEN v END), 6) FROM r) AS $name""".stripMargin
       def block(c: String) =
         s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
            |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
@@ -2614,7 +2627,10 @@ object PipelineQueries {
            |   SELECT round(CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
            |     ELSE 255.0 * 1152921504606846976
            |          / CAST(max(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) END, 4)
-           |   FROM r) AS distinct_est
+           |   FROM r) AS distinct_est,
+           |${qsel(c, 0.1, "q10")},
+           |${qsel(c, 0.5, "q50")},
+           |${qsel(c, 0.9, "q90")}
            |FROM documents""".stripMargin
       s"""${block("doc_id")}
          |UNION ALL
@@ -2622,8 +2638,12 @@ object PipelineQueries {
          |ORDER BY "column"""".stripMargin
     }) { c =>
       val d = c.resolve("documents")
-      val a = graft.operators.Profile.statsOf(d.where(col("doc_id") % 2 === 0), Seq("doc_id", "n_chars"))
-      val b = graft.operators.Profile.statsOf(d.where(col("doc_id") % 2 === 1), Seq("doc_id", "n_chars"))
+      val a = graft.operators.Profile.statsOf(
+        d.where(col("doc_id") % 2 === 0), Seq("doc_id", "n_chars"),
+        idCol = Some(col("doc_id")))
+      val b = graft.operators.Profile.statsOf(
+        d.where(col("doc_id") % 2 === 1), Seq("doc_id", "n_chars"),
+        idCol = Some(col("doc_id")))
       graft.operators.Profile
         .finalizeStats(graft.operators.Profile.mergeStats(a, b))
         .orderBy("column")

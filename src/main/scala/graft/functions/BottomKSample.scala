@@ -31,6 +31,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class BottomKSample(
     child: Expression,
     k: Int,
+    emitPairs: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[(Long, Double)]]
@@ -68,14 +69,29 @@ case class BottomKSample(
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[(Long, Double)]): Any = {
-    val arr = new Array[Double](buf.size)
-    val it = buf.iterator()
-    var i = 0
-    while (it.hasNext) { arr(i) = it.next()._2; i += 1 }
-    java.util.Arrays.sort(arr)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
-  }
+  override def eval(buf: java.util.TreeSet[(Long, Double)]): Any =
+    if (emitPairs) {
+      // (hash, value) pairs in hash order — the RESUMABLE face: a frame
+      // carrying pairs can union+trim with another frame's pairs and the
+      // result is the combined population's exact bottom-k (min-k of a
+      // set union is associative, commutative, and order-free)
+      val out = new Array[Any](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val (h, v) = it.next()
+        out(i) = InternalRow(h, v)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val arr = new Array[Double](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next()._2; i += 1 }
+      java.util.Arrays.sort(arr)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
 
   override def serialize(buf: java.util.TreeSet[(Long, Double)]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
@@ -94,7 +110,14 @@ case class BottomKSample(
     s
   }
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType =
+    if (emitPairs)
+      ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("v", DoubleType, nullable = false))),
+        containsNull = false)
+    else ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false
   override def withNewMutableAggBufferOffset(offset: Int): BottomKSample =
     copy(mutableAggBufferOffset = offset)
@@ -116,4 +139,15 @@ object BottomKSample {
         org.apache.spark.sql.GraftBridge.resolvedExpression(
           struct(Funcs.md5Hash60(id).as("h"), value.cast("double").as("v"))),
         k).toAggregateExpression())
+
+  /** Column-API entry, pair-emitting: the group's bottom-k sample as
+    * array<struct<h, v>> in hash order — the mergeable state itself, for
+    * frames (Profile.statsOf) that carry the sample across batches and
+    * union+trim it without revisiting rows. */
+  def bottomKPairsByHash(value: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      BottomKSample(
+        org.apache.spark.sql.GraftBridge.resolvedExpression(
+          struct(Funcs.md5Hash60(id).as("h"), value.cast("double").as("v"))),
+        k, emitPairs = true).toAggregateExpression())
 }

@@ -26,7 +26,9 @@ object Profile {
     * algebra is exact up to fp associativity (law-tested against a
     * direct whole-table pass); the distinct estimate is KMV-mergeable by
     * construction — the merged bottom-k set IS the union's bottom-k. */
-  def statsOf(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+  def statsOf(
+      df: DataFrame, cols: Seq[String], k: Int = 256,
+      idCol: Option[Column] = None): DataFrame = {
     require(cols.nonEmpty, "statsOf needs at least one column")
     // ONE aggregation job for ALL columns: every column's seven aggregates
     // fold into a single agg as array(struct(...)) entries and unpivot with
@@ -45,6 +47,17 @@ object Profile {
         min(c).as("min_val"),
         max(c).as("max_val"),
         graft.functions.KmvSketch.kmvHashes(col(name), k).as("kmv"),
+        // mergeable QUANTILE state: the bottom-k-by-row-hash (hash, value)
+        // sample — min-k of a set union is order-free, so two frames'
+        // samples union+trim to the combined population's exact sample
+        // and quantiles stay batch-maintainable like every other field.
+        // Without an id column the sample is empty and quantiles finalize
+        // as NULL (moments/kmv are unaffected).
+        idCol
+          .map(id => graft.functions.BottomKSample
+            .bottomKPairsByHash(col(name), id, k))
+          .getOrElse(array().cast("array<struct<h:bigint,v:double>>"))
+          .as("qsample"),
         lit(k).as("k"))
     }
     df.agg(array(perCol: _*).as("__s"))
@@ -59,12 +72,20 @@ object Profile {
   private def carriedK(df: DataFrame, fallback: Int): Column =
     if (df.columns.contains("k")) col("k") else lit(fallback)
 
+  /** The carried sample; empty for frames predating the qsample column.
+    * Merging a sampled frame with an unsampled one yields the sampled
+    * side's sample alone — quantiles then describe only that side, so
+    * thread an idCol through EVERY statsOf of a family, or none. */
+  private def carriedSample(df: DataFrame): Column =
+    if (df.columns.contains("qsample")) col("qsample")
+    else array().cast("array<struct<h:bigint,v:double>>")
+
   /** Combine two [[statsOf]] frames (same columns). The sketch size is read
     * from the frames themselves; a k mismatch between the two sides fails
     * the job rather than trimming to the wrong size. `k` is only the
     * fallback for legacy frames without the carried column. */
   def mergeStats(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
-    val aa = a.withColumn("k", carriedK(a, k))
+    val aa = a.withColumn("k", carriedK(a, k)).withColumn("qsample", carriedSample(a))
     val n = col("n_valid") + col("vb")
     val kOk = when(col("k") === col("kb"), col("k"))
       .otherwise(raise_error(concat(
@@ -75,7 +96,7 @@ object Profile {
           col("column"), col("n_rows").as("rb"), col("n_valid").as("vb"),
           col("mean").as("mb"), col("m2").as("m2b"),
           col("min_val").as("minb"), col("max_val").as("maxb"),
-          col("kmv").as("kmvb"), col("k").as("kb")),
+          col("kmv").as("kmvb"), carriedSample(b).as("qsampleb"), col("k").as("kb")),
         Seq("column"))
       .select(
         col("column"),
@@ -92,6 +113,10 @@ object Profile {
         least(col("min_val"), col("minb")).as("min_val"),
         greatest(col("max_val"), col("maxb")).as("max_val"),
         slice(array_sort(array_union(col("kmv"), col("kmvb"))), lit(1), kOk).as("kmv"),
+        // array_sort on struct<h,v> orders by h then v — the TreeSet's
+        // ordering; array_union's struct dedup is the set semantics
+        slice(array_sort(array_union(col("qsample"), col("qsampleb"))), lit(1), kOk)
+          .as("qsample"),
         kOk.as("k"))
   }
 
@@ -105,6 +130,15 @@ object Profile {
         .otherwise(
           (kc - 1).cast("double") * lit(twoPow60) /
             element_at(col("kmv"), size(col("kmv"))).cast("double"))
+    // discrete lower quantile of the carried sample (index
+    // floor((n-1)·p), the sampleQuantiles convention) — NULL when the
+    // frame carries no sample
+    val vals = array_sort(transform(carriedSample(stats), p => p.getField("v")))
+    def qAt(p: Double): Column =
+      when(size(vals) === 0, lit(null).cast("double"))
+        .otherwise(round(
+          element_at(vals,
+            (floor((size(vals) - 1) * lit(p)) + 1).cast("int")), 6))
     stats.select(
       col("column"),
       col("n_rows"),
@@ -114,7 +148,8 @@ object Profile {
         .otherwise(lit(0.0)), 6).as("stddev"),
       col("min_val"),
       col("max_val"),
-      round(est, 4).as("distinct_est"))
+      round(est, 4).as("distinct_est"),
+      qAt(0.1).as("q10"), qAt(0.5).as("q50"), qAt(0.9).as("q90"))
   }
 
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {

@@ -1088,6 +1088,27 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r).toMap
     for (c <- Seq("id", "x"))
       assert(withEmpty(c).getDouble(3) == whole(c).getDouble(3), s"$c empty-merge mean")
+    // without an id column no sample is carried -> quantiles are NULL
+    for (c <- Seq("id", "x"); qi <- 8 to 10)
+      assert(whole(c).isNullAt(qi), s"$c q[$qi] must be NULL without idCol")
+    // mergeable QUANTILES: batch samples union+trim to the global
+    // bottom-k (min-k of a set union is order-free), so merged
+    // quantiles equal the whole-table pass EXACTLY, not approximately
+    def statsQ(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profile.statsOf(df, Seq("id", "x"), idCol = Some(col("id")))
+    val wholeQ = graft.operators.Profile.finalizeStats(statsQ(d))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val mergedQ = graft.operators.Profile.finalizeStats(
+      Seq(d.where(col("id") % 3 === 0), d.where(col("id") % 3 === 1),
+        d.where(col("id") % 3 === 2)).map(statsQ).reduce(graft.operators.Profile.mergeStats(_, _)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("id", "x"); qi <- 8 to 10)
+      assert(mergedQ(c).getDouble(qi) == wholeQ(c).getDouble(qi), s"$c q[$qi]")
+    // sample quantiles track the exact ones within sampling error (the
+    // population is 400 rows, k=256 -> tight); the median of 1..400 sits
+    // near 200 and x is bounded by the 211 modulus
+    assert(math.abs(wholeQ("id").getDouble(9) - 200.0) < 40.0)
+    assert(wholeQ("x").getDouble(8) >= 0.0 && wholeQ("x").getDouble(10) <= 211.0)
   }
 
   test("statsOf: many columns fold into ONE aggregation pass; carried k guards merges") {
