@@ -219,6 +219,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // tokenizer fertility per language — the cross-lingual budget
+    // statistic (subword tokens per word / chars per subword decide how
+    // many TOKENS a language costs; feeds tokenBudgetSample's budgets)
+    q("q_text_fertility",
+      s"""WITH t AS (SELECT lang, $duckToks AS toks,
+         |    length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
+         |    length(text) AS ch
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(toks)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(ch) AS BIGINT) AS n_chars,
+         |  CASE WHEN sum(length(toks)) > 0
+         |       THEN round(sum(bpe)::DOUBLE / sum(length(toks)), 6) END AS fertility,
+         |  CASE WHEN sum(bpe) > 0
+         |       THEN round(sum(ch)::DOUBLE / sum(bpe), 6) END AS chars_per_token
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { c =>
+      TextOps.tokenizerFertility(c.resolve("documents")).orderBy("lang")
+    },
+
     q("q_text_quality",
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
          |m AS (SELECT doc_id, text, toks,

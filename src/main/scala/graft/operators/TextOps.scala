@@ -291,6 +291,37 @@ object TextOps {
       .drop("__bl", "__lines", "__kept")
   }
 
+  /** Tokenizer fertility per group (usually language): how many subword
+    * tokens the tokenizer spends per word and per character — THE
+    * cross-lingual budget statistic (a script the tokenizer fragments
+    * badly pays 3-5x more sequence length for the same text, so token
+    * budgets and mixture weights must be set in TOKENS per language, not
+    * documents — the statistic [[graft.operators.Sampling.tokenBudgetSample]]
+    * consumes). Whitespace tokens proxy words; [[bpeishTokenCount]]
+    * proxies subword load. One map-side-combinable aggregate; the shuffle
+    * carries |groups| rows. */
+  def tokenizerFertility(
+      docs: DataFrame, textCol: String = "text", byCol: String = "lang"): DataFrame = {
+    val t = col("__ft_tok"); val b = col("__ft_bpe")
+    docs
+      .select(col(byCol),
+        tokenCount(col(textCol)).cast("long").as("__ft_tok"),
+        bpeishTokenCount(col(textCol)).cast("long").as("__ft_bpe"),
+        length(col(textCol)).cast("long").as("__ft_chars"))
+      .groupBy(byCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(t).as("n_tokens"),
+        sum(b).as("n_bpe_tokens"),
+        sum(col("__ft_chars")).as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_tokens") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_tokens"), 6)))
+      .withColumn("chars_per_token",
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)))
+  }
+
   /** CCNet paragraph deduplication proper (Wenzek et al. 2020 §3.1): every
     * line is keyed by a normalized hash, each DISTINCT key is owned by its
     * FIRST corpus occurrence (min (doc, line_idx) — a total order, so the

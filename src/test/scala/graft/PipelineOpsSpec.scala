@@ -2543,4 +2543,25 @@ class PipelineOpsSpec extends SparkSpec {
       .map { case (a, b) => a.zip(b).map { case (x, y) => math.abs(x - y) }.max }.max
     assert(cd < 1e-9, s"layout moved components by $cd")
   }
+
+  test("tokenizerFertility: hand-computed subword load per language, zero-token guard") {
+    import graft.operators.TextOps
+    val d = Seq(
+      // en: "don't stop" -> ws 2; bpe: don,',t,stop = 4; chars 10
+      (1, "en", "don't stop"),
+      // en: "a b" -> ws 2, bpe 2, chars 3
+      (2, "en", "a b"),
+      // xx: empty text -> zero everything, both ratios NULL-guarded
+      (3, "xx", "")).toDF("doc_id", "lang", "text")
+    val r = TextOps.tokenizerFertility(d).orderBy("lang").collect()
+    val en = r(0)
+    assert(en.getString(0) == "en" && en.getLong(1) == 2L)
+    assert(en.getLong(2) == 4L && en.getLong(3) == 6L && en.getLong(4) == 13L)
+    assert(en.getAs[Double]("fertility") == 1.5) // 6 bpe / 4 ws
+    assert(en.getAs[Double]("chars_per_token") == math.rint(13.0 / 6 * 1e6) / 1e6)
+    val xx = r(1)
+    assert(xx.getString(0) == "xx" && xx.getLong(2) == 0L && xx.getLong(3) == 0L)
+    assert(xx.isNullAt(5), "zero ws tokens -> fertility NULL, not a division error")
+    assert(xx.isNullAt(6), "zero subword tokens -> chars_per_token NULL")
+  }
 }
