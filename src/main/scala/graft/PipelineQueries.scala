@@ -2219,6 +2219,31 @@ object PipelineQueries {
         .orderBy("i", "j")
     },
 
+    // INCREMENTAL PCA: per-batch pcaMoments rows merged (elementwise sum
+    // — set-additive, so maintenance == whole-corpus pass exactly), then
+    // finalized to the covariance frame. The oracle is the WHOLE-TABLE
+    // replay: only correct if batch merge loses nothing
+    q("q_embed_pca_cov_inc",
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |             unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |st AS (SELECT count(*) AS n FROM embeddings),
+        |p AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY a.i, b.i),
+        |m AS (SELECT i, sum(v) AS sv FROM x GROUP BY i)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+        |  round((p.s - st.n * (mi.sv / st.n) * (mj.sv / st.n)) / (st.n - 1), 6) + 0.0 AS cov
+        |FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i CROSS JOIN st
+        |ORDER BY p.i, p.j""".stripMargin) { c =>
+      val e = c.resolve("embeddings")
+      val merged = Similarity.pcaMergeMoments(
+        Similarity.pcaMoments(e.where(col("vec_id") % 2 === 0), "embedding", 64),
+        Similarity.pcaMoments(e.where(col("vec_id") % 2 === 1), "embedding", 64))
+      Similarity.pcaCovarianceFromMoments(merged)
+        .select(col("i"), col("j"), (round(col("cov"), 6) + 0.0).as("cov"))
+        .orderBy("i", "j")
+    },
+
     // matryoshka truncation measured: recall@5 of brute-force search in
     // the FIRST-32-dims space against the full-64-dim truth — the
     // half-the-index-bytes trade, quantified per query instead of assumed

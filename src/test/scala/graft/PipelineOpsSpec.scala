@@ -2564,4 +2564,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(xx.isNullAt(5), "zero ws tokens -> fertility NULL, not a division error")
     assert(xx.isNullAt(6), "zero subword tokens -> chars_per_token NULL")
   }
+
+  test("incremental PCA: merged batch moments finalize to the whole-corpus fit") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val whole = Similarity.pcaFit(emb, "embedding", 64)
+    val batches = Seq(0, 1, 2).map(r =>
+      Similarity.pcaMoments(emb.where(col("vec_id") % 3 === r), "embedding", 64))
+    val inc = Similarity.pcaFromMoments(batches.reduce(Similarity.pcaMergeMoments(_, _)))
+    assert(inc.n == whole.n)
+    val md = inc.mean.zip(whole.mean).map { case (a, b) => math.abs(a - b) }.max
+    assert(md < 1e-12, s"mean moved $md")
+    val cd = inc.components.zip(whole.components)
+      .map { case (a, b) => a.zip(b).map { case (x, y) => math.abs(x - y) }.max }.max
+    assert(cd < 1e-9, s"components moved $cd")
+    // dim mismatch between moments rows fails loudly, never misaligns
+    val m32 = Similarity.pcaMoments(
+      Similarity.truncateDims(emb, 32), "embedding", 32)
+    val ex = intercept[Exception] {
+      Similarity.pcaMergeMoments(batches.head, m32).collect()
+    }
+    assert(ex.getMessage.contains("dim mismatch"), ex.getMessage)
+  }
 }
