@@ -24,7 +24,12 @@ import org.apache.spark.sql.SparkSession
   * distinguish a wedged child from a slow one. */
 object LeaseContender {
   def main(args: Array[String]): Unit = {
-    val Array(dir, writerId, nBatchesS, perBatchS) = args
+    val (dir, writerId, nBatchesS, perBatchS) = (args(0), args(1), args(2), args(3))
+    // optional 5th arg "s3": contend through OBJECT-STORE semantics
+    // (S3SimTableFs — copy+delete moves, conditional-PUT createNew), so
+    // mutual exclusion is proven cross-PROCESS on the store mapping too,
+    // not just on POSIX renames
+    if (args.length > 4 && args(4) == "s3") UpsertWriter.fs = S3SimTableFs
     val nBatches = nBatchesS.toInt
     val perBatch = perBatchS.toInt
     val spark = SparkSession.builder()

@@ -32,16 +32,14 @@ class MultiProcessLeaseSpec extends SparkSpec {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("three OS processes upserting one table: no lost rows, no lost counter updates") {
-    val dir = Files.createTempDirectory("graft-mproc").toString
-    val nBatches = 4
-    val perBatch = 10
+  private def runContention(dir: String, nBatches: Int, perBatch: Int, fsMode: String): Unit = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     def spawn(writerId: String): Process = {
       val cmd = (Seq(javaBin, "-Xmx2g", "-cp", sys.props("java.class.path")) ++ addOpens ++
         Seq("-Dspark.ui.enabled=false",
           "graft.ingest.LeaseContender", dir, writerId,
-          nBatches.toString, perBatch.toString))
+          nBatches.toString, perBatch.toString) ++
+        (if (fsMode.nonEmpty) Seq(fsMode) else Nil))
       new ProcessBuilder(cmd: _*)
         .redirectOutput(ProcessBuilder.Redirect.DISCARD)
         .redirectErrorStream(false)
@@ -50,7 +48,10 @@ class MultiProcessLeaseSpec extends SparkSpec {
     }
     val children = Seq("A", "B").map(spawn)
     // this JVM is the third contender — same verbs, in-process
-    graft.ingest.LeaseContender.contend(spark, dir, "C", nBatches, perBatch)
+    try {
+      if (fsMode == "s3") UpsertWriter.fs = graft.ingest.S3SimTableFs
+      graft.ingest.LeaseContender.contend(spark, dir, "C", nBatches, perBatch)
+    } finally UpsertWriter.fs = graft.ingest.LocalTableFs
     children.foreach { p =>
       assert(p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES), "child JVM wedged")
       assert(p.exitValue() == 0, s"child JVM exited ${p.exitValue()}")
@@ -74,5 +75,18 @@ class MultiProcessLeaseSpec extends SparkSpec {
       s"counter $counted != ${3 * nBatches}: two processes held the lease at once")
 
     graft.ingest.FsUtil.deleteTree(Paths.get(dir))
+  }
+
+  test("three OS processes upserting one table: no lost rows, no lost counter updates") {
+    runContention(Files.createTempDirectory("graft-mproc").toString,
+      nBatches = 4, perBatch = 10, fsMode = "")
+  }
+
+  test("the same three-process contention holds under OBJECT-STORE semantics") {
+    // every directory swap is copy+delete (non-atomic), createNew is the
+    // conditional PUT: exclusion must rest on createNew alone — proven
+    // here between real OS processes sharing only the store tree
+    runContention(Files.createTempDirectory("graft-mproc-s3").toString,
+      nBatches = 3, perBatch = 8, fsMode = "s3")
   }
 }
