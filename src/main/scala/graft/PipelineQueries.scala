@@ -2439,6 +2439,43 @@ object PipelineQueries {
         .orderBy("cluster_id")
     },
 
+    // corpus-level clustering validation: purity + ADJUSTED RAND INDEX
+    // (pair-counting agreement, chance-corrected) of the k-means
+    // partition against the declared labels — the indices a curation
+    // readout quotes. Oracle replays training, assignment, and both
+    // index formulas from the contingency table
+    q("q_embed_cluster_quality", {
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+         |${duckLloyd(1, "c0")},
+         |${duckLloyd(2, "c1")},
+         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+         |ca AS (SELECT e.vec_id, f.centroid_id,
+         |        round(list_dot_product(e.v, f.centd)
+         |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+         |      FROM e CROSS JOIN cf f),
+         |asg AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) z WHERE rk = 1),
+         |pl AS (SELECT a.cluster_id, b.label, count(*) AS nij
+         |       FROM asg a JOIN embeddings b USING (vec_id) GROUP BY 1, 2),
+         |byc AS (SELECT cluster_id, sum(nij) AS ai, max(nij) AS maxl FROM pl GROUP BY 1),
+         |g1 AS (SELECT sum(ai * (ai - 1) / 2.0) AS sum_a, sum(maxl) AS pure_n,
+         |              count(*) AS n_clusters, sum(ai) AS n FROM byc),
+         |byl AS (SELECT label, sum(nij) AS bj FROM pl GROUP BY 1),
+         |g2 AS (SELECT sum(bj * (bj - 1) / 2.0) AS sum_b, count(*) AS n_labels FROM byl),
+         |g3 AS (SELECT sum(nij * (nij - 1) / 2.0) AS sum_ij FROM pl)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(n_labels AS BIGINT) AS n_labels,
+         |  round(pure_n::DOUBLE / n, 6) AS purity,
+         |  round((sum_ij - sum_a * sum_b / (n * (n - 1) / 2.0))
+         |    / ((sum_a + sum_b) / 2.0 - sum_a * sum_b / (n * (n - 1) / 2.0)), 6) AS ari
+         |FROM g1 CROSS JOIN g2 CROSS JOIN g3""".stripMargin
+    }) { c =>
+      Similarity.clusterQuality(c.resolve("embeddings"), labelCol = "label", k = 4, iters = 2)
+    },
+
     // embedding-space outliers: vectors whose cosine to their OWN k-means
     // centroid sits at/below the corpus's 10%-quantile of that score —
     // "the docs no cluster explains" (mislabeled scrapes, encoding wrecks,

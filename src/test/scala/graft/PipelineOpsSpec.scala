@@ -2610,4 +2610,31 @@ class PipelineOpsSpec extends SparkSpec {
       s"pca@$d recall $pcaRecall should clear truncation $truncRecall")
     assert(pcaRecall > 0.4, s"pca@$d recall $pcaRecall unusably low")
   }
+
+  test("partitionAgreement: hand-computed ARI/purity, identity, chance, degenerate cases") {
+    import graft.operators.Similarity
+    // clusters (1,1,2,2,3,3) vs labels (a,a,a,b,b,b):
+    // contingency c1={a:2} c2={a:1,b:1} c3={b:2}; sum_ij=2, sum_a=3,
+    // sum_b=6, C(6,2)=15 -> ARI=(2-1.2)/(4.5-1.2)=0.242424; purity 5/6
+    val d = Seq((1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "b"))
+      .toDF("c", "l")
+    val r = Similarity.partitionAgreement(d, "c", "l").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == math.rint(5.0 / 6 * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(0.8 / 3.3 * 1e6) / 1e6)
+    // identical partitions agree perfectly
+    val same = Seq((1, 1), (1, 1), (2, 2), (3, 3)).toDF("c", "l")
+    val rs = Similarity.partitionAgreement(same, "c", "l").head()
+    assert(rs.getDouble(3) == 1.0 && rs.getDouble(4) == 1.0)
+    // one trivial side: purity collapses to the dominant share, ARI to 0
+    val triv = Seq((1, "a"), (1, "a"), (1, "b"), (1, "b")).toDF("c", "l")
+    val rt = Similarity.partitionAgreement(triv, "c", "l").head()
+    assert(rt.getDouble(3) == 0.5 && rt.getDouble(4) == 0.0)
+    // BOTH sides trivial: chance correction is 0/0, pinned to 1.0
+    val deg = Seq((1, "a"), (1, "a")).toDF("c", "l")
+    assert(Similarity.partitionAgreement(deg, "c", "l").head().getDouble(4) == 1.0)
+    // symmetry of ARI (purity is directional, ARI is not)
+    val r2 = Similarity.partitionAgreement(d.select(col("l").as("c"), col("c").as("l")), "c", "l").head()
+    assert(r2.getDouble(4) == r.getDouble(4))
+  }
 }
