@@ -461,6 +461,62 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // classifier CALIBRATION audit (Guo et al. 2017): softmax posterior
+    // p(en|doc) from the NB score table (max-shifted so exp never
+    // overflows, rounded 6dp BEFORE binning so an exp() ulp cannot flip
+    // a bin), then the reliability diagram — per decile-bin count, mean
+    // confidence, empirical accuracy, and weighted |conf−acc| whose sum
+    // is ECE. The oracle refits the model and replays the whole chain
+    q("q_text_calibration",
+      s"""WITH tr AS (SELECT lang, $duckToks AS toks FROM documents WHERE doc_id % 2 = 0),
+         |te AS (SELECT doc_id, lang, $duckToks AS toks FROM documents WHERE doc_id % 2 = 1),
+         |tok AS (SELECT lang AS label, unnest(toks) AS token FROM tr),
+         |cnt AS (SELECT label, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT label, sum(c) AS tot FROM cnt GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
+         |pri AS (SELECT lang AS label, count(*) AS nd FROM tr GROUP BY 1),
+         |nn AS (SELECT CAST(sum(nd) AS DOUBLE) AS n FROM pri),
+         |lm AS (SELECT p.label,
+         |        CAST(round(ln(CAST(p.nd AS DOUBLE) / n) * 1000000.0) AS BIGINT) AS qprior,
+         |        CAST(round(ln(1.0 / (CAST(t.tot AS DOUBLE) + v)) * 1000000.0) AS BIGINT) AS qdefault
+         |      FROM pri p CROSS JOIN nn CROSS JOIN voc JOIN tot t USING (label)),
+         |tm AS (SELECT c.label, c.token,
+         |        CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / (CAST(t.tot AS DOUBLE) + v)) * 1000000.0) AS BIGINT) AS qlog
+         |      FROM cnt c JOIN tot t USING (label) CROSS JOIN voc),
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM te),
+         |nt AS (SELECT doc_id, lang, length(toks) AS n_tok FROM te),
+         |part AS (SELECT e.doc_id, m.label, sum(m.qlog - l.qdefault) AS part
+         |         FROM ex e JOIN tm m USING (token) JOIN lm l ON l.label = m.label
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT n.doc_id, n.lang, l.label,
+         |        l.qprior + n.n_tok * l.qdefault + coalesce(p.part, 0) AS score
+         |       FROM nt n CROSS JOIN lm l
+         |       LEFT JOIN part p ON p.doc_id = n.doc_id AND p.label = l.label),
+         |mx AS (SELECT doc_id, max(score) AS m FROM sc GROUP BY 1),
+         |den AS (SELECT s.doc_id, sum(exp((s.score - m.m) / 1000000.0)) AS den
+         |        FROM sc s JOIN mx m USING (doc_id) GROUP BY 1),
+         |pt AS (SELECT s.doc_id,
+         |        round(exp((s.score - m.m) / 1000000.0) / d.den, 6) AS p,
+         |        CASE WHEN s.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |      FROM sc s JOIN mx m USING (doc_id) JOIN den d USING (doc_id)
+         |      WHERE s.label = 'en'),
+         |b AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, count(*) AS n,
+         |        round(avg(p), 6) AS confidence, round(avg(y), 6) AS accuracy
+         |      FROM pt GROUP BY 1),
+         |t AS (SELECT sum(n) AS tot FROM b)
+         |SELECT bin, CAST(n AS BIGINT) AS n, confidence, accuracy,
+         |  round(abs(confidence - accuracy) * n / tot, 6) AS ece_part
+         |FROM b CROSS JOIN t ORDER BY bin""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val (tm, lm) = TextOps.nbTrain(docs.where(col("doc_id") % 2 === 0), "lang")
+      val p = TextOps.nbPosterior(
+        TextOps.nbScores(docs.where(col("doc_id") % 2 === 1), tm, lm), "en")
+      val scored = p.join(
+        docs.select(col("doc_id"), (col("lang") === "en").cast("double").as("y")),
+        "doc_id")
+      TextOps.calibrationReport(scored, "p", "y").orderBy("bin")
+    },
+
     // ASYMMETRIC near-containment: doc B mostly embedded in doc A
     // (|fp(A)∩fp(B)|/|fp(B)| >= 0.7 over winnow fingerprints) — the
     // quote/mirror/wrapper case symmetric Jaccard near-dup misses. Both

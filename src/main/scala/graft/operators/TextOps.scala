@@ -1285,6 +1285,21 @@ object TextOps {
       tokenModel: DataFrame,
       labelModel: DataFrame,
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    nbScores(docs, tokenModel, labelModel, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("score").as("__score"), col("label"))).as("m"))
+      .select(col(idCol), col("m.label").as("predicted"), col("m.__score").as("score"))
+
+  /** The full per-(doc, label) score table behind [[nbClassify]] — one row
+    * per doc per label, for consumers that need more than the argmax:
+    * softmax posteriors, margins, [[calibrationReport]]. Same plan shape
+    * (explode + broadcast model joins + one (doc, label) partial sum). */
+  def nbScores(
+      docs: DataFrame,
+      tokenModel: DataFrame,
+      labelModel: DataFrame,
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
       .withColumn("__n_tok", size(col("__t")))
@@ -1296,12 +1311,59 @@ object TextOps {
     base.select(col(idCol), col("__n_tok"))
       .crossJoin(broadcast(labelModel))
       .join(part, Seq(idCol, "label"), "left")
-      .withColumn(
-        "__score",
-        col("qprior") + col("__n_tok") * col("qdefault") + coalesce(col("__part"), lit(0L)))
+      .select(col(idCol), col("label"),
+        (col("qprior") + col("__n_tok") * col("qdefault") + coalesce(col("__part"), lit(0L)))
+          .as("score"))
+  }
+
+  /** Softmax posterior of ONE target label from an [[nbScores]] frame:
+    * p(target | doc) = exp((s_t - m)/1e6) / Σ_l exp((s_l - m)/1e6) with
+    * m = max_l s_l (the standard max-shift keeps every exponent <= 0, so
+    * nothing overflows however negative the quantized log-likelihoods
+    * run). Rounded to 6dp BEFORE any downstream binning so a final-ulp
+    * exp() difference between engines cannot flip a reliability bin. */
+  def nbPosterior(scores: DataFrame, target: String, idCol: String = "doc_id"): DataFrame = {
+    val m = col("__m"); val sc = col("__ls")
+    scores
       .groupBy(col(idCol))
-      .agg(max(struct(col("__score"), col("label"))).as("m"))
-      .select(col(idCol), col("m.label").as("predicted"), col("m.__score").as("score"))
+      .agg(
+        max(col("score")).as("__m"),
+        collect_list(struct(col("label"), col("score"))).as("__ls"),
+        max(when(col("label") === target, col("score"))).as("__st"))
+      .select(
+        col(idCol),
+        round(
+          exp((col("__st") - m).cast("double") / 1e6) /
+            aggregate(sc, lit(0.0),
+              (acc, x) => acc + exp((x.getField("score") - m).cast("double") / 1e6)),
+          6).as("p"))
+  }
+
+  /** Reliability diagram + expected-calibration-error pieces for ANY
+    * (probability, binary-truth) frame — the quality-classifier audit
+    * (Guo et al. 2017): bin p into `nBins` equal-width bins, report per
+    * bin the count, mean CONFIDENCE (avg p), empirical ACCURACY (positive
+    * fraction), and the bin's weighted |conf − acc| contribution; ECE is
+    * the sum of the last column. Aggregate-only: one shuffle keyed by bin. */
+  def calibrationReport(
+      scored: DataFrame, probCol: String, truthCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val binned = scored
+      .select(
+        least(floor(col(probCol) * nBins), lit(nBins - 1)).cast("int").as("bin"),
+        col(probCol).as("__p"), col(truthCol).cast("double").as("__y"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("__p")), 6).as("confidence"),
+        round(avg(col("__y")), 6).as("accuracy"))
+    // total via a 1-row broadcast, not a separate driver count() job
+    binned
+      .crossJoin(broadcast(binned.agg(sum(col("n")).as("__tot"))))
+      .withColumn("ece_part",
+        round(abs(col("confidence") - col("accuracy")) * col("n") / col("__tot"), 6))
+      .drop("__tot")
   }
 
   /** Collocation mining by pointwise mutual information: for every adjacent

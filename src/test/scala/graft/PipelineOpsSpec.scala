@@ -2637,4 +2637,54 @@ class PipelineOpsSpec extends SparkSpec {
     val r2 = Similarity.partitionAgreement(d.select(col("l").as("c"), col("c").as("l")), "c", "l").head()
     assert(r2.getDouble(4) == r.getDouble(4))
   }
+
+  test("calibrationReport: hand-computed bins, boundary cap, zero-ECE when calibrated") {
+    import graft.operators.TextOps
+    // bin 2 (p=0.25): 4 rows, 1 positive -> conf == acc == 0.25, gap 0
+    // bin 9: p = 1.0 must CAP into bin 9 (not a phantom bin 10); both
+    // rows positive -> gap 0. bin 7 (p=0.75): 2 rows, 0 positives -> the
+    // only miscalibrated bin: ece_part = 0.75 * 2/8
+    val d = Seq(
+      (0.25, 0.0), (0.25, 0.0), (0.25, 0.0), (0.25, 1.0),
+      (1.0, 1.0), (1.0, 1.0),
+      (0.75, 0.0), (0.75, 0.0)).toDF("p", "y")
+    val r = TextOps.calibrationReport(d, "p", "y").orderBy("bin").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(2, 7, 9))
+    val byBin = r.map(x => x.getInt(0) -> x).toMap
+    assert(byBin(2).getLong(1) == 4L && byBin(2).getDouble(2) == 0.25 &&
+      byBin(2).getDouble(3) == 0.25 && byBin(2).getDouble(4) == 0.0)
+    assert(byBin(9).getLong(1) == 2L && byBin(9).getDouble(4) == 0.0)
+    assert(byBin(7).getDouble(4) == math.rint(0.75 * 2.0 / 8 * 1e6) / 1e6)
+    // ECE == the one miscalibrated bin's mass
+    val ece = r.map(_.getDouble(4)).sum
+    assert(math.abs(ece - 0.1875) < 1e-9)
+  }
+
+  test("nbPosterior: softmax posteriors over the label set sum to one") {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (tm, lm) = TextOps.nbTrain(docs.where(col("doc_id") % 2 === 0), "lang")
+    val scores = TextOps.nbScores(docs.where(col("doc_id") % 2 === 1), tm, lm)
+      .localCheckpoint(true)
+    val labels = scores.select("label").distinct().collect().map(_.getString(0))
+    assert(labels.length >= 2)
+    val total = labels.map(l =>
+        TextOps.nbPosterior(scores, l).withColumnRenamed("p", s"p_$l"))
+      .reduce(_.join(_, "doc_id"))
+      .select(labels.map(l => col(s"p_$l")).reduce(_ + _).as("s"))
+      .agg(min(col("s")), max(col("s"))).head()
+    assert(total.getDouble(0) > 0.999 && total.getDouble(1) < 1.001,
+      s"posteriors must sum to ~1, got [${total.getDouble(0)}, ${total.getDouble(1)}]")
+    // the argmax label's posterior is the modal one (consistency with nbClassify)
+    val pred = TextOps.nbClassify(docs.where(col("doc_id") % 2 === 1), tm, lm)
+    val best = labels.map(l =>
+        TextOps.nbPosterior(scores, l).select(col("doc_id"), lit(l).as("label"), col("p")))
+      .reduce(_.unionByName(_))
+      .groupBy("doc_id").agg(max(struct(col("p"), col("label"))).as("m"))
+      .select(col("doc_id"), col("m.label").as("plabel"))
+    val disagree = pred.join(best, "doc_id")
+      .where(col("predicted") =!= col("plabel")).count()
+    // rounding p to 6dp can tie at the top; allow only a sliver
+    assert(disagree <= 2, s"$disagree argmax disagreements")
+  }
 }
