@@ -2887,6 +2887,25 @@ object PipelineQueries {
         .select("id", "a", "b").orderBy("id")
     },
 
+    // clustering-factor readout from the zone map alone: avg file-range
+    // width / global width (→0 = files own disjoint slices, 1 = every
+    // file spans the domain) and the expected files a random point
+    // lookup opens — the measurement that decides whether a re-cluster
+    // rewrite pays for itself BEFORE burning it
+    q("q_layout_clustering",
+      s"""WITH z AS (SELECT filename, min(a)::DOUBLE AS lo, max(a)::DOUBLE AS hi
+         |           FROM read_parquet('${ZoneCorpus.dir}/*.parquet', filename=1)
+         |           GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_files,
+         |  round(max(hi) - min(lo), 6) AS global_width,
+         |  round(sum(hi - lo) / count(*) / (max(hi) - min(lo)), 6) AS clustering_factor,
+         |  round(sum(hi - lo) / (max(hi) - min(lo)), 6) AS files_per_point
+         |FROM z""".stripMargin) { c =>
+      import graft.operators.Layout
+      ZoneCorpus.ensure(c.spark)
+      Layout.clusteringReport(Layout.zoneMap(c.spark, ZoneCorpus.dir, Seq("a")), "a")
+    },
+
     // join/agg-key skew diagnosis: heaviest keys, their share, skew factor
     // vs the mean key, and the salt-bucket count saltedJoin would need —
     // the measurement that decides between plain shuffle / AQE / salting

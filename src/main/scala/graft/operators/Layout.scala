@@ -408,6 +408,41 @@ object Layout {
     * Cost: one hash aggregate to per-key counts, a 2-row global aggregate,
     * and a topN sort over the (already tiny) counts frame — the corpus
     * itself is scanned once and never re-shuffled. */
+  /** How CLUSTERED a layout actually is on `colName`, measured from its
+    * zone map alone (file-count-sized metadata, never data): per-file
+    * range width vs the global range.
+    *
+    *  - `clustering_factor` = avg(file width) / global width ∈ (0, 1]:
+    *    → 0 means files own narrow disjoint slices (Z-order/sort did its
+    *    job — a range predicate prunes almost everything); 1.0 means
+    *    every file spans the whole domain (scan-everything layout, zone
+    *    maps can skip nothing).
+    *  - `files_per_point` = Σ widths / global width: the expected number
+    *    of files a uniformly random point lookup must open — the direct
+    *    price of the layout for [[readPruned]]-style access.
+    *
+    * The readout that decides whether to pay for a re-cluster
+    * ([[zOrderRepartition]] / sort-on-write) BEFORE burning the rewrite:
+    * compare the factor against the post-rewrite value on a sample.
+    * One row per call; NULL factor when the column has zero global width
+    * (single-value domain — nothing to cluster). */
+  def clusteringReport(zoneMap: DataFrame, colName: String): DataFrame = {
+    val lo = col(s"min_$colName").cast("double")
+    val hi = col(s"max_$colName").cast("double")
+    zoneMap
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(hi - lo).as("__sumw"),
+        (max(hi) - min(lo)).as("__gw"))
+      .select(
+        col("n_files"),
+        round(col("__gw"), 6).as("global_width"),
+        when(col("__gw") > 0, round(col("__sumw") / col("n_files") / col("__gw"), 6))
+          .as("clustering_factor"),
+        when(col("__gw") > 0, round(col("__sumw") / col("__gw"), 6))
+          .as("files_per_point"))
+  }
+
   def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))

@@ -278,4 +278,33 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("clusteringReport: sorted layout scores far below shuffled; flat domain is NULL") {
+    val n = 4000
+    val base = (0 until n).map(i => (i.toLong, (i * 37 % n).toLong)).toDF("a", "b")
+    val sortedDir = java.nio.file.Files.createTempDirectory("graft-clus-s").toString
+    val shufDir = java.nio.file.Files.createTempDirectory("graft-clus-r").toString
+    // clustered: range-partitioned on a -> each file owns a narrow slice
+    base.repartitionByRange(8, col("a")).write.mode("overwrite").parquet(sortedDir)
+    // shuffled: hash on a -> every file spans nearly the whole domain
+    base.repartition(8, col("a")).write.mode("overwrite").parquet(shufDir)
+    def factor(dir: String) =
+      Layout.clusteringReport(Layout.zoneMap(spark, dir, Seq("a")), "a")
+        .head().getAs[Double]("clustering_factor")
+    val (fs, fr) = (factor(sortedDir), factor(shufDir))
+    assert(fs < 0.2, s"range-partitioned layout should cluster tightly, got $fs")
+    assert(fr > 0.8, s"hash layout should span the domain per file, got $fr")
+    assert(fs < fr / 4, s"factor must discriminate: sorted $fs vs shuffled $fr")
+    // files_per_point ~ n_files for the shuffled layout, ~1 for sorted
+    val rep = Layout.clusteringReport(Layout.zoneMap(spark, shufDir, Seq("a")), "a").head()
+    assert(rep.getAs[Double]("files_per_point") > rep.getLong(0) * 0.8)
+    // single-value domain: zero width -> NULL factor, not a divide blowup
+    val flatDir = java.nio.file.Files.createTempDirectory("graft-clus-f").toString
+    (0 until 100).map(_ => (7L, 1L)).toDF("a", "b")
+      .repartition(4).write.mode("overwrite").parquet(flatDir)
+    val flat = Layout.clusteringReport(Layout.zoneMap(spark, flatDir, Seq("a")), "a").head()
+    assert(flat.isNullAt(2) && flat.isNullAt(3))
+    Seq(sortedDir, shufDir, flatDir).foreach(d =>
+      graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(d)))
+  }
 }
