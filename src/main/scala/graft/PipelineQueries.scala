@@ -219,6 +219,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Heaps-law vocabulary growth at doc-id checkpoints: is more crawl
+    // still buying new vocabulary, or repeating? One corpus shuffle
+    // (token -> first owner id); each checkpoint is a conditional
+    // aggregate over the vocab-sized frame
+    q("q_text_vocab_growth",
+      s"""WITH fs AS (SELECT w, min(doc_id) AS first FROM
+         |      (SELECT doc_id, unnest($duckToks) AS w FROM documents) GROUP BY w),
+         |cp AS (SELECT unnest([100, 250, 500]) AS checkpoint),
+         |v AS (SELECT cp.checkpoint, count(*) FILTER (fs.first < cp.checkpoint) AS vocab
+         |      FROM fs CROSS JOIN cp GROUP BY 1),
+         |t AS (SELECT cp.checkpoint,
+         |        coalesce(sum(CASE WHEN doc_id < cp.checkpoint THEN length($duckToks) ELSE 0 END), 0) AS n_tokens
+         |      FROM documents CROSS JOIN cp GROUP BY 1)
+         |SELECT v.checkpoint, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(v.vocab AS BIGINT) AS vocab,
+         |  CASE WHEN t.n_tokens > 0
+         |       THEN round(v.vocab::DOUBLE / t.n_tokens, 6) END AS type_token_ratio
+         |FROM v JOIN t USING (checkpoint) ORDER BY v.checkpoint""".stripMargin) { c =>
+      TextOps.vocabGrowth(c.resolve("documents"), Seq(100L, 250L, 500L))
+        .orderBy("checkpoint")
+    },
+
     // tokenizer fertility per language — the cross-lingual budget
     // statistic (subword tokens per word / chars per subword decide how
     // many TOKENS a language costs; feeds tokenBudgetSample's budgets)

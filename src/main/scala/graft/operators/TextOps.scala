@@ -291,6 +291,42 @@ object TextOps {
       .drop("__bl", "__lines", "__kept")
   }
 
+  /** Vocabulary growth curve (Heaps' law readout): distinct-token count
+    * and type/token ratio at increasing corpus prefixes — how fast the
+    * vocabulary still grows decides tokenizer budgets and whether more
+    * crawl yields new language or repeats (a flattening curve says the
+    * source is mined out). Prefixes are `idCol < checkpoint` (a
+    * deterministic corpus order, not partition order).
+    *
+    * Scale shape: ONE corpus shuffle (token → min owner id, map-side
+    * combinable); every checkpoint is then a conditional aggregate over
+    * that vocabulary-sized frame plus one over per-doc token counts —
+    * the corpus itself is scanned once however many checkpoints. */
+  def vocabGrowth(
+      docs: DataFrame, checkpoints: Seq[Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    val firstSeen = docs
+      .select(col(idCol).cast("long").as("__vg_id"), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(min(col("__vg_id")).as("__first"))
+    val vAggs = checkpoints.map(c =>
+      count(when(col("__first") < c, 1)).as(s"__v$c"))
+    val vocabRow = firstSeen.agg(vAggs.head, vAggs.tail: _*)
+    val tAggs = checkpoints.map(c =>
+      sum(when(col(idCol) < c, tokenCount(col(textCol)).cast("long"))
+        .otherwise(lit(0L))).as(s"__t$c"))
+    val tokRow = docs.agg(tAggs.head, tAggs.tail: _*)
+    val wide = vocabRow.crossJoin(tokRow)
+    val rows = explode(array(checkpoints.map(c =>
+      struct(lit(c).as("checkpoint"), col(s"__v$c").as("vocab"),
+        col(s"__t$c").as("n_tokens"))): _*))
+    wide.select(rows.as("r"))
+      .select(col("r.checkpoint"), col("r.n_tokens"), col("r.vocab"),
+        when(col("r.n_tokens") > 0,
+          round(col("r.vocab").cast("double") / col("r.n_tokens"), 6))
+          .as("type_token_ratio"))
+  }
+
   /** Tokenizer fertility per group (usually language): how many subword
     * tokens the tokenizer spends per word and per character — THE
     * cross-lingual budget statistic (a script the tokenizer fragments

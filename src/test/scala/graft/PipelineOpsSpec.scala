@@ -2687,4 +2687,21 @@ class PipelineOpsSpec extends SparkSpec {
     // rounding p to 6dp can tie at the top; allow only a sliver
     assert(disagree <= 2, s"$disagree argmax disagreements")
   }
+
+  test("vocabGrowth: hand-computed prefixes, monotone growth, TTR guard on empty prefix") {
+    import graft.operators.TextOps
+    val d = Seq(
+      (1, "a b c"), (2, "a b d"), (3, "a a a"), (4, "e f")).toDF("doc_id", "text")
+    val r = TextOps.vocabGrowth(d, Seq(1L, 3L, 5L)).orderBy("checkpoint")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // id<1: nothing; id<3: docs 1,2 -> 6 tokens, vocab {a,b,c,d}=4;
+    // id<5: all -> 11 tokens, vocab {a,b,c,d,e,f}=6
+    assert(r.toSeq == Seq((1L, 0L, 0L), (3L, 6L, 4L), (5L, 11L, 6L)))
+    val ttr = TextOps.vocabGrowth(d, Seq(1L, 5L)).orderBy("checkpoint").collect()
+    assert(ttr(0).isNullAt(3), "empty prefix -> NULL ratio, not a division error")
+    assert(ttr(1).getDouble(3) == math.rint(6.0 / 11 * 1e6) / 1e6)
+    // growth is monotone in the checkpoint by construction
+    val vs = r.map(_._3)
+    assert(vs.sliding(2).forall(p => p(0) <= p(1)))
+  }
 }
