@@ -517,6 +517,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(projPlan.contains("project_f"), s"expected the ProjectF kernel:\n$projPlan")
   }
 
+  test("fertility/vocabGrowth/calibration/agreement: aggregate-only, no window, no cartesian over data") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def audit(name: String, df: org.apache.spark.sql.DataFrame, allowBnlj: Boolean = false): Unit = {
+      val plan = physical(df)
+      val bad = Seq("CartesianProduct", "Window") ++
+        (if (allowBnlj) Nil else Seq("BroadcastNestedLoopJoin"))
+      for (b <- bad) assert(!plan.contains(b), s"$name must not plan $b:\n$plan")
+    }
+    audit("tokenizerFertility", graft.operators.TextOps.tokenizerFertility(docs))
+    // vocabGrowth zips its two ONE-ROW aggregate frames with a broadcast
+    // NLJ — single-row sides, data never crosses it
+    audit("vocabGrowth",
+      graft.operators.TextOps.vocabGrowth(docs, Seq(10L, 50L)), allowBnlj = true)
+    // calibrationReport's 1-row total joins back via a broadcast NLJ by
+    // design (a single-row frame with no key); data never crosses it
+    val scored = docs.select(
+      (col("doc_id") % 100 / 100.0).as("p"), (col("doc_id") % 2).cast("double").as("y"))
+    audit("calibrationReport",
+      graft.operators.TextOps.calibrationReport(scored, "p", "y"), allowBnlj = true)
+    val pa = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select((col("vec_id") % 4).as("c"), col("label").as("l"))
+    audit("partitionAgreement",
+      graft.operators.Similarity.partitionAgreement(pa, "c", "l"), allowBnlj = true)
+  }
+
   test("dedupLines: min-struct ownership, equi-joins only, no window, no cartesian") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = physical(graft.operators.TextOps.dedupLines(docs))
