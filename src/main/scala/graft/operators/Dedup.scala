@@ -146,8 +146,12 @@ object Dedup {
       minJaccard: Double = 0.5,
       textCol: String = "text"): DataFrame = {
     require(minJaccard > 0.0, "equi-join truth needs a positive threshold")
+    // pinned: the exploded shingle frame feeds sizes + BOTH self-join
+    // sides — unpinned, the shingle pass re-runs per consumer (no
+    // exchange canonicalization through the round-robin spread)
     val s = docs
       .select(col("doc_id"), explode(array_distinct(shingles(col(textCol)))).as("sh"))
+      .localCheckpoint()
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = s.as("x")
       .join(s.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -249,10 +253,19 @@ object Dedup {
       tau: Double = 0.7,
       maxDf: Int = 1000): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
-    val fps = winnowFingerprints(docs, textCol, w)
+    // Materialize the df-capped fingerprint table ONCE: `kept` feeds three
+    // consumers (both self-join sides + the per-doc size aggregate), and
+    // because winnowFingerprints spreads through a round-robin repartition
+    // (nondeterministic — no exchange canonicalization), an unpinned plan
+    // re-runs the winnow KERNEL + df join per consumer: measured SIX
+    // parquet scans and 64-203 s first-pass spikes at sf1 vs ~5 s pinned.
+    // The block-store cost is the fingerprint table (~2/(w+1) of the gram
+    // count) — paid once; at 100 TB the continuous path persists this very
+    // table durably instead ([[containmentIncremental]]'s index).
+    val fps = winnowFingerprints(docs, textCol, w).localCheckpoint()
     val rare = fps.groupBy("fingerprint").agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf).select("fingerprint")
-    val kept = fps.join(rare, "fingerprint")
+    val kept = fps.join(rare, "fingerprint").localCheckpoint()
     val sizes = kept.groupBy(col("doc_id").as("contained")).agg(count(lit(1)).as("n_contained"))
     val shared = kept.as("x")
       .join(kept.as("y"),
@@ -519,9 +532,11 @@ object Dedup {
       n: Int = 8,
       sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // pinned: the distinct gram set feeds sizes + both self-join sides
     val grams = ngramFrame(docs, n, sourceCol, textCol)
       .select(col(sourceCol).as("src"), col("__h"))
       .distinct()
+      .localCheckpoint()
     val sizes = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
     val shared = grams.as("a")
       .join(grams.as("b"), col("a.__h") === col("b.__h") && col("a.src") < col("b.src"))
@@ -554,7 +569,9 @@ object Dedup {
       n: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val grams = ngramFrame(docs, n, idCol, textCol)
+    // pinned: the gram frame feeds the cross-doc aggregate AND the
+    // per-doc join back (its "runs twice" note below becomes "scans once")
+    val grams = ngramFrame(docs, n, idCol, textCol).localCheckpoint()
     val crossDoc = grams
       .groupBy("__h")
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
@@ -669,7 +686,9 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, textCol: String = "text", k: Int = 16, bands: Int = 4)
       : DataFrame = {
-    val exploded = minhashBands(docs, textCol, k, bands)
+    // pinned: both self-join sides read the signature table; unpinned,
+    // the minhash kernel runs once per side
+    val exploded = minhashBands(docs, textCol, k, bands).localCheckpoint()
     val a = exploded.select(
       col("doc_id").as("a_id"),
       col("sig").as("a_sig"),
