@@ -245,11 +245,16 @@ class Storage(val spark: SparkSession, val workDir: String) {
         // 254-259) — re-finish is a no-op there too.
         val census = graft.operators.Layout.dirCensus(
           UpsertWriter.pathOf(workDir, t).toString)
-        val unchanged = Storage.finishCensus.get((dirTag, t)).contains(census) &&
+        // The skip key folds in the layout PARAMETERS (bucket count + key
+        // column) alongside the data census: finish(buckets=16) after
+        // finish(buckets=8) over an unchanged store must re-bucket, not
+        // silently re-register the stale 8-bucket layout.
+        val stamp = (census, buckets, key)
+        val unchanged = Storage.finishCensus.get((dirTag, t)).contains(stamp) &&
           spark.catalog.tableExists(s"`$tbl`")
         if (!unchanged) {
           graft.operators.Layout.writeBucketed(catalog.resolve(t), tbl, key, buckets)
-          Storage.finishCensus((dirTag, t)) = census
+          Storage.finishCensus((dirTag, t)) = stamp
         }
         catalog.registerDF(t, spark.table(tbl), if (t.startsWith("__")) "" else t)
         finishViews(t) = catalog.viewDefRef(t).get
@@ -1048,10 +1053,13 @@ class Storage(val spark: SparkSession, val workDir: String) {
 }
 
 object Storage {
-  /** Source-table path census under which each finish() bucketed layout
-    * was written, keyed by (workDir tag, table) — lets a re-finish over an
-    * unchanged store skip the warehouse rewrite. JVM-scoped like the Spark
-    * catalog entries it guards (a fresh JVM re-buckets once and re-seeds). */
+  /** Source-table path census AND layout parameters (bucket count, key
+    * column) under which each finish() bucketed layout was written, keyed by
+    * (workDir tag, table) — lets a re-finish over an unchanged store with
+    * unchanged parameters skip the warehouse rewrite, while a parameter
+    * change (e.g. buckets 8→16) forces a re-bucket. JVM-scoped like the
+    * Spark catalog entries it guards (a fresh JVM re-buckets and re-seeds). */
   private[api] val finishCensus =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), ((Long, Long), Int, String)]
 }

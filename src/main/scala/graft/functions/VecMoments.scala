@@ -56,7 +56,16 @@ case class VecMoments(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == dim) {
+      // Rows with null ELEMENTS are skipped like full-null / wrong-length
+      // vectors — ArrayData.getDouble on a null slot would silently read
+      // 0.0 and bias every mean/covariance instead of honoring the
+      // documented skip-null convention.
+      var hasNull = false
+      var n = 0
+      while (n < arr.numElements() && !hasNull) {
+        if (arr.isNullAt(n)) hasNull = true; n += 1
+      }
+      if (arr.numElements() == dim && !hasNull) {
         val x = new Array[Double](dim)
         var i = 0
         if (isDouble) while (i < dim) { x(i) = arr.getDouble(i); i += 1 }

@@ -58,10 +58,22 @@ object S3SimTableFs extends TableFs {
     ()
   }
 
+  /** Conditional PUT (`If-None-Match: *`): atomic both in CLAIM and in
+    * CONTENT, like real S3 — a conditional PUT either lands the whole
+    * body or nothing. A plain `Files.write(CREATE_NEW)` claims the key
+    * atomically but writes the body after, so a concurrent reader could
+    * observe an empty/torn lease; instead the body is staged to a hidden
+    * sibling and the key is claimed via an atomic hard LINK to the staged
+    * bytes (createLink fails with FileAlreadyExistsException iff the key
+    * exists — the same compare-and-set, now carrying full content). */
   def createNew(p: Path, content: Array[Byte]): Unit = {
     step()
     parentOf(p)
-    Files.write(p, content, StandardOpenOption.CREATE_NEW)
+    val tmp = p.resolveSibling("." + p.getFileName.toString + ".s3cput." +
+      java.util.UUID.randomUUID())
+    Files.write(tmp, content)
+    try Files.createLink(p, tmp)
+    finally Files.deleteIfExists(tmp)
     ()
   }
 

@@ -471,7 +471,22 @@ object UpsertWriter {
     * lease. Here the rename is the claim — if verification shows a foreign
     * token we grabbed a live lease, so we restore it (or, if the path was
     * re-occupied inside the window, drop our tombstone and warn, exactly
-    * like the contested-steal path). */
+    * like the contested-steal path).
+    *
+    * Residual window under OBJECT-STORE semantics (`fs.atomicMove ==
+    * false`, as with [[S3SimTableFs]]): `fs.move` is COPY then DELETE, so
+    * "the rename is the claim" degrades to two key-ops — a steal landing
+    * between our COPY and our DELETE of the lease key can re-occupy the
+    * path and lose its fresh lease to our trailing DELETE, the same
+    * exposure the read-verify-delete release had (the fence is a strict
+    * improvement only where rename is atomic). Reaching it requires the
+    * lease to have ALREADY expired mid-body — the leaseMs/3 renewal
+    * daemon keeps that to a stalled-process case — and the consequence is
+    * a warned double-holder window, never data loss (the publish itself
+    * stays crash-atomic). Closing it outright needs a delete conditional
+    * on content (S3: DELETE has no If-Match; the practical upgrade is an
+    * If-Match PUT of a tombstone body), which [[TableFs]] deliberately
+    * omits for the same reason [[renewLease]] documents. */
   private def releaseLease(lease: Path, token: String, leaseMs: Long): Unit = {
     val tomb = lease.resolveSibling(
       lease.getFileName.toString + ".release." + java.util.UUID.randomUUID())

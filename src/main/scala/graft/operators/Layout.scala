@@ -184,25 +184,34 @@ object Layout {
       hi: Long,
       census: Option[(Long, Long)] = None): DataFrame = {
     require(lo <= hi, "empty range")
-    // census check: ONE 2-long aggregate over the map — never a collect of
-    // the map's file column (files-sized at 100 TB: ~800k paths through
-    // the driver per read at 128 MB/file)
-    val mapCensus = fileCensus(zmap)
+    // ONE aggregate job over the map yields BOTH the census (2 longs) and
+    // the surviving file list — a single consistent snapshot of zmap. Two
+    // separate jobs (census, then a filtered collect) could see different
+    // states of a lazily-re-evaluated map plan whose source dir mutates
+    // between them: the census check would pass while the file list
+    // disagreed with it. The list the driver receives is still only the
+    // SURVIVING set (collect_list skips the when()'s nulls) — the read's
+    // own scan set, so its size is bounded by what we're about to open
+    // anyway (selective ranges collect little; a range that hits every
+    // zone was going to read the table regardless).
+    val zonePred =
+      col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi)
+    val snap = zmap.agg(
+      count(lit(1)).as("n"),
+      coalesce(
+        sum(censusHashCol(normPathCol(col("file"))).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s"),
+      collect_list(when(zonePred, col("file"))).as("survivors")).head()
+    val mapCensus = (snap.getLong(0), snap.getDecimal(1).toBigInteger.longValue)
     val current = census.getOrElse { censusWalks += 1; censusOf(walkParquet(dir)) }
     val rangePred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
     if (current != mapCensus)
       return spark.read.parquet(dir).where(rangePred)
-    // only the SURVIVING file list crosses the driver — that list is the
-    // read's own scan set, so its size is bounded by what we're about to
-    // open anyway (selective ranges collect little; a range that hits
-    // every zone was going to read the table regardless)
-    val files = zmap
-      .where(col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi))
-      .select(col("file")).collect().map(_.getString(0))
+    val files = snap.getSeq[String](2)
     driverPathRows += files.length
     val pruned =
       if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
-      else spark.read.parquet(files.toIndexedSeq: _*)
+      else spark.read.parquet(files: _*)
     pruned.where(rangePred)
   }
 

@@ -336,6 +336,29 @@ class GoldenStorageSpec extends SparkSpec {
     s.delete()
   }
 
+  test("finish(buckets=N') over an unchanged store re-buckets — a layout-parameter change is not 'unchanged'") {
+    val s = bundled()
+    s.finish(buckets = 4)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(s.workDir).getAbsolutePath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val tbl = s"graft_f${tag}_url"
+    def numBuckets(): Int = spark.sql(s"DESCRIBE FORMATTED `$tbl`")
+      .where(org.apache.spark.sql.functions.col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
+    assert(numBuckets() == 4)
+    // a NEW Storage over the same UNCHANGED workdir, different buckets: the
+    // census alone matches, but the skip key folds in the layout
+    // parameters, so this must RE-BUCKET rather than re-register the stale
+    // 4-bucket layout
+    val s2 = new Storage(spark, s.workDir)
+    s2.finish(buckets = 16)
+    assert(numBuckets() == 16,
+      "finish(buckets=16) over an unchanged store re-registered the stale 4-bucket layout")
+    assert(s2.values("url:value", "url").nonEmpty)
+    s.delete()
+  }
+
   test("replaying the same load/reassign grows no provenance (deterministic qids)") {
     val s = bundled()
     def provCount() = s.catalog.resolve("__queries").count()

@@ -2492,6 +2492,16 @@ class PipelineOpsSpec extends SparkSpec {
       (6L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding"))
     val md = Similarity.pcaFit(dirty, "embedding", 2)
     assert(md.n == 4L && md.mean.toSeq == m.mean.toSeq)
+    // a NULL ELEMENT inside a right-length vector is skipped too —
+    // ArrayData.getDouble on a null slot would silently read 0.0 and bias
+    // the mean/covariance instead of honoring the skip-null convention
+    val nullElem = Seq(Tuple1(7L)).toDF("vec_id")
+      .withColumn("embedding",
+        expr("array(cast(1.0 as float), cast(null as float))"))
+    val md2 = Similarity.pcaFit(
+      dirty.unionByName(nullElem.select("vec_id", "embedding")), "embedding", 2)
+    assert(md2.n == 4L && md2.mean.toSeq == m.mean.toSeq,
+      "row with a null vector ELEMENT must be skipped, not read as 0.0")
   }
 
   test("pcaFit laws on real embeddings: orthonormal basis, eigen residual, variance match") {

@@ -579,6 +579,57 @@ class UpsertBucketSpec extends SparkSpec {
     info(s"verified recovery at $points distinct crash points (object-store semantics)")
   }
 
+  test("S3Sim createNew is atomic in CONTENT as well as claim (conditional PUT lands whole body or nothing)") {
+    val fs = graft.ingest.S3SimTableFs
+    val dir = java.nio.file.Files.createTempDirectory("graft-s3cput")
+    val key = dir.resolve("lease")
+    // fresh key: full body lands, no staging siblings remain
+    fs.createNew(key, "tok-a 123\n".getBytes("UTF-8"))
+    assert(new String(java.nio.file.Files.readAllBytes(key), "UTF-8") == "tok-a 123\n")
+    def siblings(): Seq[String] = {
+      val st = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString).toList
+      } finally st.close()
+    }
+    assert(siblings() == Seq("lease"), s"staging leftovers: ${siblings()}")
+    // occupied key: the conditional PUT fails and the original is untouched
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      fs.createNew(key, "tok-b 456\n".getBytes("UTF-8"))
+    }
+    assert(new String(java.nio.file.Files.readAllBytes(key), "UTF-8") == "tok-a 123\n")
+    assert(siblings() == Seq("lease"))
+    // race: writers contend while a reader polls — exactly one claim wins
+    // and NO observation is ever empty/torn (the old CREATE_NEW-then-write
+    // body could expose a zero-byte lease between the two steps)
+    val key2 = dir.resolve("contended")
+    val bodies = (0 until 16).map(i => s"tok-$i ${9000 + i}\n")
+    val torn = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          if (java.nio.file.Files.exists(key2)) {
+            val got = new String(java.nio.file.Files.readAllBytes(key2), "UTF-8")
+            if (!bodies.contains(got)) torn.add(s"[$got]")
+          }
+        } catch { case _: java.io.IOException => () }
+      }
+    })
+    reader.start()
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writers = bodies.map(b => new Thread(() => {
+      try { fs.createNew(key2, b.getBytes("UTF-8")); wins.incrementAndGet(); () }
+      catch { case _: java.io.IOException => () }
+    }))
+    writers.foreach(_.start()); writers.foreach(_.join())
+    stop.set(true); reader.join()
+    assert(wins.get() == 1, s"expected exactly one conditional-PUT winner, got ${wins.get()}")
+    assert(torn.isEmpty, s"reader observed torn/empty bodies: $torn")
+    assert(bodies.contains(new String(java.nio.file.Files.readAllBytes(key2), "UTF-8")))
+  }
+
   test("object-store semantics end-to-end: upsert, delta read, compaction over S3SimTableFs") {
     UpsertWriter.fs = graft.ingest.S3SimTableFs
     try {
