@@ -115,6 +115,33 @@ object PipelineQueries {
        |        (SELECT max(length(v)) FROM e) + 1)) AS i) ii GROUP BY centroid_id, i),
        |c$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$i GROUP BY centroid_id)""".stripMargin
 
+  // the full SemDeDup replay — Lloyd training, float32 centroid
+  // quantization, assignment, intra-cluster keep-min-id pair rule —
+  // shared VERBATIM by q_embed_semdedup (batch face) and
+  // q_embed_semdedup_inc (the 3-batch incremental fold must equal it)
+  private lazy val duckSemDedupSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+       |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+       |${duckLloyd(1, "c0")},
+       |${duckLloyd(2, "c1")},
+       |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+       |ca AS (SELECT e.vec_id, e.v, f.centroid_id,
+       |        round(list_dot_product(e.v, f.centd)
+       |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+       |      FROM e CROSS JOIN cf f),
+       |assigned AS (SELECT vec_id, v, centroid_id FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) za WHERE rk = 1),
+       |dup AS (SELECT DISTINCT a.vec_id FROM assigned a
+       |      JOIN assigned b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+       |      WHERE round(list_dot_product(a.v, b.v)
+       |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
+       |SELECT a.vec_id, a.centroid_id,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM assigned a LEFT JOIN dup d USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+
   // one Lloyd's iteration over a PQ SUBSPACE slice CTE e$tag (32-dim
   // variant of duckLloyd, tagged to avoid CTE collisions) — shared by the
   // q_ann_pq and q_ann_ivfpq oracles
@@ -2704,31 +2731,62 @@ object PipelineQueries {
     // cluster — keep-min-id under cosine >= 0.4; the oracle replays
     // clustering, float32 centroid quantization, assignment, and the
     // intra-cluster pair rule end-to-end
-    q("q_embed_semdedup",
+    q("q_embed_semdedup", duckSemDedupSql) { c =>
+      Similarity
+        .semDedup(c.resolve("embeddings"), k = 4, iters = 2, threshold = 0.4)
+        .orderBy("vec_id")
+    },
+
+    // INCREMENTAL SemDeDup: the corpus arrives as three id-ranged batches
+    // against a persisted (centroid_id, v, nrm) index + trained-once
+    // centroids; each batch drops rows near an INDEXED vector (kept or
+    // dropped — transitively dropped rows still block) or a smaller-id
+    // batch peer. The oracle is the WHOLE-corpus batch rule — the row only
+    // passes if the fold loses nothing (the semantic modality's
+    // persisted-index face, closing the incremental dedup family)
+    q("q_embed_semdedup_inc", duckSemDedupSql) { c =>
+      val emb = c.resolve("embeddings")
+      val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+      val mx = emb.agg(max("vec_id")).head().getLong(0)
+      var idx = Similarity.semDedupAssign(emb.where(lit(false)), trained)
+        .select("centroid_id", "v", "nrm")
+      val outs = Seq(
+        emb.where(col("vec_id") <= mx / 3),
+        emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
+        emb.where(col("vec_id") > 2 * mx / 3)).map { batch =>
+        // pin each batch result: it feeds BOTH the growing index and the
+        // output union (multi-consumer — kernel runs once, branches read)
+        val r = Similarity.semDedupIncremental(batch, idx, trained, threshold = 0.4)
+          .localCheckpoint()
+        idx = idx.unionByName(r.select("centroid_id", "v", "nrm")).localCheckpoint()
+        r.select("vec_id", "centroid_id", "kept")
+      }
+      outs.reduce(_ unionByName _).orderBy("vec_id")
+    },
+
+    // MERGEABLE k-means maintenance: one Lloyd M-step from the trained
+    // centroids, computed as two parity-batch moment states merged and
+    // finalized — the oracle replays the SAME step as a third whole-corpus
+    // duckLloyd iteration (merged == whole, never a rescan; the clustering
+    // sibling of q_embed_pca_cov_inc / q_profile_stats_merge)
+    q("q_embed_kmeans_inc",
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
          |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
          |${duckLloyd(1, "c0")},
          |${duckLloyd(2, "c1")},
-         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
-         |ca AS (SELECT e.vec_id, e.v, f.centroid_id,
-         |        round(list_dot_product(e.v, f.centd)
-         |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
-         |      FROM e CROSS JOIN cf f),
-         |assigned AS (SELECT vec_id, v, centroid_id FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) za WHERE rk = 1),
-         |dup AS (SELECT DISTINCT a.vec_id FROM assigned a
-         |      JOIN assigned b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
-         |      WHERE round(list_dot_product(a.v, b.v)
-         |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
-         |SELECT a.vec_id, a.centroid_id,
-         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM assigned a LEFT JOIN dup d USING (vec_id)
-         |ORDER BY a.vec_id""".stripMargin) { c =>
-      Similarity
-        .semDedup(c.resolve("embeddings"), k = 4, iters = 2, threshold = 0.4)
-        .orderBy("vec_id")
+         |${duckLloyd(3, "c2")}
+         |SELECT centroid_id, i, m FROM m3
+         |ORDER BY centroid_id, i""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      val c2 = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+      val merged = Similarity.kmeansMergeMoments(
+        Similarity.kmeansMoments(emb.where(col("vec_id") % 2 === 0), c2),
+        Similarity.kmeansMoments(emb.where(col("vec_id") % 2 === 1), c2))
+      Similarity.kmeansFromMoments(merged)
+        .select(col("centroid_id"), posexplode(col("cent_emb")).as(Seq("pos", "m")))
+        .select(col("centroid_id"), (col("pos") + 1).cast("long").as("i"), col("m"))
+        .orderBy("centroid_id", "i")
     },
 
     // ===== Data profiling (corpus QA pass) ================================

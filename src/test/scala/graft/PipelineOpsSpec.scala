@@ -1272,6 +1272,86 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cl(1L) == cl(2L) && cl(10L) == cl(11L) && cl(1L) != cl(10L), s"clusters=$cl")
   }
 
+  test("semDedupIncremental: dropped index rows still block, id-ordered fold == batch semDedup") {
+    // one cluster, a 30°-spaced chain on the unit circle: cos(a,b) =
+    // cos(b,c) ≈ .866 ≥ τ = .766 > cos(a,c) = .5 — batch rule keeps a,
+    // drops b (near a) AND c (near the DROPPED b). If the index held only
+    // kept rows, c would wrongly survive.
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val cents = Seq((1L, Array(1.0, 0.3))).toDF("centroid_id", "cent_emb")
+    val tau = 0.766
+    val a = Seq((1L, at(0))).toDF("vec_id", "embedding")
+    val b = Seq((2L, at(30))).toDF("vec_id", "embedding")
+    val cc = Seq((3L, at(60))).toDF("vec_id", "embedding")
+    var index = Similarity.semDedupAssign(a.where(lit(false)), cents)
+      .select("centroid_id", "v", "nrm")
+    val out = Seq(a, b, cc).flatMap { batch =>
+      val r = Similarity.semDedupIncremental(batch, index, cents, tau)
+      index = index.unionByName(r.select("centroid_id", "v", "nrm")).localCheckpoint()
+      r.select("vec_id", "kept").collect().map(x => x.getLong(0) -> x.getLong(1))
+    }.toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 0L), s"fold=$out")
+    // law on real embeddings: an id-ordered 3-batch fold reproduces the
+    // batch face EXACTLY, given the same (trained-once) centroids
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    var idx = Similarity.semDedupAssign(emb.where(lit(false)), trained)
+      .select("centroid_id", "v", "nrm")
+    val folded = Seq(
+      emb.where(col("vec_id") <= mx / 3),
+      emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
+      emb.where(col("vec_id") > 2 * mx / 3)).flatMap { batch =>
+      val r = Similarity.semDedupIncremental(batch, idx, trained, 0.4)
+      idx = idx.unionByName(r.select("centroid_id", "v", "nrm")).localCheckpoint()
+      r.select("vec_id", "centroid_id", "kept").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    }.sortBy(_._1)
+    val whole = Similarity.semDedup(emb, k = 4, iters = 2, threshold = 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1).toSeq
+    assert(folded == whole, "incremental fold diverged from batch semDedup")
+    assert(folded.count(_._3 == 0L) > 0, "fixture has no semantic near-dups — law is vacuous")
+  }
+
+  test("kmeansMoments: merged batches == whole-corpus Lloyd step == kmeansCentroids' next iteration") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val c2 = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+    def cents(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    // one more whole-corpus iteration, via the training loop itself
+    val c3 = cents(Similarity.kmeansCentroids(emb, k = 4, iters = 3))
+    // the same step via moments: whole-corpus and as a 3-batch merge
+    val whole = cents(Similarity.kmeansFromMoments(Similarity.kmeansMoments(emb, c2)))
+    val batches = Seq(
+      emb.where(col("vec_id") % 3 === 0),
+      emb.where(col("vec_id") % 3 === 1),
+      emb.where(col("vec_id") % 3 === 2)).map(b => Similarity.kmeansMoments(b, c2))
+    val merged = cents(Similarity.kmeansFromMoments(
+      Similarity.kmeansMergeMoments(Similarity.kmeansMergeMoments(batches(0), batches(1)), batches(2))))
+    def close(x: Map[Long, Seq[Double]], y: Map[Long, Seq[Double]]): Unit = {
+      assert(x.keySet == y.keySet)
+      for (k <- x.keySet; (a, b) <- x(k).zip(y(k))) assert(math.abs(a - b) < 1e-9, s"cluster $k: $a vs $b")
+    }
+    close(whole, c3)
+    close(merged, c3)
+  }
+
+  test("kmeansMergeMoments: a dim mismatch fails loud, never averages phantom zeros") {
+    val cents2 = Seq((1L, Array(1.0, 0.0))).toDF("centroid_id", "cent_emb")
+    val cents3 = Seq((1L, Array(1.0, 0.0, 0.0))).toDF("centroid_id", "cent_emb")
+    val m2 = Similarity.kmeansMoments(
+      Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"), cents2)
+    val m3 = Similarity.kmeansMoments(
+      Seq((2L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding"), cents3)
+    val ex = intercept[Exception] {
+      Similarity.kmeansFromMoments(Similarity.kmeansMergeMoments(m2, m3)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("dim mismatch")), s"got: ${msgs(ex)}")
+  }
+
   test("equiDepthBins: quantile cut points, lower-bin ties, layout-invariant") {
     import graft.operators.Profile
     val d = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")

@@ -282,6 +282,43 @@ class PlanAuditSpec extends SparkSpec {
       s"argmax must be the min_by partial aggregate, not a row_number sort:\n$plan")
   }
 
+  test("semDedupIncremental pair joins stay centroid-keyed; no cartesian, no window, no UDF") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity
+      .kmeansCentroids(emb, k = 2, iters = 1)
+      .localCheckpoint()
+    val index = graft.operators.Similarity
+      .semDedupAssign(emb.where(col("vec_id") % 2 === 0), cents)
+      .select("centroid_id", "v", "nrm")
+      .localCheckpoint() // audit the probe plan, not the index build
+    val df = graft.operators.Similarity
+      .semDedupIncremental(emb.where(col("vec_id") % 2 === 1), index, cents)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), s"pair join degenerated:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"cosine boxes through a UDF:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must be the min_by aggregate:\n$plan")
+    assert(plan.contains("centroid_id"), s"expected the centroid equi key:\n$plan")
+  }
+
+  test("kmeansMoments shuffles k*dim scalar rows, never vectors; merge+finalize stay aggregate-only") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity
+      .kmeansCentroids(emb, k = 2, iters = 1)
+      .localCheckpoint()
+    val S = graft.operators.Similarity
+    val m = S.kmeansMergeMoments(
+      S.kmeansMoments(emb.where(col("vec_id") % 2 === 0), cents),
+      S.kmeansMoments(emb.where(col("vec_id") % 2 === 1), cents))
+    val plan = physical(S.kmeansFromMoments(m))
+    assert(!plan.contains("ScalaUDF"), s"moment pass boxes through a UDF:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must be the min_by aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"centroid probe degenerated:\n$plan")
+    // the post-explode aggregate is map-side combinable: partial then
+    // final HashAggregate around the (centroid_id, i)-keyed exchange
+    assert("(?s)HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregates:\n$plan")
+  }
+
   test("piiStats is one map-side pass plus a single source-keyed shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.operators.TextOps.piiStats(docs)
