@@ -1495,6 +1495,72 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // UP-SAMPLING mixture materialized: budget 51600 ≈ 1.9× the sf0.01
+    // corpus, so every source repeats — floor(alloc/srcTokens) full epochs
+    // of every doc plus a partial epoch holding the md5-order prefix that
+    // fits the remainder (the data-constrained-scaling recipe: curated
+    // sources repeat for multiple epochs). The oracle replays the plan,
+    // the per-source cumulative in identical hash order, and the
+    // full/remainder arithmetic end-to-end
+    q("q_sample_mix_epochs",
+      s"""WITH t AS (SELECT source, CAST(sum(length($duckToks)) AS BIGINT) AS tokens,
+         |             CAST(count(*) AS DOUBLE) AS weight
+         |           FROM documents GROUP BY source),
+         |b AS (SELECT source, tokens, weight, round(tokens * 4.0::DOUBLE, 6) AS capacity FROM t),
+         |w AS (SELECT *, capacity / weight AS r,
+         |        sum(capacity) OVER (ORDER BY capacity / weight, source) AS cumcap,
+         |        sum(weight) OVER (ORDER BY capacity / weight, source) AS cumw,
+         |        sum(weight) OVER () AS totw,
+         |        coalesce(sum(capacity) OVER (ORDER BY capacity / weight, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap_prev,
+         |        coalesce(sum(weight) OVER (ORDER BY capacity / weight, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw_prev
+         |      FROM b),
+         |x AS (SELECT *,
+         |        CASE WHEN totw - cumw > 0
+         |             THEN (51600.0::DOUBLE - cumcap) / (totw - cumw)
+         |             ELSE 1.7976931348623157e308 END AS t_after,
+         |        (51600.0::DOUBLE - cumcap_prev) / (totw - cumw_prev) AS t_before
+         |      FROM w),
+         |lvl AS (SELECT coalesce(max(CASE WHEN t_before >= r THEN t_after END),
+         |          51600.0::DOUBLE / max(totw)) AS level FROM x),
+         |plan AS (SELECT source, tokens,
+         |    round(least(capacity, greatest(level, 0.0::DOUBLE) * weight), 6) AS alloc
+         |  FROM x CROSS JOIN lvl),
+         |p2 AS (SELECT source, alloc,
+         |    CASE WHEN tokens > 0
+         |         THEN floor(alloc / CAST(tokens AS DOUBLE)) ELSE 0.0::DOUBLE END AS efull,
+         |    alloc - (CASE WHEN tokens > 0
+         |         THEN floor(alloc / CAST(tokens AS DOUBLE)) ELSE 0.0::DOUBLE END)
+         |      * CAST(tokens AS DOUBLE) AS rem
+         |  FROM plan),
+         |d AS (SELECT doc_id, source, length($duckToks) AS tk,
+         |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM documents),
+         |cums AS (SELECT doc_id, source, tk,
+         |        sum(tk) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM d),
+         |eps AS (SELECT unnest(range(0,
+         |        (SELECT CAST(max(efull) AS BIGINT) FROM p2) + 1)) AS epoch)
+         |SELECT c.doc_id, c.source, CAST(c.tk AS BIGINT) AS tokens, e.epoch
+         |FROM cums c JOIN p2 p USING (source) CROSS JOIN eps e
+         |WHERE e.epoch < p.efull OR (e.epoch = p.efull AND c.cum <= p.rem)
+         |ORDER BY c.doc_id, e.epoch""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+        .select(
+          col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+      val stats = docs
+        .groupBy("source")
+        .agg(
+          sum("tokens").as("tokens"),
+          count(lit(1)).cast("double").as("weight"))
+      val plan = graft.operators.Sampling.mixturePlan(stats, budget = 51600L, maxEpochs = 4.0)
+      graft.operators.Sampling
+        .applyMixtureEpochs(docs, plan)
+        .select("doc_id", "source", "tokens", "epoch")
+        .orderBy("doc_id", "epoch")
+    },
+
     // LEAKAGE-FREE split: near-duplicate group members share one split
     // (assignment hashes the GROUP id — the standard guard against train
     // text leaking into eval through near-copies). The oracle replays the

@@ -526,6 +526,64 @@ object Sampling {
       .drop("__mixkey", "__goff", "__base", "alloc")
   }
 
+  /** Materialize an UP-SAMPLING mixture plan — the epochs > 1 face of
+    * [[applyMixturePlan]], which can only ever select a prefix (one
+    * epoch): when a plan allocates more than a source holds (data-
+    * constrained scaling repeats curated sources for several epochs —
+    * mixturePlan's maxEpochs models exactly this), each source emits
+    * floor(alloc / srcTokens) FULL copies of every doc (epoch 0..full−1)
+    * plus one PARTIAL epoch (epoch = full) holding the prefix of docs, in
+    * the same deterministic md5 order applyMixturePlan selects by, whose
+    * inclusive cumulative token mass fits the remaining
+    * alloc − full·srcTokens. A plan with alloc ≤ srcTokens degenerates to
+    * applyMixturePlan with epoch = 0 (law-tested). Output: input columns
+    * + epoch (long).
+    *
+    * Scale: the selection arithmetic is the SAME one two-pass global
+    * prefix sum over a source-contiguous key (no per-source window task,
+    * no global sort); the epoch explode multiplies rows only AFTER it, by
+    * at most ⌈maxEpochs⌉ — output size is O(alloc), i.e. the training set
+    * being built. Plan and per-source bases broadcast. */
+  def applyMixtureEpochs(
+      docs: DataFrame,
+      plan: DataFrame,
+      tokensCol: String = "tokens",
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      numPartitions: Int = 0): DataFrame = {
+    val h = graft.functions.Funcs.md5Hash60(col(idCol))
+    val keyed = docs.withColumn(
+      "__mixkey",
+      concat_ws("\\u0001", // source-contiguous key, see applyMixturePlan
+        col(sourceCol),
+        lpad(h.cast("string"), 19, "0"),
+        col(idCol).cast("string")))
+    val off = runningOffset(keyed, "__mixkey", tokensCol, "__goff", numPartitions)
+    val bases = off.groupBy(sourceCol).agg(min(col("__goff")).as("__base"))
+    // full/rem derive from the plan's OWN token count (the mass the plan
+    // allocated against), in doubles on both engines: floor(alloc/tokens)
+    // and alloc − full·tokens are single IEEE ops the oracle replays
+    val planned = plan
+      .select(col(sourceCol), col("alloc"), col("tokens").cast("double").as("__stok"))
+      .withColumn(
+        "__full",
+        when(col("__stok") > 0, floor(col("alloc") / col("__stok")))
+          .otherwise(lit(0.0)).cast("long"))
+      .withColumn("__rem", col("alloc") - col("__full") * col("__stok"))
+    off
+      .join(broadcast(bases), Seq(sourceCol))
+      .join(broadcast(planned), Seq(sourceCol))
+      .withColumn(
+        "__cum",
+        (col("__goff") - col("__base") +
+          coalesce(col(tokensCol).cast("long"), lit(0L))).cast("double"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full"))))
+      .where(
+        col("epoch") < col("__full") ||
+          (col("epoch") === col("__full") && col("__cum") <= col("__rem")))
+      .drop("__mixkey", "__goff", "__base", "alloc", "__stok", "__full", "__rem", "__cum")
+  }
+
   /** CURRICULUM shard packing: documents ordered easy→hard by score
     * quantile bin (equi-depth cuts over the whole corpus), hash-shuffled
     * WITHIN each bin, then packed into fixed-token shards in that order —

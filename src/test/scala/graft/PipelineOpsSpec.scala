@@ -1668,6 +1668,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(noB.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("applyMixtureEpochs: full repeats + partial-epoch prefix; degenerates to applyMixturePlan") {
+    import graft.operators.Sampling
+    val docs = (1 to 40).map(i => (i.toLong, if (i <= 20) "a" else "b", 10L))
+      .toDF("doc_id", "source", "tokens")
+    // a: 200 tokens, alloc 435 -> 2 full epochs + a 35-token partial
+    // b: 200 tokens, alloc 90  -> pure down-sample (epochs < 1)
+    val plan = Seq(("a", 200L, 435.0), ("b", 200L, 90.0))
+      .toDF("source", "tokens", "alloc")
+    val out = Sampling.applyMixtureEpochs(docs, plan)
+      .select("doc_id", "source", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val aCounts = out.filter(_._2 == "a").groupBy(_._1).view.mapValues(_.size).toMap
+    assert(aCounts.size == 20 && aCounts.values.forall(c => c == 2 || c == 3),
+      s"every a-doc appears 2 or 3 times: $aCounts")
+    // the partial (epoch = 2) members are EXACTLY applyMixturePlan's
+    // selection at the remainder budget, in the same hash order
+    val partial = out.filter(r => r._2 == "a" && r._3 == 2L).map(_._1).toSet
+    val remSel = Sampling.applyMixturePlan(
+      docs, Seq(("a", 35.0)).toDF("source", "alloc"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(partial == remSel, s"partial=$partial remainder-select=$remSel")
+    assert(out.filter(_._2 == "a").map(_._3).toSet == Set(0L, 1L, 2L))
+    // token conservation: emitted a-mass fits alloc, overshoot < one doc
+    val aMass = out.count(_._2 == "a") * 10L
+    assert(aMass <= 435L && aMass > 435L - 10L, s"aMass=$aMass")
+    // down-sampling source: identical rows to applyMixturePlan, all epoch 0
+    val bRows = out.filter(_._2 == "b")
+    val bSel = Sampling.applyMixturePlan(
+      docs, Seq(("b", 90.0)).toDF("source", "alloc"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bRows.map(_._1).toSet == bSel && bRows.forall(_._3 == 0L))
+    // layout invariance
+    val out2 = Sampling.applyMixtureEpochs(docs.repartition(7), plan)
+      .select("doc_id", "source", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out2.sorted == out.sorted)
+    // exact multiple: alloc == 2x tokens -> exactly 2 epochs, empty partial
+    val exact = Sampling.applyMixtureEpochs(
+      docs, Seq(("a", 200L, 400.0)).toDF("source", "tokens", "alloc"))
+      .groupBy("doc_id").count().collect()
+    assert(exact.length == 20 && exact.forall(_.getLong(1) == 2L))
+  }
+
   test("manifest: order-independent checksums that merge additively and catch edits") {
     import graft.operators.Layout
     val df = Seq((1L, "s1", "aa"), (2L, "s1", "bb"), (3L, "s2", "cc"))

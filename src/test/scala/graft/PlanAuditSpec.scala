@@ -434,6 +434,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"nothing here warrants a shuffle join:\n$p")
   }
 
+  test("applyMixtureEpochs: same no-window shape; the epoch explode is a map-side Generate") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars").as("tokens"))
+    val stats = docs.groupBy("source")
+      .agg(sum("tokens").as("tokens"), count(lit(1)).cast("double").as("weight"))
+    val plan = Sampling.mixturePlan(stats, budget = 1200L)
+      .select("source", "tokens", "alloc").localCheckpoint()
+    val p = physical(Sampling.applyMixtureEpochs(docs, plan))
+    assert(!p.contains("Window"), s"no per-source window allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bases+plan frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here warrants a shuffle join:\n$p")
+    // the up-sampling explode is a Generate over already-joined rows —
+    // it must not introduce any exchange of its own
+    assert(p.contains("Generate"), s"expected the epoch explode:\n$p")
+  }
+
   test("stripBoilerplate's strip pass is map-side: corpus rejoins only a 1-row broadcast") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = physical(graft.operators.TextOps.stripBoilerplate(docs))
