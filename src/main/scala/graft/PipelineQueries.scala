@@ -115,6 +115,28 @@ object PipelineQueries {
        |        (SELECT max(length(v)) FROM e) + 1)) AS i) ii GROUP BY centroid_id, i),
        |c$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$i GROUP BY centroid_id)""".stripMargin
 
+  // the full BM25 replay (tokenize, postings, df, corpus stats, score,
+  // rank) — shared VERBATIM by q_text_bm25 (per-query corpus scan) and
+  // q_text_bm25_inc (3-batch merged persisted index must equal it)
+  private lazy val duckBm25Sql =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |l AS (SELECT doc_id, CAST(length(toks) AS DOUBLE) AS dl FROM t),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM l),
+       |p AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf
+       |      FROM (SELECT doc_id, unnest(toks) AS w FROM t) u
+       |      WHERE w IN ('join', 'vector', 'stream') GROUP BY doc_id, w),
+       |df AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+       |s AS (SELECT p.doc_id,
+       |        ln((st.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+       |          * (p.tf * 2.2::DOUBLE)
+       |          / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / st.avgdl)) AS s
+       |      FROM p JOIN df USING (term) JOIN l USING (doc_id) CROSS JOIN st),
+       |sc AS (SELECT doc_id, round(sum(s), 6) AS score FROM s GROUP BY doc_id),
+       |r AS (SELECT doc_id, score,
+       |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT rank, doc_id, score FROM r WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
+
   // the full SemDeDup replay — Lloyd training, float32 centroid
   // quantization, assignment, intra-cluster keep-min-id pair rule —
   // shared VERBATIM by q_embed_semdedup (batch face) and
@@ -896,26 +918,30 @@ object PipelineQueries {
     // ranking with a doc_id tie-break — a total order both engines
     // reproduce (ln on both sides; literals cast to DOUBLE so DuckDB's
     // DECIMAL defaults can't shift the arithmetic)
-    q("q_text_bm25",
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |l AS (SELECT doc_id, CAST(length(toks) AS DOUBLE) AS dl FROM t),
-         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM l),
-         |p AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf
-         |      FROM (SELECT doc_id, unnest(toks) AS w FROM t) u
-         |      WHERE w IN ('join', 'vector', 'stream') GROUP BY doc_id, w),
-         |df AS (SELECT term, count(*) AS df FROM p GROUP BY term),
-         |s AS (SELECT p.doc_id,
-         |        ln((st.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
-         |          * (p.tf * 2.2::DOUBLE)
-         |          / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / st.avgdl)) AS s
-         |      FROM p JOIN df USING (term) JOIN l USING (doc_id) CROSS JOIN st),
-         |sc AS (SELECT doc_id, round(sum(s), 6) AS score FROM s GROUP BY doc_id),
-         |r AS (SELECT doc_id, score,
-         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
-         |SELECT rank, doc_id, score FROM r WHERE rank <= 10
-         |ORDER BY rank""".stripMargin) { c =>
+    q("q_text_bm25", duckBm25Sql) { c =>
       TextOps
         .bm25TopK(c.resolve("documents"), Seq("join", "vector", "stream"), topK = 10)
+        .orderBy("rank")
+    },
+
+    // PERSISTED-INDEX BM25: the corpus arrives as three batches; each pays
+    // tokenization once (bm25Index postings append-only, df and corpus
+    // stats merged by integer addition) and the search runs against the
+    // index alone. The oracle is the WHOLE-corpus BM25 replay verbatim —
+    // the row passes only if the merged index loses nothing (the lexical
+    // sibling of q_embed_semdedup_inc / the IVF indexed face)
+    q("q_text_bm25_inc", duckBm25Sql) { c =>
+      val docs = c.resolve("documents")
+      val parts = Seq(0, 1, 2).map(r => docs.where(col("doc_id") % 3 === r))
+      // pin each batch's postings: they feed BOTH the index union and the
+      // per-batch df reduction
+      val idx = parts.map(p => TextOps.bm25Index(p).localCheckpoint())
+      val postings = idx.reduce(_ unionByName _)
+      val dfTab = idx.map(TextOps.bm25Df).reduce(TextOps.bm25MergeDf)
+      val corpus = parts.map(p => TextOps.bm25Corpus(p)).reduce(TextOps.bm25MergeCorpus)
+      TextOps
+        .bm25SearchIndexed(
+          postings, dfTab, corpus, Seq("join", "vector", "stream"), topK = 10)
         .orderBy("rank")
     },
 

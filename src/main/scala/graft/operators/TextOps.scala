@@ -1181,6 +1181,90 @@ object TextOps {
       .select(col("rank"), col(idCol), col("score"))
   }
 
+  /** PERSISTED-INDEX BM25, the lexical sibling of the semantic/IVF index
+    * faces: [[bm25TopK]] re-tokenizes the corpus per query, which at
+    * 100 TB means a full text scan for every search. The index face pays
+    * tokenization ONCE per batch and searches touch postings only.
+    *
+    * [[bm25Index]] turns a batch into its postings (idCol, term, tf, dl)
+    * — append-only across batches (doc ids are disjoint, so the union IS
+    * the corpus index; store term-bucketed so a search prunes to its
+    * query terms' buckets). [[bm25Df]] reduces a batch's postings to
+    * vocab-sized (term, df) rows and [[bm25Corpus]] to ONE
+    * (n_docs, sum_dl) row; both merge by pure addition
+    * ([[bm25MergeDf]] / [[bm25MergeCorpus]]) — integer counts, so the
+    * merged state equals the whole-corpus pass EXACTLY, never a rescan
+    * (the same maintenance contract as containmentIncremental's
+    * (fingerprint, df) side table). [[bm25SearchIndexed]] then scores a
+    * query with a map-side term filter + broadcast df/stats join —
+    * query-sized work, equal to [[bm25TopK]] on the concatenated corpus
+    * (exact: avgdl = sum_dl/n_docs over integer-valued lengths). */
+  def bm25Index(
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    batch
+      .select(
+        col(idCol),
+        tokenCount(col(textCol)).cast("double").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), max("dl").as("dl"))
+
+  /** Vocab-sized (term, df) rows of ONE batch's postings. */
+  def bm25Df(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Merge (term, df) states: set-additive integer sums. */
+  def bm25MergeDf(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("term").agg(sum("df").as("df"))
+
+  /** One mergeable corpus-stats row: (n_docs, sum_dl). */
+  def bm25Corpus(batch: DataFrame, textCol: String = "text"): DataFrame =
+    batch
+      .select(tokenCount(col(textCol)).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** Merge (n_docs, sum_dl) states. */
+  def bm25MergeCorpus(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+
+  /** Score a query against the persisted index — [[bm25TopK]] minus the
+    * corpus scan. The term filter applies map-side over the postings
+    * (bucket-prunable by term); df and corpus stats broadcast; identical
+    * 6dp-rounded scoring and TakeOrdered top-k. */
+  def bm25SearchIndexed(
+      postings: DataFrame,
+      dfTab: DataFrame,
+      corpus: DataFrame,
+      queryTerms: Seq[String],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25SearchIndexed needs at least one query term")
+    val stats = corpus.select(
+      col("n_docs"),
+      (col("sum_dl") / col("n_docs")).as("avgdl"))
+    val scored = postings
+      .where(col("term").isin(queryTerms: _*))
+      .join(broadcast(dfTab.where(col("term").isin(queryTerms: _*))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "s",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum("s"), 6).as("score"))
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol)))) // topK rows only
+      .select(col("rank"), col(idCol), col("score"))
+  }
+
   /** Exact frequent terms via the SON two-phase algorithm (Savasere–Omiecinski–
     * Navathe; ch. 6 of Mining of Massive Datasets): phase 1 counts each
     * partition in a local hash map and emits only terms reaching the local

@@ -1512,6 +1512,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("bm25SearchIndexed: a 3-batch merged index equals the whole-corpus scan EXACTLY") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val terms = Seq("join", "vector", "stream")
+    val whole = TextOps.bm25TopK(corpus, terms, topK = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val parts = Seq(0, 1, 2).map(r => corpus.where(col("doc_id") % 3 === r))
+    val idx = parts.map(p => TextOps.bm25Index(p).localCheckpoint())
+    val merged = TextOps.bm25SearchIndexed(
+      idx.reduce(_ unionByName _),
+      idx.map(TextOps.bm25Df).reduce(TextOps.bm25MergeDf),
+      parts.map(TextOps.bm25Corpus(_)).reduce(TextOps.bm25MergeCorpus),
+      terms, topK = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(merged == whole, s"indexed search diverged:\nwhole=$whole\nmerged=$merged")
+    assert(whole.nonEmpty, "fixture matched no query terms — law is vacuous")
+    // merged df table equals the whole-corpus document frequencies
+    val dfWhole = TextOps.bm25Df(TextOps.bm25Index(corpus))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfMerged = idx.map(TextOps.bm25Df).reduce(TextOps.bm25MergeDf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMerged == dfWhole)
+  }
+
   test("heavyHitters: exact counts, invariant to partitioning (SON candidates)") {
     val corpus = docs(
       (1, "hot hot hot warm"), (2, "hot hot warm cold"), (3, "hot warm x"))

@@ -160,6 +160,21 @@ class PlanAuditSpec extends SparkSpec {
       s"term filter should sit under (after, in print order) the first exchange:\n$plan")
   }
 
+  test("bm25SearchIndexed never re-tokenizes: term filter on postings, df/stats broadcast, TakeOrdered") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val T = graft.operators.TextOps
+    val postings = T.bm25Index(docs).localCheckpoint() // the persisted table
+    val dfTab = T.bm25Df(postings).localCheckpoint()
+    val corpus = T.bm25Corpus(docs).localCheckpoint()
+    val plan = physical(T.bm25SearchIndexed(postings, dfTab, corpus, Seq("join", "vector")))
+    // the search plan reads the three stored frames only — no Generate
+    // (tokenize+explode) may appear; df and stats come back as broadcasts
+    assert(!plan.contains("Generate"), s"search must not re-tokenize:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be a distributed TakeOrdered:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"df/stats must broadcast:\n$plan")
+  }
+
   test("anomaly/transition stats join back by BROADCAST, never sort-merge") {
     val events = new Catalog(spark, sfDir).resolve("events")
     val an = graft.operators.Events.dailyAnomalies(events)
