@@ -2850,7 +2850,9 @@ object PipelineQueries {
         // output union (multi-consumer — kernel runs once, branches read)
         val r = Similarity.semDedupIncremental(batch, idx, trained, threshold = 0.4)
           .localCheckpoint()
-        idx = idx.unionByName(r.select("centroid_id", "v", "nrm")).localCheckpoint()
+        // r is pinned; the index is a lazy union of pinned pieces — no
+        // O(index) re-materialization per batch
+        idx = idx.unionByName(r.select("centroid_id", "v", "nrm"))
         r.select("vec_id", "centroid_id", "kept")
       }
       outs.reduce(_ unionByName _).orderBy("vec_id")

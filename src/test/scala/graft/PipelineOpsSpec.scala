@@ -1304,7 +1304,7 @@ class PipelineOpsSpec extends SparkSpec {
       emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
       emb.where(col("vec_id") > 2 * mx / 3)).flatMap { batch =>
       val r = Similarity.semDedupIncremental(batch, idx, trained, 0.4)
-      idx = idx.unionByName(r.select("centroid_id", "v", "nrm")).localCheckpoint()
+      idx = idx.unionByName(r.select("centroid_id", "v", "nrm"))
       r.select("vec_id", "centroid_id", "kept").collect()
         .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
     }.sortBy(_._1)
