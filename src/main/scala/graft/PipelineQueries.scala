@@ -4633,6 +4633,58 @@ object PipelineQueries {
         .orderBy("fingerprint")
     },
 
+    // STREAMING SEMANTIC DEDUP against a persisted index: odd-id vectors
+    // stream in; each assigns to the trained centroids via the STATELESS
+    // literal kernel (zero shuffle, zero state) and drops iff its cluster
+    // holds an indexed (even-id) neighbor at cosine >= 0.4 — the
+    // continuous-crawl face of q_embed_semdedup_inc. The oracle replays
+    // Lloyd training, fp32 quantization, assignment for BOTH sides, and
+    // the anti rule over the parquet
+    q("q_stream_semdedup",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+         |${duckLloyd(1, "c0")},
+         |${duckLloyd(2, "c1")},
+         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+         |ca AS (SELECT e.vec_id, e.v, f.centroid_id,
+         |        round(list_dot_product(e.v, f.centd)
+         |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+         |      FROM e CROSS JOIN cf f),
+         |assigned AS (SELECT vec_id, v, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) za WHERE rk = 1),
+         |dup AS (SELECT DISTINCT n.vec_id FROM assigned n
+         |      JOIN assigned o ON n.centroid_id = o.centroid_id
+         |        AND n.vec_id % 2 = 1 AND o.vec_id % 2 = 0
+         |      WHERE round(list_dot_product(n.v, o.v)
+         |          / (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(o.v, o.v))), 6) >= 0.4)
+         |SELECT vec_id, centroid_id FROM assigned
+         |WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM dup)
+         |ORDER BY vec_id""".stripMargin) { c =>
+      val spark = c.spark
+      val emb = c.resolve("embeddings")
+      val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+      val cents = trained.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      val index = Similarity
+        .semDedupAssign(emb.where(col("vec_id") % 2 === 0), trained)
+        .select("centroid_id", "v", "nrm")
+        .localCheckpoint()
+      val path = s"${c.dataDir}/embeddings.parquet"
+      val schema = spark.read.parquet(path).schema
+      val src = spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{embeddings.parquet}")
+        .where(col("vec_id") % 2 === 1)
+      val sinkName = s"q_stream_semdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      StreamOps.startDrained(spark)(
+        StreamOps.dedupSemantic(src, index, cents, threshold = 0.4)
+          .select(col("vec_id"), col("centroid_id"))
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      spark.table(sinkName).select("vec_id", "centroid_id").orderBy("vec_id")
+    },
+
     // per-key custom state via mapGroupsWithState (the arbitrary-state
     // escape hatch): a running per-user event counter drained with
     // availableNow. Update-mode emits one row per user per micro-batch

@@ -225,6 +225,46 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
   }
 
+  /** STREAMING SEMANTIC DEDUP — the continuous-crawl face of
+    * Similarity.semDedupIncremental: embedding rows stream in, each is
+    * assigned to its nearest persisted centroid by the STATELESS literal
+    * kernel (Similarity.semDedupAssignLit — zero shuffle, zero aggregate,
+    * so the micro-batch plan stays row-at-a-time), and a row is dropped
+    * when its cluster holds a within-`threshold` neighbor in the PERSISTED
+    * index (stream-static left-anti join, centroid-keyed with the cosine
+    * bound as the residual condition — per-micro-batch joins against the
+    * static side, no streaming state at all). Survivors come back in the
+    * index's own row shape (idCol, centroid_id, v, nrm), so a foreachBatch
+    * sink appends them straight to the index table and the loop closes:
+    * batch N+1 dedups against everything batch N kept.
+    *
+    * Like the batch face, dropped rows should also be appended when
+    * later near-duplicates of a dropped row must keep dropping (the
+    * transitive-blocking contract) — emit the anti-join's complement from
+    * the same micro-batch if that is the policy; the default emits
+    * survivors because a crawl loop usually indexes only what it kept.
+    * Within-batch pairs are NOT compared here (no exact key exists for
+    * dropDuplicatesWithinWatermark; micro-batch-internal near-dups land
+    * once appended and block from the NEXT batch on). */
+  def dedupSemantic(
+      stream: DataFrame,
+      index: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      threshold: Double = 0.4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val a = graft.operators.Similarity.semDedupAssignLit(stream, centroids, idCol, embCol)
+    val idx = index.select(
+      col("centroid_id").as("__ocid"), col("v").as("__vb"), col("nrm").as("__nb"))
+    a.join(
+      idx,
+      col("centroid_id") === col("__ocid") &&
+        round(
+          graft.functions.DotF(col("v"), col("__vb")) / (col("nrm") * col("__nb")),
+          6) >= threshold,
+      "left_anti")
+  }
+
   /** Stream-stream interval join: pair each left event with every right
     * event for the same key arriving within [left.ts, left.ts + within] —
     * the "click joined to the impressions of the preceding window" shape,

@@ -1314,6 +1314,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(folded.count(_._3 == 0L) > 0, "fixture has no semantic near-dups — law is vacuous")
   }
 
+  test("semDedupAssignLit == semDedupAssign on real embeddings (literal kernel parity)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+    val byJoin = Similarity.semDedupAssign(emb, trained)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = trained.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val byLit = Similarity.semDedupAssignLit(emb, cents)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byLit == byJoin, "literal kernel assignment diverged from the broadcast-argmax face")
+    assert(byJoin.values.toSet.size > 1, "degenerate clustering — parity law is vacuous")
+    // the literal face carries the same norms (the anti-join consumes them)
+    val n1 = Similarity.semDedupAssign(emb, trained).select("vec_id", "nrm")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n2 = Similarity.semDedupAssignLit(emb, cents).select("vec_id", "nrm")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(n1 == n2)
+  }
+
   test("kmeansMoments: merged batches == whole-corpus Lloyd step == kmeansCentroids' next iteration") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val c2 = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()

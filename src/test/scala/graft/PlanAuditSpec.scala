@@ -586,6 +586,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(projPlan.contains("project_f"), s"expected the ProjectF kernel:\n$projPlan")
   }
 
+  test("semDedupAssignLit plans ZERO exchanges: the literal argmax is pure map-side codegen") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity
+      .kmeansCentroids(emb, k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val plan = physical(graft.operators.Similarity.semDedupAssignLit(emb, cents))
+    assert(!plan.contains("Exchange"), s"literal assignment must be map-side:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"no argmax aggregate allowed here:\n$plan")
+    assert(plan.contains("dot_f") || plan.contains("DotF"),
+      s"expected the native dot kernel:\n$plan")
+  }
+
   test("fertility/vocabGrowth/calibration/agreement: aggregate-only, no window, no cartesian over data") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def audit(name: String, df: org.apache.spark.sql.DataFrame, allowBnlj: Boolean = false): Unit = {
