@@ -115,6 +115,62 @@ object PipelineQueries {
        |        (SELECT max(length(v)) FROM e) + 1)) AS i) ii GROUP BY centroid_id, i),
        |c$i AS (SELECT centroid_id, list(m ORDER BY i) AS cent FROM m$i GROUP BY centroid_id)""".stripMargin
 
+  // the full chunk-level storage-dedup replay (template augmentation, CDC
+  // chunking, md5 first-copy ownership, per-doc novelty rollup) — shared
+  // VERBATIM by q_dedup_chunk_novelty (batch face) and
+  // q_dedup_chunk_novelty_inc (3-batch ownership fold must equal it)
+  private lazy val duckChunkNoveltySql =
+    s"""WITH tpl AS (SELECT doc_id AS tid, text AS ttext FROM documents WHERE doc_id < 5),
+       |d0 AS (SELECT d.doc_id, d.text || ' ' || p.ttext AS text
+       |       FROM documents d JOIN tpl p ON p.tid = d.doc_id % 5),
+       |t AS (SELECT doc_id, $duckToks AS toks FROM d0),
+       |b AS (SELECT doc_id, toks, list_filter(range(4, length(toks)), i ->
+       |       ('0x' || substring(md5(array_to_string(toks[i-3:i], ' ')), 1, 15))::BIGINT % 16 = 0) AS bounds
+       |      FROM t WHERE length(toks) > 0),
+       |s AS (SELECT doc_id, toks, list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
+       |        list_append(bounds, length(toks)) AS ends FROM b),
+       |u AS (SELECT doc_id, unnest(starts) AS st, unnest(ends) AS en,
+       |        generate_subscripts(starts, 1) AS ci, toks FROM s),
+       |ch AS (SELECT doc_id, ci - 1 AS chunk_idx, en - st + 1 AS ntok,
+       |        md5(array_to_string(toks[st:en], ' ')) AS h FROM u),
+       |r AS (SELECT doc_id, ntok,
+       |        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk FROM ch)
+       |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS chunk_tokens,
+       |  CAST(sum(CASE WHEN rk = 1 THEN ntok ELSE 0 END) AS BIGINT) AS novel_tokens,
+       |  round(sum(CASE WHEN rk = 1 THEN ntok ELSE 0 END)::DOUBLE / sum(ntok), 6) AS novelty
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // the template-augmented corpus both chunk-novelty rows chunk: append
+  // one of five shared template texts (doc_id % 5) to every doc so
+  // cross-doc duplicate chunks appear en masse
+  private def chunkTplAug(c: graft.catalog.Catalog): org.apache.spark.sql.DataFrame = {
+    val docs = c.resolve("documents")
+    val tpl = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("tid"), col("text").as("ttext"))
+    docs
+      .select(col("doc_id"), (col("doc_id") % 5).as("tid"), col("text"))
+      .join(tpl, Seq("tid"))
+      .select(col("doc_id"), concat_ws(" ", col("text"), col("ttext")).as("text"))
+  }
+
+  // the full Heaps-law vocab-growth replay — shared VERBATIM by
+  // q_text_vocab_growth (one-pass corpus face) and q_text_vocab_inc
+  // (3-batch merged vocab state must equal it)
+  private lazy val duckVocabGrowthSql =
+    s"""WITH fs AS (SELECT w, min(doc_id) AS first FROM
+       |      (SELECT doc_id, unnest($duckToks) AS w FROM documents) GROUP BY w),
+       |cp AS (SELECT unnest([100, 250, 500]) AS checkpoint),
+       |v AS (SELECT cp.checkpoint, count(*) FILTER (fs.first < cp.checkpoint) AS vocab
+       |      FROM fs CROSS JOIN cp GROUP BY 1),
+       |t AS (SELECT cp.checkpoint,
+       |        coalesce(sum(CASE WHEN doc_id < cp.checkpoint THEN length($duckToks) ELSE 0 END), 0) AS n_tokens
+       |      FROM documents CROSS JOIN cp GROUP BY 1)
+       |SELECT v.checkpoint, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(v.vocab AS BIGINT) AS vocab,
+       |  CASE WHEN t.n_tokens > 0
+       |       THEN round(v.vocab::DOUBLE / t.n_tokens, 6) END AS type_token_ratio
+       |FROM v JOIN t USING (checkpoint) ORDER BY v.checkpoint""".stripMargin
+
   // the full BM25 replay (tokenize, postings, df, corpus stats, score,
   // rank) — shared VERBATIM by q_text_bm25 (per-query corpus scan) and
   // q_text_bm25_inc (3-batch merged persisted index must equal it)
@@ -272,21 +328,23 @@ object PipelineQueries {
     // still buying new vocabulary, or repeating? One corpus shuffle
     // (token -> first owner id); each checkpoint is a conditional
     // aggregate over the vocab-sized frame
-    q("q_text_vocab_growth",
-      s"""WITH fs AS (SELECT w, min(doc_id) AS first FROM
-         |      (SELECT doc_id, unnest($duckToks) AS w FROM documents) GROUP BY w),
-         |cp AS (SELECT unnest([100, 250, 500]) AS checkpoint),
-         |v AS (SELECT cp.checkpoint, count(*) FILTER (fs.first < cp.checkpoint) AS vocab
-         |      FROM fs CROSS JOIN cp GROUP BY 1),
-         |t AS (SELECT cp.checkpoint,
-         |        coalesce(sum(CASE WHEN doc_id < cp.checkpoint THEN length($duckToks) ELSE 0 END), 0) AS n_tokens
-         |      FROM documents CROSS JOIN cp GROUP BY 1)
-         |SELECT v.checkpoint, CAST(t.n_tokens AS BIGINT) AS n_tokens,
-         |  CAST(v.vocab AS BIGINT) AS vocab,
-         |  CASE WHEN t.n_tokens > 0
-         |       THEN round(v.vocab::DOUBLE / t.n_tokens, 6) END AS type_token_ratio
-         |FROM v JOIN t USING (checkpoint) ORDER BY v.checkpoint""".stripMargin) { c =>
+    q("q_text_vocab_growth", duckVocabGrowthSql) { c =>
       TextOps.vocabGrowth(c.resolve("documents"), Seq(100L, 250L, 500L))
+        .orderBy("checkpoint")
+    },
+
+    // MERGEABLE VOCABULARY STATE: the corpus arrives as three id-sliced
+    // batches; each reduces to its (term, first, n) vocab state and
+    // per-doc token masses, batch states fold by min/sum, and the Heaps
+    // curve recomputes from the merged state ALONE (text never rescanned).
+    // The oracle is the WHOLE-corpus vocabGrowth replay verbatim — the row
+    // passes only if the fold loses nothing (the statsOf/bm25 contract)
+    q("q_text_vocab_inc", duckVocabGrowthSql) { c =>
+      val docs = c.resolve("documents")
+      val batches = Seq(0, 1, 2).map(r => docs.where(col("doc_id") % 3 === r))
+      val merged = batches.map(b => TextOps.vocabState(b)).reduce(TextOps.vocabMergeState)
+      val docTok = batches.map(b => TextOps.vocabDocTokens(b)).reduce(_ unionByName _)
+      TextOps.vocabGrowthFromState(merged, docTok, Seq(100L, 250L, 500L))
         .orderBy("checkpoint")
     },
 
@@ -1165,34 +1223,36 @@ object PipelineQueries {
     // boundaries resync inside the shared region; the oracle replays
     // chunking, md5 ownership (first (doc, idx) instance wins) and the
     // per-doc novelty rollup
-    q("q_dedup_chunk_novelty",
-      s"""WITH tpl AS (SELECT doc_id AS tid, text AS ttext FROM documents WHERE doc_id < 5),
-         |d0 AS (SELECT d.doc_id, d.text || ' ' || p.ttext AS text
-         |       FROM documents d JOIN tpl p ON p.tid = d.doc_id % 5),
-         |t AS (SELECT doc_id, $duckToks AS toks FROM d0),
-         |b AS (SELECT doc_id, toks, list_filter(range(4, length(toks)), i ->
-         |       ('0x' || substring(md5(array_to_string(toks[i-3:i], ' ')), 1, 15))::BIGINT % 16 = 0) AS bounds
-         |      FROM t WHERE length(toks) > 0),
-         |s AS (SELECT doc_id, toks, list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
-         |        list_append(bounds, length(toks)) AS ends FROM b),
-         |u AS (SELECT doc_id, unnest(starts) AS st, unnest(ends) AS en,
-         |        generate_subscripts(starts, 1) AS ci, toks FROM s),
-         |ch AS (SELECT doc_id, ci - 1 AS chunk_idx, en - st + 1 AS ntok,
-         |        md5(array_to_string(toks[st:en], ' ')) AS h FROM u),
-         |r AS (SELECT doc_id, ntok,
-         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk FROM ch)
-         |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS chunk_tokens,
-         |  CAST(sum(CASE WHEN rk = 1 THEN ntok ELSE 0 END) AS BIGINT) AS novel_tokens,
-         |  round(sum(CASE WHEN rk = 1 THEN ntok ELSE 0 END)::DOUBLE / sum(ntok), 6) AS novelty
-         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { c =>
-      val docs = c.resolve("documents")
-      val tpl = docs.where(col("doc_id") < 5)
-        .select(col("doc_id").as("tid"), col("text").as("ttext"))
-      val aug = docs
-        .select(col("doc_id"), (col("doc_id") % 5).as("tid"), col("text"))
-        .join(tpl, Seq("tid"))
-        .select(col("doc_id"), concat_ws(" ", col("text"), col("ttext")).as("text"))
-      Dedup.chunkNovelty(aug).orderBy("doc_id")
+    q("q_dedup_chunk_novelty", duckChunkNoveltySql) { c =>
+      Dedup.chunkNovelty(chunkTplAug(c)).orderBy("doc_id")
+    },
+
+    // INCREMENTAL chunk-level storage dedup: the same template-augmented
+    // corpus arrives as three id-ordered batches; each batch chunks ONCE
+    // (pinned — the frame feeds both the novelty probe and the ownership
+    // append), probes the ownership store by one hash equi-join, and
+    // appends its owners. The oracle is the WHOLE-corpus first-copy
+    // replay verbatim — the fold passes only if per-batch maintenance
+    // equals global ownership (id-ordered batches put every hash's first
+    // copy in the earliest batch carrying it)
+    q("q_dedup_chunk_novelty_inc", duckChunkNoveltySql) { c =>
+      val aug = chunkTplAug(c)
+      val mx = aug.agg(max("doc_id")).head().getLong(0)
+      val batches = Seq(
+        aug.where(col("doc_id") <= mx / 3),
+        aug.where(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+        aug.where(col("doc_id") > 2 * mx / 3))
+      var store = Dedup.chunkOwners(
+        Dedup.chunkHashes(aug.where(lit(false))))
+      val outs = batches.map { b =>
+        val ch = Dedup.chunkHashes(b).localCheckpoint()
+        val r = Dedup.chunkNoveltyAgainst(ch, store)
+        // store grows as a lazy union of pinned per-batch owner pieces;
+        // chunkNoveltyAgainst de-duplicates keys at the probe
+        store = store.unionByName(Dedup.chunkOwners(ch))
+        r
+      }
+      outs.reduce(_ unionByName _).orderBy("doc_id")
     },
 
     // WHY content-defined beats fixed chunking for revision dedup, as a
@@ -4711,6 +4771,53 @@ object PipelineQueries {
           .writeStream.format("memory").queryName(sinkName).outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       spark.table(sinkName).select("vec_id", "centroid_id").orderBy("vec_id")
+    },
+
+    // STREAMING LEXICAL-INDEX MAINTENANCE: documents arrive as three
+    // micro-batches (maxFilesPerTrigger=1 over three staged slice files —
+    // staging is INPUT only, fingerprint-keyed like q_text_bm25_inc); each
+    // batch appends its postings and ONE partial df/corpus state, and the
+    // search runs over the folded store. The oracle is the WHOLE-corpus
+    // BM25 replay verbatim — the row passes only if per-batch maintenance
+    // loses nothing however the stream was cut (the q_stream_semdedup
+    // sibling for the lexical modality). The maintenance itself runs
+    // EVERY rep (it is the measured operation, the q_stream_ingest
+    // precedent); only the slice files stage once per corpus.
+    q("q_stream_bm25", duckBm25Sql) { c =>
+      val spark = c.spark
+      val docsFile = java.nio.file.Paths.get(s"${c.dataDir}/documents.parquet")
+      val fingerprint = c.dataDir + "|" + java.nio.file.Files.size(docsFile) + "|" +
+        java.nio.file.Files.getLastModifiedTime(docsFile).toMillis
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val inDir = s"/tmp/graft_streambm25_in_v1/$key"
+      val ready = java.nio.file.Paths.get(inDir, "_READY")
+      if (!java.nio.file.Files.exists(ready)) {
+        graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(inDir))
+        val docs = c.resolve("documents")
+        Seq(0, 1, 2).foreach { r =>
+          docs.where(col("doc_id") % 3 === r)
+            .coalesce(1).write.mode("append").parquet(s"$inDir/slices")
+        }
+        java.nio.file.Files.write(ready, Array.emptyByteArray)
+      }
+      val runBase = s"/tmp/graft_streambm25_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val (idxDir, ck) = (s"$runBase/idx", s"$runBase/ck")
+      try {
+        val schema = spark.read.parquet(s"$inDir/slices").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/slices")
+        StreamOps.startDrained(spark)(StreamOps.indexLexical(src, idxDir)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        TextOps.bm25SearchIndexed(
+            spark.read.parquet(s"$idxDir/postings"),
+            TextOps.bm25FoldDf(spark.read.parquet(s"$idxDir/df_parts")),
+            TextOps.bm25FoldCorpus(spark.read.parquet(s"$idxDir/corpus_parts")),
+            Seq("join", "vector", "stream"), topK = 10)
+          .orderBy("rank")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
     },
 
     // per-key custom state via mapGroupsWithState (the arbitrary-state

@@ -642,6 +642,54 @@ object StixQueries {
       graft.operators.Graph.triangleCounts(edges).orderBy("id")
     },
 
+    // ----- 2-core of the same reference graph: peel degree-<2 nodes to a
+    //       fixpoint — strips leaf observations, keeps the mutually-linked
+    //       backbone (the dense-cluster complement to components, which
+    //       keeps every pendant). The engine runs 4 fixed peel rounds and
+    //       reports convergence; the oracle unrolls the same 4 rounds
+    //       (peeling is monotone, so an unchanged round IS the fixpoint
+    //       and extra rounds are no-ops).
+    q("q_stix_kcore", {
+      // every u_i is referenced 4x downstream — without MATERIALIZED,
+      // DuckDB inlines CTEs and the peel chain re-evaluates exponentially
+      def peel(i: Int) =
+        s"""d$i AS MATERIALIZED (SELECT id, count(*) AS deg FROM
+           |      (SELECT a AS id FROM u${i - 1} UNION ALL SELECT b FROM u${i - 1}) n$i GROUP BY id),
+           |s$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= 2),
+           |u$i AS MATERIALIZED (SELECT u.a, u.b FROM u${i - 1} u
+           |      JOIN s$i sa ON u.a = sa.id JOIN s$i sb ON u.b = sb.id)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT source_ref AS src, target_ref AS dst FROM ${t("__reflist")}
+         |  UNION
+         |  SELECT id, src_ref FROM ${t("network-traffic")} WHERE src_ref IS NOT NULL
+         |  UNION
+         |  SELECT id, dst_ref FROM ${t("network-traffic")} WHERE dst_ref IS NOT NULL
+         |  UNION
+         |  SELECT source_ref, target_ref FROM ${t("__contains")}),
+         |u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+         |      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         |${peel(1)},
+         |${peel(2)},
+         |${peel(3)},
+         |${peel(4)},
+         |cd AS (SELECT id, count(*) AS core_deg FROM
+         |      (SELECT a AS id FROM u4 UNION ALL SELECT b FROM u4) n5 GROUP BY id),
+         |conv AS (SELECT (SELECT count(*) FROM u4) = (SELECT count(*) FROM u3) AS converged)
+         |SELECT s4.id, CAST(coalesce(cd.core_deg, 0) AS BIGINT) AS core_deg, conv.converged
+         |FROM s4 LEFT JOIN cd USING (id) CROSS JOIN conv ORDER BY s4.id""".stripMargin
+    }) { st =>
+      val rl = st.catalog.resolve("__reflist")
+        .select(col("source_ref").as("src"), col("target_ref").as("dst"))
+      val ct = st.catalog.resolve("__contains")
+        .select(col("source_ref").as("src"), col("target_ref").as("dst"))
+      val nt = st.catalog.resolve("network-traffic")
+      val edges = rl
+        .unionByName(nt.select(col("id").as("src"), col("src_ref").as("dst")))
+        .unionByName(nt.select(col("id").as("src"), col("dst_ref").as("dst")))
+        .unionByName(ct)
+      graft.operators.Graph.kCore(edges, k = 2, rounds = 4).orderBy("id")
+    },
+
     // ----- payload_bin decoders through the pattern compiler: LIKE routes
     //       to like_bin, MATCHES to match_bin (base64-decode then match —
     //       sqlitestorage.py:78-87 match_bin/like_bin). The oracle decodes

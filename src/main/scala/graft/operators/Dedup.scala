@@ -363,17 +363,78 @@ object Dedup {
       divisor: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val chunks = TextOps.cdcChunk(docs, w, divisor, textCol, idCol)
-      .select(
-        col(idCol), col("chunk_idx"), col("n_tokens"),
-        md5(col("chunk_text")).as("__h"))
-    val owner = chunks
-      .groupBy(col("__h"))
-      .agg(min(struct(col(idCol).as("d"), col("chunk_idx").as("i"))).as("__o"))
-    chunks.join(owner, Seq("__h"))
+    val chunks = chunkHashes(docs, w, divisor, idCol, textCol)
+    val owner = chunkOwners(chunks, idCol)
+    val marked = chunks.join(owner, Seq("__h"))
       .withColumn(
         "__novel",
         col("__o.d") === col(idCol) && col("__o.i") === col("chunk_idx"))
+    chunkRollup(marked, idCol)
+  }
+
+  /** The chunk kernel shared by [[chunkNovelty]] and its incremental face:
+    * CDC-chunk each doc and hash the chunk text — zero-shuffle map-side
+    * codegen, one row per (doc, chunk_idx, n_tokens, __h). Production
+    * incremental callers run this ONCE per batch and feed the pinned frame
+    * to BOTH [[chunkNoveltyAgainst]] and [[chunkOwners]] (one text pass,
+    * the multi-consumer-pin discipline). */
+  def chunkHashes(
+      docs: DataFrame,
+      w: Int = 4,
+      divisor: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextOps.cdcChunk(docs, w, divisor, textCol, idCol)
+      .select(
+        col(idCol), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text")).as("__h"))
+
+  /** Chunk-ownership state of one [[chunkHashes]] frame: (__h, __o) with
+    * __o the min (doc, idx) struct — "the first copy owns the chunk". The
+    * persisted side table of the incremental face; [[chunkMergeOwners]]
+    * folds batch states (min is set-additive), and with id-ordered batches
+    * the fold equals whole-corpus ownership exactly. */
+  def chunkOwners(chunks: DataFrame, idCol: String = "doc_id"): DataFrame =
+    chunks
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("d"), col("chunk_idx").as("i"))).as("__o"))
+
+  /** Fold two chunk-ownership states: min-struct per hash. */
+  def chunkMergeOwners(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("__h")).agg(min(col("__o")).as("__o"))
+
+  /** Per-doc novelty of a NEW batch's chunks against the ownership store
+    * so far — the incremental face of [[chunkNovelty]] (the
+    * exactIncremental / semDedupIncremental contract): a chunk is novel
+    * iff its hash is absent from the store AND this (doc, idx) is the
+    * batch-internal first copy. With id-ordered batches the appended
+    * per-doc rows EQUAL the whole-corpus pass (the global first copy of
+    * any hash lives in the earliest batch carrying it), so a continuous
+    * re-crawl maintains its storage-dedup accounting at batch cost —
+    * the 100 TB chunk store is probed by one hash equi-join, never
+    * re-chunked or re-scanned. `store` needs only its `__h` column; keys
+    * are de-duplicated here so a lazy union of per-batch owner pieces is
+    * a valid store. */
+  def chunkNoveltyAgainst(
+      chunks: DataFrame,
+      store: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val batchOwner = chunkOwners(chunks, idCol)
+      .withColumnRenamed("__o", "__bo")
+    val marked = chunks
+      .join(batchOwner, Seq("__h"))
+      .join(
+        store.select(col("__h")).distinct().withColumn("__seen", lit(true)),
+        Seq("__h"), "left_outer")
+      .withColumn(
+        "__novel",
+        col("__seen").isNull &&
+          col("__bo.d") === col(idCol) && col("__bo.i") === col("chunk_idx"))
+    chunkRollup(marked, idCol)
+  }
+
+  private def chunkRollup(marked: DataFrame, idCol: String): DataFrame =
+    marked
       .groupBy(col(idCol))
       .agg(
         sum(col("n_tokens").cast("long")).as("chunk_tokens"),
@@ -382,7 +443,6 @@ object Dedup {
       .withColumn(
         "novelty",
         round(col("novel_tokens").cast("double") / col("chunk_tokens"), 6))
-  }
 
   /** Exact duplicate groups by content fingerprint. Returns one row per
     * fingerprint with the representative (min doc_id) and group size.

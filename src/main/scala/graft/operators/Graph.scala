@@ -94,6 +94,87 @@ object Graph {
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
   }
 
+  /** k-core of the undirected view of an edge frame: the maximal subgraph
+    * in which every node keeps degree ≥ k, computed by the standard peel
+    * loop (drop nodes under degree k, re-count, repeat) — the
+    * "dense backbone" complement to [[connectedComponents]] (which keeps
+    * every pendant) and [[triangleCounts]] (which only sees 3-cliques).
+    * In a hunt graph the 2-core strips leaf observations and keeps the
+    * mutually-linked infrastructure; in a crawl/link graph the k-core is
+    * the classic spam-farm / hub-cluster signal.
+    *
+    * Runs a FIXED `rounds` peel passes and reports convergence instead of
+    * looping to an unbounded fixpoint (the [[pageRank]] /
+    * connectedComponents maxIters discipline — a diameter-shaped graph
+    * must fail loud, not hang): `converged` is true iff the last pass
+    * removed nothing, in which case the result IS the exact k-core
+    * (peeling is monotone — each pass's edge set is a subset of the
+    * previous, so an unchanged pass is the fixpoint). Extra passes after
+    * convergence are no-ops, so `rounds` trades driver round-trips for
+    * certainty, never correctness. Callers seeing `converged=false`
+    * re-run with higher `rounds`.
+    *
+    * Scale shape per pass: one degree aggregate (node-keyed, map-side
+    * combinable) + two semi-join-shaped equi-joins restricting the edge
+    * list — all hash-partitioned on node ids, state is the shrinking edge
+    * list itself. The convergence flag is a crossJoin of two 1-row
+    * aggregates, not a driver count. `checkpointEvery` > 0 truncates the
+    * per-pass lineage chain exactly as in [[pageRank]].
+    *
+    * Output: one row per surviving node — (id, core_deg, converged),
+    * core_deg the node's degree within the surviving subgraph (≥ k when
+    * converged; a survivor isolated by the final pass reports 0). */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      checkpointEvery: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "need at least one peel round")
+    val und = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    var cur = und
+    var prev = und
+    var surv: DataFrame = null
+    (1 to rounds).foreach { i =>
+      val deg = cur
+        .select(col("a").as("id"))
+        .union(cur.select(col("b").as("id")))
+        .groupBy("id")
+        .agg(count(lit(1)).as("deg"))
+      surv = deg.where(col("deg") >= k).select("id")
+      prev = cur
+      cur = cur
+        .join(surv.select(col("id").as("a")), Seq("a"))
+        .join(surv.select(col("id").as("b")), Seq("b"))
+        .select("a", "b")
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
+        cur = cur.localCheckpoint(true)
+    }
+    val coreDeg = cur
+      .select(col("a").as("id"))
+      .union(cur.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("core_deg"))
+    // edge sets only shrink, so equal cardinality == equal set == fixpoint
+    val conv = prev
+      .agg(count(lit(1)).as("__pc"))
+      .crossJoin(cur.agg(count(lit(1)).as("__cc")))
+      .select((col("__cc") === col("__pc")).as("converged"))
+    surv
+      .join(coreDeg, Seq("id"), "left_outer")
+      .crossJoin(broadcast(conv))
+      .select(
+        col("id"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        col("converged"))
+  }
+
   /** Per-node triangle participation counts over the undirected view of an
     * edge frame — the local-clustering signal that separates "hub that
     * fans out" (PageRank-high, triangle-low) from "member of a tight

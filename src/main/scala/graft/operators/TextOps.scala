@@ -327,6 +327,63 @@ object TextOps {
           .as("type_token_ratio"))
   }
 
+  /** Mergeable vocabulary state — the persisted-index face of
+    * [[vocabGrowth]] (the statsOf/bm25Df contract: per-batch maintenance
+    * must EQUAL the whole-corpus pass, never a rescan). One row per term:
+    * (term, first, n) with `first` the smallest owning doc id and `n` the
+    * term's occurrence count. min and sum are set-additive, so
+    * [[vocabMergeState]] folds batch states into exactly the whole-corpus
+    * state — a continuous crawl maintains its vocabulary (and its Heaps
+    * curve, via [[vocabGrowthFromState]]) at vocab-sized batch cost. The
+    * state doubles as the term-frequency spectrum (n per term). */
+  def vocabState(
+      batch: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    batch
+      .select(col(idCol).cast("long").as("__vg_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(min(col("__vg_id")).as("first"), count(lit(1)).as("n"))
+
+  /** Fold two (or, via reduce, any number of) [[vocabState]] frames:
+    * min-first + integer-sum counts — associative, commutative,
+    * layout-free. */
+  def vocabMergeState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("term")
+      .agg(min(col("first")).as("first"), sum(col("n")).as("n"))
+
+  /** Per-doc token masses of one batch — the second (docs-sized,
+    * append-only) state table [[vocabGrowthFromState]] needs: doc ids are
+    * disjoint across batches, so the union IS the corpus table. */
+  def vocabDocTokens(
+      batch: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    batch.select(
+      col(idCol).cast("long").as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+
+  /** [[vocabGrowth]] recomputed from persisted state alone (merged
+    * [[vocabState]] + appended [[vocabDocTokens]]) — column-identical
+    * output, and exact: every field is a conditional count/sum both
+    * representations agree on. The corpus text is never touched. */
+  def vocabGrowthFromState(
+      termFirst: DataFrame, docTokens: DataFrame, checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    val vAggs = checkpoints.map(c =>
+      count(when(col("first") < c, 1)).as(s"__v$c"))
+    val vocabRow = termFirst.agg(vAggs.head, vAggs.tail: _*)
+    val tAggs = checkpoints.map(c =>
+      sum(when(col("doc_id") < c, col("n_tokens")).otherwise(lit(0L))).as(s"__t$c"))
+    val tokRow = docTokens.agg(tAggs.head, tAggs.tail: _*)
+    val wide = vocabRow.crossJoin(tokRow)
+    val rows = explode(array(checkpoints.map(c =>
+      struct(lit(c).as("checkpoint"), col(s"__v$c").as("vocab"),
+        col(s"__t$c").as("n_tokens"))): _*))
+    wide.select(rows.as("r"))
+      .select(col("r.checkpoint"), col("r.n_tokens"), col("r.vocab"),
+        when(col("r.n_tokens") > 0,
+          round(col("r.vocab").cast("double") / col("r.n_tokens"), 6))
+          .as("type_token_ratio"))
+  }
+
   /** Tokenizer fertility per group (usually language): how many subword
     * tokens the tokenizer spends per word and per character — THE
     * cross-lingual budget statistic (a script the tokenizer fragments
@@ -1228,6 +1285,18 @@ object TextOps {
   /** Merge (n_docs, sum_dl) states. */
   def bm25MergeCorpus(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+
+  /** Fold a frame of APPENDED partial (term, df) states — the read face of
+    * an append-only df store ([[graft.streaming.StreamOps.indexLexical]]
+    * writes one partial per micro-batch): integer addition is associative
+    * and commutative, so folding partials in any grouping equals
+    * [[bm25MergeDf]] pairwise folds equals the whole-corpus [[bm25Df]]. */
+  def bm25FoldDf(parts: DataFrame): DataFrame =
+    parts.groupBy("term").agg(sum("df").as("df"))
+
+  /** Fold appended partial (n_docs, sum_dl) rows — see [[bm25FoldDf]]. */
+  def bm25FoldCorpus(parts: DataFrame): DataFrame =
+    parts.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
 
   /** Score a query against the persisted index — [[bm25TopK]] minus the
     * corpus scan. The term filter applies map-side over the postings

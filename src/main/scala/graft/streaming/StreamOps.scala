@@ -128,6 +128,46 @@ object StreamOps {
       }
     }
 
+  /** Continuous lexical-index maintenance — the streaming face of the
+    * persisted BM25 index ([[graft.operators.TextOps.bm25Index]] family),
+    * closing the crawl loop for lexical retrieval the way
+    * [[dedupSemantic]] closes it for embeddings: documents stream in and
+    * each micro-batch appends
+    *  - its postings (doc, term, tf, dl) under `dir/postings` —
+    *    append-only is exact because doc ids are disjoint across batches,
+    *  - ONE vocab-sized partial (term, df) state under `dir/df_parts`,
+    *  - ONE (n_docs, sum_dl) row under `dir/corpus_parts`.
+    * Both partial states fold by pure integer addition, so the read face
+    * ([[graft.operators.TextOps.bm25FoldDf]] / `bm25FoldCorpus`) equals
+    * the whole-corpus pass EXACTLY however the stream was batched —
+    * searches ([[graft.operators.TextOps.bm25SearchIndexed]]) touch
+    * postings only and the corpus text is never rescanned. Per batch:
+    * tokenization runs ONCE (the batch pins; df derives from the pinned
+    * postings), appended state is O(batch); a compactor can later fold
+    * `df_parts` down to one file without changing any answer (the fold is
+    * associative). Crash note: the three appends are not atomic as a
+    * group — a re-run of an incomplete batch can double-append, so
+    * exactly-once deployments route the appends through the bucketed
+    * store ([[sinkToStore]]) or key parquet files by (batchId, table) the
+    * way foreachBatch idempotence is normally done; the harness drains
+    * are single-run. */
+  def indexLexical(
+      stream: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val b = batch.toDF().localCheckpoint()
+      val postings =
+        graft.operators.TextOps.bm25Index(b, idCol, textCol).localCheckpoint()
+      postings.write.mode("append").parquet(s"$dir/postings")
+      graft.operators.TextOps.bm25Df(postings)
+        .write.mode("append").parquet(s"$dir/df_parts")
+      graft.operators.TextOps.bm25Corpus(b, textCol)
+        .write.mode("append").parquet(s"$dir/corpus_parts")
+      ()
+    }
+
   /** Per-window BINNED value counts against a static reference's bin
     * edges — the streaming half of distribution-drift monitoring
     * (Profile.distributionDrift): the reference cuts come from the tuned

@@ -1421,6 +1421,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L), s"r=$r")
   }
 
+  test("kCore: pendant chain peels off a triangle; converged flag; dups/loops ignored") {
+    import graft.operators.Graph
+    // triangle abc + pendant chain c-d-e (+ reversed dup edge and a loop):
+    // round 1 drops e (deg 1), round 2 drops d, round 3 is the no-op
+    // fixpoint — at rounds=4 the 2-core is exactly the triangle, each
+    // node at core degree 2
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+      ("b", "a"), ("d", "d")).toDF("src", "dst")
+    val r = Graph.kCore(e, k = 2, rounds = 4)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getBoolean(2))).sortBy(_._1)
+    assert(r.toSeq == Seq(("a", 2L, true), ("b", 2L, true), ("c", 2L, true)), s"r=${r.toSeq}")
+    // k above the densest degree empties the graph — and an empty pass is
+    // its own fixpoint, so it still reports converged
+    assert(Graph.kCore(e, k = 3, rounds = 4).count() == 0)
+  }
+
+  test("kCore: under-iterated diameter-shaped graph fails loud via converged=false") {
+    import graft.operators.Graph
+    // a 7-node path needs 3 peel rounds to dissolve under k=2; rounds=1
+    // must NOT silently present the half-peeled graph as the 2-core
+    val path = (0 until 6).map(i => (s"n$i", s"n${i + 1}"))
+    val e = path.toDF("src", "dst")
+    val r1 = Graph.kCore(e, k = 2, rounds = 1).collect()
+    assert(r1.nonEmpty && r1.forall(!_.getBoolean(2)), "partial peel must report converged=false")
+    // enough rounds: the path has no 2-core, and an exhausted graph converges
+    assert(Graph.kCore(e, k = 2, rounds = 4).count() == 0)
+    // a survivor isolated by the final pass reports core_deg 0 when not converged
+    assert(r1.exists(_.getLong(1) >= 0))
+  }
+
   test("clusterProfile: separable clusters report size, dominant label, purity") {
     import graft.operators.Similarity
     val rows = Seq(
@@ -2565,6 +2595,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.keys.forall(k => r13(k) == r(k).getAs[Double]("novelty")))
   }
 
+  test("chunkNoveltyAgainst: id-ordered batch fold equals the whole-corpus pass") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val d = Seq(
+      (1, base), (2, base),
+      (3, "totally different words entirely unrelated content stream " +
+        "red orange yellow green blue indigo violet black white gray"),
+      (4, base + " fresh trailing tokens appended after the shared body"),
+      (5, base), (6, "more unseen vocabulary arriving very late in the fold"))
+      .toDF("doc_id", "text")
+    // three id-ordered batches: {1,2}, {3,4}, {5,6}
+    val batches = Seq(
+      d.where(col("doc_id") <= 2),
+      d.where(col("doc_id") > 2 && col("doc_id") <= 4),
+      d.where(col("doc_id") > 4))
+    var store = Dedup.chunkOwners(Dedup.chunkHashes(d.where(lit(false)), divisor = 4))
+    val folded = batches.map { b =>
+      val ch = Dedup.chunkHashes(b, divisor = 4).localCheckpoint()
+      val r = Dedup.chunkNoveltyAgainst(ch, store)
+      store = store.unionByName(Dedup.chunkOwners(ch))
+      r
+    }.reduce(_ unionByName _)
+    val asMap = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(asMap(folded) == asMap(Dedup.chunkNovelty(d, divisor = 4)))
+    // doc 5 is an exact re-crawl of batch-1 content: zero novel against the store
+    assert(asMap(folded)(5)._2 == 0L)
+    // mergeable owners: pairwise merge equals whole-corpus ownership
+    val whole = Dedup.chunkOwners(Dedup.chunkHashes(d, divisor = 4))
+    val merged = batches
+      .map(b => Dedup.chunkOwners(Dedup.chunkHashes(b, divisor = 4)))
+      .reduce(Dedup.chunkMergeOwners)
+    val ownMap = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(x => x.getString(0) -> x.getStruct(1).toString).toMap
+    assert(ownMap(merged) == ownMap(whole))
+  }
+
   test("gopherRepetitionReport matches hand-computed battery values") {
     val d = Seq(
       (1, "a b a b a b"),                   // top2 = 3*3/11, no dup-5
@@ -2879,5 +2946,27 @@ class PipelineOpsSpec extends SparkSpec {
     // growth is monotone in the checkpoint by construction
     val vs = r.map(_._3)
     assert(vs.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("vocabState fold: 3-batch merged state replays vocabGrowth exactly") {
+    import graft.operators.TextOps
+    val d = Seq(
+      (1, "a b c"), (2, "a b d"), (3, "a a a"), (4, "e f"), (5, ""), (6, "b g a"))
+      .toDF("doc_id", "text")
+    val batches = Seq(0, 1, 2).map(r => d.where(col("doc_id") % 3 === r))
+    val merged = batches.map(b => TextOps.vocabState(b)).reduce(TextOps.vocabMergeState)
+    // merged state == whole-corpus state, field for field
+    val whole = TextOps.vocabState(d)
+    val asMap = (s: org.apache.spark.sql.DataFrame) =>
+      s.collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(asMap(merged) == asMap(whole))
+    assert(asMap(whole)("a") == ((1L, 6L)) && asMap(whole)("g") == ((6L, 1L)))
+    // the Heaps curve from state alone equals the corpus-face operator
+    val docTok = batches.map(b => TextOps.vocabDocTokens(b)).reduce(_ unionByName _)
+    val fromState = TextOps.vocabGrowthFromState(merged, docTok, Seq(2L, 4L, 7L))
+      .orderBy("checkpoint").collect().map(_.toSeq)
+    val direct = TextOps.vocabGrowth(d, Seq(2L, 4L, 7L))
+      .orderBy("checkpoint").collect().map(_.toSeq)
+    assert(fromState.toSeq == direct.toSeq)
   }
 }

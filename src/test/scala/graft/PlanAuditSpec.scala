@@ -645,4 +645,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(badNodes(gr).isEmpty,
       s"gopher battery must be hash aggregates + equi-joins only: ${badNodes(gr)}")
   }
+
+  test("chunkNoveltyAgainst: hash equi-join probe, no window, no cartesian over data") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ch = graft.operators.Dedup.chunkHashes(docs)
+    val store = graft.operators.Dedup.chunkOwners(
+      graft.operators.Dedup.chunkHashes(docs.where(col("doc_id") < 10)))
+    val plan = physical(graft.operators.Dedup.chunkNoveltyAgainst(ch, store))
+    for (bad <- Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"chunkNoveltyAgainst must not plan $bad:\n$plan")
+  }
+
+  test("kCore: per-round degree aggregate + id equi-joins; conv flag is a 1-row broadcast") {
+    val edges = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id").cast("string").as("src"),
+        col("event_type").as("dst"))
+    val df = graft.operators.Graph.kCore(edges, k = 2, rounds = 2)
+    val plan = physical(df)
+    // the peel loop must stay equi-keyed; the only nested-loop join allowed
+    // is the 1-row converged-flag broadcast cross
+    assert(!plan.contains("CartesianProduct"), s"kCore planned a cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"kCore planned a window:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"kCore: only the two 1-row stat crosses may nest-loop ($bnlj):\n$plan")
+  }
+
+  test("vocabGrowthFromState: state-only aggregates, corpus text never rescanned") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val st = graft.operators.TextOps.vocabState(docs).localCheckpoint()
+    val dt = graft.operators.TextOps.vocabDocTokens(docs).localCheckpoint()
+    val plan = physical(
+      graft.operators.TextOps.vocabGrowthFromState(st, dt, Seq(100L, 200L)))
+    // reading pinned state must not re-tokenize: no Generate (explode of
+    // tokens) except the bounded checkpoint-struct explode, and no scan of
+    // the documents parquet
+    assert(!plan.contains("documents.parquet"),
+      s"state face must not rescan the corpus:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"state face must stay aggregate-only:\n$plan")
+  }
 }

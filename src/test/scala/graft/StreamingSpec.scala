@@ -420,6 +420,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexLexical: per-batch appended index answers equal the whole-corpus BM25") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_bm25").toString
+    val idx = s"$base/idx"
+    val input = MemoryStream[(Long, String)]
+    val b1 = Seq((1L, "join the stream of vector data"), (2L, "a vector join"),
+      (3L, "nothing relevant here"))
+    val b2 = Seq((4L, "stream stream stream"), (5L, "join vector stream join"), (6L, ""))
+    val q = StreamOps.indexLexical(input.toDF().toDF("doc_id", "text"), idx)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("join", "vector", "stream")
+    val streamed = TextOps.bm25SearchIndexed(
+        spark.read.parquet(s"$idx/postings"),
+        TextOps.bm25FoldDf(spark.read.parquet(s"$idx/df_parts")),
+        TextOps.bm25FoldCorpus(spark.read.parquet(s"$idx/corpus_parts")),
+        terms, topK = 10)
+      .collect().map(_.toSeq).toSeq
+    val whole = TextOps.bm25TopK((b1 ++ b2).toDF("doc_id", "text"), terms, topK = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == whole, s"streamed=$streamed whole=$whole")
+    // two micro-batches -> two partial corpus rows; empty-text doc 6
+    // counted by the corpus state (n_docs=6) though it has no postings
+    assert(spark.read.parquet(s"$idx/corpus_parts").count() == 2)
+    val c = TextOps.bm25FoldCorpus(spark.read.parquet(s"$idx/corpus_parts")).collect()(0)
+    assert(c.getLong(0) == 6L)
+  }
+
   test("sinkToStore crash mid-publish: restart from the checkpoint loses no rows") {
     // end-to-end stream fault tolerance: the writer dies inside a
     // micro-batch's publish protocol (and stays dead — real crash
