@@ -348,6 +348,36 @@ object PipelineQueries {
         .orderBy("checkpoint")
     },
 
+    // one-call corpus DATA CARD: the volume / duplication / language-spread
+    // / vocabulary summary a curation report leads with — three
+    // aggregate-only passes, every value replayed in SQL
+    q("q_text_datacard",
+      s"""WITH d AS (SELECT doc_id, text, lang, source, $duckToks AS toks FROM documents),
+         |dp AS (SELECT CAST(count(*) AS DOUBLE) AS docs,
+         |         CAST(sum(length(toks)) AS DOUBLE) AS toks,
+         |         CAST(sum(length(text)) AS DOUBLE) AS chars,
+         |         CAST(count(DISTINCT md5($duckNorm)) AS DOUBLE) AS fps,
+         |         CAST(count(DISTINCT source) AS DOUBLE) AS srcs
+         |       FROM d),
+         |lp AS (SELECT CAST(count(*) AS DOUBLE) AS langs, CAST(max(n) AS DOUBLE) AS topn
+         |       FROM (SELECT lang, count(*) AS n FROM d GROUP BY lang) z),
+         |vp AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vocab
+         |       FROM (SELECT unnest(toks) AS w FROM d) u)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, docs AS value FROM dp
+         |  UNION ALL SELECT 'n_tokens', toks FROM dp
+         |  UNION ALL SELECT 'n_chars', chars FROM dp
+         |  UNION ALL SELECT 'mean_doc_tokens', round(toks / docs, 6) FROM dp
+         |  UNION ALL SELECT 'exact_dup_ratio', round(1.0 - fps / docs, 6) FROM dp
+         |  UNION ALL SELECT 'n_langs', langs FROM lp
+         |  UNION ALL SELECT 'top_lang_share', round(topn / (SELECT docs FROM dp), 6) FROM lp
+         |  UNION ALL SELECT 'n_sources', srcs FROM dp
+         |  UNION ALL SELECT 'vocab_size', vocab FROM vp
+         |  UNION ALL SELECT 'type_token_ratio', round(vocab / (SELECT toks FROM dp), 6) FROM vp) m
+         |ORDER BY metric""".stripMargin) { c =>
+      TextOps.corpusReport(c.resolve("documents")).orderBy("metric")
+    },
+
     // tokenizer fertility per language — the cross-lingual budget
     // statistic (subword tokens per word / chars per subword decide how
     // many TOKENS a language costs; feeds tokenBudgetSample's budgets)

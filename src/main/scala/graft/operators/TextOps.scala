@@ -327,6 +327,60 @@ object TextOps {
           .as("type_token_ratio"))
   }
 
+  /** One-call corpus data card — the summary table a curation report
+    * leads with (datasheet/data-statement practice): volume (docs,
+    * tokens, chars), mean document length, exact-duplicate ratio,
+    * language/source spread with the dominant language's share,
+    * vocabulary size and type/token ratio. One (metric, value) row per
+    * statistic, every value replayable in plain SQL.
+    *
+    * Scale shape: three aggregate-only passes, none wider than the
+    * corpus scan — (1) a doc-level pass folding counts/masses and the
+    * exact-distinct fingerprint count, (2) a language histogram
+    * (|langs|-sized shuffle) joined as 1-row frames, (3) the vocabulary
+    * count (token → distinct, map-side combinable). No windows, no
+    * driver loops; the three 1-row frames cross-join broadcast-style
+    * before a bounded metric explode. */
+  def corpusReport(
+      docs: DataFrame,
+      textCol: String = "text",
+      langCol: String = "lang",
+      sourceCol: String = "source"): DataFrame = {
+    val docPass = docs.agg(
+      count(lit(1)).as("__docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("__toks"),
+      sum(length(col(textCol)).cast("long")).as("__chars"),
+      count_distinct(fingerprint(col(textCol))).as("__fps"),
+      count_distinct(col(sourceCol)).as("__srcs"))
+    val langPass = docs
+      .groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__langs"), max(col("__n")).as("__topn"))
+    val vocabPass = docs
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("__vocab"))
+    val wide = docPass.crossJoin(langPass).crossJoin(vocabPass)
+    val metrics = Seq(
+      ("n_docs", col("__docs").cast("double")),
+      ("n_tokens", col("__toks").cast("double")),
+      ("n_chars", col("__chars").cast("double")),
+      ("mean_doc_tokens",
+        round(col("__toks").cast("double") / col("__docs"), 6)),
+      ("exact_dup_ratio",
+        round(lit(1.0) - col("__fps").cast("double") / col("__docs"), 6)),
+      ("n_langs", col("__langs").cast("double")),
+      ("top_lang_share",
+        round(col("__topn").cast("double") / col("__docs"), 6)),
+      ("n_sources", col("__srcs").cast("double")),
+      ("vocab_size", col("__vocab").cast("double")),
+      ("type_token_ratio",
+        round(col("__vocab").cast("double") / col("__toks"), 6)))
+    wide
+      .select(explode(array(metrics.map { case (n, v) =>
+        struct(lit(n).as("metric"), v.as("value"))
+      }: _*)).as("__m"))
+      .select(col("__m.metric"), col("__m.value"))
+  }
+
   /** Mergeable vocabulary state — the persisted-index face of
     * [[vocabGrowth]] (the statsOf/bm25Df contract: per-batch maintenance
     * must EQUAL the whole-corpus pass, never a rescan). One row per term:

@@ -2948,6 +2948,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(vs.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("corpusReport: hand-computed data card (dup ratio, lang spread, vocab)") {
+    import graft.operators.TextOps
+    val d = Seq(
+      (1, "a b c", "en", "s1"), (2, "a b c", "en", "s1"), // exact dup pair
+      (3, "x y", "fr", "s2"), (4, "", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextOps.corpusReport(d)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("n_docs") == 4.0 && r("n_tokens") == 8.0 && r("n_chars") == 13.0)
+    assert(r("mean_doc_tokens") == 2.0)
+    assert(r("exact_dup_ratio") == 0.25) // 3 distinct fingerprints of 4 docs
+    assert(r("n_langs") == 2.0 && r("top_lang_share") == 0.75)
+    assert(r("n_sources") == 2.0)
+    assert(r("vocab_size") == 5.0 && r("type_token_ratio") == 0.625)
+  }
+
   test("vocabState fold: 3-batch merged state replays vocabGrowth exactly") {
     import graft.operators.TextOps
     val d = Seq(
