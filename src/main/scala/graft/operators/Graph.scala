@@ -118,8 +118,17 @@ object Graph {
     * combinable) + two semi-join-shaped equi-joins restricting the edge
     * list — all hash-partitioned on node ids, state is the shrinking edge
     * list itself. The convergence flag is a crossJoin of two 1-row
-    * aggregates, not a driver count. `checkpointEvery` > 0 truncates the
-    * per-pass lineage chain exactly as in [[pageRank]].
+    * aggregates, not a driver count.
+    *
+    * Unlike [[pageRank]]'s LINEAR iterate chain, each peel pass references
+    * the previous edge set ~5× (degree union twice, join base once, and
+    * twice more through the two survivor joins), so an unchecked lazy plan
+    * grows ~5^rounds relation nodes and Catalyst ANALYSIS becomes the
+    * bottleneck long before execution (8 unchecked rounds ≈ 390k nodes).
+    * `checkpointEvery` therefore defaults to 1: every pass eagerly pins its
+    * (edge-sized, already-shuffled) output — the standard iterative-graph
+    * materialization — keeping the plan constant-size per round. 0 keeps
+    * the fully lazy chain and is safe only for tiny round counts.
     *
     * Output: one row per surviving node — (id, core_deg, converged),
     * core_deg the node's degree within the surviving subgraph (≥ k when
@@ -130,7 +139,7 @@ object Graph {
       rounds: Int = 4,
       srcCol: String = "src",
       dstCol: String = "dst",
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1, "k must be positive")
     require(rounds >= 1, "need at least one peel round")
     val und = edges

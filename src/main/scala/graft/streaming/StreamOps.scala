@@ -157,15 +157,21 @@ object StreamOps {
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      val b = batch.toDF().localCheckpoint()
-      val postings =
-        graft.operators.TextOps.bm25Index(b, idCol, textCol).localCheckpoint()
-      postings.write.mode("append").parquet(s"$dir/postings")
-      graft.operators.TextOps.bm25Df(postings)
-        .write.mode("append").parquet(s"$dir/df_parts")
-      graft.operators.TextOps.bm25Corpus(b, textCol)
-        .write.mode("append").parquet(s"$dir/corpus_parts")
-      ()
+      // persist (not localCheckpoint): the pins live exactly one batch —
+      // a long-running stream must not accumulate session-lifetime blocks
+      val b = batch.toDF().persist()
+      val postings = graft.operators.TextOps.bm25Index(b, idCol, textCol).persist()
+      try {
+        postings.write.mode("append").parquet(s"$dir/postings")
+        graft.operators.TextOps.bm25Df(postings)
+          .write.mode("append").parquet(s"$dir/df_parts")
+        graft.operators.TextOps.bm25Corpus(b, textCol)
+          .write.mode("append").parquet(s"$dir/corpus_parts")
+      } finally {
+        postings.unpersist()
+        b.unpersist()
+        ()
+      }
     }
 
   /** Per-window BINNED value counts against a static reference's bin

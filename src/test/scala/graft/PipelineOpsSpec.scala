@@ -1230,6 +1230,23 @@ class PipelineOpsSpec extends SparkSpec {
     def mat(d: org.apache.spark.sql.DataFrame) = d.orderBy("centroid_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     assert(mat(cPlain) == mat(cCkpt))
+
+    // kCore: the peel loop references each round's edges ~5x, so the
+    // UNCHECKED plan grows ~5^rounds relation nodes — the default
+    // per-round pin must keep the plan a fraction of that and change
+    // nothing (a 4-cycle survives; the tail takes several rounds to peel)
+    val path = ((0 until 9).map(i => (s"p$i", s"p${i + 1}")) ++
+      Seq(("p0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "p0"))).toDF("src", "dst")
+    val kPlain = graft.operators.Graph.kCore(path, k = 2, rounds = 4, checkpointEvery = 0)
+    val kCkpt = graft.operators.Graph.kCore(path, k = 2, rounds = 4)
+    assert(planNodes(kCkpt) * 2 < planNodes(kPlain))
+    def kmat(d: org.apache.spark.sql.DataFrame) = d.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(kmat(kPlain) == kmat(kCkpt))
+    // the 9-edge tail peels one leaf per round, so 4 rounds leave a
+    // half-peeled graph — both variants must agree on the honest
+    // converged=false too
+    assert(kmat(kCkpt).nonEmpty && kmat(kCkpt).forall(!_._3))
   }
 
   test("sq8TopK: a full-corpus shortlist degenerates to exact brute force") {
