@@ -4803,16 +4803,17 @@ object PipelineQueries {
       spark.table(sinkName).select("vec_id", "centroid_id").orderBy("vec_id")
     },
 
-    // STREAMING LEXICAL-INDEX MAINTENANCE: documents arrive as three
-    // micro-batches (maxFilesPerTrigger=1 over three staged slice files —
-    // staging is INPUT only, fingerprint-keyed like q_text_bm25_inc); each
+    // STREAMING LEXICAL-INDEX MAINTENANCE: documents arrive as two
+    // micro-batches (maxFilesPerTrigger=1 over two staged slice files —
+    // staging is INPUT only, fingerprint-keyed like q_text_bm25_inc; two
+    // batches exercise the full cross-batch merge path at ~1 streaming
+    // round less fixed cost, the q_stream_ingest precedent); each
     // batch appends its postings and ONE partial df/corpus state, and the
     // search runs over the folded store. The oracle is the WHOLE-corpus
     // BM25 replay verbatim — the row passes only if per-batch maintenance
     // loses nothing however the stream was cut (the q_stream_semdedup
     // sibling for the lexical modality). The maintenance itself runs
-    // EVERY rep (it is the measured operation, the q_stream_ingest
-    // precedent); only the slice files stage once per corpus.
+    // EVERY rep (it is the measured operation); only the slices stage.
     q("q_stream_bm25", duckBm25Sql) { c =>
       val spark = c.spark
       val docsFile = java.nio.file.Paths.get(s"${c.dataDir}/documents.parquet")
@@ -4820,13 +4821,13 @@ object PipelineQueries {
         java.nio.file.Files.getLastModifiedTime(docsFile).toMillis
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val inDir = s"/tmp/graft_streambm25_in_v1/$key"
+      val inDir = s"/tmp/graft_streambm25_in_v2/$key"
       val ready = java.nio.file.Paths.get(inDir, "_READY")
       if (!java.nio.file.Files.exists(ready)) {
         graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(inDir))
         val docs = c.resolve("documents")
-        Seq(0, 1, 2).foreach { r =>
-          docs.where(col("doc_id") % 3 === r)
+        Seq(0, 1).foreach { r =>
+          docs.where(col("doc_id") % 2 === r)
             .coalesce(1).write.mode("append").parquet(s"$inDir/slices")
         }
         java.nio.file.Files.write(ready, Array.emptyByteArray)
