@@ -157,9 +157,18 @@ object StreamOps {
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      // A file-backfill micro-batch (maxFilesPerTrigger=1) arrives as ONE
+      // partition, and tokenization is this operator's real work — spread
+      // a narrow batch across the executors before paying it (measured:
+      // the single-task index build dominated the drain 3x). A batch that
+      // already carries parallelism passes through unshuffled.
+      val raw = batch.toDF()
+      val minParts = raw.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
       // persist (not localCheckpoint): the pins live exactly one batch —
       // a long-running stream must not accumulate session-lifetime blocks
-      val b = batch.toDF().persist()
+      val b = spread.persist()
       val postings = graft.operators.TextOps.bm25Index(b, idCol, textCol).persist()
       try {
         postings.write.mode("append").parquet(s"$dir/postings")
