@@ -2504,6 +2504,31 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // Johnson-Lindenstrauss random projection: the fit-free reduction
+    // rung — Rademacher signs from md5("i:j") parity, so the oracle
+    // rebuilds the SAME matrix in SQL and replays the projection of
+    // every vector end-to-end (the engine side is a zero-shuffle
+    // plan-literal ProjectF kernel; plan-audited below)
+    q("q_embed_jl",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sg AS (SELECT i.i, o.j,
+        |        CASE WHEN ('0x' || substring(md5(i.i || ':' || o.j), 1, 1))::BIGINT % 2 = 0
+        |             THEN 1.0 ELSE -1.0 END AS s
+        |      FROM (SELECT unnest(range(0, 64)) AS i) i
+        |      CROSS JOIN (SELECT unnest(range(0, 16)) AS j) o),
+        |p AS (SELECT e.vec_id, sg.j,
+        |        round(sum(e.v[sg.i + 1] * sg.s) / sqrt(16.0), 6) + 0.0 AS value
+        |      FROM e CROSS JOIN sg GROUP BY 1, 2)
+        |SELECT vec_id, j AS dim, value FROM p ORDER BY vec_id, dim""".stripMargin) { c =>
+      Similarity.jlProject(c.resolve("embeddings"), inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("jl")).as(Seq("dim", "value")))
+        .select(
+          col("vec_id"),
+          col("dim").cast("long").as("dim"),
+          (round(col("value"), 6) + lit(0.0)).as("value"))
+        .orderBy("vec_id", "dim")
+    },
+
     // PCA fit, the distributed half: per-(i,j) sample covariance + means
     // from the ONE VecMoments pass (count + sums + upper-triangle Gram
     // sums in a constant-size mergeable buffer). The oracle recomputes

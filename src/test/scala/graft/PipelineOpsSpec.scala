@@ -2965,6 +2965,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(vs.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("jlProject: basis vectors read out the sign matrix; norms unbiased on real data") {
+    import graft.operators.Similarity
+    // e_i projects to column i of the sign matrix: every coordinate ±1/√k
+    val d = 8; val k = 4
+    val basis = (0 until d).map(i =>
+      (i.toLong, Array.tabulate(d)(j => if (j == i) 1.0f else 0.0f)))
+    val out = Similarity.jlProject(basis.toDF("vec_id", "embedding"), d, k)
+      .select("vec_id", "jl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    out.values.foreach { v =>
+      assert(v.length == k)
+      v.foreach(x => assert(math.abs(math.abs(x) - 0.5) < 1e-12, s"entry $x"))
+    }
+    // deterministic: a second build is bit-identical (plan-literal matrix)
+    val again = Similarity.jlProject(basis.toDF("vec_id", "embedding"), d, k)
+      .select("vec_id", "jl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out == again)
+    // JL unbiasedness: mean ||Px||^2 / ||x||^2 ~ 1 on real embeddings
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ratios = Similarity.jlProject(emb, 64, 16)
+      .select("embedding", "jl").collect().map { r =>
+        val x = r.getSeq[Float](0); val p = r.getSeq[Double](1)
+        p.map(v => v * v).sum / x.map(v => v.toDouble * v).sum
+      }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+  }
+
   test("corpusReport: hand-computed data card (dup ratio, lang spread, vocab)") {
     import graft.operators.TextOps
     val d = Seq(

@@ -584,6 +584,11 @@ class PlanAuditSpec extends SparkSpec {
     // executedPlan.toString renders a codegen stage as the "*(n)" prefix
     assert(projPlan.contains("*(1) Project"), s"projection must codegen:\n$projPlan")
     assert(projPlan.contains("project_f"), s"expected the ProjectF kernel:\n$projPlan")
+    // JL: same kernel, no fit pass at all — zero exchanges, codegen
+    val jlPlan = physical(graft.operators.Similarity.jlProject(emb, 64, 16))
+    assert(!jlPlan.contains("Exchange"), s"JL projection must be map-side:\n$jlPlan")
+    assert(jlPlan.contains("project_f") && jlPlan.contains("*(1) Project"),
+      s"expected the compiled JL kernel inside codegen:\n$jlPlan")
   }
 
   test("semDedupAssignLit plans ZERO exchanges: the literal argmax is pure map-side codegen") {
