@@ -690,6 +690,62 @@ object StixQueries {
       graft.operators.Graph.kCore(edges, k = 2, rounds = 4).orderBy("id")
     },
 
+    // ----- full CORENESS decomposition of the same reference graph: per
+    //       node, the max k whose k-core still holds it (k swept 1..3;
+    //       levels nest, so each level peels from the previous level's
+    //       surviving edges). The oracle unrolls the same per-level peel
+    //       chains (4 MATERIALIZED rounds each, the q_stix_kcore shape
+    //       iterated: level 3 peels from level 2's u24) and takes each
+    //       node's max surviving level.
+    q("q_stix_coreness", {
+      // peel round i of level k over u$k${i-1}, threshold k — MATERIALIZED
+      // for the same exponential-inlining reason as q_stix_kcore
+      def peel(k: Int, i: Int) =
+        s"""d$k$i AS MATERIALIZED (SELECT id, count(*) AS deg FROM
+           |      (SELECT a AS id FROM u$k${i - 1} UNION ALL SELECT b FROM u$k${i - 1}) n$k$i GROUP BY id),
+           |s$k$i AS MATERIALIZED (SELECT id FROM d$k$i WHERE deg >= $k),
+           |u$k$i AS MATERIALIZED (SELECT u.a, u.b FROM u$k${i - 1} u
+           |      JOIN s$k$i sa ON u.a = sa.id JOIN s$k$i sb ON u.b = sb.id)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT source_ref AS src, target_ref AS dst FROM ${t("__reflist")}
+         |  UNION
+         |  SELECT id, src_ref FROM ${t("network-traffic")} WHERE src_ref IS NOT NULL
+         |  UNION
+         |  SELECT id, dst_ref FROM ${t("network-traffic")} WHERE dst_ref IS NOT NULL
+         |  UNION
+         |  SELECT source_ref, target_ref FROM ${t("__contains")}),
+         |u20 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+         |      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         |${peel(2, 1)},
+         |${peel(2, 2)},
+         |${peel(2, 3)},
+         |${peel(2, 4)},
+         |u30 AS MATERIALIZED (SELECT a, b FROM u24),
+         |${peel(3, 1)},
+         |${peel(3, 2)},
+         |${peel(3, 3)},
+         |${peel(3, 4)},
+         |lvl AS (SELECT a AS id, 1 AS k FROM u20 UNION SELECT b, 1 FROM u20
+         |        UNION SELECT id, 2 FROM s24 UNION SELECT id, 3 FROM s34),
+         |conv AS (SELECT ((SELECT count(*) FROM u24) = (SELECT count(*) FROM u23)
+         |             AND (SELECT count(*) FROM u34) = (SELECT count(*) FROM u33)) AS converged)
+         |SELECT id, CAST(max(k) AS BIGINT) AS coreness, conv.converged
+         |FROM lvl CROSS JOIN conv GROUP BY id, conv.converged ORDER BY id""".stripMargin
+    }) { st =>
+      val rl = st.catalog.resolve("__reflist")
+        .select(col("source_ref").as("src"), col("target_ref").as("dst"))
+      val ct = st.catalog.resolve("__contains")
+        .select(col("source_ref").as("src"), col("target_ref").as("dst"))
+      val nt = st.catalog.resolve("network-traffic")
+      val edges = rl
+        .unionByName(nt.select(col("id").as("src"), col("src_ref").as("dst")))
+        .unionByName(nt.select(col("id").as("src"), col("dst_ref").as("dst")))
+        .unionByName(ct)
+      graft.operators.Graph.coreness(edges, maxK = 3, rounds = 4)
+        .select(col("id"), col("coreness").cast("long").as("coreness"), col("converged"))
+        .orderBy("id")
+    },
+
     // ----- payload_bin decoders through the pattern compiler: LIKE routes
     //       to like_bin, MATCHES to match_bin (base64-decode then match —
     //       sqlitestorage.py:78-87 match_bin/like_bin). The oracle decodes

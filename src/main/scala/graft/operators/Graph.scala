@@ -112,7 +112,10 @@ object Graph {
     * previous, so an unchanged pass is the fixpoint). Extra passes after
     * convergence are no-ops, so `rounds` trades driver round-trips for
     * certainty, never correctness. Callers seeing `converged=false`
-    * re-run with higher `rounds`.
+    * re-run with higher `rounds` — or resume INCREMENTALLY from the
+    * surviving edge set via [[kCoreEdges]] (peeling is monotone, so
+    * continuing from the survivors equals one longer run; law-tested)
+    * instead of recomputing every peel from scratch.
     *
     * Scale shape per pass: one degree aggregate (node-keyed, map-side
     * combinable) + two semi-join-shaped equi-joins restricting the edge
@@ -140,13 +143,117 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       checkpointEvery: Int = 1): DataFrame = {
-    require(k >= 1, "k must be positive")
-    require(rounds >= 1, "need at least one peel round")
-    val und = edges
+    val (cur, surv, conv) =
+      peelLoop(normalizeUndirected(edges, srcCol, dstCol), k, rounds, checkpointEvery)
+    val coreDeg = cur
+      .select(col("a").as("id"))
+      .union(cur.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("core_deg"))
+    surv
+      .join(coreDeg, Seq("id"), "left_outer")
+      .crossJoin(broadcast(conv))
+      .select(
+        col("id"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        col("converged"))
+  }
+
+  /** [[kCore]]'s RESUME face: the surviving EDGE set itself, (a, b,
+    * converged) with a < b — what a caller seeing `converged=false` feeds
+    * back (as srcCol="a", dstCol="b") to continue peeling from where the
+    * previous run stopped instead of recomputing every pass from scratch
+    * (peeling is monotone, so peel(peel(E, r1), r2) == peel(E, r1+r2) —
+    * law-tested). The normalization re-applied on re-entry is a no-op on
+    * an already-normalized frame. `converged` is a constant column from a
+    * 1-row broadcast, not a per-row computation. */
+  def kCoreEdges(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      checkpointEvery: Int = 1): DataFrame = {
+    val (cur, _, conv) =
+      peelLoop(normalizeUndirected(edges, srcCol, dstCol), k, rounds, checkpointEvery)
+    cur.crossJoin(broadcast(conv)).select(col("a"), col("b"), col("converged"))
+  }
+
+  /** Full coreness decomposition — per-node max k such that the node
+    * survives the k-core (the standard degeneracy-ordering readout; [[kCore]]
+    * answers one k, this sweeps k = 1..maxK). Every node of the edge frame
+    * has coreness ≥ 1 by construction (it carries an edge), so level 1 is
+    * free; levels nest (the k-core is a subgraph of the (k−1)-core), so
+    * each level peels FROM THE PREVIOUS LEVEL'S SURVIVING EDGES — the sweep
+    * costs one peel chain over shrinking graphs, not maxK independent
+    * full-graph peels. `converged` ANDs every level's flag: when false,
+    * re-run with higher `rounds` (or higher maxK if the top level is still
+    * dense — a maxK-core with edges left means coreness saturates at maxK).
+    *
+    * Scale shape: inherits [[kCore]]'s per-pass shape (degree aggregate +
+    * two survivor joins, all node-keyed equi-joins); each level boundary
+    * pins the (shrinking, already-shuffled) edge frame so the ~5×-per-pass
+    * plan fan-out never crosses levels. Output: (id, coreness, converged),
+    * one row per node of the normalized edge frame. */
+  def coreness(
+      edges: DataFrame,
+      maxK: Int,
+      rounds: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      checkpointEvery: Int = 1): DataFrame = {
+    require(maxK >= 1, "maxK must be positive")
+    val und = normalizeUndirected(edges, srcCol, dstCol)
+    // level 1 needs no peel: every node of an edge frame has degree >= 1
+    val lvl1 = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .distinct().withColumn("__k", lit(1))
+    var cur = und
+    var levels = Seq(lvl1)
+    var convAll: DataFrame = null
+    (2 to maxK).foreach { k =>
+      val (nextE, surv, conv) = peelLoop(cur, k, rounds, checkpointEvery)
+      // pin at the level boundary: the next level's peel references this
+      // frame ~5x per pass, and the level's survivor readout reads it too —
+      // without the pin the per-level plans would nest multiplicatively
+      cur = nextE.localCheckpoint(true)
+      levels :+= surv.withColumn("__k", lit(k))
+      convAll =
+        if (convAll == null) conv
+        else convAll.crossJoin(conv.withColumnRenamed("converged", "__c2"))
+          .select((col("converged") && col("__c2")).as("converged"))
+    }
+    val convOut =
+      if (convAll == null) lvl1.sparkSession.sql("SELECT true AS converged")
+      else convAll
+    levels.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(max(col("__k")).cast("long").as("coreness"))
+      .crossJoin(broadcast(convOut))
+  }
+
+  /** Undirected normalization shared by the peel family: drop nulls and
+    * self-loops, orient low→high, dedup. Idempotent — feeding a returned
+    * (a, b) frame back re-normalizes to itself. */
+  private def normalizeUndirected(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(col(srcCol).as("s"), col(dstCol).as("d"))
       .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
       .distinct()
+
+  /** The fixed-`rounds` peel loop over a normalized (a, b) frame. Returns
+    * (final edges, last pass's survivor nodes, 1-row converged frame). The
+    * survivor frame is deg≥k over the LAST PASS'S INPUT — it can include
+    * nodes the final restriction isolated (core_deg 0 when unconverged),
+    * which is [[kCore]]'s documented output shape. */
+  private def peelLoop(
+      und: DataFrame,
+      k: Int,
+      rounds: Int,
+      checkpointEvery: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "need at least one peel round")
     var cur = und
     var prev = und
     var surv: DataFrame = null
@@ -165,23 +272,12 @@ object Graph {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
         cur = cur.localCheckpoint(true)
     }
-    val coreDeg = cur
-      .select(col("a").as("id"))
-      .union(cur.select(col("b").as("id")))
-      .groupBy("id")
-      .agg(count(lit(1)).as("core_deg"))
     // edge sets only shrink, so equal cardinality == equal set == fixpoint
     val conv = prev
       .agg(count(lit(1)).as("__pc"))
       .crossJoin(cur.agg(count(lit(1)).as("__cc")))
       .select((col("__cc") === col("__pc")).as("converged"))
-    surv
-      .join(coreDeg, Seq("id"), "left_outer")
-      .crossJoin(broadcast(conv))
-      .select(
-        col("id"),
-        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
-        col("converged"))
+    (cur, surv, conv)
   }
 
   /** Per-node triangle participation counts over the undirected view of an

@@ -1468,6 +1468,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r1.exists(_.getLong(1) >= 0))
   }
 
+  test("kCoreEdges resume law: continuing from survivors equals one longer run") {
+    import graft.operators.Graph
+    // 7-node path + a triangle: the path dissolves under k=2 over 3 rounds,
+    // so a 2-round run is mid-peel — resuming it for 2 more rounds must
+    // equal a single 4-round run (peeling is monotone)
+    val e = ((0 until 6).map(i => (s"n$i", s"n${i + 1}")) ++
+      Seq(("t0", "t1"), ("t1", "t2"), ("t2", "t0"))).toDF("src", "dst")
+    val partial = Graph.kCoreEdges(e, k = 2, rounds = 2)
+    assert(partial.collect().forall(!_.getBoolean(2)), "2 rounds must not converge")
+    val resumed = Graph.kCoreEdges(
+      partial.select("a", "b"), k = 2, rounds = 2, srcCol = "a", dstCol = "b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    val oneRun = Graph.kCoreEdges(e, k = 2, rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(resumed == oneRun, s"resumed=$resumed oneRun=$oneRun")
+    assert(oneRun == Set(("t0", "t1", true), ("t0", "t2", true), ("t1", "t2", true)))
+  }
+
+  test("coreness: K4 + triangle + pendant decompose to 3/2/1; converged flag ANDs levels") {
+    import graft.operators.Graph
+    // K4 over k0..k3 (coreness 3), a triangle a,b,c sharing node k0 via a
+    // bridge... keep components honest: separate triangle abc, pendant p
+    // hanging off a — coreness: K4 nodes 3, triangle nodes 2, pendant 1
+    val k4 = for { i <- 0 until 4; j <- i + 1 until 4 } yield (s"k$i", s"k$j")
+    val e = (k4 ++ Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "p"))).toDF("src", "dst")
+    val r = Graph.coreness(e, maxK = 3, rounds = 4)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getBoolean(2))).toSet
+    val want = (Seq("k0", "k1", "k2", "k3").map((_, 3L, true)) ++
+      Seq("a", "b", "c").map((_, 2L, true)) :+ (("p", 1L, true))).toSet
+    assert(r == want, s"r=$r")
+    // maxK below the graph's degeneracy saturates at maxK (K4 nodes cap at 2)
+    val capped = Graph.coreness(e, maxK = 2, rounds = 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(capped("k0") == 2L && capped("p") == 1L, s"capped=$capped")
+    // an under-iterated level must poison the global converged flag
+    val path = (0 until 8).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val under = Graph.coreness(path, maxK = 2, rounds = 1).collect()
+    assert(under.forall(!_.getBoolean(2)), "under-iterated sweep must report converged=false")
+  }
+
   test("clusterProfile: separable clusters report size, dominant label, purity") {
     import graft.operators.Similarity
     val rows = Seq(
