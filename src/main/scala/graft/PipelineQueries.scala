@@ -153,6 +153,69 @@ object PipelineQueries {
       .select(col("doc_id"), concat_ws(" ", col("text"), col("ttext")).as("text"))
   }
 
+  /** Fingerprint-keyed, ATOMICALLY-published input staging under
+    * /tmp/<family>/<key>: `build` writes into a hidden temp sibling which
+    * is then atomic-renamed into place COMPLETE, with its `_READY` marker
+    * already inside — so a concurrent JVM can never observe a half-staged
+    * dir, deleteTree slices a first run's stream is mid-read on, or
+    * double-append slice files before the marker lands (the old
+    * check-then-deleteTree pattern's TOCTOU). A loser of the publish race
+    * discards its own staging and reads the winner's (which the atomic
+    * move guarantees is complete). The key folds in the source file's
+    * size+mtime, so a regenerated corpus can never serve stale staged
+    * input. File mtimes set inside `build` survive the rename — callers
+    * that need a pinned micro-batch ORDER set them there. Returns the
+    * published dir. */
+  private def stagedInput(
+      c: graft.catalog.Catalog, family: String, srcFile: String)(
+      build: java.nio.file.Path => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"${c.dataDir}/$srcFile")
+    val fingerprint = c.dataDir + "|" + Files.size(src) + "|" +
+      Files.getLastModifiedTime(src).toMillis
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val base = Paths.get(s"/tmp/$family/$key")
+    if (!Files.exists(base.resolve("_READY"))) {
+      val tmp = base.getParent.resolve(
+        s".stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      Files.createDirectories(tmp)
+      build(tmp)
+      Files.write(tmp.resolve("_READY"), Array.emptyByteArray)
+      try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          graft.ingest.FsUtil.deleteTree(tmp) // lost the race; winner is complete
+      }
+    }
+    base.toString
+  }
+
+  private def listParquet(dir: String): Set[java.nio.file.Path] = {
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+    } finally listing.close()
+  }
+
+  /** The two-slice staged DOCUMENT stream input shared by the streaming
+    * index-maintenance rows (q_stream_bm25 / q_stream_vocab): the corpus
+    * split into two doc_id-parity slice files under `<dir>/slices`, drained
+    * with maxFilesPerTrigger=1 as two micro-batches. Parity slicing is
+    * valid for these faces because their state folds are order-independent
+    * (pure min/sum merges); order-SENSITIVE faces (chunk ownership) stage
+    * their own id-RANGE slices with pinned mtimes instead. */
+  private def stagedDocSlices(c: graft.catalog.Catalog): String =
+    stagedInput(c, "graft_streamdocs_v1", "documents.parquet") { tmp =>
+      val docs = c.resolve("documents")
+      Seq(0, 1).foreach { r =>
+        docs.where(col("doc_id") % 2 === r)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/slices")
+      }
+    }
+
   // the full Heaps-law vocab-growth replay — shared VERBATIM by
   // q_text_vocab_growth (one-pass corpus face) and q_text_vocab_inc
   // (3-batch merged vocab state must equal it)
@@ -1267,7 +1330,10 @@ object PipelineQueries {
     // copy in the earliest batch carrying it)
     q("q_dedup_chunk_novelty_inc", duckChunkNoveltySql) { c =>
       val aug = chunkTplAug(c)
-      val mx = aug.agg(max("doc_id")).head().getLong(0)
+      // isNullAt guard: max over an empty corpus is NULL (an unguarded
+      // getLong would NPE); getAs[Number] tolerates int- or long-typed ids
+      val mxRow = aug.agg(max(col("doc_id"))).head()
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getAs[Number](0).longValue()
       val batches = Seq(
         aug.where(col("doc_id") <= mx / 3),
         aug.where(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
@@ -4841,22 +4907,7 @@ object PipelineQueries {
     // EVERY rep (it is the measured operation); only the slices stage.
     q("q_stream_bm25", duckBm25Sql) { c =>
       val spark = c.spark
-      val docsFile = java.nio.file.Paths.get(s"${c.dataDir}/documents.parquet")
-      val fingerprint = c.dataDir + "|" + java.nio.file.Files.size(docsFile) + "|" +
-        java.nio.file.Files.getLastModifiedTime(docsFile).toMillis
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val inDir = s"/tmp/graft_streambm25_in_v2/$key"
-      val ready = java.nio.file.Paths.get(inDir, "_READY")
-      if (!java.nio.file.Files.exists(ready)) {
-        graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(inDir))
-        val docs = c.resolve("documents")
-        Seq(0, 1).foreach { r =>
-          docs.where(col("doc_id") % 2 === r)
-            .coalesce(1).write.mode("append").parquet(s"$inDir/slices")
-        }
-        java.nio.file.Files.write(ready, Array.emptyByteArray)
-      }
+      val inDir = stagedDocSlices(c)
       val runBase = s"/tmp/graft_streambm25_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val (idxDir, ck) = (s"$runBase/idx", s"$runBase/ck")
       try {
@@ -4872,6 +4923,80 @@ object PipelineQueries {
             TextOps.bm25FoldCorpus(spark.read.parquet(s"$idxDir/corpus_parts")),
             Seq("join", "vector", "stream"), topK = 10)
           .orderBy("rank")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
+    },
+
+    // STREAMING VOCABULARY MAINTENANCE: the same two-micro-batch drain over
+    // the shared staged slices, each batch appending ONE (term, first, n)
+    // partial + its per-doc token masses; the Heaps curve recomputes from
+    // the folded state ALONE. The oracle is the WHOLE-corpus vocabGrowth
+    // replay verbatim (shared with q_text_vocab_growth/q_text_vocab_inc) —
+    // the row passes only if per-batch maintenance loses nothing however
+    // the stream was cut. Maintenance runs EVERY rep; only input stages.
+    q("q_stream_vocab", duckVocabGrowthSql) { c =>
+      val spark = c.spark
+      val inDir = stagedDocSlices(c)
+      val runBase = s"/tmp/graft_streamvocab_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val (idxDir, ck) = (s"$runBase/idx", s"$runBase/ck")
+      try {
+        val schema = spark.read.parquet(s"$inDir/slices").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/slices")
+        StreamOps.startDrained(spark)(StreamOps.indexVocab(src, idxDir)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        TextOps.vocabGrowthFromState(
+            TextOps.vocabFoldState(spark.read.parquet(s"$idxDir/vocab_parts")),
+            spark.read.parquet(s"$idxDir/doc_tokens"),
+            Seq(100L, 250L, 500L))
+          .orderBy("checkpoint")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
+    },
+
+    // STREAMING CHUNK-OWNERSHIP MAINTENANCE: the template-augmented corpus
+    // (the q_dedup_chunk_novelty corpus) arrives as two id-RANGE slices
+    // with explicitly pinned mtimes — chunk-ownership's first-copy rule is
+    // order-SENSITIVE, so the stage pins batch order where the bm25/vocab
+    // slices could use parity. Each micro-batch chunks ONCE, probes the
+    // persisted ownership store, appends its per-doc novelty and its
+    // owners; the accumulated novelty rows must equal the WHOLE-corpus
+    // replay verbatim (shared SQL with q_dedup_chunk_novelty) — the
+    // continuous re-crawl face of chunk-level storage dedup.
+    q("q_stream_chunk_novelty", duckChunkNoveltySql) { c =>
+      val spark = c.spark
+      val inDir = stagedInput(c, "graft_streamchunks_v1", "documents.parquet") { tmp =>
+        val aug = chunkTplAug(c)
+        val mxRow = aug.agg(max(col("doc_id"))).head()
+        // empty corpus stages one empty slice; getAs tolerates int/long ids
+        val mid = if (mxRow.isNullAt(0)) 0L
+          else mxRow.getAs[Number](0).longValue() / 2
+        val slices = s"$tmp/slices"
+        aug.where(col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(slices)
+        val firstParts = listParquet(slices)
+        aug.where(col("doc_id") > mid).coalesce(1).write.mode("append").parquet(slices)
+        // EXPLICIT mtimes pin micro-batch order (FileStreamSource sorts by
+        // mtime; coarse-mtime filesystems could tie) — captured from the
+        // write-order grouping, the q_stream_interval_left discipline
+        val now = System.currentTimeMillis()
+        listParquet(slices).foreach { f =>
+          val off = if (firstParts.contains(f)) 0L else 2000L
+          java.nio.file.Files.setLastModifiedTime(
+            f, java.nio.file.attribute.FileTime.fromMillis(now + off))
+        }
+      }
+      val runBase = s"/tmp/graft_streamchunks_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val (idxDir, ck) = (s"$runBase/idx", s"$runBase/ck")
+      try {
+        val schema = spark.read.parquet(s"$inDir/slices").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/slices")
+        StreamOps.startDrained(spark)(StreamOps.indexChunks(src, idxDir)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        spark.read.parquet(s"$idxDir/novelty")
+          .orderBy("doc_id")
           .localCheckpoint()
       } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
     },

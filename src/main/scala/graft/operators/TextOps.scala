@@ -414,6 +414,15 @@ object TextOps {
       col(idCol).cast("long").as("doc_id"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"))
 
+  /** Fold a frame of APPENDED partial [[vocabState]] rows — the read face
+    * of an append-only vocab store ([[graft.streaming.StreamOps.indexVocab]]
+    * writes one partial per micro-batch): min/sum are associative and
+    * commutative, so folding the concatenated parts in any grouping equals
+    * pairwise [[vocabMergeState]] folds equals the whole-corpus
+    * [[vocabState]] (the bm25FoldDf contract for the vocabulary family). */
+  def vocabFoldState(parts: DataFrame): DataFrame =
+    parts.groupBy("term").agg(min(col("first")).as("first"), sum(col("n")).as("n"))
+
   /** [[vocabGrowth]] recomputed from persisted state alone (merged
     * [[vocabState]] + appended [[vocabDocTokens]]) — column-identical
     * output, and exact: every field is a conditional count/sum both

@@ -183,6 +183,109 @@ object StreamOps {
       }
     }
 
+  /** Continuous CHUNK-OWNERSHIP maintenance — the streaming face of the
+    * chunk-level storage-dedup state ([[graft.operators.Dedup.chunkOwners]]
+    * family), closing the continuous re-crawl loop the way [[indexLexical]]
+    * closes it for BM25: documents stream in and each micro-batch
+    *  - CDC-chunks ONCE (the pinned frame feeds BOTH consumers — the
+    *    multi-consumer-pin discipline, batch-scoped persist),
+    *  - probes the persisted ownership store by one hash equi-join and
+    *    appends its per-doc novelty rows under `dir/novelty`
+    *    ([[graft.operators.Dedup.chunkNoveltyAgainst]] — the store read
+    *    prunes to the `__h` column),
+    *  - appends its own ownership state under `dir/owner_parts`
+    *    ([[graft.operators.Dedup.chunkOwners]]; keys are de-duplicated at
+    *    the probe, so the appended parts ARE a valid store without
+    *    compaction — a compactor can still fold them via
+    *    [[graft.operators.Dedup.chunkMergeOwners]] without changing any
+    *    answer).
+    * With id-ordered micro-batches the accumulated novelty rows EQUAL the
+    * whole-corpus [[graft.operators.Dedup.chunkNovelty]] pass (every
+    * hash's first copy lives in the earliest batch carrying it — the
+    * law the batch face pins), so a crawler's storage-dedup accounting
+    * stays exact at batch cost: the 100 TB chunk store is probed by one
+    * equi-join per batch, never re-chunked or re-scanned. Novelty is
+    * written BEFORE the batch's owners land, so the probe always sees
+    * "previous batches only". Crash note: the two appends are not atomic
+    * as a group — same exactly-once caveat (and remedies) as
+    * [[indexLexical]]. */
+  def indexChunks(
+      stream: DataFrame,
+      dir: String,
+      w: Int = 4,
+      divisor: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      // single-file micro-batches arrive as ONE partition; chunking is the
+      // real work — spread before paying it (the indexLexical rationale)
+      val raw = batch.toDF()
+      val spark = raw.sparkSession
+      val minParts = spark.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val b = spread.persist()
+      val chunks = graft.operators.Dedup.chunkHashes(b, w, divisor, idCol, textCol).persist()
+      try {
+        val ownerPath = s"$dir/owner_parts"
+        val store =
+          if (new java.io.File(ownerPath).exists()) spark.read.parquet(ownerPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "__h", org.apache.spark.sql.types.StringType))))
+        graft.operators.Dedup.chunkNoveltyAgainst(chunks, store, idCol)
+          .write.mode("append").parquet(s"$dir/novelty")
+        graft.operators.Dedup.chunkOwners(chunks, idCol)
+          .write.mode("append").parquet(ownerPath)
+      } finally {
+        chunks.unpersist()
+        b.unpersist()
+        ()
+      }
+    }
+
+  /** Continuous VOCABULARY maintenance — the streaming face of the
+    * mergeable vocabulary state ([[graft.operators.TextOps.vocabState]]
+    * family): each micro-batch appends
+    *  - ONE vocab-sized partial (term, first, n) state under
+    *    `dir/vocab_parts`,
+    *  - its per-doc token masses under `dir/doc_tokens` (append-only —
+    *    doc ids are disjoint across batches, so the union IS the corpus
+    *    table).
+    * The partial states fold by min/sum
+    * ([[graft.operators.TextOps.vocabFoldState]]), so the Heaps curve
+    * recomputed from state ([[graft.operators.TextOps.vocabGrowthFromState]])
+    * equals the whole-corpus [[graft.operators.TextOps.vocabGrowth]] pass
+    * EXACTLY however the stream was batched — the corpus text is scanned
+    * once at its own arrival and never again. The pinned batch pays two
+    * tokenize kernels (the state's explode and the mass's count — the
+    * SOURCE is read once; fusing them would trade a vocab-sized shuffle
+    * column for the cheap recount). Crash note: two appends, same
+    * exactly-once caveat as [[indexLexical]]. */
+  def indexVocab(
+      stream: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val raw = batch.toDF()
+      val minParts = raw.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val b = spread.persist()
+      try {
+        graft.operators.TextOps.vocabState(b, idCol, textCol)
+          .write.mode("append").parquet(s"$dir/vocab_parts")
+        graft.operators.TextOps.vocabDocTokens(b, idCol, textCol)
+          .write.mode("append").parquet(s"$dir/doc_tokens")
+      } finally {
+        b.unpersist()
+        ()
+      }
+    }
+
   /** Per-window BINNED value counts against a static reference's bin
     * edges — the streaming half of distribution-drift monitoring
     * (Profile.distributionDrift): the reference cuts come from the tuned

@@ -453,6 +453,78 @@ class StreamingSpec extends SparkSpec {
     assert(c.getLong(0) == 6L)
   }
 
+  test("indexChunks: per-batch novelty appends equal the whole-corpus chunkNovelty") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_chunks").toString
+    val idx = s"$base/idx"
+    val input = MemoryStream[(Long, String)]
+    // shared template text across docs so cross-doc (and cross-BATCH)
+    // duplicate chunks exist; batches are id-ordered (the face's contract)
+    val tpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b1 = Seq((1L, s"one unique opening $tpl"), (2L, s"two other words $tpl"))
+    val b2 = Seq((3L, s"three fresh tokens $tpl"), (4L, tpl), (5L, ""))
+    val q = StreamOps.indexChunks(input.toDF().toDF("doc_id", "text"), idx, w = 3, divisor = 2)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$idx/novelty")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val whole = Dedup.chunkNovelty((b1 ++ b2).toDF("doc_id", "text"), w = 3, divisor = 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == whole, s"streamed=$streamed whole=$whole")
+    // a batch-2 doc made entirely of batch-1 chunks must read zero novelty
+    val byDoc = spark.read.parquet(s"$idx/novelty").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byDoc(4L) == 0L, s"re-crawled template doc must be 0-novel: $byDoc")
+    // owner store holds each hash once per batch-part; folded it is global
+    val folded = spark.read.parquet(s"$idx/owner_parts")
+    val global = Dedup.chunkOwners(
+      Dedup.chunkHashes((b1 ++ b2).toDF("doc_id", "text"), w = 3, divisor = 2))
+    val f = Dedup.chunkMergeOwners(folded, folded.limit(0))
+      .orderBy("__h").collect().map(_.toSeq).toSeq
+    val g = global.orderBy("__h").collect().map(_.toSeq).toSeq
+    assert(f == g, "folded per-batch owners must equal global ownership")
+  }
+
+  test("indexVocab: per-batch appended state recomputes the whole-corpus Heaps curve") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_vocab").toString
+    val idx = s"$base/idx"
+    val input = MemoryStream[(Long, String)]
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"))
+    val b2 = Seq((3L, "alpha epsilon"), (4L, ""), (5L, "zeta beta"))
+    val q = StreamOps.indexVocab(input.toDF().toDF("doc_id", "text"), idx)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val cps = Seq(3L, 5L, 6L)
+    val streamed = TextOps.vocabGrowthFromState(
+        TextOps.vocabFoldState(spark.read.parquet(s"$idx/vocab_parts")),
+        spark.read.parquet(s"$idx/doc_tokens"), cps)
+      .orderBy("checkpoint").collect().map(_.toSeq).toSeq
+    val whole = TextOps.vocabGrowth((b1 ++ b2).toDF("doc_id", "text"), cps)
+      .orderBy("checkpoint").collect().map(_.toSeq).toSeq
+    assert(streamed == whole, s"streamed=$streamed whole=$whole")
+    // the folded state equals the whole-corpus vocabState (min/sum law),
+    // including the empty doc 4 appearing in doc_tokens with mass 0
+    val fs = TextOps.vocabFoldState(spark.read.parquet(s"$idx/vocab_parts"))
+      .orderBy("term").collect().map(_.toSeq).toSeq
+    val ws = TextOps.vocabState((b1 ++ b2).toDF("doc_id", "text"))
+      .orderBy("term").collect().map(_.toSeq).toSeq
+    assert(fs == ws, s"folded=$fs whole=$ws")
+    val masses = spark.read.parquet(s"$idx/doc_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(masses(4L) == 0L && masses.size == 5, s"masses=$masses")
+  }
+
   test("sinkToStore crash mid-publish: restart from the checkpoint loses no rows") {
     // end-to-end stream fault tolerance: the writer dies inside a
     // micro-batch's publish protocol (and stays dead — real crash
