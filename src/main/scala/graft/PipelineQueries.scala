@@ -283,6 +283,43 @@ object PipelineQueries {
        |FROM assigned a LEFT JOIN dup d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
 
+  // the SQ8-index SemDeDup replay — Lloyd training, fp32 centroid
+  // quantization, RAW-vector assignment, then the drop rule applied on the
+  // DEQUANTIZED reconstruction lo + q·(hi−lo)/255 of the corpus-grid SQ8
+  // codes (code-space cosine would carry the grid's affine offset) — the
+  // oracle of q_embed_semdedup_sq8 (the compressed-index face must equal
+  // the whole-corpus quantized rule however the batches were cut)
+  private lazy val duckSemDedupSq8Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+       |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+       |${duckLloyd(1, "c0")},
+       |${duckLloyd(2, "c1")},
+       |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+       |ca AS (SELECT e.vec_id, e.v, f.centroid_id,
+       |        round(list_dot_product(e.v, f.centd)
+       |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+       |      FROM e CROSS JOIN cf f),
+       |assigned AS (SELECT vec_id, v, centroid_id FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) za WHERE rk = 1),
+       |g AS (SELECT min(u) AS lo, max(u) AS hi FROM (SELECT unnest(v) AS u FROM e) gu),
+       |qz AS (SELECT vec_id, centroid_id,
+       |        list_transform(
+       |          list_transform(v, x -> least(greatest(
+       |            CASE WHEN g.hi > g.lo THEN floor((x - g.lo) / (g.hi - g.lo) * 255.0)
+       |                 ELSE 0.0 END, 0.0), 255.0)),
+       |          c -> g.lo + c * ((g.hi - g.lo) / 255.0)) AS xq
+       |      FROM assigned CROSS JOIN g),
+       |dup AS (SELECT DISTINCT a.vec_id FROM qz a
+       |      JOIN qz b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+       |      WHERE round(list_dot_product(a.xq, b.xq)
+       |          / (sqrt(list_dot_product(a.xq, a.xq)) * sqrt(list_dot_product(b.xq, b.xq))), 6) >= 0.4)
+       |SELECT a.vec_id, a.centroid_id,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM qz a LEFT JOIN dup d USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+
   // one Lloyd's iteration over a PQ SUBSPACE slice CTE e$tag (32-dim
   // variant of duckLloyd, tagged to avoid CTE collisions) — shared by the
   // q_ann_pq and q_ann_ivfpq oracles
@@ -3062,6 +3099,43 @@ object PipelineQueries {
         // r is pinned; the index is a lazy union of pinned pieces — no
         // O(index) re-materialization per batch
         idx = idx.unionByName(r.select("centroid_id", "v", "nrm"))
+        r.select("vec_id", "centroid_id", "kept")
+      }
+      outs.reduce(_ unionByName _).orderBy("vec_id")
+    },
+
+    // SQ8-INDEX SemDeDup: the same 3-batch incremental fold, but the
+    // persisted index stores the corpus-grid SQ8 CODES (array<smallint>,
+    // 4x smaller than the full-double index before parquet bit-packing)
+    // and the drop rule applies in the COMPRESSED space — the storage fix
+    // for the full-precision index duplicating the embedding corpus at
+    // 100 TB. The oracle replays training, raw assignment, grid
+    // quantization, and the quantized keep-min-id rule over the whole
+    // corpus — the fold passes only if the compressed-index maintenance
+    // loses nothing
+    q("q_embed_semdedup_sq8", duckSemDedupSq8Sql) { c =>
+      val spark = c.spark
+      val emb = c.resolve("embeddings")
+      val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+      val g = emb.select(explode(col("embedding")).as("x"))
+        .agg(min(col("x")).cast("double"), max(col("x")).cast("double")).head()
+      val (qlo, qhi) = (g.getDouble(0), g.getDouble(1))
+      val mx = emb.agg(max("vec_id")).head().getLong(0)
+      import org.apache.spark.sql.types._
+      var idx = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("centroid_id", LongType),
+          StructField("q", ArrayType(ShortType)),
+          StructField("qn", DoubleType))))
+      val outs = Seq(
+        emb.where(col("vec_id") <= mx / 3),
+        emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
+        emb.where(col("vec_id") > 2 * mx / 3)).map { batch =>
+        val r = Similarity
+          .semDedupIncrementalSq8(batch, idx, trained, qlo, qhi, threshold = 0.4)
+          .localCheckpoint()
+        idx = idx.unionByName(r.select("centroid_id", "q", "qn"))
         r.select("vec_id", "centroid_id", "kept")
       }
       outs.reduce(_ unionByName _).orderBy("vec_id")

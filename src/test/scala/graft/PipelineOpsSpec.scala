@@ -1331,6 +1331,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(folded.count(_._3 == 0L) > 0, "fixture has no semantic near-dups — law is vacuous")
   }
 
+  test("semDedupIncrementalSq8: fold == whole-corpus quantized rule; agreement with full face measured") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+    val g = emb.select(explode(col("embedding")).as("x"))
+      .agg(min(col("x")).cast("double"), max(col("x")).cast("double")).head()
+    val (qlo, qhi) = (g.getDouble(0), g.getDouble(1))
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    import org.apache.spark.sql.types._
+    def emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("centroid_id", LongType),
+        StructField("q", ArrayType(ShortType)),
+        StructField("qn", DoubleType))))
+    // structural law: an id-ordered 3-batch fold over the growing
+    // compressed index == ONE whole-corpus batch against an empty index
+    var idx = emptyIdx
+    val folded = Seq(
+      emb.where(col("vec_id") <= mx / 3),
+      emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
+      emb.where(col("vec_id") > 2 * mx / 3)).flatMap { batch =>
+      val r = Similarity.semDedupIncrementalSq8(batch, idx, trained, qlo, qhi, 0.4)
+        .localCheckpoint()
+      idx = idx.unionByName(r.select("centroid_id", "q", "qn"))
+      r.select("vec_id", "centroid_id", "kept").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    }.sortBy(_._1)
+    val whole = Similarity.semDedupIncrementalSq8(emb, emptyIdx, trained, qlo, qhi, 0.4)
+      .select("vec_id", "centroid_id", "kept").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1).toSeq
+    assert(folded == whole, "compressed-index fold diverged from the whole-corpus quantized rule")
+    assert(folded.count(_._3 == 0L) > 0, "fixture has no semantic near-dups — law is vacuous")
+    // the stored codes are genuinely SQ8: smallint payload in [0, 255]
+    val qRows = idx.select(explode(col("q")).as("code")).agg(
+      min(col("code")).cast("int"), max(col("code")).cast("int")).head()
+    assert(qRows.getInt(0) >= 0 && qRows.getInt(1) <= 255, s"codes out of grid: $qRows")
+    assert(idx.schema("q").dataType == ArrayType(ShortType), idx.schema("q").dataType.toString)
+    // measured agreement with the UNCOMPRESSED face (same centroids): the
+    // grid's noise may flip threshold-straddling pairs, so this is a
+    // measurement, not an identity — assignments must match exactly, kept
+    // flags within a small disagreement budget
+    val full = Similarity.semDedup(emb, k = 4, iters = 2, threshold = 0.4)
+      .select("vec_id", "centroid_id", "kept").collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    val sq8 = whole.map(x => (x._1, (x._2, x._3))).toMap
+    assert(sq8.keySet == full.keySet)
+    assert(sq8.forall { case (id, (cid, _)) => full(id)._1 == cid },
+      "raw-vector assignment must be identical across faces")
+    val disagree = sq8.count { case (id, (_, k)) => full(id)._2 != k }
+    val rate = disagree.toDouble / sq8.size
+    assert(rate <= 0.05, s"kept-flag disagreement $disagree/${sq8.size} exceeds 5%")
+  }
+
   test("semDedupAssignLit == semDedupAssign on real embeddings (literal kernel parity)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()

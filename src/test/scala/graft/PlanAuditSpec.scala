@@ -315,6 +315,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("centroid_id"), s"expected the centroid equi key:\n$plan")
   }
 
+  test("semDedupIncrementalSq8: centroid-keyed probes over the code index; no cartesian/window/UDF") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val S = graft.operators.Similarity
+    val cents = S.kmeansCentroids(emb, k = 2, iters = 1).localCheckpoint()
+    val index = S
+      .semDedupIncrementalSq8(emb.where(col("vec_id") % 2 === 0),
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("centroid_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("q",
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ShortType)),
+            org.apache.spark.sql.types.StructField("qn",
+              org.apache.spark.sql.types.DoubleType)))),
+        cents, -0.5, 0.5)
+      .select("centroid_id", "q", "qn")
+      .localCheckpoint() // audit the probe plan, not the index build
+    val df = S.semDedupIncrementalSq8(
+      emb.where(col("vec_id") % 2 === 1), index, cents, -0.5, 0.5)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), s"pair join degenerated:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"cosine boxes through a UDF:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must be the min_by aggregate:\n$plan")
+    assert(plan.contains("centroid_id"), s"expected the centroid equi key:\n$plan")
+  }
+
   test("kmeansMoments shuffles k*dim scalar rows, never vectors; merge+finalize stay aggregate-only") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = graft.operators.Similarity
