@@ -2482,6 +2482,51 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // JL-rotation -> PQ composition, replayed END-TO-END: the corpus first
+    // projects through the 64->64 Rademacher sign matrix (scale 1/sqrt(64)
+    // = 0.125 is a power of two, so the engine's baked-scale fold equals
+    // the oracle's sum-then-divide EXACTLY; projections 6dp-rounded on
+    // both sides — the q_embed_jl convention), then the full PQ chain
+    // (subspace Lloyd codebooks, fp32 snap, ADC, exact re-rank) runs in
+    // the rotated space. Correctness row for the composition mechanism;
+    // its recall VALUE is measured in PipelineOpsSpec (rotation->PQ law:
+    // the untrained rotation degrades recall — a negative result recorded
+    // there, not a recommended default)
+    q("q_ann_pq_jl",
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sg AS (SELECT i.i, o.j,
+         |        CASE WHEN ('0x' || substring(md5(i.i || ':' || o.j), 1, 1))::BIGINT % 2 = 0
+         |             THEN 1.0 ELSE -1.0 END AS s
+         |      FROM (SELECT unnest(range(0, 64)) AS i) i
+         |      CROSS JOIN (SELECT unnest(range(0, 64)) AS j) o),
+         |pj AS (SELECT ev.vec_id, sg.j,
+         |        round(sum(ev.v[sg.i + 1] * sg.s) / sqrt(64.0), 6) + 0.0 AS value
+         |      FROM ev CROSS JOIN sg GROUP BY 1, 2),
+         |base AS (SELECT vec_id, list(value ORDER BY j) AS embedding FROM pj GROUP BY vec_id),
+         |$duckPqCtes,
+         |ax AS (SELECT t.query_id, e.neighbor_id, round(sum(t.tscore), 6) AS iscore
+         |       FROM enc e JOIN tbl t USING (subspace, code)
+         |       WHERE t.query_id <> e.neighbor_id
+         |       GROUP BY t.query_id, e.neighbor_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY iscore DESC, neighbor_id) AS crank FROM ax) z2
+         |         WHERE crank <= 20),
+         |$duckPqRerank""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      // pinned: the rotated frame feeds codebook training, encoding, the
+      // probe tables and the re-rank — one projection pass, many readers
+      val jl = Similarity.jlProject(emb, inDim = 64, outDim = 64)
+        .select(
+          col("vec_id"),
+          transform(col("jl"), x => round(x, 6) + lit(0.0)).as("embedding"))
+        .localCheckpoint()
+      Similarity
+        .pqTopK(jl, jl.where(col("vec_id") < 5),
+          m = 2, k = 4, iters = 2, topK = 5, candidateFactor = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // IVF-PQ (the composed FAISS IndexIVFPQ recipe, non-residual variant):
     // the coarse quantizer (first-8 cells, as q_ann_ivf) restricts each
     // query's ADC scan to its 2 probed cells' members; codes/tables are the

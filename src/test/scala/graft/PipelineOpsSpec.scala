@@ -1384,6 +1384,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rate <= 0.05, s"kept-flag disagreement $disagree/${sq8.size} exceeds 5%")
   }
 
+  test("rotation->PQ composition measured: random (JL) rotation degrades recall, trained (PCA) holds it") {
+    // the OPQ question, answered with the existing recallAtK loop at equal
+    // code size (m=2, k=4 -> 4 bits/vector throughout): OPQ works because
+    // its rotation is TRAINED to minimize subspace quantization error — a
+    // data-oblivious Rademacher rotation instead MIXES the axes PQ's
+    // per-subspace codebooks exploit. Measured on the fixture embeddings
+    // (deterministic end-to-end): raw 0.32; JL-rotated 0.12/0.08/0.04 at
+    // 64/32/16 dims; PCA-rotated 0.28 at 64 dims. So on THIS fixture no
+    // untrained-codebook rotation beats the raw axes (they already match
+    // PQ's subspace split), the trained rotation costs little, and the
+    // random one collapses recall — jlProject's value stays where its
+    // docstring puts it (fit-free reduction, LSH/SQ8 pre-rotation), NOT
+    // as a PQ pre-rotation.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").localCheckpoint()
+    val probes = emb.where(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(emb, probes, k = 5).localCheckpoint()
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, truth, 5).agg(avg("recall")).head().getDouble(0)
+    def pqOn(rot: org.apache.spark.sql.DataFrame): Double =
+      meanRecall(Similarity.pqTopK(rot, rot.where(col("vec_id") < 5), m = 2, k = 4, topK = 5))
+    val raw = meanRecall(Similarity.pqTopK(emb, probes, m = 2, k = 4, topK = 5))
+    val jlByDim = Seq(64, 32, 16).map { d =>
+      val jl = Similarity.jlProject(emb, 64, d)
+        .select(col("vec_id"), col("jl").as("embedding")).localCheckpoint()
+      d -> pqOn(jl)
+    }.toMap
+    val model = Similarity.pcaFit(emb, "embedding", 64)
+    val pca = Similarity.pcaProject(emb, model, 64)
+      .select(col("vec_id"), col("pca").as("embedding")).localCheckpoint()
+    val pcaRecall = pqOn(pca)
+    info(s"raw=$raw jl=$jlByDim pca64=$pcaRecall")
+    // deterministic inputs -> pin the measured ordering, not exact floats
+    assert(raw > jlByDim(64) && jlByDim(64) >= jlByDim(32) && jlByDim(32) >= jlByDim(16),
+      s"random rotation should degrade PQ recall monotonically: raw=$raw jl=$jlByDim")
+    assert(pcaRecall > jlByDim(64),
+      s"trained rotation should dominate the random one: pca=$pcaRecall jl64=${jlByDim(64)}")
+    assert(pcaRecall >= raw - 0.05,
+      s"trained rotation should cost at most the grid's noise: raw=$raw pca=$pcaRecall")
+  }
+
   test("semDedupAssignLit == semDedupAssign on real embeddings (literal kernel parity)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
