@@ -1324,10 +1324,16 @@ object TextOps {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     batch
+      // tokenize ONCE: bind the token array to an attribute so both the
+      // length and the explode read the bound value — CollapseProject
+      // refuses to inline a non-cheap alias referenced twice, and the
+      // generator reads the attribute from the child projection
+      // (plan-audited: exactly one regexp kernel in the build plan)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(
         col(idCol),
-        tokenCount(col(textCol)).cast("double").as("dl"),
-        explode(tokens(col(textCol))).as("term"))
+        size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), max("dl").as("dl"))
 
@@ -1348,6 +1354,29 @@ object TextOps {
   /** Merge (n_docs, sum_dl) states. */
   def bm25MergeCorpus(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+
+  /** [[bm25Corpus]] derived from an already-tokenized [[bm25Index]] pass —
+    * the tokenize-once face for callers that have the batch's postings
+    * pinned ([[graft.streaming.StreamOps.indexLexical]]): n_docs counts
+    * the BATCH (empty-text docs post nothing but belong in the corpus
+    * stats), sum_dl folds each posted doc's dl once. EXACTLY equal to
+    * [[bm25Corpus]] — dl values are integer-valued doubles, so the fold
+    * order is immaterial, and the all-empty-text batch sums to 0.0 like
+    * the direct pass (law-tested). Two bounded aggregates (a row count +
+    * a postings fold), no text scan. */
+  def bm25CorpusFromPostings(
+      batch: DataFrame,
+      postings: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    batch.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(
+        postings.groupBy(col(idCol)).agg(max("dl").as("__dl"))
+          .agg(sum("__dl").as("__sd")))
+      .select(
+        col("n_docs"),
+        // empty BATCH -> null (as bm25Corpus' sum over zero rows); a
+        // non-empty batch whose docs are all empty-text -> 0.0 (ditto)
+        when(col("n_docs") > 0, coalesce(col("__sd"), lit(0.0))).as("sum_dl"))
 
   /** Fold a frame of APPENDED partial (term, df) states — the read face of
     * an append-only df store ([[graft.streaming.StreamOps.indexLexical]]

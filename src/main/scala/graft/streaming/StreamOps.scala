@@ -142,8 +142,10 @@ object StreamOps {
     * the whole-corpus pass EXACTLY however the stream was batched —
     * searches ([[graft.operators.TextOps.bm25SearchIndexed]]) touch
     * postings only and the corpus text is never rescanned. Per batch:
-    * tokenization runs ONCE (the batch pins; df derives from the pinned
-    * postings), appended state is O(batch); a compactor can later fold
+    * tokenization runs ONCE — bm25Index binds the token array to one
+    * attribute, and BOTH side states derive from the pinned postings (df
+    * via bm25Df, corpus stats via bm25CorpusFromPostings + a row count —
+    * no re-tokenize); appended state is O(batch); a compactor can later fold
     * `df_parts` down to one file without changing any answer (the fold is
     * associative). Crash note: the three appends are not atomic as a
     * group — a re-run of an incomplete batch can double-append, so
@@ -174,7 +176,7 @@ object StreamOps {
         postings.write.mode("append").parquet(s"$dir/postings")
         graft.operators.TextOps.bm25Df(postings)
           .write.mode("append").parquet(s"$dir/df_parts")
-        graft.operators.TextOps.bm25Corpus(b, textCol)
+        graft.operators.TextOps.bm25CorpusFromPostings(b, postings, idCol)
           .write.mode("append").parquet(s"$dir/corpus_parts")
       } finally {
         postings.unpersist()

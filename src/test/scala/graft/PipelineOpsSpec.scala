@@ -1735,6 +1735,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dfMerged == dfWhole)
   }
 
+  test("bm25CorpusFromPostings == bm25Corpus, incl. empty-text docs and empty batches") {
+    val corpus = docs((1, "x a b"), (2, ""), (3, "y a"), (4, "   "))
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    val direct = row(TextOps.bm25Corpus(corpus))
+    val derived = row(TextOps.bm25CorpusFromPostings(corpus, TextOps.bm25Index(corpus)))
+    assert(derived == direct && direct == Seq((4L, 5.0)), s"direct=$direct derived=$derived")
+    // all-empty-text batch: postings are empty but the batch is not -> 0.0
+    val blank = corpus.where(col("doc_id").isin(2, 4))
+    assert(row(TextOps.bm25CorpusFromPostings(blank, TextOps.bm25Index(blank)))
+      == row(TextOps.bm25Corpus(blank)))
+    // empty batch: null sum on both faces (the bm25MergeCorpus identity)
+    val none = corpus.where(lit(false))
+    assert(row(TextOps.bm25CorpusFromPostings(none, TextOps.bm25Index(none)))
+      == row(TextOps.bm25Corpus(none)))
+  }
+
   test("heavyHitters: exact counts, invariant to partitioning (SON candidates)") {
     val corpus = docs(
       (1, "hot hot hot warm"), (2, "hot hot warm cold"), (3, "hot warm x"))

@@ -175,6 +175,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"df/stats must broadcast:\n$plan")
   }
 
+  test("bm25Index tokenizes ONCE: the generate/project path reads one bound token attribute") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = physical(graft.operators.TextOps.bm25Index(docs))
+    // dl and the explode both read the ONE bound token-array attribute: the
+    // generator's argument must be an attribute (explode(__toks#N)), never
+    // the inlined regexp chain, and the tokenize kernel must appear exactly
+    // once across the Project/Generate compute path. (Spark's
+    // InferFiltersFromGenerate additionally plants a size()>0 pre-filter
+    // that echoes the expression in Filter/FileScan lines — an empty-doc
+    // skip, not a second tokenize of surviving rows; excluded here.)
+    assert("Generate explode\\(__toks#\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"generator must read the bound attribute, not re-tokenize:\n$plan")
+    val computeHits = plan.linesIterator
+      .filterNot(l => l.contains("Filter") || l.contains("FileScan"))
+      .map(l => "regexp_replace".r.findAllIn(l.toLowerCase).size).sum
+    assert(computeHits == 1,
+      s"expected exactly one tokenize kernel on the compute path, found $computeHits:\n$plan")
+  }
+
   test("anomaly/transition stats join back by BROADCAST, never sort-merge") {
     val events = new Catalog(spark, sfDir).resolve("events")
     val an = graft.operators.Events.dailyAnomalies(events)
