@@ -1276,10 +1276,13 @@ object TextOps {
       .select(tokenCount(col(textCol)).cast("double").as("dl"))
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val postings = docs
+      // tokenize ONCE per row: bind the token array (the bm25Index shape);
+      // the query-term filter still runs below the shuffle
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(
         col(idCol),
-        tokenCount(col(textCol)).cast("double").as("dl"),
-        explode(tokens(col(textCol))).as("term"))
+        size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("term"))
       .where(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), max("dl").as("dl"))
