@@ -4,6 +4,7 @@
 interleaved min-of-reps Bench on the same machine.
 
 Usage: python3 tools/scaling_report.py <bench_sf01.json> <bench_sf1.json> [out]
+         [base_data_dir big_data_dir]
 
 Writes BENCH_SF1.json: one JSON object with totals, per-query
 {base, big, ratio}, and the outlier list (ratio > threshold), so the
@@ -11,18 +12,90 @@ Writes BENCH_SF1.json: one JSON object with totals, per-query
 inspection alone. Queries over the fixed-size fixture corpora (q_stix_*,
 q_wood_*, q_xlate_*, q_multimodal_*, ...) legitimately scale ~1x; the
 sfDir-reading pipeline/relational queries are the ones the ratio tests.
+
+VOLUME NORMALIZATION (when the two data dirs are passed): ScaleGen's content
+perturbation does not scale every input measure by exactly k — notably
+`documents` CHARACTER mass grows ~13.3x at k=10 (the per-replica token
+suffixes add characters) while token mass grows exactly 10x. A query whose
+kernel slides over characters (winnowing) therefore shows a >10x wall ratio
+while being perfectly volume-linear. For each sfDir-driven query the report
+adds `vol_ratio` (how much that query's actual input measure grew) and
+`ratio_per_volume` = wall ratio / vol_ratio — the number that distinguishes
+"superlinear in its input" (a real scale defect) from "its input grew more
+than sf" (the generator's doing). Fixture-corpus queries get null (their
+input does not scale with sfDir).
 """
 import json, sys
 
 base_p = sys.argv[1] if len(sys.argv) > 1 else '/tmp/bench2_sf01.json'
 big_p = sys.argv[2] if len(sys.argv) > 2 else '/tmp/bench2_sf1.json'
 out_p = sys.argv[3] if len(sys.argv) > 3 else 'BENCH_SF1.json'
+base_dir = sys.argv[4] if len(sys.argv) > 4 else None
+big_dir = sys.argv[5] if len(sys.argv) > 5 else None
 THRESH = 12.0  # 10x data + overhead headroom
+
+# queries whose kernel volume is documents CHARACTER mass, not token mass
+# (winnowKernel slides a char window over the raw text)
+CHAR_DRIVEN = {'q_text_winnow'}
+# fixture-corpus prefixes: input volume does not scale with sfDir
+FIXTURE_PREFIXES = ('q_stix_', 'q_wood_', 'q_xlate_', 'q_multimodal_')
+
+
+def measure_volumes(d):
+    """Input-volume measures of one data dir (documents token/char mass,
+    row counts of the stream/vector/relational fact tables)."""
+    import duckdb
+    con = duckdb.connect()
+
+    def rp(t):
+        # flat file or spark-written directory
+        import os
+        p = f'{d}/{t}.parquet'
+        return f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"read_parquet('{p}')"
+
+    toks = con.execute(
+        "SELECT sum(length(list_filter(string_split(lower(trim(regexp_replace("
+        "text,'\\s+',' ','g'))),' '), x -> length(x) > 0))), sum(length(text)) "
+        f"FROM {rp('documents')}").fetchone()
+    return {
+        'documents_tokens': float(toks[0]),
+        'documents_chars': float(toks[1]),
+        'events_rows': float(con.execute(f'SELECT count(*) FROM {rp("events")}').fetchone()[0]),
+        'embeddings_rows': float(con.execute(f'SELECT count(*) FROM {rp("embeddings")}').fetchone()[0]),
+        'lineitem_rows': float(con.execute(f'SELECT count(*) FROM {rp("lineitem")}').fetchone()[0]),
+    }
+
+
+def volume_key(qname):
+    """Which input measure drives this query's work. Coarse by design — a
+    reporting aid classifying volume-linearity, not a gate."""
+    if qname.startswith(FIXTURE_PREFIXES):
+        return None
+    if qname in CHAR_DRIVEN:
+        return 'documents_chars'
+    if qname.startswith(('q_text_', 'q_dedup_', 'q_sample_', 'q_search_', 'q_profile_')):
+        return 'documents_tokens'
+    if qname.startswith(('q_ann_', 'q_embed_')):
+        return 'embeddings_rows'
+    if qname.startswith(('q_events_', 'q_stream_')):
+        # streaming rows over documents/embeddings route to their tables
+        if any(s in qname for s in ('bm25', 'vocab', 'chunk', 'dedup_corpus')):
+            return 'documents_tokens'
+        if 'semdedup' in qname:
+            return 'embeddings_rows'
+        return 'events_rows'
+    return 'lineitem_rows'  # relational surface
+
+
+vol_ratios = None
+if base_dir and big_dir:
+    vb, vg = measure_volumes(base_dir), measure_volumes(big_dir)
+    vol_ratios = {k: round(vg[k] / vb[k], 3) for k in vb}
 
 base = json.load(open(base_p))
 big = json.load(open(big_p))
 qb, qg = base['queries'], big['queries']
-queries, outliers, failures = {}, [], []
+queries, outliers, failures, vol_outliers = {}, [], [], []
 # union of both runs' query sets: a query present only in one run is a
 # failure of the other run, never silently dropped
 for q in sorted(set(qb) | set(qg)):
@@ -32,7 +105,17 @@ for q in sorted(set(qb) | set(qg)):
         queries[q] = {'base': b, 'big': g, 'ratio': None}
         continue
     r = round(g / b, 2) if b > 0 else None
-    queries[q] = {'base': b, 'big': g, 'ratio': r}
+    rec = {'base': b, 'big': g, 'ratio': r}
+    if vol_ratios is not None and r is not None:
+        vk = volume_key(q)
+        if vk is not None:
+            rec['vol_ratio'] = vol_ratios[vk]
+            rec['ratio_per_volume'] = round(r / vol_ratios[vk], 3)
+            # a row superlinear in its OWN input measure (with fixed-cost
+            # headroom mirroring THRESH's 1.2x over the 10x data ratio)
+            if rec['ratio_per_volume'] > 1.2:
+                vol_outliers.append(q)
+    queries[q] = rec
     if r is not None and r > THRESH:
         outliers.append(q)
 
@@ -51,6 +134,8 @@ rec = {
     'outlier_threshold': THRESH,
     'outliers': outliers,
     'failures': failures,
+    'volume_ratios': vol_ratios,
+    'volume_outliers': vol_outliers if vol_ratios is not None else None,
     'queries': queries,
 }
 with open(out_p, 'w') as f:
@@ -59,3 +144,6 @@ ratio_str = f"x{total_ratio:.2f}" if total_ratio is not None else "n/a (no base 
 print(f"total {tot_b}s -> {tot_g}s ({ratio_str}); "
       f"{len(outliers)} outliers > {THRESH}x: {outliers}; "
       f"{len(failures)} failures: {failures}")
+if vol_ratios is not None:
+    print(f"volume ratios: {vol_ratios}")
+    print(f"volume-normalized outliers (> 1.2x their own input growth): {vol_outliers}")
