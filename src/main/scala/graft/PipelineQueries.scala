@@ -5013,6 +5013,77 @@ object PipelineQueries {
       spark.table(sinkName).select("vec_id", "centroid_id").orderBy("vec_id")
     },
 
+    // STREAMING SEMANTIC DEDUP OVER THE SQ8 INDEX: same crawl loop as
+    // q_stream_semdedup, but the persisted side is the COMPRESSED
+    // (centroid_id, q, qn) index — codes stream through the join, the
+    // dequantized reconstruction rebuilds map-side, and the drop rule is
+    // the dequantized-cosine threshold. The oracle replays training, fp32
+    // centroids, both assignments, the corpus grid, reconstruction, and
+    // the anti rule end-to-end
+    q("q_stream_semdedup_sq8",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+         |${duckLloyd(1, "c0")},
+         |${duckLloyd(2, "c1")},
+         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+         |ca AS (SELECT e.vec_id, e.v, f.centroid_id,
+         |        round(list_dot_product(e.v, f.centd)
+         |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+         |      FROM e CROSS JOIN cf f),
+         |assigned AS (SELECT vec_id, v, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) za WHERE rk = 1),
+         |g AS (SELECT min(u) AS lo, max(u) AS hi FROM (SELECT unnest(v) AS u FROM e) gu),
+         |qz AS (SELECT vec_id, centroid_id,
+         |        list_transform(
+         |          list_transform(v, x -> least(greatest(
+         |            CASE WHEN g.hi > g.lo THEN floor((x - g.lo) / (g.hi - g.lo) * 255.0)
+         |                 ELSE 0.0 END, 0.0), 255.0)),
+         |          c -> g.lo + c * ((g.hi - g.lo) / 255.0)) AS xq
+         |      FROM assigned CROSS JOIN g),
+         |dup AS (SELECT DISTINCT n.vec_id FROM qz n
+         |      JOIN qz o ON n.centroid_id = o.centroid_id
+         |        AND n.vec_id % 2 = 1 AND o.vec_id % 2 = 0
+         |      WHERE round(list_dot_product(n.xq, o.xq)
+         |          / (sqrt(list_dot_product(n.xq, n.xq)) * sqrt(list_dot_product(o.xq, o.xq))), 6) >= 0.4)
+         |SELECT vec_id, centroid_id FROM qz
+         |WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM dup)
+         |ORDER BY vec_id""".stripMargin) { c =>
+      val spark = c.spark
+      val emb = c.resolve("embeddings")
+      val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+      val cents = trained.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      val gr = emb.select(explode(col("embedding")).as("x"))
+        .agg(min(col("x")).cast("double"), max(col("x")).cast("double")).head()
+      val (qlo, qhi) = (gr.getDouble(0), gr.getDouble(1))
+      import org.apache.spark.sql.types._
+      val emptyIdx = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("centroid_id", LongType),
+          StructField("q", ArrayType(ShortType)),
+          StructField("qn", DoubleType))))
+      val index = Similarity
+        .semDedupIncrementalSq8(
+          emb.where(col("vec_id") % 2 === 0), emptyIdx, trained, qlo, qhi)
+        .select("centroid_id", "q", "qn")
+        .localCheckpoint()
+      val path = s"${c.dataDir}/embeddings.parquet"
+      val schema = spark.read.parquet(path).schema
+      val src = spark.readStream.schema(schema)
+        .option("basePath", c.dataDir).parquet(s"${c.dataDir}/{embeddings.parquet}")
+        .where(col("vec_id") % 2 === 1)
+      val sinkName = s"q_stream_semdedup_sq8_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      StreamOps.startDrained(spark)(
+        StreamOps.dedupSemanticSq8(src, index, cents, qlo, qhi, threshold = 0.4)
+          .select(col("vec_id"), col("centroid_id"))
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      spark.table(sinkName).select("vec_id", "centroid_id").orderBy("vec_id")
+    },
+
     // STREAMING LEXICAL-INDEX MAINTENANCE: documents arrive as two
     // micro-batches (maxFilesPerTrigger=1 over two staged slice files —
     // staging is INPUT only, fingerprint-keyed like q_text_bm25_inc; two

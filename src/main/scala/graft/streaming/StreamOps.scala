@@ -425,6 +425,53 @@ object StreamOps {
       "left_anti")
   }
 
+  /** [[dedupSemantic]] against the SQ8-COMPRESSED persisted index
+    * ([[graft.operators.Similarity.semDedupIncrementalSq8]]'s
+    * (centroid_id, q, qn) contract) — the streaming crawl loop without
+    * the full-precision index's unbounded double-vector payload: the
+    * static side streams 2-byte codes + one norm per vector, the
+    * dequantized reconstruction lo + q·(hi−lo)/255 rebuilds MAP-SIDE
+    * inside the join (never stored), and the drop rule is the same
+    * deterministic dequantized-cosine threshold the batch face applies.
+    * Assignment stays the stateless literal kernel (zero shuffle, zero
+    * state; per-micro-batch stream-static anti-join like the
+    * full-precision face). Survivors return in the index's own row shape
+    * (idCol, centroid_id, q, qn) so a foreachBatch append closes the
+    * loop; same kept-AND-dropped append guidance and same within-batch
+    * caveat as [[dedupSemantic]]. The grid (lo, hi) is the index's own,
+    * fixed at creation. */
+  def dedupSemanticSq8(
+      stream: DataFrame,
+      index: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      lo: Double,
+      hi: Double,
+      threshold: Double = 0.4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val S = graft.operators.Similarity
+    val a = S.semDedupAssignLit(stream, centroids, idCol, embCol)
+      .withColumn("q", S.sq8Codes(col("v"), lo, hi))
+      .withColumn("xq", S.sq8Reconstruct(col("q"), lo, hi))
+      .withColumn("qn", graft.functions.NormF(col("xq")))
+    val idx = index.select(
+      col("centroid_id").as("__ocid"),
+      S.sq8Reconstruct(col("q").cast("array<double>"), lo, hi).as("__xb"),
+      col("qn").as("__nb"))
+    a.join(
+        idx,
+        col("centroid_id") === col("__ocid") &&
+          round(
+            graft.functions.DotF(col("xq"), col("__xb")) / (col("qn") * col("__nb")),
+            6) >= threshold,
+        "left_anti")
+      .select(
+        col(idCol),
+        col("centroid_id"),
+        col("q").cast("array<smallint>").as("q"),
+        col("qn"))
+  }
+
   /** Stream-stream interval join: pair each left event with every right
     * event for the same key arriving within [left.ts, left.ts + within] —
     * the "click joined to the impressions of the preceding window" shape,

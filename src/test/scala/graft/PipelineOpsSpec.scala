@@ -1424,6 +1424,32 @@ class PipelineOpsSpec extends SparkSpec {
       s"trained rotation should cost at most the grid's noise: raw=$raw pca=$pcaRecall")
   }
 
+  test("dedupSemanticSq8: survivors append-close the loop (a re-crawl survives nothing)") {
+    import graft.streaming.StreamOps
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
+    val cents = trained.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val g = emb.select(explode(col("embedding")).as("x"))
+      .agg(min(col("x")).cast("double"), max(col("x")).cast("double")).head()
+    val (qlo, qhi) = (g.getDouble(0), g.getDouble(1))
+    import org.apache.spark.sql.types._
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("centroid_id", LongType),
+        StructField("q", ArrayType(ShortType)),
+        StructField("qn", DoubleType))))
+    // batch 1 against an empty index: everything survives (nothing indexed)
+    val b1 = StreamOps.dedupSemanticSq8(emb, emptyIdx, cents, qlo, qhi).localCheckpoint()
+    assert(b1.count() == emb.count(), "empty index must drop nothing")
+    assert(b1.schema("q").dataType == ArrayType(ShortType))
+    // survivors ARE the index row shape: append and re-crawl the same
+    // vectors — every one now has a cosine-1.0 indexed twin, so none survive
+    val idx = emptyIdx.unionByName(b1.select("centroid_id", "q", "qn"))
+    val recrawl = StreamOps.dedupSemanticSq8(emb, idx, cents, qlo, qhi)
+    assert(recrawl.count() == 0, "a re-crawl against the appended index must drop everything")
+  }
+
   test("semDedupAssignLit == semDedupAssign on real embeddings (literal kernel parity)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
