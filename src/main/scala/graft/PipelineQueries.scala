@@ -1210,6 +1210,83 @@ object PipelineQueries {
       Similarity.rrfFuse(Seq(lex, dense), k = 10).orderBy("rank")
     },
 
+    // INDEXED hybrid retrieval — the PRODUCTION face of q_search_hybrid:
+    // both retrievers run against persisted indexes (BM25 postings +
+    // df/corpus state; the IVF assignment table), so a query is
+    // query-sized work on both modalities — no corpus re-tokenize, no
+    // brute-force scan. Indexed BM25 == the corpus-scan BM25 exactly
+    // (proven by q_text_bm25_inc), so the lexical replay is unchanged;
+    // the dense side replays the first-8-cell IVF probe (nprobe=2)
+    // restricted to query vec 0; RRF fuses the two top-50 lists
+    q("q_search_hybrid_indexed", {
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |l AS (SELECT doc_id, CAST(length(toks) AS DOUBLE) AS dl FROM t),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM l),
+         |p AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf
+         |      FROM (SELECT doc_id, unnest(toks) AS w FROM t) u
+         |      WHERE w IN ('join', 'vector', 'stream') GROUP BY doc_id, w),
+         |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |s AS (SELECT p.doc_id,
+         |        ln((st.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |          * (p.tf * 2.2::DOUBLE)
+         |          / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / st.avgdl)) AS s
+         |      FROM p JOIN dfq USING (term) JOIN l USING (doc_id) CROSS JOIN st),
+         |sc AS (SELECT doc_id, round(sum(s), 6) AS score FROM s GROUP BY doc_id),
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+         |        QUALIFY rank <= 50),
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |      FROM embeddings ORDER BY vec_id LIMIT 8),
+         |ca AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |        round(list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[])
+         |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         |             * sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))), 6) AS cscore
+         |      FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca) z WHERE rk = 1),
+         |probed AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ca WHERE vec_id = 0) z
+         |      WHERE rk <= 2),
+         |ds AS (SELECT a.neighbor_id AS doc_id,
+         |        round(list_dot_product(p.q_emb::DOUBLE[], a.c_emb::DOUBLE[])
+         |          / (sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[]))
+         |             * sqrt(list_dot_product(a.c_emb::DOUBLE[], a.c_emb::DOUBLE[]))), 6) AS score
+         |      FROM probed p JOIN assigned a ON p.centroid_id = a.centroid_id
+         |      WHERE p.query_id <> a.neighbor_id),
+         |den AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM ds
+         |        QUALIFY rank <= 50),
+         |u AS (SELECT doc_id, 1.0::DOUBLE / (60::DOUBLE + rank) AS contrib FROM lex
+         |      UNION ALL SELECT doc_id, 1.0::DOUBLE / (60::DOUBLE + rank) FROM den),
+         |f AS (SELECT doc_id, round(sum(contrib), 6) AS rrf, CAST(count(*) AS INT) AS n_lists
+         |      FROM u GROUP BY doc_id),
+         |r AS (SELECT doc_id, rrf, n_lists,
+         |        row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+         |SELECT CAST(rank AS INT) AS rank, doc_id, rrf, n_lists
+         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+    }) { c =>
+      import graft.operators.Similarity
+      val docs = c.resolve("documents")
+      val emb = c.resolve("embeddings")
+      val terms = Seq("join", "vector", "stream")
+      // persisted at scale; built here — ONE tokenize pass feeds postings,
+      // df and corpus stats (the tokenize-once discipline)
+      val postings = TextOps.bm25Index(docs).localCheckpoint()
+      val lex = TextOps.bm25SearchIndexed(
+          postings,
+          TextOps.bm25Df(postings),
+          TextOps.bm25CorpusFromPostings(docs, postings),
+          terms, topK = 50)
+        .select(col("doc_id"), col("rank"))
+      val cents = emb.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+      val index = Similarity.ivfAssign(emb, cents) // persisted at scale
+      val dense = Similarity
+        .ivfSearchIndexed(index, cents, emb.where(col("vec_id") === 0), k = 50, nprobe = 2)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, dense), k = 10).orderBy("rank")
+    },
+
     // exact frequent terms via SON two-phase candidates + recount: the
     // oracle is the exact global HAVING — the candidate phase may only
     // ever produce a superset, never change the verified answer
