@@ -3263,6 +3263,55 @@ object PipelineQueries {
       outs.reduce(_ unionByName _).orderBy("vec_id")
     },
 
+    // EMBEDDING-SNAPSHOT DRIFT: even-id vectors are the reference crawl,
+    // odd-id vectors with REVERSED embeddings are the "new month" (the
+    // reversal decorrelates them from the reference-trained centroids —
+    // a real distribution shift, not a resample); centroids train on the
+    // reference ONLY, both snapshots assign to the same fixed fp32 cells,
+    // and per-cell occupancy shares compare via PSI (eps-clamped, every
+    // cell scaffolded). The oracle replays training, both assignments,
+    // the scaffold, and the PSI algebra end-to-end
+    q("q_embed_drift",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+         |${duckLloyd(1, "c0")},
+         |${duckLloyd(2, "c1")},
+         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+         |snap AS (SELECT 'ref' AS side, vec_id, v FROM e
+         |         UNION ALL
+         |         SELECT 'cur', vec_id, list_reverse(embedding::DOUBLE[])
+         |         FROM embeddings WHERE vec_id % 2 = 1),
+         |sa AS (SELECT s.side, s.vec_id, f.centroid_id,
+         |        round(list_dot_product(s.v, f.centd)
+         |          / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+         |      FROM snap s CROSS JOIN cf f),
+         |asg AS (SELECT side, vec_id, centroid_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY side, vec_id
+         |          ORDER BY cscore DESC, centroid_id) AS rk FROM sa) za WHERE rk = 1),
+         |cnt AS (SELECT side, centroid_id, count(*) AS n FROM asg GROUP BY 1, 2),
+         |tot AS (SELECT side, sum(n) AS tot FROM cnt GROUP BY side),
+         |cells AS (SELECT centroid_id FROM cf),
+         |p AS (SELECT t.side, c.centroid_id,
+         |        greatest(coalesce(cnt.n, 0)::DOUBLE / t.tot, 0.000001) AS p
+         |      FROM cells c CROSS JOIN tot t
+         |      LEFT JOIN cnt ON cnt.side = t.side AND cnt.centroid_id = c.centroid_id),
+         |terms AS (SELECT pr.centroid_id, pr.p AS p_ref, pc.p AS p_cur,
+         |        (pc.p - pr.p) * ln(pc.p / pr.p) AS term
+         |      FROM (SELECT * FROM p WHERE side = 'ref') pr
+         |      JOIN (SELECT * FROM p WHERE side = 'cur') pc USING (centroid_id)),
+         |psi AS (SELECT round(sum(term), 6) AS psi FROM terms)
+         |SELECT centroid_id, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+         |  round(term, 6) AS psi_term, psi.psi
+         |FROM terms CROSS JOIN psi ORDER BY centroid_id""".stripMargin) { c =>
+      val emb = c.resolve("embeddings")
+      val ref = emb.where(col("vec_id") % 2 === 0)
+      val cur = emb.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val trained = Similarity.kmeansCentroids(ref, k = 4, iters = 2).localCheckpoint()
+      Similarity.embeddingDrift(ref, cur, trained).orderBy("centroid_id")
+    },
+
     // MERGEABLE k-means maintenance: one Lloyd M-step from the trained
     // centroids, computed as two parity-batch moment states merged and
     // finalized — the oracle replays the SAME step as a third whole-corpus

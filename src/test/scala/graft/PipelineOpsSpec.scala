@@ -1424,6 +1424,39 @@ class PipelineOpsSpec extends SparkSpec {
       s"trained rotation should cost at most the grid's noise: raw=$raw pca=$pcaRecall")
   }
 
+  test("embeddingDrift: hand-computed PSI over centroid cells; empty snapshot fails loud") {
+    // two axis clusters as fixed centroids; ref splits 2/2, cur 3/1 -> the
+    // exact PSI of (0.5, 0.5) vs (0.75, 0.25) per cell
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "cent_emb")
+    val ref = Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(0.9, 0.0)), (3L, Seq(0.1, 1.0)), (4L, Seq(0.0, 0.9)))
+      .toDF("vec_id", "embedding")
+    val cur = Seq(
+      (5L, Seq(1.0, 0.0)), (6L, Seq(0.8, 0.1)), (7L, Seq(0.9, 0.2)), (8L, Seq(0.1, 0.8)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embeddingDrift(ref, cur, cents)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getDouble(4)))
+      .sortBy(_._1)
+    val expTerm0 = (0.75 - 0.5) * math.log(0.75 / 0.5)
+    val expTerm1 = (0.25 - 0.5) * math.log(0.25 / 0.5)
+    val expPsi = BigDecimal(expTerm0 + expTerm1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((0L, 0.5, 0.75), (1L, 0.5, 0.25)), s"shares wrong: ${r.toSeq}")
+    assert(r.forall(x => math.abs(x._4 - expPsi) < 1e-9), s"psi: ${r.head._4} != $expPsi")
+    // a cell the current snapshot never hits clamps to eps, counted as drift
+    val curOne = cur.where(col("vec_id") =!= 8L)
+    val oneSided = Similarity.embeddingDrift(ref, curOne, cents)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(oneSided(1L) == 1.0e-6, s"empty cell must clamp to eps: $oneSided")
+    // an empty snapshot is a loud error, not an eps-flat "no drift"
+    val err = intercept[Exception] {
+      Similarity.embeddingDrift(ref, cur.where(lit(false)), cents).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("dedupSemanticSq8: survivors append-close the loop (a re-crawl survives nothing)") {
     import graft.streaming.StreamOps
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
