@@ -2733,7 +2733,15 @@ object PipelineQueries {
     // rung — Rademacher signs from md5("i:j") parity, so the oracle
     // rebuilds the SAME matrix in SQL and replays the projection of
     // every vector end-to-end (the engine side is a zero-shuffle
-    // plan-literal ProjectF kernel; plan-audited below)
+    // plan-literal ProjectF kernel; plan-audited below).
+    // FP convention (ADVICE r12 #4, kept deliberately): DuckDB's sum over
+    // the 64 per-dim products has unspecified accumulation order while
+    // ProjectF folds left-to-right; row equality relies on the 6dp round
+    // absorbing order-dependent last-ulp noise — the same accepted
+    // convention as the pcaProject oracle. If this row ever flakes on a
+    // value landing exactly on a rounding boundary, the documented
+    // fallback is an absolute-tolerance compare in the gate or a
+    // fixed-order list_aggregate fold in the oracle.
     q("q_embed_jl",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |sg AS (SELECT i.i, o.j,
@@ -3239,10 +3247,14 @@ object PipelineQueries {
       val spark = c.spark
       val emb = c.resolve("embeddings")
       val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
-      val g = emb.select(explode(col("embedding")).as("x"))
-        .agg(min(col("x")).cast("double"), max(col("x")).cast("double")).head()
-      val (qlo, qhi) = (g.getDouble(0), g.getDouble(1))
-      val mx = emb.agg(max("vec_id")).head().getLong(0)
+      // grid + split bound in ONE job: min/max of per-row array extrema
+      // equal the global element extrema exactly (and min/max over floats
+      // then widened == widened then min/max — the oracle's unnest scan)
+      val g = emb.agg(
+        min(array_min(col("embedding"))).cast("double"),
+        max(array_max(col("embedding"))).cast("double"),
+        max(col("vec_id"))).head()
+      val (qlo, qhi, mx) = (g.getDouble(0), g.getDouble(1), g.getLong(2))
       import org.apache.spark.sql.types._
       var idx = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -5181,8 +5193,10 @@ object PipelineQueries {
       val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2).localCheckpoint()
       val cents = trained.collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-      val gr = emb.select(explode(col("embedding")).as("x"))
-        .agg(min(col("x")).cast("double"), max(col("x")).cast("double")).head()
+      // one-job grid: per-row array extrema fold to the element extrema
+      val gr = emb.agg(
+        min(array_min(col("embedding"))).cast("double"),
+        max(array_max(col("embedding"))).cast("double")).head()
       val (qlo, qhi) = (gr.getDouble(0), gr.getDouble(1))
       import org.apache.spark.sql.types._
       val emptyIdx = spark.createDataFrame(
