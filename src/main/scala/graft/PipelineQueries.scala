@@ -216,6 +216,20 @@ object PipelineQueries {
       }
     }
 
+  /** Two-slice staged ODD-vec_id embedding stream input (the "current
+    * snapshot" side of the streaming drift monitor): odd ids split by
+    * vec_id % 4 ∈ {1, 3}, drained with maxFilesPerTrigger=1 as two
+    * micro-batches. Parity slicing is valid because the drift state fold
+    * is order-independent (per-cell integer addition). */
+  private def stagedEmbedSlices(c: graft.catalog.Catalog): String =
+    stagedInput(c, "graft_streamembed_v1", "embeddings.parquet") { tmp =>
+      val emb = c.resolve("embeddings")
+      Seq(1, 3).foreach { r =>
+        emb.where(col("vec_id") % 4 === r)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/slices")
+      }
+    }
+
   // the full Heaps-law vocab-growth replay — shared VERBATIM by
   // q_text_vocab_growth (one-pass corpus face) and q_text_vocab_inc
   // (3-batch merged vocab state must equal it)
@@ -319,6 +333,45 @@ object PipelineQueries {
        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM qz a LEFT JOIN dup d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
+
+  // the full embedding-drift replay — centroid training on the even-id
+  // reference, fp32 quantization, BOTH snapshots' assignments (cur = the
+  // reversed odd ids), cell scaffold, eps clamp, PSI — shared VERBATIM by
+  // q_embed_drift (two-pass batch face) and q_stream_embed_drift (the
+  // per-micro-batch maintained occupancy state must equal it)
+  private lazy val duckEmbedDriftSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
+       |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
+       |${duckLloyd(1, "c0")},
+       |${duckLloyd(2, "c1")},
+       |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
+       |snap AS (SELECT 'ref' AS side, vec_id, v FROM e
+       |         UNION ALL
+       |         SELECT 'cur', vec_id, list_reverse(embedding::DOUBLE[])
+       |         FROM embeddings WHERE vec_id % 2 = 1),
+       |sa AS (SELECT s.side, s.vec_id, f.centroid_id,
+       |        round(list_dot_product(s.v, f.centd)
+       |          / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
+       |      FROM snap s CROSS JOIN cf f),
+       |asg AS (SELECT side, vec_id, centroid_id FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY side, vec_id
+       |          ORDER BY cscore DESC, centroid_id) AS rk FROM sa) za WHERE rk = 1),
+       |cnt AS (SELECT side, centroid_id, count(*) AS n FROM asg GROUP BY 1, 2),
+       |tot AS (SELECT side, sum(n) AS tot FROM cnt GROUP BY side),
+       |cells AS (SELECT centroid_id FROM cf),
+       |p AS (SELECT t.side, c.centroid_id,
+       |        greatest(coalesce(cnt.n, 0)::DOUBLE / t.tot, 0.000001) AS p
+       |      FROM cells c CROSS JOIN tot t
+       |      LEFT JOIN cnt ON cnt.side = t.side AND cnt.centroid_id = c.centroid_id),
+       |terms AS (SELECT pr.centroid_id, pr.p AS p_ref, pc.p AS p_cur,
+       |        (pc.p - pr.p) * ln(pc.p / pr.p) AS term
+       |      FROM (SELECT * FROM p WHERE side = 'ref') pr
+       |      JOIN (SELECT * FROM p WHERE side = 'cur') pc USING (centroid_id)),
+       |psi AS (SELECT round(sum(term), 6) AS psi FROM terms)
+       |SELECT centroid_id, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       |  round(term, 6) AS psi_term, psi.psi
+       |FROM terms CROSS JOIN psi ORDER BY centroid_id""".stripMargin
 
   // one Lloyd's iteration over a PQ SUBSPACE slice CTE e$tag (32-dim
   // variant of duckLloyd, tagged to avoid CTE collisions) — shared by the
@@ -3283,45 +3336,51 @@ object PipelineQueries {
     // and per-cell occupancy shares compare via PSI (eps-clamped, every
     // cell scaffolded). The oracle replays training, both assignments,
     // the scaffold, and the PSI algebra end-to-end
-    q("q_embed_drift",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0),
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent
-         |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t0),
-         |${duckLloyd(1, "c0")},
-         |${duckLloyd(2, "c1")},
-         |cf AS (SELECT centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c2),
-         |snap AS (SELECT 'ref' AS side, vec_id, v FROM e
-         |         UNION ALL
-         |         SELECT 'cur', vec_id, list_reverse(embedding::DOUBLE[])
-         |         FROM embeddings WHERE vec_id % 2 = 1),
-         |sa AS (SELECT s.side, s.vec_id, f.centroid_id,
-         |        round(list_dot_product(s.v, f.centd)
-         |          / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(f.centd, f.centd))), 6) AS cscore
-         |      FROM snap s CROSS JOIN cf f),
-         |asg AS (SELECT side, vec_id, centroid_id FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY side, vec_id
-         |          ORDER BY cscore DESC, centroid_id) AS rk FROM sa) za WHERE rk = 1),
-         |cnt AS (SELECT side, centroid_id, count(*) AS n FROM asg GROUP BY 1, 2),
-         |tot AS (SELECT side, sum(n) AS tot FROM cnt GROUP BY side),
-         |cells AS (SELECT centroid_id FROM cf),
-         |p AS (SELECT t.side, c.centroid_id,
-         |        greatest(coalesce(cnt.n, 0)::DOUBLE / t.tot, 0.000001) AS p
-         |      FROM cells c CROSS JOIN tot t
-         |      LEFT JOIN cnt ON cnt.side = t.side AND cnt.centroid_id = c.centroid_id),
-         |terms AS (SELECT pr.centroid_id, pr.p AS p_ref, pc.p AS p_cur,
-         |        (pc.p - pr.p) * ln(pc.p / pr.p) AS term
-         |      FROM (SELECT * FROM p WHERE side = 'ref') pr
-         |      JOIN (SELECT * FROM p WHERE side = 'cur') pc USING (centroid_id)),
-         |psi AS (SELECT round(sum(term), 6) AS psi FROM terms)
-         |SELECT centroid_id, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
-         |  round(term, 6) AS psi_term, psi.psi
-         |FROM terms CROSS JOIN psi ORDER BY centroid_id""".stripMargin) { c =>
+    q("q_embed_drift", duckEmbedDriftSql) { c =>
       val emb = c.resolve("embeddings")
       val ref = emb.where(col("vec_id") % 2 === 0)
       val cur = emb.where(col("vec_id") % 2 === 1)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
       val trained = Similarity.kmeansCentroids(ref, k = 4, iters = 2).localCheckpoint()
       Similarity.embeddingDrift(ref, cur, trained).orderBy("centroid_id")
+    },
+
+    // STREAMING DRIFT MAINTENANCE: the current snapshot arrives as two
+    // micro-batches (staged odd-id slices); each batch appends ONE ≤ k-row
+    // occupancy partial, and the PSI read face runs on the FOLDED state
+    // against batch-side reference counts. The oracle is the whole-corpus
+    // drift replay VERBATIM (shared with q_embed_drift) — the row passes
+    // only if per-batch occupancy maintenance loses nothing however the
+    // stream was cut. Maintenance runs EVERY rep; only input slices stage.
+    q("q_stream_embed_drift", duckEmbedDriftSql) { c =>
+      val spark = c.spark
+      val emb = c.resolve("embeddings")
+      val ref = emb.where(col("vec_id") % 2 === 0)
+      val trained = Similarity.kmeansCentroids(ref, k = 4, iters = 2).localCheckpoint()
+      val cents = trained.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      // reference counts from the batch broadcast-argmax face (the stream
+      // side exercises the literal kernel; the two faces are law-equal)
+      val refCounts = Similarity.semDedupAssign(ref, trained)
+        .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      val inDir = stagedEmbedSlices(c)
+      val runBase = s"/tmp/graft_streamdrift_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        val schema = spark.read.parquet(s"$inDir/slices").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/slices")
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+        StreamOps.startDrained(spark)(
+          StreamOps.monitorDrift(src, s"$runBase/state", cents)
+            .option("checkpointLocation", s"$runBase/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        Similarity.embeddingDriftFromCounts(
+            refCounts,
+            Similarity.driftFoldCounts(spark.read.parquet(s"$runBase/state/cell_counts")),
+            trained)
+          .orderBy("centroid_id")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
     },
 
     // MERGEABLE k-means maintenance: one Lloyd M-step from the trained

@@ -288,6 +288,40 @@ object StreamOps {
       }
     }
 
+  /** Continuous EMBEDDING-DRIFT maintenance — the streaming face of
+    * [[graft.operators.Similarity.embeddingDrift]]: embedding rows arrive
+    * as micro-batches (this month's crawl), each batch assigns against
+    * the FIXED centroid set through the plan-literal kernel (zero
+    * shuffle before the count) and appends ONE ≤ k-row
+    * (centroid_id, n) occupancy partial under `dir/cell_counts`.
+    * Partials fold by per-cell integer addition
+    * ([[graft.operators.Similarity.driftFoldCounts]]), so the PSI read
+    * face ([[graft.operators.Similarity.embeddingDriftFromCounts]]
+    * against any reference snapshot's counts) EQUALS the batch
+    * [[graft.operators.Similarity.embeddingDrift]] over the accumulated
+    * snapshot exactly, however the stream was cut — the monitor's state
+    * is k rows per corpus, and no embedding is ever rescanned. Crash
+    * note: single append per batch — a replayed batch double-counts its
+    * cells until the checkpoint commits, the same at-least-once caveat
+    * as [[indexLexical]] (run the monitor's appends through
+    * [[sinkToStore]]-style idempotent keys if the stream can replay). */
+  def monitorDrift(
+      stream: DataFrame,
+      dir: String,
+      centroids: Seq[(Long, Seq[Double])],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val raw = batch.toDF()
+      val minParts = raw.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      graft.operators.Similarity.driftCellCounts(spread, centroids, idCol, embCol)
+        .coalesce(1) // ≤ k rows of state — one file per batch
+        .write.mode("append").parquet(s"$dir/cell_counts")
+      ()
+    }
+
   /** Per-window BINNED value counts against a static reference's bin
     * edges — the streaming half of distribution-drift monitoring
     * (Profile.distributionDrift): the reference cuts come from the tuned

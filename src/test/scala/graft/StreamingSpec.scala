@@ -725,4 +725,42 @@ class StreamingSpec extends SparkSpec {
         ("2024-01-01 01:00:00.0", 2, 1L)), s"rows=$rows")
     } finally q.stop()
   }
+
+  test("monitorDrift: per-batch occupancy partials fold to the whole-snapshot PSI") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_drift").toString
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val centDf = cents.toDF("centroid_id", "cent_emb")
+    val ref = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.8, 0.2)),
+      (3L, Seq(0.1, 0.9)), (4L, Seq(0.2, 0.8))).toDF("vec_id", "embedding")
+    // cur shifts to 3/1 vs the reference's 2/2 — real drift, nonzero PSI
+    val b1 = Seq((10L, Seq(1.0, 0.05)), (11L, Seq(0.7, 0.1)))
+    val b2 = Seq((12L, Seq(0.9, 0.3)), (13L, Seq(0.05, 1.0)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.monitorDrift(
+        input.toDF().toDF("vec_id", "embedding"), s"$base/state", cents)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val partsDf = spark.read.parquet(s"$base/state/cell_counts")
+    // the state is occupancy partials: ≤ k rows per batch, never vectors
+    assert(partsDf.columns.toSet == Set("centroid_id", "n"))
+    assert(partsDf.count() <= 4, s"state rows=${partsDf.count()}")
+    val refCounts = Similarity.semDedupAssign(ref, centDf)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    val streamed = Similarity.embeddingDriftFromCounts(
+        refCounts, Similarity.driftFoldCounts(partsDf), centDf)
+      .orderBy("centroid_id").collect().map(_.toSeq).toSeq
+    val whole = Similarity.embeddingDrift(
+        ref, (b1 ++ b2).toDF("vec_id", "embedding"), centDf)
+      .orderBy("centroid_id").collect().map(_.toSeq).toSeq
+    assert(streamed == whole, s"streamed=$streamed whole=$whole")
+    assert(streamed.nonEmpty && streamed.head.last.asInstanceOf[Double] > 0.0,
+      s"the shifted snapshot must register nonzero PSI: $streamed")
+  }
 }
