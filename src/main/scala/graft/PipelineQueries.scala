@@ -32,6 +32,33 @@ object PipelineQueries {
   private val videoT =
     s"read_parquet('${VideoCorpus.table}/*.parquet', hive_partitioning=0)"
 
+  // the dHash replay over the media corpus's stored ground-truth pixels
+  // (px → 8×9 grid means → gradient bits → hi/lo words) — shared by the
+  // incremental/streaming media-dedup oracles; same chain as the
+  // q_multimodal_neardup oracle
+  private lazy val duckDhashCtes =
+    s"""px AS (
+       |  SELECT media_id, width, height,
+       |         CAST((i-1) // width AS INT) AS y, CAST((i-1) % width AS INT) AS x, p
+       |  FROM (SELECT media_id, width, height, unnest(pixels) AS p,
+       |               generate_subscripts(pixels, 1) AS i FROM $mediaT)
+       |),
+       |d AS (SELECT media_id, (y*8)//height AS gy, (x*9)//width AS gx,
+       |             CAST(sum(p) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |      FROM px GROUP BY 1,2,3),
+       |dbits AS (
+       |  SELECT a.media_id, a.gy, a.gx,
+       |    CASE WHEN a.s * b.c < b.s * a.c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM d a JOIN d b ON a.media_id=b.media_id AND a.gy=b.gy AND b.gx=a.gx+1
+       |  WHERE a.gx < 8),
+       |dh AS (SELECT media_id,
+       |   CAST(sum(CASE WHEN gy<4 THEN bit << (31 - (gy*8+gx)) ELSE 0 END) AS BIGINT) AS hi,
+       |   CAST(sum(CASE WHEN gy>=4 THEN bit << (31 - ((gy-4)*8+gx)) ELSE 0 END) AS BIGINT) AS lo
+       | FROM dbits GROUP BY media_id),
+       |dup AS (SELECT DISTINCT a.media_id FROM dh a JOIN dh b
+       |   ON b.media_id < a.media_id
+       |   AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
   // DuckDB-side shared fragments (mirrors of TextOps/Dedup column builders)
   /** Content hash of q_text_bpe_fold's published merge table (first 12 hex
     * of md5 over "rnk\tl\tr" lines). Keys the shared /tmp publish path so
@@ -166,13 +193,9 @@ object PipelineQueries {
     * input. File mtimes set inside `build` survive the rename — callers
     * that need a pinned micro-batch ORDER set them there. Returns the
     * published dir. */
-  private def stagedInput(
-      c: graft.catalog.Catalog, family: String, srcFile: String)(
+  private def stagedDir(family: String, fingerprint: String)(
       build: java.nio.file.Path => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(s"${c.dataDir}/$srcFile")
-    val fingerprint = c.dataDir + "|" + Files.size(src) + "|" +
-      Files.getLastModifiedTime(src).toMillis
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val base = Paths.get(s"/tmp/$family/$key")
@@ -189,6 +212,15 @@ object PipelineQueries {
       }
     }
     base.toString
+  }
+
+  private def stagedInput(
+      c: graft.catalog.Catalog, family: String, srcFile: String)(
+      build: java.nio.file.Path => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"${c.dataDir}/$srcFile")
+    stagedDir(family, c.dataDir + "|" + Files.size(src) + "|" +
+      Files.getLastModifiedTime(src).toMillis)(build)
   }
 
   private def listParquet(dir: String): Set[java.nio.file.Path] = {
@@ -215,6 +247,33 @@ object PipelineQueries {
           .coalesce(1).write.mode("append").parquet(s"$tmp/slices")
       }
     }
+
+  /** Two id-RANGE staged slices of the MEDIA corpus (media_id < 24 /
+    * ≥ 24) with pinned mtimes — micro-batch ORDER matters for the media
+    * dedup face (smaller-id blocking), the q_stream_chunk_novelty
+    * discipline. Keyed on the corpus's _READY marker (the corpus is
+    * content-versioned, rebuilt only under a new _v suffix). */
+  private def stagedMediaSlices(c: graft.catalog.Catalog): String = {
+    MediaCorpus.ensure(c.spark)
+    val marker = java.nio.file.Paths.get(MediaCorpus.dir, "_READY")
+    stagedDir(
+      "graft_streammedia_v1",
+      MediaCorpus.table + "|" +
+        java.nio.file.Files.getLastModifiedTime(marker).toMillis) { tmp =>
+      val media = c.spark.read.parquet(MediaCorpus.table)
+        .select(col("media_id"), col("png"))
+      val slices = s"$tmp/slices"
+      media.where(col("media_id") < 24).coalesce(1).write.mode("append").parquet(slices)
+      val firstParts = listParquet(slices)
+      media.where(col("media_id") >= 24).coalesce(1).write.mode("append").parquet(slices)
+      val now = System.currentTimeMillis()
+      listParquet(slices).foreach { f =>
+        val off = if (firstParts.contains(f)) 0L else 2000L
+        java.nio.file.Files.setLastModifiedTime(
+          f, java.nio.file.attribute.FileTime.fromMillis(now + off))
+      }
+    }
+  }
 
   /** Two-slice staged ODD-vec_id embedding stream input (the "current
     * snapshot" side of the streaming drift monitor): odd ids split by
@@ -4393,6 +4452,61 @@ object PipelineQueries {
             c.spark.read.parquet(MediaCorpus.table), idCol = "media_id", binCol = "png"),
           maxDist = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // INCREMENTAL image near-dup: the re-crawl batch (ids >= 40 — the
+    // modified copies) screens against the persisted hash index of the
+    // first crawl (ids < 40) plus its own smaller-id peers — so the drop
+    // rule is exactly "any within-3 dHash neighbor at a smaller id", which
+    // the oracle replays from the stored ground-truth pixels end to end
+    // (decode parity is load-bearing, as in q_multimodal_neardup)
+    q("q_multimodal_neardup_inc",
+      s"""WITH $duckDhashCtes
+         |SELECT a.media_id, a.hi AS dhash_hi, a.lo AS dhash_lo,
+         |  CAST(CASE WHEN dup.media_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM dh a LEFT JOIN dup ON dup.media_id = a.media_id
+         |WHERE a.media_id >= 40 ORDER BY a.media_id""".stripMargin) { c =>
+      import graft.operators.Multimodal
+      MediaCorpus.ensure(c.spark)
+      val hashes = Multimodal.imageHashes(
+          c.spark.read.parquet(MediaCorpus.table), idCol = "media_id", binCol = "png")
+        .localCheckpoint() // decode once — the incremental face fans out 3 consumers
+      val index = hashes.where(col("media_id") < 40)
+        .select("media_id", "dhash_hi", "dhash_lo")
+      Multimodal
+        .nearDupImagesIncremental(hashes.where(col("media_id") >= 40), index, maxDist = 3)
+        .orderBy("media_id")
+    },
+
+    // STREAMING MEDIA DEDUP: the corpus arrives as two id-RANGE
+    // micro-batches (staged slices, mtime-pinned order); each batch
+    // decodes + hashes once, screens against the accumulated hash store,
+    // and appends ALL its rows (kept and dropped — transitive blocking).
+    // The oracle is the whole-corpus "no within-3 neighbor at a smaller
+    // id" replay from stored pixels — the row passes only if per-batch
+    // maintenance equals the one-shot accounting however the stream was
+    // cut. Maintenance runs EVERY rep; only input slices stage.
+    q("q_stream_media_dedup",
+      s"""WITH $duckDhashCtes
+         |SELECT a.media_id, a.hi AS dhash_hi, a.lo AS dhash_lo,
+         |  CAST(CASE WHEN dup.media_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM dh a LEFT JOIN dup ON dup.media_id = a.media_id
+         |ORDER BY a.media_id""".stripMargin) { c =>
+      val spark = c.spark
+      val inDir = stagedMediaSlices(c)
+      val runBase = s"/tmp/graft_streammedia_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        val schema = spark.read.parquet(s"$inDir/slices").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/slices")
+        StreamOps.startDrained(spark)(
+          StreamOps.indexMedia(src, s"$runBase/idx", maxDist = 3, binCol = "png")
+            .option("checkpointLocation", s"$runBase/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        spark.read.parquet(s"$runBase/idx/hashes")
+          .orderBy("media_id")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
     },
 
     // real image resize: exact area-average downscale of the DECODED png to

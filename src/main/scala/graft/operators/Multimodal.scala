@@ -397,6 +397,65 @@ object Multimodal {
       .distinct()
   }
 
+  /** INCREMENTAL image near-dup — the persisted-index batch face of
+    * [[nearDupImages]], giving the media modality the same maintenance
+    * contract as Dedup.simhashIncremental / Similarity.semDedupIncremental:
+    * a new batch of [[imageHashes]] rows is screened against a persisted
+    * hash index (8 B/image of state — the fingerprints, never the bytes)
+    * and a row is dropped when a within-`maxDist` dHash neighbor exists
+    * either in the index or earlier (smaller id) in the batch itself.
+    * Returns (media_id, dhash_hi, dhash_lo, kept) — rows directly
+    * appendable to `index`.
+    *
+    * Index contract: append EVERY returned row, kept AND dropped — the
+    * near-dup relation is not transitive (A≈B≈C with A̸≈C: B drops
+    * against A, a later C must still drop against B), the
+    * semDedupIncremental rule. Undecodable rows (null hashes) keep
+    * (nothing to compare) and are appended inert (the probe filters
+    * nulls). With id-ordered batches the fold over batches EQUALS this
+    * face run once over the concatenation with an empty index (law-
+    * tested and oracle-replayed).
+    *
+    * Scale design: candidates come only from the 16-bit pigeonhole block
+    * equi-joins (a ≤ 3-bit-distant pair must agree on one of four 16-bit
+    * blocks) on BOTH probes — batch×index and batch×peers — never an
+    * all-pairs product; the index is never re-decoded or rescanned
+    * beyond the block-keyed join. Callers should pin the batch hash
+    * frame (the decode kernel feeds three consumers here). */
+  def nearDupImagesIncremental(
+      batch: DataFrame, index: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-block pigeonhole is only exact for maxDist <= 3")
+    def blockRows(df: DataFrame, idAs: String, hAs: String): DataFrame =
+      df.where(col("dhash_hi").isNotNull)
+        .select(
+          col("media_id").as(idAs),
+          (shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo"))).as(hAs))
+        .select(col(idAs), col(hAs), explode(sequence(lit(0), lit(3))).as("block_idx"))
+        .withColumn(
+          "block_val",
+          expr(s"shiftrightunsigned($hAs, cast(block_idx * 16 as int)) & 65535"))
+    val nb = blockRows(batch, "id_n", "h_n")
+    val vsIndex = nb
+      .join(blockRows(index, "id_o", "h_o"), Seq("block_idx", "block_val"))
+      .where(expr("bit_count(h_n ^ h_o)") <= maxDist)
+      .select(col("id_n"))
+    val vsPeers = nb
+      .join(blockRows(batch, "id_o", "h_o"), Seq("block_idx", "block_val"))
+      .where(col("id_o") < col("id_n") && expr("bit_count(h_n ^ h_o)") <= maxDist)
+      .select(col("id_n"))
+    val dup = vsIndex.union(vsPeers).distinct()
+      .withColumnRenamed("id_n", "media_id")
+      .withColumn("__d", lit(1))
+    batch
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+      .join(dup, Seq("media_id"), "left_outer")
+      .select(
+        col("media_id"),
+        col("dhash_hi"),
+        col("dhash_lo"),
+        col("__d").isNull.cast("long").as("kept"))
+  }
+
   // ===== Real audio decode + integer features + energy fingerprint ========
   //
   // The audio modality is NOT stubbed either: WAV PCM bytes are decoded

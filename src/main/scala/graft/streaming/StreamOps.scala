@@ -288,6 +288,59 @@ object StreamOps {
       }
     }
 
+  /** Continuous MEDIA-FINGERPRINT dedup — the streaming face of
+    * [[graft.operators.Multimodal.nearDupImagesIncremental]], closing the
+    * continuous-crawl loop for the media modality the way [[indexLexical]]
+    * / [[indexChunks]] close it for text: raw image rows stream in, each
+    * micro-batch decodes + dHashes ONCE (batch-scoped pin — the hash
+    * frame feeds three consumers), screens against the persisted hash
+    * index (16-bit pigeonhole block equi-joins, batch×index and
+    * batch×peer — never all-pairs, never a re-decode of the index), and
+    * appends ALL its rows — kept and dropped, the transitive-blocking
+    * contract — under `dir/hashes`. With id-ordered micro-batches the
+    * accumulated kept flags EQUAL the one-shot run over the concatenation
+    * (the incremental face's own law), so a crawler's image dedup
+    * accounting stays exact at batch cost: state is 8 bytes per image
+    * ever seen, the image bytes are decoded exactly once at arrival.
+    * The append is localCheckpoint-pinned first, cutting the plan's read
+    * of the very store files it is about to append beside. Crash note:
+    * single append per batch — same at-least-once caveat as
+    * [[indexLexical]]. */
+  def indexMedia(
+      stream: DataFrame,
+      dir: String,
+      maxDist: Int = 3,
+      idCol: String = "media_id",
+      binCol: String = "content"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val raw = batch.toDF()
+      val spark = raw.sparkSession
+      val minParts = spark.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val hashes = graft.operators.Multimodal.imageHashes(spread, idCol, binCol).persist()
+      try {
+        val storePath = s"$dir/hashes"
+        val store =
+          if (new java.io.File(storePath).exists()) spark.read.parquet(storePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "media_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField(
+                "dhash_hi", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField(
+                "dhash_lo", org.apache.spark.sql.types.LongType))))
+        graft.operators.Multimodal.nearDupImagesIncremental(hashes, store, maxDist)
+          .localCheckpoint()
+          .write.mode("append").parquet(storePath)
+      } finally {
+        hashes.unpersist()
+        ()
+      }
+    }
+
   /** Continuous EMBEDDING-DRIFT maintenance — the streaming face of
     * [[graft.operators.Similarity.embeddingDrift]]: embedding rows arrive
     * as micro-batches (this month's crawl), each batch assigns against

@@ -304,4 +304,46 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"expected exactly the planted near-dup pair, got $pairs")
   }
+
+  test("nearDupImagesIncremental: fold == whole, transitive blocking, null hashes keep") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def hashes(rows: Seq[(Long, Option[Long], Option[Long])]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (i, h, l) => Row(i, h.map(Long.box).orNull, l.map(Long.box).orNull) }, 1),
+        StructType(Seq(
+          StructField("media_id", LongType, nullable = false),
+          StructField("dhash_hi", LongType, nullable = true),
+          StructField("dhash_lo", LongType, nullable = true))))
+    // A(0x0), B 3 bits from A, C 3 bits from B but 6 from A — the chain
+    // where a kept-only index would wrongly revive C; D far from all;
+    // E undecodable (null hashes)
+    val all = hashes(Seq(
+      (1L, Some(0L), Some(0L)),                     // A
+      (2L, Some(0L), Some(7L)),                     // B: dist(A)=3 -> drops vs A
+      (3L, Some(0L), Some(0x3FL)),                  // C: dist(B)=3, dist(A)=6 -> drop vs B
+      (4L, Some(0x00FF00FFL), Some(0x0F0F0F0FL)),   // D: far from everything -> kept
+      (5L, None, None)))                            // E: undecodable -> kept, inert
+    val empty = hashes(Seq.empty)
+    def keptMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val whole = keptMap(Multimodal.nearDupImagesIncremental(all, empty))
+    assert(whole == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L),
+      s"whole=$whole")
+    // fold over id-ordered batches == whole (the index carries kept AND
+    // dropped rows — batch 2's C drops against the DROPPED B)
+    val b1 = all.where(col("media_id") <= 2)
+    val b2 = all.where(col("media_id") > 2)
+    val out1 = Multimodal.nearDupImagesIncremental(b1, empty).localCheckpoint()
+    val out2 = Multimodal.nearDupImagesIncremental(
+      b2, out1.select("media_id", "dhash_hi", "dhash_lo")).localCheckpoint()
+    val folded = keptMap(out1) ++ keptMap(out2)
+    assert(folded == whole, s"folded=$folded whole=$whole")
+    // a kept-only index would revive C — prove the contract matters
+    val keptOnly = Multimodal.nearDupImagesIncremental(
+      b2, out1.where(col("kept") === 1).select("media_id", "dhash_hi", "dhash_lo"))
+    assert(keptMap(keptOnly)(3L) == 1L,
+      "sanity: without the dropped row B in the index, C would wrongly keep")
+  }
 }

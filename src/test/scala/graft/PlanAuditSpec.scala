@@ -274,6 +274,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the pigeonhole equi keys in the join:\n$plan")
   }
 
+  test("nearDupImagesIncremental probes are equi block joins, never all-pairs") {
+    MediaCorpus.ensure(spark)
+    val hashes = graft.operators.Multimodal
+      .imageHashes(spark.read.parquet(MediaCorpus.table), binCol = "png")
+      .localCheckpoint(true) // audit the probe joins, not the decode pass
+    val plan = physical(graft.operators.Multimodal.nearDupImagesIncremental(
+      hashes.where(col("media_id") >= 40),
+      hashes.where(col("media_id") < 40).select("media_id", "dhash_hi", "dhash_lo")))
+    assert(!plan.contains("CartesianProduct"), s"probe join degenerated:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"probe join degenerated:\n$plan")
+    assert(plan.contains("block_idx") && plan.contains("block_val"),
+      s"expected the pigeonhole equi keys in both probes:\n$plan")
+  }
+
   test("containmentIncremental is fingerprint equi-joins, never all-pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -726,6 +726,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexMedia: per-batch screened appends equal the one-shot media dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_media").toString
+    // reuse the media corpus's deterministic pixel streams: ids 40..47 are
+    // planted near-dups of 0..7 — batch 2 must drop them against batch 1's
+    // stored hashes (cross-batch blocking through the persisted store)
+    val px = MediaCorpus.allPixels.toMap
+    def pngRows(ids: Seq[Int]): Seq[(Long, Array[Byte])] =
+      ids.map(i => (i.toLong, MediaCorpus.pngOf(px(i))))
+    val b1 = pngRows(0 to 7)
+    val b2 = pngRows(40 to 47)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.indexMedia(
+        input.toDF().toDF("media_id", "content"), s"$base/idx")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/idx/hashes")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val whole = Multimodal.nearDupImagesIncremental(
+        Multimodal.imageHashes(
+          (b1 ++ b2).toDF("media_id", "content")).localCheckpoint(),
+        spark.read.parquet(s"$base/idx/hashes")
+          .select("media_id", "dhash_hi", "dhash_lo").limit(0))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(streamed == whole, s"streamed=$streamed whole=$whole")
+    // the planted copies really dropped and the originals really kept
+    assert((0 to 7).forall(i => streamed(i.toLong) == 1L), s"originals: $streamed")
+    assert((40 to 47).forall(i => streamed(i.toLong) == 0L), s"copies: $streamed")
+  }
+
   test("monitorDrift: per-batch occupancy partials fold to the whole-snapshot PSI") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
