@@ -393,6 +393,17 @@ object PipelineQueries {
        |FROM qz a LEFT JOIN dup d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
 
+  // the exact-phrase positional conjunction over the corpus tokens —
+  // shared VERBATIM by q_text_phrase (map-side corpus scan) and
+  // q_text_phrase_indexed (persisted positional postings must answer
+  // identically)
+  private lazy val duckPhraseSql =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |h AS (SELECT doc_id, CAST(length(list_filter(range(1, length(toks) - 1), p ->
+       |    toks[p] = 'slow' AND toks[p+1] = 'hash' AND toks[p+2] = 'batch')) AS INT) AS n_hits
+       |  FROM t WHERE length(toks) >= 3)
+       |SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+
   // the full embedding-drift replay — centroid training on the even-id
   // reference, fp32 quantization, BOTH snapshots' assignments (cur = the
   // reversed odd ids), cell scaffold, eps clamp, PSI — shared VERBATIM by
@@ -3914,13 +3925,19 @@ object PipelineQueries {
     // (a fixed phrase needs no postings index; this is the boolean
     // complement of BM25's ranked retrieval). Oracle runs the same
     // positional conjunction
-    q("q_text_phrase",
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |h AS (SELECT doc_id, CAST(length(list_filter(range(1, length(toks) - 1), p ->
-         |    toks[p] = 'slow' AND toks[p+1] = 'hash' AND toks[p+2] = 'batch')) AS INT) AS n_hits
-         |  FROM t WHERE length(toks) >= 3)
-         |SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id""".stripMargin) { c =>
+    q("q_text_phrase", duckPhraseSql) { c =>
       TextOps.phraseHits(c.resolve("documents"), "slow hash batch").orderBy("doc_id")
+    },
+
+    // INDEXED phrase search: the same positional conjunction answered
+    // from persisted positional postings — k term filters + k−1
+    // (doc, start) equi-joins, the corpus text never re-tokenized at
+    // query time. The oracle is the corpus-scan replay VERBATIM (shared
+    // with q_text_phrase) — indexed must equal scan exactly.
+    q("q_text_phrase_indexed", duckPhraseSql) { c =>
+      TextOps.phraseHitsIndexed(
+          TextOps.positionalIndex(c.resolve("documents")), "slow hash batch")
+        .orderBy("doc_id")
     },
 
     // per-source token-distribution entropy with nano-nat integer terms:

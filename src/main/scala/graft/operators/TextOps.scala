@@ -1511,6 +1511,45 @@ object TextOps {
       .select(col(idCol), col("n_hits"))
   }
 
+  /** POSITIONAL postings of one batch — (idCol, term, pos), pos the
+    * 0-based token position: the index face of [[phraseHits]], extending
+    * the persisted lexical index ([[bm25Index]]) with the position
+    * column phrase/proximity queries need. Append-only across batches
+    * (doc ids are disjoint — the union IS the corpus index, no merge
+    * step), same maintenance contract as the BM25 postings; store it
+    * term-bucketed so a phrase query's scan prunes to its own terms'
+    * buckets. One tokenize kernel (the bound-attribute discipline of
+    * [[bm25Index]]). */
+  def positionalIndex(
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    batch
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "term")))
+      .select(col(idCol), col("term"), col("pos"))
+
+  /** Exact phrase occurrences from a PERSISTED positional index — the
+    * production face of [[phraseHits]] (which scans the corpus text):
+    * a phrase of k terms is k map-side term filters on the postings and
+    * k−1 equi-joins on (doc, aligned start position) — query-term-sized
+    * work, the corpus text is never re-tokenized (the [[bm25SearchIndexed]]
+    * rationale applied to the boolean face). Counts every (possibly
+    * overlapping) start position, exactly like the scan face —
+    * law-tested equal and oracle-shared. */
+  def phraseHitsIndexed(
+      postings: DataFrame,
+      phrase: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = phrase.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty phrase")
+    val starts = terms.zipWithIndex.map { case (t, i) =>
+      postings.where(col("term") === t)
+        .select(col(idCol), (col("pos") - i).as("start"))
+    }.reduce((a, b) => a.join(b, Seq(idCol, "start")))
+    starts.groupBy(idCol).agg(count(lit(1)).cast("int").as("n_hits"))
+  }
+
   // ===== Naive Bayes classifier filtering =================================
   //
   // The classifier-based quality/language filter of the standard pipeline

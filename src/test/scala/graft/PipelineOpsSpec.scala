@@ -2208,6 +2208,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map(1 -> 2, 3 -> 1))
   }
 
+  test("phraseHitsIndexed == phraseHits: overlap, repeated terms, k=1, fixture corpus") {
+    import graft.operators.TextOps
+    def both(d: org.apache.spark.sql.DataFrame, p: String) = (
+      TextOps.phraseHits(d, p).collect().map(r => r.getInt(0) -> r.getInt(1)).toMap,
+      TextOps.phraseHitsIndexed(TextOps.positionalIndex(d), p)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap)
+    val d = docs(
+      (1, "a a a b"),        // overlapping starts: "a a" hits twice
+      (2, "a b a b a"),
+      (3, "b b"),
+      (4, ""))
+    for (p <- Seq("a a", "a b a", "b")) {
+      val (scan, indexed) = both(d, p)
+      assert(indexed == scan, s"phrase '$p': indexed=$indexed scan=$scan")
+    }
+    assert(both(d, "a a")._2 == Map(1 -> 2), "overlapping starts must both count")
+    // the real corpus: the two faces agree document-for-document
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (scan, indexed) = (
+      TextOps.phraseHits(docsDf, "batch batch")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap,
+      TextOps.phraseHitsIndexed(TextOps.positionalIndex(docsDf), "batch batch")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    assert(indexed == scan && scan.nonEmpty, s"indexed=$indexed scan=$scan")
+  }
+
   test("cusumChangePoints: accumulates a small persistent shift past the threshold") {
     import graft.operators.Events
     // 14 days at 50/day (baseline mu = 50), then 10 days at 80/day:

@@ -175,6 +175,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"df/stats must broadcast:\n$plan")
   }
 
+  test("phraseHitsIndexed never re-tokenizes: term filters on postings, (doc, start) equi-joins") {
+    val T = graft.operators.TextOps
+    val postings = T.positionalIndex(
+      spark.read.parquet(s"$sfDir/documents.parquet")).localCheckpoint()
+    val plan = physical(T.phraseHitsIndexed(postings, "slow hash batch"))
+    assert(!plan.contains("Generate"), s"search must not re-tokenize:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"position alignment must be equi-joins:\n$plan")
+    assert(plan.contains("start"), s"expected the aligned-start equi key:\n$plan")
+  }
+
   test("bm25Index tokenizes ONCE: the generate/project path reads one bound token attribute") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = physical(graft.operators.TextOps.bm25Index(docs))
