@@ -1424,6 +1424,65 @@ class PipelineOpsSpec extends SparkSpec {
       s"trained rotation should cost at most the grid's noise: raw=$raw pca=$pcaRecall")
   }
 
+  test("opqOrder: balanced subspace variance; recovers PQ recall on anisotropic spectra, no-op on flat") {
+    import graft.operators.Similarity
+    // constructed anisotropy: two strong axes (var ~31, ~22) and two weak
+    // (~0.025, ~0.020) — the naive descending split codes (strong, strong)
+    // + (weak, weak); allocation pairs each strong axis with a weak one
+    def h(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+      ((md(0) & 0xff) / 255.0) * 2.0 - 1.0
+    }
+    val syn = (0 until 60).map { i =>
+      (i.toLong, Seq(10.0 * h(i, 0), 9.0 * h(i, 1), 0.3 * h(i, 2), 0.25 * h(i, 3)))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val struth = Similarity.bruteForceTopK(
+      syn, syn.where(col("vec_id") < 8), k = 5).localCheckpoint()
+    def pqRecall(mo: Similarity.PcaModel): Double = {
+      val p = Similarity.pcaProject(syn, mo, 4)
+        .select(col("vec_id"), col("pca").as("embedding")).localCheckpoint()
+      Similarity.recallAtK(
+          Similarity.pqTopK(p, p.where(col("vec_id") < 8), m = 2, k = 4, topK = 5),
+          struth, 5)
+        .agg(avg("recall")).head().getDouble(0)
+    }
+    val model = Similarity.pcaFit(syn, "embedding", 4)
+    assert(model.explainedVariance(1) / model.explainedVariance(2) > 100,
+      s"spectrum must be anisotropic: ${model.explainedVariance.toSeq}")
+    val alloc = Similarity.opqOrder(model, 2)
+    // allocation properties: a permutation, capacity dim/m, balanced
+    // log-variance products strictly better than the naive split
+    assert(alloc.explainedVariance.sorted.toSeq == model.explainedVariance.sorted.toSeq)
+    assert(alloc.components.map(_.toSeq).toSet == model.components.map(_.toSeq).toSet)
+    def logProd(ev: Seq[Double]) = ev.map(math.log).sum
+    val (n0, n1) = (model.explainedVariance.take(2), model.explainedVariance.drop(2))
+    val (a0, a1) = (alloc.explainedVariance.take(2), alloc.explainedVariance.drop(2))
+    assert(math.abs(logProd(a0) - logProd(a1)) < math.abs(logProd(n0) - logProd(n1)),
+      s"allocation must balance the products: alloc=(${a0.toSeq}, ${a1.toSeq})")
+    // the measured recall law (deterministic end-to-end): 0.70 -> 0.75
+    val (naive, balanced) = (pqRecall(model), pqRecall(alloc))
+    info(s"naive=$naive alloc=$balanced")
+    assert(balanced > naive,
+      s"allocation should recover recall on an anisotropic spectrum: naive=$naive alloc=$balanced")
+    // flat spectrum (the fixture): allocation must change nothing —
+    // r13's rotation measurement stands
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").localCheckpoint()
+    val fm = Similarity.pcaFit(emb, "embedding", 64)
+    val fa = Similarity.opqOrder(fm, 2)
+    def rec64(mo: Similarity.PcaModel): Double = {
+      val p = Similarity.pcaProject(emb, mo, 64)
+        .select(col("vec_id"), col("pca").as("embedding")).localCheckpoint()
+      val t = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 5)
+      Similarity.recallAtK(
+          Similarity.pqTopK(p, p.where(col("vec_id") < 5), m = 2, k = 4, topK = 5),
+          t, 5)
+        .agg(avg("recall")).head().getDouble(0)
+    }
+    assert(math.abs(rec64(fm) - rec64(fa)) < 1e-9,
+      "a near-flat spectrum must gain nothing from allocation")
+  }
+
   test("embeddingDrift: hand-computed PSI over centroid cells; empty snapshot fails loud") {
     // two axis clusters as fixed centroids; ref splits 2/2, cur 3/1 -> the
     // exact PSI of (0.5, 0.5) vs (0.75, 0.25) per cell
