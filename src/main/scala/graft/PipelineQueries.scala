@@ -3759,6 +3759,56 @@ object PipelineQueries {
         .orderBy("src")
     },
 
+    // NAMED SNAPSHOT — the store's reproducibility verb: a training run
+    // pins the exact state it read (hard-linked files under the table's
+    // write lease — zero bytes copied on POSIX, server-side COPY on object
+    // stores) while the live table keeps ingesting. The row takes a
+    // snapshot between two upserts, then compacts, and emits BOTH faces:
+    // the pinned side must equal batch 1 exactly (no leak from the later
+    // merge/append/compaction) and the live side must equal the full
+    // merge-rule replay — one hash proves pin AND progression.
+    q("q_layout_snapshot",
+      """WITH b1 AS (SELECT doc_id AS id, source AS src, 1 AS number_observed
+        |            FROM documents),
+        |b2 AS (SELECT doc_id AS id, 'recrawl' AS src, 1 AS number_observed
+        |       FROM documents WHERE doc_id % 7 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 100000, 'late', 1
+        |       FROM documents WHERE doc_id % 101 = 0),
+        |live AS (SELECT coalesce(b2.id, b1.id) AS id,
+        |          coalesce(b2.src, b1.src) AS src,
+        |          coalesce(b1.number_observed, 0) + coalesce(b2.number_observed, 0)
+        |            AS number_observed
+        |        FROM b1 FULL JOIN b2 ON b1.id = b2.id)
+        |SELECT 'snap' AS side, id, src, CAST(number_observed AS BIGINT) AS number_observed
+        |FROM b1
+        |UNION ALL
+        |SELECT 'live', id, src, CAST(number_observed AS BIGINT) FROM live
+        |ORDER BY side, id""".stripMargin) { c =>
+      val spark = c.spark
+      val docs = c.resolve("documents")
+      val runBase = s"/tmp/graft_snapshot_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        val W = graft.ingest.UpsertWriter
+        W.upsert(spark, runBase, "t", docs.select(
+          col("doc_id").as("id"), col("source").as("src"), lit(1L).as("number_observed")))
+        W.snapshot(runBase, "t", "s1")
+        W.upsert(spark, runBase, "t",
+          docs.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("id"), lit("recrawl").as("src"),
+              lit(1L).as("number_observed"))
+            .unionByName(docs.where(col("doc_id") % 101 === 0)
+              .select((col("doc_id") + 100000).as("id"), lit("late").as("src"),
+                lit(1L).as("number_observed"))))
+        W.compactAll(spark, runBase, "t")
+        W.readSnapshot(spark, runBase, "t", "s1").withColumn("side", lit("snap"))
+          .unionByName(W.readTable(spark, runBase, "t").withColumn("side", lit("live")))
+          .select(col("side"), col("id"), col("src"), col("number_observed"))
+          .orderBy("side", "id")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
+    },
+
     // edit-distance near-dup for short metadata strings (nothing to
     // shingle): distinct part names sharing a 2-char prefix block, kept at
     // levenshtein <= 3 — blocking join, never all-pairs; DuckDB computes

@@ -56,6 +56,17 @@ trait TableFs {
     * (re-copying an already-copied key rewrites identical staged bytes).
     * Object stores: LIST + server-side COPY per key. */
   def copyTree(src: Path, dst: Path): Unit
+
+  /** Share a directory tree of IMMUTABLE data files into a fresh target —
+    * the snapshot primitive. Default: [[copyTree]] (object stores:
+    * server-side COPY per key — no client data movement; the copied keys
+    * are independent objects, untouchable by later writes to the source
+    * keys). POSIX overrides with hard links: O(files) metadata ops, zero
+    * bytes moved, and the target owns the inodes — a later rename-replace
+    * or delete of the live file cannot reach the snapshot (the publish
+    * protocol only ever replaces whole files, never writes into one, so
+    * link sharing is safe). */
+  def linkOrCopyTree(src: Path, dst: Path): Unit = copyTree(src, dst)
 }
 
 /** NIO implementation — the local/POSIX default. */
@@ -83,6 +94,24 @@ object LocalTableFs extends TableFs {
       val to = dst.resolve(src.relativize(k))
       Files.createDirectories(to.getParent)
       Files.copy(k, to, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+  override def linkOrCopyTree(src: Path, dst: Path): Unit = {
+    val s = Files.walk(src)
+    val keys =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+      } finally s.close()
+    keys.foreach { k =>
+      val to = dst.resolve(src.relativize(k))
+      Files.createDirectories(to.getParent)
+      Files.deleteIfExists(to)
+      try { Files.createLink(to, k); () }
+      catch { // filesystems without hard links: fall back per file
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(k, to, StandardCopyOption.REPLACE_EXISTING); ()
+      }
     }
   }
 }

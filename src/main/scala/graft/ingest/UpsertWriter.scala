@@ -754,6 +754,76 @@ object UpsertWriter {
     }
   }
 
+  // ----- named snapshots ----------------------------------------------------
+  // The reproducibility primitive a training pipeline needs from its store:
+  // pin the exact table state a run read, while the live table keeps
+  // ingesting. The store mutates buckets copy-on-write (whole files are
+  // replaced, never written into), so a snapshot is pure FILE SHARING:
+  // hard links on POSIX (O(files) metadata, zero bytes moved — the snapshot
+  // owns the inodes, later replaces/compactions/deletes cannot reach it),
+  // server-side COPY per key on object stores (the TableFs mapping).
+
+  private val SnapshotsDirName = "_graft_snapshots"
+  private def snapshotPath(dir: String, table: String, name: String): Path =
+    Paths.get(dir, SnapshotsDirName, table, name)
+  private def snapOkOf(t: Path): Path = t.resolve("_graft_snapshot_ok")
+  private val SnapName = java.util.regex.Pattern.compile("[A-Za-z0-9][A-Za-z0-9._-]*")
+
+  /** Publish a named read-only snapshot of `table`'s CURRENT committed
+    * state. Taken under the table's write lease after rolling forward any
+    * interrupted publish, so no concurrent bucket swap can tear it —
+    * exactly one committed state is captured (bucket files, delta files,
+    * and the `_graft_buckets` layout marker; the sibling lease/swap
+    * protocol files are not table data and are not captured). Publish is
+    * crash-safe marker-last: the tree builds under the final name and
+    * `_graft_snapshot_ok` lands only when it is complete — readers never
+    * trust a marker-less tree, and a re-run clears such debris and
+    * completes. Fails loudly if the name is taken (snapshots are
+    * immutable; [[dropSnapshot]] first to reuse a name). */
+  def snapshot(dir: String, table: String, name: String): Unit = {
+    require(SnapName.matcher(name).matches(), s"bad snapshot name: '$name'")
+    val p = pathOf(dir, table)
+    withTableLease(p) {
+      repairPending(p)
+      require(Files.exists(p), s"no such table: $dir/$table")
+      val target = snapshotPath(dir, table, name)
+      if (Files.exists(snapOkOf(target)))
+        throw new IllegalStateException(s"snapshot already exists: $table@$name")
+      if (Files.exists(target)) fs.deleteTree(target) // marker-less crash debris
+      fs.mkdirs(target.getParent)
+      fs.linkOrCopyTree(p, target)
+      fs.put(snapOkOf(target), Array.emptyByteArray)
+    }
+  }
+
+  /** Read a published snapshot — same shape as [[readTable]] (bucket
+    * partition column dropped), but over the pinned state: immune to
+    * every write the live table has taken since. */
+  def readSnapshot(spark: SparkSession, dir: String, table: String, name: String): DataFrame = {
+    val target = snapshotPath(dir, table, name)
+    require(Files.exists(snapOkOf(target)), s"no such snapshot: $table@$name")
+    spark.read.parquet(target.toString).drop(BucketCol)
+  }
+
+  /** Published (marker-complete) snapshot names for a table, sorted. */
+  def snapshots(dir: String, table: String): Seq[String] = {
+    val base = Paths.get(dir, SnapshotsDirName, table)
+    if (!Files.exists(base)) Nil
+    else {
+      val s = Files.list(base)
+      try s.iterator().asScala
+        .filter(t => Files.exists(snapOkOf(t)))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Delete a snapshot (idempotent). POSIX: unlink of the shared inodes'
+    * extra names — live data is untouched; object stores: batch DELETE of
+    * the snapshot's own keys. */
+  def dropSnapshot(dir: String, table: String, name: String): Unit =
+    fs.deleteTree(snapshotPath(dir, table, name))
+
   /** Files written per bucket on a full-table write. 1 keeps local test
     * stores compact (N tasks, one file each); a cluster doing the initial
     * bulk load sets this so write parallelism = N × fanout tasks instead

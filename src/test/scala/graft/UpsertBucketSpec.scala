@@ -841,4 +841,59 @@ class UpsertBucketSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(dir, "t.parquet.lease")))
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("snapshot pins the committed state: immune to later upserts, deletes, compaction") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    UpsertWriter.upsert(spark, dir, "t",
+      df((0 until 120).map(i => (s"id-$i", s"n$i", 1L))))
+    val pinned = UpsertWriter.readTable(spark, dir, "t")
+      .collect().map(_.toSeq).toSet
+    UpsertWriter.snapshot(dir, "t", "run-2026.08")
+    assert(UpsertWriter.snapshots(dir, "t") == Seq("run-2026.08"))
+    // hard-link cheapness on POSIX: a snapshot data file shares its inode
+    // with the live twin (zero bytes copied)
+    val live = Files.walk(java.nio.file.Paths.get(dir, "t.parquet"))
+    val aLive =
+      try {
+        import scala.jdk.CollectionConverters._
+        live.iterator().asScala
+          .find(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet")).get
+      } finally live.close()
+    val aSnap = java.nio.file.Paths.get(dir, "_graft_snapshots", "t", "run-2026.08")
+      .resolve(java.nio.file.Paths.get(dir, "t.parquet").relativize(aLive))
+    assert(Files.getAttribute(aLive, "unix:ino") == Files.getAttribute(aSnap, "unix:ino"),
+      "POSIX snapshot must hard-link, not copy")
+    // mutate the live table heavily: merge-update, new-id deltas, compaction
+    UpsertWriter.upsert(spark, dir, "t",
+      df((0 until 120 by 3).map(i => (s"id-$i", s"CHANGED$i", 5L))))
+    UpsertWriter.upsert(spark, dir, "t",
+      df((200 until 260).map(i => (s"id-$i", s"late$i", 1L))))
+    UpsertWriter.compactAll(spark, dir, "t")
+    val liveNow = UpsertWriter.readTable(spark, dir, "t").collect().map(_.toSeq).toSet
+    assert(liveNow != pinned && liveNow.size == 180)
+    assert(UpsertWriter.readSnapshot(spark, dir, "t", "run-2026.08")
+      .collect().map(_.toSeq).toSet == pinned,
+      "the snapshot must still read exactly the pinned state")
+    // immutability: a taken name fails loud; dropped names free the inodes
+    val ex = intercept[IllegalStateException] {
+      UpsertWriter.snapshot(dir, "t", "run-2026.08")
+    }
+    assert(ex.getMessage.contains("already exists"))
+    UpsertWriter.dropSnapshot(dir, "t", "run-2026.08")
+    assert(UpsertWriter.snapshots(dir, "t").isEmpty)
+    assert(UpsertWriter.readTable(spark, dir, "t").count() == 180,
+      "dropping a snapshot must not touch live data")
+    // marker-less debris (crash between tree build and marker): unreadable,
+    // and a re-run replaces it and completes
+    val debris = java.nio.file.Paths.get(dir, "_graft_snapshots", "t", "v2")
+    Files.createDirectories(debris)
+    Files.write(debris.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException] {
+      UpsertWriter.readSnapshot(spark, dir, "t", "v2")
+    }
+    UpsertWriter.snapshot(dir, "t", "v2")
+    assert(UpsertWriter.readSnapshot(spark, dir, "t", "v2").count() == 180)
+    intercept[IllegalArgumentException] { UpsertWriter.snapshot(dir, "t", "../evil") }
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
