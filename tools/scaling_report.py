@@ -78,10 +78,12 @@ def volume_key(qname):
     if qname.startswith(('q_ann_', 'q_embed_')):
         return 'embeddings_rows'
     if qname.startswith(('q_events_', 'q_stream_')):
-        # streaming rows over documents/embeddings route to their tables
+        # streaming rows over documents/embeddings/media route to their tables
+        if 'media' in qname:
+            return None  # fixture media corpus: input does not scale with sfDir
         if any(s in qname for s in ('bm25', 'vocab', 'chunk', 'dedup_corpus')):
             return 'documents_tokens'
-        if 'semdedup' in qname:
+        if 'semdedup' in qname or 'embed' in qname:
             return 'embeddings_rows'
         return 'events_rows'
     return 'lineitem_rows'  # relational surface
