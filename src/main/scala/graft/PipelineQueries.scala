@@ -393,6 +393,37 @@ object PipelineQueries {
        |FROM qz a LEFT JOIN dup d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
 
+  // the per-source KMV sketch-overlap replay (sketch draw, pair union,
+  // cardinality/intersection estimators, fixed-order IEEE arithmetic) —
+  // shared VERBATIM by q_profile_kmv_overlap (one-pass corpus face) and
+  // q_stream_source_overlap (the folded per-batch sketch state must
+  // answer identically)
+  private lazy val duckKmvOverlapSql =
+    """WITH h AS (SELECT DISTINCT o_orderpriority AS src,
+      |    ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM orders),
+      |r AS (SELECT src, hv, row_number() OVER (PARTITION BY src ORDER BY hv) AS rn FROM h),
+      |sk AS (SELECT src, list(hv ORDER BY hv) AS sk FROM r WHERE rn <= 64 GROUP BY src),
+      |p AS (SELECT a.src AS source_a, b.src AS source_b, a.sk AS ska, b.sk AS skb
+      |      FROM sk a JOIN sk b ON a.src < b.src),
+      |u AS (SELECT *, list_sort(list_distinct(ska || skb))[1:64] AS u FROM p),
+      |m AS (SELECT source_a, source_b, ska, skb, u, length(u) AS ku,
+      |        length(list_filter(u, x -> list_contains(ska, x) AND list_contains(skb, x))) AS rho,
+      |        length(list_filter(ska, x -> list_contains(skb, x))) AS ni,
+      |        CASE WHEN length(ska) < 64 THEN CAST(length(ska) AS DOUBLE)
+      |             ELSE 63.0 * 1152921504606846976 / CAST(ska[length(ska)] AS DOUBLE) END AS ea,
+      |        CASE WHEN length(skb) < 64 THEN CAST(length(skb) AS DOUBLE)
+      |             ELSE 63.0 * 1152921504606846976 / CAST(skb[length(skb)] AS DOUBLE) END AS eb,
+      |        CASE WHEN length(u) < 64 THEN CAST(length(u) AS DOUBLE)
+      |             ELSE 63.0 * 1152921504606846976 / CAST(u[length(u)] AS DOUBLE) END AS eu
+      |      FROM u),
+      |f AS (SELECT *, CASE WHEN ku < 64 THEN CAST(ni AS DOUBLE)
+      |                     ELSE CAST(rho AS DOUBLE) / 64.0 * eu END AS ei FROM m)
+      |SELECT source_a, source_b, round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+      |  round(eu, 4) AS est_union, round(ei, 4) AS est_inter,
+      |  CASE WHEN ea + eb - ei > 0.0 THEN round(ei / (ea + eb - ei), 6) ELSE 0.0 END AS jaccard_est
+      |FROM f ORDER BY source_a, source_b""".stripMargin
+
   // the exact-phrase positional conjunction over the corpus tokens —
   // shared VERBATIM by q_text_phrase (map-side corpus scan) and
   // q_text_phrase_indexed (persisted positional postings must answer
@@ -4223,36 +4254,49 @@ object PipelineQueries {
     // bottom-k is the union's sketch; rho/k of it lying in both sketches
     // estimates the intersection fraction. The oracle re-draws every
     // sketch and replays the identical fixed-order IEEE arithmetic
-    q("q_profile_kmv_overlap",
-      """WITH h AS (SELECT DISTINCT o_orderpriority AS src,
-        |    ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
-        |  FROM orders),
-        |r AS (SELECT src, hv, row_number() OVER (PARTITION BY src ORDER BY hv) AS rn FROM h),
-        |sk AS (SELECT src, list(hv ORDER BY hv) AS sk FROM r WHERE rn <= 64 GROUP BY src),
-        |p AS (SELECT a.src AS source_a, b.src AS source_b, a.sk AS ska, b.sk AS skb
-        |      FROM sk a JOIN sk b ON a.src < b.src),
-        |u AS (SELECT *, list_sort(list_distinct(ska || skb))[1:64] AS u FROM p),
-        |m AS (SELECT source_a, source_b, ska, skb, u, length(u) AS ku,
-        |        length(list_filter(u, x -> list_contains(ska, x) AND list_contains(skb, x))) AS rho,
-        |        length(list_filter(ska, x -> list_contains(skb, x))) AS ni,
-        |        CASE WHEN length(ska) < 64 THEN CAST(length(ska) AS DOUBLE)
-        |             ELSE 63.0 * 1152921504606846976 / CAST(ska[length(ska)] AS DOUBLE) END AS ea,
-        |        CASE WHEN length(skb) < 64 THEN CAST(length(skb) AS DOUBLE)
-        |             ELSE 63.0 * 1152921504606846976 / CAST(skb[length(skb)] AS DOUBLE) END AS eb,
-        |        CASE WHEN length(u) < 64 THEN CAST(length(u) AS DOUBLE)
-        |             ELSE 63.0 * 1152921504606846976 / CAST(u[length(u)] AS DOUBLE) END AS eu
-        |      FROM u),
-        |f AS (SELECT *, CASE WHEN ku < 64 THEN CAST(ni AS DOUBLE)
-        |                     ELSE CAST(rho AS DOUBLE) / 64.0 * eu END AS ei FROM m)
-        |SELECT source_a, source_b, round(ea, 4) AS est_a, round(eb, 4) AS est_b,
-        |  round(eu, 4) AS est_union, round(ei, 4) AS est_inter,
-        |  CASE WHEN ea + eb - ei > 0.0 THEN round(ei / (ea + eb - ei), 6) ELSE 0.0 END AS jaccard_est
-        |FROM f ORDER BY source_a, source_b""".stripMargin) { c =>
+    q("q_profile_kmv_overlap", duckKmvOverlapSql) { c =>
       import graft.operators.Profile
       Profile.sketchOverlap(
         c.resolve("orders").select(col("o_orderpriority").as("src"), col("o_custkey")),
         "o_custkey", "src", k = 64)
         .orderBy("source_a", "source_b")
+    },
+
+    // STREAMING OVERLAP MAINTENANCE: the order rows arrive as two staged
+    // micro-batches; each appends ONE sources-sized per-source KMV
+    // partial, and the pair estimates recompute from the FOLDED state
+    // (bottom-k of a union == the union's bottom-k). The oracle is the
+    // whole-corpus sketch replay VERBATIM (shared with
+    // q_profile_kmv_overlap) — the row passes only if per-batch sketch
+    // maintenance loses nothing however the stream was cut. Maintenance
+    // runs EVERY rep; only input slices stage.
+    q("q_stream_source_overlap", duckKmvOverlapSql) { c =>
+      import graft.operators.Profile
+      val spark = c.spark
+      val inDir = stagedInput(c, "graft_streamorders_v1", "orders.parquet") { tmp =>
+        val ords = c.resolve("orders")
+          .select(col("o_orderpriority").as("src"), col("o_custkey"), col("o_orderkey"))
+        Seq(0, 1).foreach { r =>
+          ords.where(col("o_orderkey") % 2 === r)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/slices")
+        }
+      }
+      val runBase = s"/tmp/graft_streamoverlap_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        val schema = spark.read.parquet(s"$inDir/slices").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/slices")
+        StreamOps.startDrained(spark)(
+          StreamOps.indexSourceSketches(src, s"$runBase/state", "o_custkey", "src", k = 64)
+            .option("checkpointLocation", s"$runBase/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        Profile.sketchOverlapFromState(
+            Profile.sketchFoldState(
+              spark.read.parquet(s"$runBase/state/sketch_parts"), k = 64),
+            k = 64)
+          .orderBy("source_a", "source_b")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
     },
 
     // Count-Min frequency sketch (native TypedImperativeAggregate, fixed

@@ -618,12 +618,41 @@ object Profile {
       df: DataFrame,
       valueCol: String,
       sourceCol: String,
-      k: Int = 256): DataFrame = {
-    import graft.functions.KmvSketch
-    val twoPow60 = 1152921504606846976.0
-    val sk = df
+      k: Int = 256): DataFrame =
+    sketchOverlapFromState(sketchState(df, valueCol, sourceCol, k), k)
+
+  /** Per-source KMV sketch of ONE batch — the MERGEABLE partial of
+    * [[sketchOverlap]] (same maintenance contract as statsOf /
+    * vocabState / driftCellCounts): ≤ sources × k longs of state,
+    * set-additive under [[sketchFoldState]] because the bottom-k of a
+    * union IS the bottom-k of the per-batch bottom-ks — so the overlap
+    * monitor refreshes per append at batch cost and the corpus is never
+    * rescanned. */
+  def sketchState(
+      batch: DataFrame,
+      valueCol: String,
+      sourceCol: String,
+      k: Int = 256): DataFrame =
+    batch
       .groupBy(col(sourceCol).as("source"))
-      .agg(KmvSketch.kmvHashes(col(valueCol), k).as("sk"))
+      .agg(graft.functions.KmvSketch.kmvHashes(col(valueCol), k).as("sk"))
+
+  /** Fold accumulated [[sketchState]] partials: per source, bottom-k of
+    * the distinct hash union (duplicate values hash identically across
+    * batches, so array_distinct reproduces the sketch's value-set
+    * semantics exactly) — equal to the whole-corpus [[sketchState]]
+    * however the stream was cut, law-tested. */
+  def sketchFoldState(parts: DataFrame, k: Int = 256): DataFrame =
+    parts
+      .groupBy("source")
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk"))
+
+  /** The pair-estimate algebra of [[sketchOverlap]] over PREBUILT
+    * per-source sketches ((source, sk) rows from [[sketchState]] /
+    * [[sketchFoldState]] or a persisted monitor state) — sketch-sized
+    * arithmetic, no corpus access. */
+  def sketchOverlapFromState(sk: DataFrame, k: Int): DataFrame = {
+    val twoPow60 = 1152921504606846976.0
     val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
       .join(
         sk.select(col("source").as("source_b"), col("sk").as("skb")),

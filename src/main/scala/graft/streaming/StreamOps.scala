@@ -375,6 +375,37 @@ object StreamOps {
       ()
     }
 
+  /** Continuous CROSS-SOURCE OVERLAP maintenance — the streaming face of
+    * [[graft.operators.Profile.sketchOverlap]]: rows stream in and each
+    * micro-batch appends ONE sources-sized partial of per-source KMV
+    * sketches under `dir/sketch_parts`
+    * ([[graft.operators.Profile.sketchState]] — ≤ sources × k longs).
+    * Partials fold by per-source bottom-k union
+    * ([[graft.operators.Profile.sketchFoldState]]), so the overlap
+    * estimates recomputed from state
+    * ([[graft.operators.Profile.sketchOverlapFromState]]) EQUAL the
+    * whole-corpus pass exactly however the stream was cut — the "are
+    * these two crawls covering the same material" monitor stays current
+    * at batch cost, and the corpus is never re-aggregated. Crash note:
+    * single append per batch, same at-least-once caveat as
+    * [[indexLexical]]. */
+  def indexSourceSketches(
+      stream: DataFrame,
+      dir: String,
+      valueCol: String,
+      sourceCol: String,
+      k: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val raw = batch.toDF()
+      val minParts = raw.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      graft.operators.Profile.sketchState(spread, valueCol, sourceCol, k)
+        .coalesce(1) // sources-sized state — one file per batch
+        .write.mode("append").parquet(s"$dir/sketch_parts")
+      ()
+    }
+
   /** Per-window BINNED value counts against a static reference's bin
     * edges — the streaming half of distribution-drift monitoring
     * (Profile.distributionDrift): the reference cuts come from the tuned

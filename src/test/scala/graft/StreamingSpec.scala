@@ -761,6 +761,40 @@ class StreamingSpec extends SparkSpec {
     assert((40 to 47).forall(i => streamed(i.toLong) == 0L), s"copies: $streamed")
   }
 
+  test("indexSourceSketches: folded per-batch KMV partials equal the whole-corpus overlap") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Profile
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_overlap").toString
+    val k = 4 // tiny sketch: both batches overflow it, exercising the trim
+    // two sources sharing half their values; spread across batches so the
+    // fold must union-and-trim, not just concatenate
+    val b1 = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 3L), ("B", 4L), ("B", 10L))
+    val b2 = Seq(("A", 4L), ("A", 5L), ("A", 6L), ("B", 5L), ("B", 11L), ("B", 12L))
+    val input = MemoryStream[(String, Long)]
+    val q = StreamOps.indexSourceSketches(
+        input.toDF().toDF("src", "v"), s"$base/state", "v", "src", k)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val whole = (b1 ++ b2).toDF("src", "v")
+    val folded = Profile.sketchFoldState(
+      spark.read.parquet(s"$base/state/sketch_parts"), k)
+    // state law: folded per-batch sketches == the one-pass corpus sketch
+    val fs = folded.orderBy("source").collect().map(_.toSeq).toSeq
+    val ws = Profile.sketchState(whole, "v", "src", k)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(fs == ws, s"folded=$fs whole=$ws")
+    // estimate law: the monitor's read face == the batch operator
+    val streamed = Profile.sketchOverlapFromState(folded, k)
+      .collect().map(_.toSeq).toSeq
+    val batch = Profile.sketchOverlap(whole, "v", "src", k)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && batch.nonEmpty, s"streamed=$streamed batch=$batch")
+  }
+
   test("monitorDrift: per-batch occupancy partials fold to the whole-snapshot PSI") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
