@@ -393,6 +393,36 @@ object PipelineQueries {
        |FROM qz a LEFT JOIN dup d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
 
+  // the whole-corpus data-card replay (volume scalars, distinct
+  // fingerprints, language spread, vocabulary) — shared VERBATIM by
+  // q_text_datacard (three-pass corpus face) and q_stream_datacard (the
+  // card recomputed from folded per-batch partials must answer
+  // identically)
+  private lazy val duckDataCardSql =
+    s"""WITH d AS (SELECT doc_id, text, lang, source, $duckToks AS toks FROM documents),
+       |dp AS (SELECT CAST(count(*) AS DOUBLE) AS docs,
+       |         CAST(sum(length(toks)) AS DOUBLE) AS toks,
+       |         CAST(sum(length(text)) AS DOUBLE) AS chars,
+       |         CAST(count(DISTINCT md5($duckNorm)) AS DOUBLE) AS fps,
+       |         CAST(count(DISTINCT source) AS DOUBLE) AS srcs
+       |       FROM d),
+       |lp AS (SELECT CAST(count(*) AS DOUBLE) AS langs, CAST(max(n) AS DOUBLE) AS topn
+       |       FROM (SELECT lang, count(*) AS n FROM d GROUP BY lang) z),
+       |vp AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vocab
+       |       FROM (SELECT unnest(toks) AS w FROM d) u)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, docs AS value FROM dp
+       |  UNION ALL SELECT 'n_tokens', toks FROM dp
+       |  UNION ALL SELECT 'n_chars', chars FROM dp
+       |  UNION ALL SELECT 'mean_doc_tokens', round(toks / docs, 6) FROM dp
+       |  UNION ALL SELECT 'exact_dup_ratio', round(1.0 - fps / docs, 6) FROM dp
+       |  UNION ALL SELECT 'n_langs', langs FROM lp
+       |  UNION ALL SELECT 'top_lang_share', round(topn / (SELECT docs FROM dp), 6) FROM lp
+       |  UNION ALL SELECT 'n_sources', srcs FROM dp
+       |  UNION ALL SELECT 'vocab_size', vocab FROM vp
+       |  UNION ALL SELECT 'type_token_ratio', round(vocab / (SELECT toks FROM dp), 6) FROM vp) m
+       |ORDER BY metric""".stripMargin
+
   // the per-source KMV sketch-overlap replay (sketch draw, pair union,
   // cardinality/intersection estimators, fixed-order IEEE arithmetic) —
   // shared VERBATIM by q_profile_kmv_overlap (one-pass corpus face) and
@@ -658,32 +688,38 @@ object PipelineQueries {
     // one-call corpus DATA CARD: the volume / duplication / language-spread
     // / vocabulary summary a curation report leads with — three
     // aggregate-only passes, every value replayed in SQL
-    q("q_text_datacard",
-      s"""WITH d AS (SELECT doc_id, text, lang, source, $duckToks AS toks FROM documents),
-         |dp AS (SELECT CAST(count(*) AS DOUBLE) AS docs,
-         |         CAST(sum(length(toks)) AS DOUBLE) AS toks,
-         |         CAST(sum(length(text)) AS DOUBLE) AS chars,
-         |         CAST(count(DISTINCT md5($duckNorm)) AS DOUBLE) AS fps,
-         |         CAST(count(DISTINCT source) AS DOUBLE) AS srcs
-         |       FROM d),
-         |lp AS (SELECT CAST(count(*) AS DOUBLE) AS langs, CAST(max(n) AS DOUBLE) AS topn
-         |       FROM (SELECT lang, count(*) AS n FROM d GROUP BY lang) z),
-         |vp AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vocab
-         |       FROM (SELECT unnest(toks) AS w FROM d) u)
-         |SELECT metric, value FROM (
-         |  SELECT 'n_docs' AS metric, docs AS value FROM dp
-         |  UNION ALL SELECT 'n_tokens', toks FROM dp
-         |  UNION ALL SELECT 'n_chars', chars FROM dp
-         |  UNION ALL SELECT 'mean_doc_tokens', round(toks / docs, 6) FROM dp
-         |  UNION ALL SELECT 'exact_dup_ratio', round(1.0 - fps / docs, 6) FROM dp
-         |  UNION ALL SELECT 'n_langs', langs FROM lp
-         |  UNION ALL SELECT 'top_lang_share', round(topn / (SELECT docs FROM dp), 6) FROM lp
-         |  UNION ALL SELECT 'n_sources', srcs FROM dp
-         |  UNION ALL SELECT 'vocab_size', vocab FROM vp
-         |  UNION ALL SELECT 'type_token_ratio', round(vocab / (SELECT toks FROM dp), 6) FROM vp) m
-         |ORDER BY metric""".stripMargin) { c =>
+    // STREAMING DATA-CARD MAINTENANCE: the corpus arrives as the two
+    // staged doc slices; each batch appends its card partials (scalars,
+    // distinct fingerprints, lang counts, sources, vocab state) and the
+    // card recomputes from the folded state alone. The oracle is the
+    // whole-corpus card replay VERBATIM (shared with q_text_datacard) —
+    // the row passes only if per-batch maintenance loses nothing.
+    // Maintenance runs EVERY rep; only input slices stage.
+    q("q_stream_datacard", duckDataCardSql) { c =>
+      val spark = c.spark
+      val inDir = stagedDocSlices(c)
+      val runBase = s"/tmp/graft_streamcard_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        val schema = spark.read.parquet(s"$inDir/slices").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/slices")
+        StreamOps.startDrained(spark)(
+          StreamOps.indexDataCard(src, s"$runBase/state")
+            .option("checkpointLocation", s"$runBase/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        def st(n: String) = spark.read.parquet(s"$runBase/state/$n")
+        TextOps.corpusReportFromState(
+            st("scal_parts"), st("fp_parts"), st("lang_parts"),
+            st("src_parts"), st("vocab_parts"))
+          .orderBy("metric")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
+    },
+
+    q("q_text_datacard", duckDataCardSql) { c =>
       TextOps.corpusReport(c.resolve("documents")).orderBy("metric")
     },
+
 
     // tokenizer fertility per language — the cross-lingual budget
     // statistic (subword tokens per word / chars per subword decide how

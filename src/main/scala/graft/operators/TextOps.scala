@@ -358,7 +358,13 @@ object TextOps {
     val vocabPass = docs
       .select(explode(tokens(col(textCol))).as("__tok"))
       .agg(count_distinct(col("__tok")).as("__vocab"))
-    val wide = docPass.crossJoin(langPass).crossJoin(vocabPass)
+    cardMetrics(docPass.crossJoin(langPass).crossJoin(vocabPass))
+  }
+
+  // the card's metric arithmetic over the wide (__docs __toks __chars
+  // __fps __srcs __langs __topn __vocab) frame — shared by the corpus
+  // pass and the maintained-state read face so they agree to the digit
+  private def cardMetrics(wide: DataFrame): DataFrame = {
     val metrics = Seq(
       ("n_docs", col("__docs").cast("double")),
       ("n_tokens", col("__toks").cast("double")),
@@ -379,6 +385,55 @@ object TextOps {
         struct(lit(n).as("metric"), v.as("value"))
       }: _*)).as("__m"))
       .select(col("__m.metric"), col("__m.value"))
+  }
+
+  /** Per-batch CARD partials — the mergeable state behind a continuously
+    * maintained [[corpusReport]] (the statsOf contract applied to the
+    * data card): four tiny frames per batch —
+    *  - `scalars`: ONE (docs, toks, chars) row (folds by addition),
+    *  - `fps`: the batch's DISTINCT content fingerprints (fold =
+    *    distinct count over the union; this is the same 16-byte/doc
+    *    state the exact-dedup index keeps),
+    *  - `langs`: (lang, n) counts (fold by sum),
+    *  - `srcs`: the batch's distinct sources (sources-sized).
+    * Vocabulary rides the existing [[vocabState]] family. The fold
+    * ([[corpusReportFromState]]) equals the whole-corpus card EXACTLY
+    * however the stream was cut — a crawl's data card stays current at
+    * batch cost, the corpus never rescanned. */
+  def cardState(
+      batch: DataFrame,
+      textCol: String = "text",
+      langCol: String = "lang",
+      sourceCol: String = "source"): (DataFrame, DataFrame, DataFrame, DataFrame) = (
+    batch.agg(
+      count(lit(1)).as("docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("toks"),
+      sum(length(col(textCol)).cast("long")).as("chars")),
+    batch.select(fingerprint(col(textCol)).as("fp")).distinct(),
+    batch.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n")),
+    batch.select(col(sourceCol).as("source")).distinct())
+
+  /** The card recomputed from accumulated [[cardState]] partials (plus
+    * the [[vocabState]] parts for the vocabulary half) — identical
+    * arithmetic to [[corpusReport]], state-sized work. */
+  def corpusReportFromState(
+      scalars: DataFrame,
+      fps: DataFrame,
+      langs: DataFrame,
+      srcs: DataFrame,
+      vocabParts: DataFrame): DataFrame = {
+    val docPass = scalars.agg(
+      sum(col("docs")).as("__docs"),
+      sum(col("toks")).as("__toks"),
+      sum(col("chars")).as("__chars"))
+    val fpPass = fps.agg(count_distinct(col("fp")).as("__fps"))
+    val srcPass = srcs.agg(count_distinct(col("source")).as("__srcs"))
+    val langPass = langs
+      .groupBy(col("lang")).agg(sum(col("n")).as("__n"))
+      .agg(count(lit(1)).as("__langs"), max(col("__n")).as("__topn"))
+    val vocabPass = vocabParts.agg(count_distinct(col("term")).as("__vocab"))
+    cardMetrics(
+      docPass.crossJoin(fpPass).crossJoin(srcPass).crossJoin(langPass).crossJoin(vocabPass))
   }
 
   /** Mergeable vocabulary state — the persisted-index face of

@@ -375,6 +375,46 @@ object StreamOps {
       ()
     }
 
+  /** Continuous DATA-CARD maintenance — the streaming face of
+    * [[graft.operators.TextOps.corpusReport]]: each micro-batch appends
+    * its four card partials ([[graft.operators.TextOps.cardState]] —
+    * one scalar row, the batch's distinct fingerprints, (lang, n)
+    * counts, distinct sources) plus its [[graft.operators.TextOps
+    * .vocabState]] rows, and the card recomputes from state alone
+    * ([[graft.operators.TextOps.corpusReportFromState]]) — EXACTLY equal
+    * to the whole-corpus card however the stream was cut. The pinned
+    * batch pays the tokenize kernel per consumer (scalar mass + vocab),
+    * the indexVocab trade-off; the SOURCE is read once. Crash note:
+    * five appends per batch, the [[indexLexical]] at-least-once caveat
+    * applies to each. */
+  def indexDataCard(
+      stream: DataFrame,
+      dir: String,
+      textCol: String = "text",
+      langCol: String = "lang",
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val raw = batch.toDF()
+      val minParts = raw.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val b = spread.persist()
+      try {
+        val (scal, fps, langs, srcs) =
+          graft.operators.TextOps.cardState(b, textCol, langCol, sourceCol)
+        scal.coalesce(1).write.mode("append").parquet(s"$dir/scal_parts")
+        fps.write.mode("append").parquet(s"$dir/fp_parts")
+        langs.coalesce(1).write.mode("append").parquet(s"$dir/lang_parts")
+        srcs.coalesce(1).write.mode("append").parquet(s"$dir/src_parts")
+        graft.operators.TextOps.vocabState(b, idCol, textCol)
+          .write.mode("append").parquet(s"$dir/vocab_parts")
+      } finally {
+        b.unpersist()
+        ()
+      }
+    }
+
   /** Continuous CROSS-SOURCE OVERLAP maintenance — the streaming face of
     * [[graft.operators.Profile.sketchOverlap]]: rows stream in and each
     * micro-batch appends ONE sources-sized partial of per-source KMV

@@ -761,6 +761,42 @@ class StreamingSpec extends SparkSpec {
     assert((40 to 47).forall(i => streamed(i.toLong) == 0L), s"copies: $streamed")
   }
 
+  test("indexDataCard: the card recomputed from per-batch partials equals the corpus card") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_card").toString
+    // cross-batch structure the fold must get right: an exact dup pair
+    // split ACROSS batches, a lang whose max spans batches, shared sources
+    val b1 = Seq(
+      (1L, "alpha beta gamma", "en", "web"),
+      (2L, "beta beta", "en", "web"),
+      (3L, "delta epsilon", "fr", "books"))
+    val b2 = Seq(
+      (4L, "alpha beta gamma", "en", "web"),  // dup of doc 1, other batch
+      (5L, "zeta", "fr", "web"),
+      (6L, "", "de", "books"))                // empty doc counts in docs/chars
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = StreamOps.indexDataCard(
+        input.toDF().toDF("doc_id", "text", "lang", "source"), s"$base/state")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def st(n: String) = spark.read.parquet(s"$base/state/$n")
+    val streamed = TextOps.corpusReportFromState(
+        st("scal_parts"), st("fp_parts"), st("lang_parts"),
+        st("src_parts"), st("vocab_parts"))
+      .orderBy("metric").collect().map(_.toSeq).toSeq
+    val whole = TextOps.corpusReport((b1 ++ b2).toDF("doc_id", "text", "lang", "source"))
+      .orderBy("metric").collect().map(_.toSeq).toSeq
+    assert(streamed == whole, s"streamed=$streamed whole=$whole")
+    val m = streamed.map(r => r.head.toString -> r(1).asInstanceOf[Double]).toMap
+    assert(m("n_docs") == 6.0 && m("exact_dup_ratio") > 0.0,
+      s"the cross-batch dup must register: $m")
+  }
+
   test("indexSourceSketches: folded per-batch KMV partials equal the whole-corpus overlap") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Profile
