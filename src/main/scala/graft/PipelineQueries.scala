@@ -393,6 +393,18 @@ object PipelineQueries {
        |FROM qz a LEFT JOIN dup d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
 
+  // the two-term positional min-distance replay — shared VERBATIM by
+  // q_text_proximity (map-side scan) and q_text_proximity_indexed (the
+  // bucketed positional-postings join must answer identically)
+  private lazy val duckProximitySql =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+       |a AS (SELECT doc_id, pos FROM p WHERE w = 'join'),
+       |b AS (SELECT doc_id, pos FROM p WHERE w = 'stream'),
+       |m AS (SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS INT) AS min_dist
+       |      FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY a.doc_id)
+       |SELECT doc_id, min_dist FROM m WHERE min_dist <= 5 ORDER BY doc_id""".stripMargin
+
   // the whole-corpus data-card replay (volume scalars, distinct
   // fingerprints, language spread, vocabulary) — shared VERBATIM by
   // q_text_datacard (three-pass corpus face) and q_stream_datacard (the
@@ -4101,6 +4113,26 @@ object PipelineQueries {
     q("q_text_phrase_indexed", duckPhraseSql) { c =>
       TextOps.phraseHitsIndexed(
           TextOps.positionalIndex(c.resolve("documents")), "slow hash batch")
+        .orderBy("doc_id")
+    },
+
+    // PROXIMITY search, scan face: minimal token distance between two
+    // terms per doc, kept at <= 5 — the ranking signal between exact
+    // phrase and bag-of-words. Oracle replays the same positional
+    // min-distance
+    q("q_text_proximity", duckProximitySql) { c =>
+      TextOps.proximityHits(c.resolve("documents"), "join", "stream", maxDist = 5)
+        .orderBy("doc_id")
+    },
+
+    // PROXIMITY from the persisted positional index: term filters +
+    // (doc, distance-bucket) equi-join with one side exploded to its
+    // neighbor buckets (any within-maxDist pair shares a key — the
+    // interval-join trick), min per doc. Shares the scan face's oracle
+    // VERBATIM — indexed must equal scan exactly.
+    q("q_text_proximity_indexed", duckProximitySql) { c =>
+      TextOps.proximityIndexed(
+          TextOps.positionalIndex(c.resolve("documents")), "join", "stream", maxDist = 5)
         .orderBy("doc_id")
     },
 

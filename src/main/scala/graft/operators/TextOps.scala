@@ -1605,6 +1605,71 @@ object TextOps {
     starts.groupBy(idCol).agg(count(lit(1)).cast("int").as("n_hits"))
   }
 
+  /** PROXIMITY search, scan face: per document, the MINIMAL token
+    * distance between any occurrence of `termA` and any of `termB`, kept
+    * when ≤ `maxDist` — the ranking signal between exact phrase
+    * ([[phraseHits]], distance exactly 1 in order) and bag-of-words
+    * retrieval ([[bm25TopK]], no position at all). Map-side over each
+    * row's own token array; the per-doc pair fold is bounded by the two
+    * terms' in-doc frequencies. Output (idCol, min_dist). */
+  def proximityHits(
+      docs: DataFrame,
+      termA: String,
+      termB: String,
+      maxDist: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val (a, b) = (termA.toLowerCase(java.util.Locale.ROOT), termB.toLowerCase(java.util.Locale.ROOT))
+    val big = lit(Int.MaxValue)
+    def positions(t: String): Column =
+      filter(sequence(lit(1), size(col("__t"))), p => element_at(col("__t"), p) === lit(t))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), positions(a).as("__pa"), positions(b).as("__pb"))
+      .where(size(col("__pa")) > 0 && size(col("__pb")) > 0)
+      .select(
+        col(idCol),
+        aggregate(col("__pa"), big, (acc, p) =>
+          least(acc, aggregate(col("__pb"), big, (acc2, q) => least(acc2, abs(p - q)))))
+          .cast("int").as("min_dist"))
+      .where(col("min_dist") <= maxDist)
+  }
+
+  /** [[proximityHits]] answered from the PERSISTED positional index
+    * ([[positionalIndex]] rows): both terms' position lists come from
+    * map-side term filters, and candidate pairs join on
+    * (doc, distance-bucket) — positions bucket at width maxDist+1 with
+    * one side exploded to its neighbor buckets, so any pair within
+    * `maxDist` shares a join key (the interval-join trick) and the pair
+    * fan-out is bounded by per-bucket occupancy, never per-doc frequency
+    * products. Query-term-sized work, no re-tokenize; law-tested equal
+    * to the scan face and oracle-shared. */
+  def proximityIndexed(
+      postings: DataFrame,
+      termA: String,
+      termB: String,
+      maxDist: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val (a, b) = (termA.toLowerCase(java.util.Locale.ROOT), termB.toLowerCase(java.util.Locale.ROOT))
+    val w = maxDist + 1
+    val pa = postings.where(col("term") === a)
+      .select(col(idCol), col("pos").as("__pa"), (col("pos") / w).cast("long").as("__bk"))
+    val pb = postings.where(col("term") === b)
+      .select(
+        col(idCol), col("pos").as("__pb"),
+        explode(array(
+          (col("pos") / w).cast("long") - 1,
+          (col("pos") / w).cast("long"),
+          (col("pos") / w).cast("long") + 1)).as("__bk"))
+    pa.join(pb, Seq(idCol, "__bk"))
+      .select(col(idCol), abs(col("__pa") - col("__pb")).cast("int").as("__d"))
+      .where(col("__d") <= maxDist)
+      .groupBy(col(idCol))
+      .agg(min(col("__d")).as("min_dist"))
+  }
+
   // ===== Naive Bayes classifier filtering =================================
   //
   // The classifier-based quality/language filter of the standard pipeline

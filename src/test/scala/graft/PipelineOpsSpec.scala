@@ -1424,6 +1424,36 @@ class PipelineOpsSpec extends SparkSpec {
       s"trained rotation should cost at most the grid's noise: raw=$raw pca=$pcaRecall")
   }
 
+  test("proximityIndexed == proximityHits: bucket boundaries, threshold edge, self-term") {
+    import graft.operators.TextOps
+    def both(d: org.apache.spark.sql.DataFrame, a: String, b: String, w: Int) = (
+      TextOps.proximityHits(d, a, b, w)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap,
+      TextOps.proximityIndexed(TextOps.positionalIndex(d), a, b, w)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap)
+    val d = docs(
+      (1, "a x x x x x b"),       // dist 6 > 5 -> excluded at w=5
+      (2, "a x x x x b"),         // dist 5 == threshold -> kept
+      (3, "b a"),                 // order-free, dist 1
+      (4, "a x b x x x x x x a"), // min over pairs: 2, not 7
+      (5, "a a"),                 // b absent -> excluded
+      (6, "x b x"))               // a absent -> excluded
+    for (w <- Seq(1, 5, 7)) {
+      val (scan, indexed) = both(d, "a", "b", w)
+      assert(indexed == scan, s"w=$w: indexed=$indexed scan=$scan")
+    }
+    assert(both(d, "a", "b", 5)._1 == Map(2 -> 5, 3 -> 1, 4 -> 2))
+    // the real corpus: the two faces agree document-for-document
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (scan, indexed) = (
+      TextOps.proximityHits(docsDf, "join", "batch", 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap,
+      TextOps.proximityIndexed(TextOps.positionalIndex(docsDf), "join", "batch", 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    assert(indexed == scan && scan.nonEmpty, s"indexed=$indexed scan=$scan")
+  }
+
   test("pqSearchIndexed == pqTopK; per-batch encodes union to the whole encode") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").localCheckpoint()

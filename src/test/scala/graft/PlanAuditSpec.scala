@@ -186,6 +186,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("start"), s"expected the aligned-start equi key:\n$plan")
   }
 
+  test("proximityIndexed never re-tokenizes: bucketed (doc, __bk) equi-join, no cartesian") {
+    val T = graft.operators.TextOps
+    val postings = T.positionalIndex(
+      spark.read.parquet(s"$sfDir/documents.parquet")).localCheckpoint()
+    val plan = physical(T.proximityIndexed(postings, "join", "stream", maxDist = 5))
+    // one Generate is the deliberate 3-element neighbor-bucket explode,
+    // never a tokenize of text (postings carry no text column at all)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated:\n$plan")
+    assert(plan.contains("__bk"), s"expected the distance-bucket equi key:\n$plan")
+  }
+
   test("bm25Index tokenizes ONCE: the generate/project path reads one bound token attribute") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = physical(graft.operators.TextOps.bm25Index(docs))
