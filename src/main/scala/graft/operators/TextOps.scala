@@ -1621,18 +1621,44 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     val (a, b) = (termA.toLowerCase(java.util.Locale.ROOT), termB.toLowerCase(java.util.Locale.ROOT))
-    val big = lit(Int.MaxValue)
+    // sentinel "far away" position: ascending real positions are bounded by
+    // doc length, so |p - (-FAR)| can never beat a real pair's distance
+    val far = 1000000000L
     def positions(t: String): Column =
-      filter(sequence(lit(1), size(col("__t"))), p => element_at(col("__t"), p) === lit(t))
+      filter(sequence(lit(1L), size(col("__t")).cast("long")),
+        p => element_at(col("__t"), p.cast("int")) === lit(t))
     docs
+      // codegen prefilter before any lambda: both terms must be present
+      // as whole tokens (the phraseHits space-padding trick)
+      .where {
+        val padded = concat(lit(" "), normalized(col(textCol)), lit(" "))
+        padded.contains(s" $a ") && padded.contains(s" $b ")
+      }
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), positions(a).as("__pa"), positions(b).as("__pb"))
-      .where(size(col("__pa")) > 0 && size(col("__pb")) > 0)
+      // LINEAR two-list merge, not the fa×fb pair fold: both position
+      // lists are ascending, so one pass over their sorted interleave —
+      // tracking the last position seen from each side — visits every
+      // locally-minimal pair (the global min is between some occurrence
+      // and the nearest PRECEDING occurrence of the other term)
       .select(
         col(idCol),
-        aggregate(col("__pa"), big, (acc, p) =>
-          least(acc, aggregate(col("__pb"), big, (acc2, q) => least(acc2, abs(p - q)))))
-          .cast("int").as("min_dist"))
+        aggregate(
+          array_sort(concat(
+            transform(col("__pa"), p => struct(p.as("p"), lit(0).as("w"))),
+            transform(col("__pb"), q => struct(q.as("p"), lit(1).as("w"))))),
+          struct(lit(-far).as("la"), lit(-far).as("lb"), lit(far).as("best")),
+          (acc, e) => {
+            val p = e.getField("p")
+            struct(
+              when(e.getField("w") === 0, p).otherwise(acc.getField("la")).as("la"),
+              when(e.getField("w") === 1, p).otherwise(acc.getField("lb")).as("lb"),
+              least(
+                acc.getField("best"),
+                when(e.getField("w") === 0, p - acc.getField("lb"))
+                  .otherwise(p - acc.getField("la"))).as("best"))
+          },
+          acc => acc.getField("best")).cast("int").as("min_dist"))
       .where(col("min_dist") <= maxDist)
   }
 
