@@ -1621,46 +1621,54 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     val (a, b) = (termA.toLowerCase(java.util.Locale.ROOT), termB.toLowerCase(java.util.Locale.ROOT))
-    // sentinel "far away" position: ascending real positions are bounded by
-    // doc length, so |p - (-FAR)| can never beat a real pair's distance
-    val far = 1000000000L
-    def positions(t: String): Column =
-      filter(sequence(lit(1L), size(col("__t")).cast("long")),
-        p => element_at(col("__t"), p.cast("int")) === lit(t))
     docs
-      // codegen prefilter before any lambda: both terms must be present
+      // codegen prefilter before the kernel: both terms must be present
       // as whole tokens (the phraseHits space-padding trick)
       .where {
         val padded = concat(lit(" "), normalized(col(textCol)), lit(" "))
         padded.contains(s" $a ") && padded.contains(s" $b ")
       }
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), positions(a).as("__pa"), positions(b).as("__pb"))
-      // LINEAR two-list merge, not the fa×fb pair fold: both position
-      // lists are ascending, so one pass over their sorted interleave —
-      // tracking the last position seen from each side — visits every
-      // locally-minimal pair (the global min is between some occurrence
-      // and the nearest PRECEDING occurrence of the other term)
-      .select(
-        col(idCol),
-        aggregate(
-          array_sort(concat(
-            transform(col("__pa"), p => struct(p.as("p"), lit(0).as("w"))),
-            transform(col("__pb"), q => struct(q.as("p"), lit(1).as("w"))))),
-          struct(lit(-far).as("la"), lit(-far).as("lb"), lit(far).as("best")),
-          (acc, e) => {
-            val p = e.getField("p")
-            struct(
-              when(e.getField("w") === 0, p).otherwise(acc.getField("la")).as("la"),
-              when(e.getField("w") === 1, p).otherwise(acc.getField("lb")).as("lb"),
-              least(
-                acc.getField("best"),
-                when(e.getField("w") === 0, p - acc.getField("lb"))
-                  .otherwise(p - acc.getField("la"))).as("best"))
-          },
-          acc => acc.getField("best")).cast("int").as("min_dist"))
-      .where(col("min_dist") <= maxDist)
+      .select(col(idCol), minPairDistUdf(col(textCol), lit(a), lit(b)).as("min_dist"))
+      .where(col("min_dist").isNotNull && col("min_dist") <= maxDist)
   }
+
+  // the compiled mirror of tokens() — same normalization as Dedup's
+  // kernels (whitespace collapse, ROOT lowercase, empty tokens dropped;
+  // parity with the Spark-side chain is pinned by the shared oracles)
+  private def normTokensJvm(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+      .split(' ').filter(_.nonEmpty)
+
+  /** Minimal token distance between any occurrence of `a` and any of
+    * `b` in one pass (the classic sorted-merge argument: the global min
+    * is between some occurrence and the nearest PRECEDING occurrence of
+    * the other term). Compiled kernel, not an interpreted higher-order
+    * fold — the ngramMd5Udf rationale: per-token lambda interpretation
+    * measured 3× slower on the co-occurrence-dense fixture corpus. */
+  private[operators] def minPairDist(text: String, a: String, b: String): Option[Int] = {
+    val toks = normTokensJvm(text)
+    var la = -1
+    var lb = -1
+    var best = Int.MaxValue
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t == a) {
+        if (lb >= 0 && i - lb < best) best = i - lb
+        la = i
+      }
+      if (t == b) {
+        if (la >= 0 && i - la < best) best = i - la
+        lb = i
+      }
+      i += 1
+    }
+    if (best == Int.MaxValue) None else Some(best)
+  }
+
+  private val minPairDistUdf =
+    udf((text: String, a: String, b: String) => minPairDist(text, a, b))
 
   /** [[proximityHits]] answered from the PERSISTED positional index
     * ([[positionalIndex]] rows): both terms' position lists come from
