@@ -15,13 +15,24 @@ for line in open(raw):
         continue
     rec = json.loads(line[line.index('{'):])  # strip any sbt [info] prefix
     if rec.get('metric') == 'chunk':
+        # A part-1 chunk after prior state, or any chunk after a completed
+        # total, marks a NEW run in the same capture file: drop the stale
+        # run's state instead of merging two runs' queries.
+        if rec.get('part') == 1 and (parts_seen > 0 or total is not None):
+            queries, total, parts_seen, parts_expected = {}, None, 0, None
         queries.update(rec['queries'])
         parts_seen += 1
         parts_expected = rec['parts']
     elif rec.get('metric') == 'total':
+        if total is not None:
+            # second run in single-line form: the later complete run wins,
+            # but never merged with the earlier one's queries
+            queries, parts_seen, parts_expected = {}, 0, None
         total = rec
-        if 'queries' in rec:  # single-line form
-            queries.update(rec['queries'])
+        if 'queries' in rec:  # single-line form: self-contained, never
+            # merged with stale partial chunks from an aborted prior run
+            queries = dict(rec['queries'])
+            parts_seen, parts_expected = 0, None
 if total is None:
     sys.exit('no total line found')
 if parts_expected is not None and parts_seen != parts_expected:
@@ -31,6 +42,8 @@ merged = {
     'reps': total.get('reps'), 'sf': total.get('sf'),
     'nqueries': len(queries), 'queries': queries,
 }
+if total.get('calib_sec') is not None:  # fixed-work box-speed probe
+    merged['calib_sec'] = total['calib_sec']
 with open(out, 'w') as f:
     json.dump(merged, f, indent=1)
 print(f"{out}: {total['value']}s / {len(queries)} queries / reps={total.get('reps')}")

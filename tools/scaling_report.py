@@ -63,6 +63,7 @@ def measure_volumes(d):
         'events_rows': float(con.execute(f'SELECT count(*) FROM {rp("events")}').fetchone()[0]),
         'embeddings_rows': float(con.execute(f'SELECT count(*) FROM {rp("embeddings")}').fetchone()[0]),
         'lineitem_rows': float(con.execute(f'SELECT count(*) FROM {rp("lineitem")}').fetchone()[0]),
+        'orders_rows': float(con.execute(f'SELECT count(*) FROM {rp("orders")}').fetchone()[0]),
     }
 
 
@@ -81,10 +82,13 @@ def volume_key(qname):
         # streaming rows over documents/embeddings/media route to their tables
         if 'media' in qname:
             return None  # fixture media corpus: input does not scale with sfDir
-        if any(s in qname for s in ('bm25', 'vocab', 'chunk', 'dedup_corpus')):
+        if any(s in qname for s in ('bm25', 'vocab', 'chunk', 'dedup_corpus',
+                                    'datacard', 'phrase')):
             return 'documents_tokens'
         if 'semdedup' in qname or 'embed' in qname:
             return 'embeddings_rows'
+        if 'source_overlap' in qname:
+            return 'orders_rows'  # maintains per-o_orderpriority source sketches
         return 'events_rows'
     return 'lineitem_rows'  # relational surface
 
@@ -124,6 +128,16 @@ for q in sorted(set(qb) | set(qg)):
 tot_b = round(sum(v for v in qb.values() if v > 0), 3)
 tot_g = round(sum(v for v in qg.values() if v > 0), 3)
 total_ratio = round(tot_g / tot_b, 3) if tot_b > 0 else None
+# fixed-work calibration probes (Bench's box-speed measurement): when both
+# runs carry one, report the box-drift ratio and the calib-normalized total
+# ratio — the number that separates "the data got 10x bigger" from "the VM
+# got slower between the two runs"
+calib = None
+cb, cg = base.get('calib_sec'), big.get('calib_sec')
+if cb and cg and cb > 0 and cg > 0:
+    calib = {'base': cb, 'big': cg, 'box_drift': round(cg / cb, 3)}
+    if total_ratio is not None:
+        calib['total_ratio_calib_normalized'] = round(total_ratio / (cg / cb), 3)
 rec = {
     'metric': 'scaling_10x',
     'base_sf': base.get('sf'),
@@ -138,6 +152,7 @@ rec = {
     'failures': failures,
     'volume_ratios': vol_ratios,
     'volume_outliers': vol_outliers if vol_ratios is not None else None,
+    'calibration': calib,
     'queries': queries,
 }
 with open(out_p, 'w') as f:
@@ -149,3 +164,7 @@ print(f"total {tot_b}s -> {tot_g}s ({ratio_str}); "
 if vol_ratios is not None:
     print(f"volume ratios: {vol_ratios}")
     print(f"volume-normalized outliers (> 1.2x their own input growth): {vol_outliers}")
+if calib is not None:
+    print(f"calibration: box drift x{calib['box_drift']}, "
+          f"calib-normalized total ratio "
+          f"x{calib.get('total_ratio_calib_normalized', 'n/a')}")
