@@ -209,7 +209,7 @@ object Graph {
       .distinct().withColumn("__k", lit(1))
     var cur = und
     var levels = Seq(lvl1)
-    var convAll: DataFrame = null
+    var convAll = true
     (2 to maxK).foreach { k =>
       val (nextE, surv, conv) = peelLoop(cur, k, rounds, checkpointEvery)
       // pin at the level boundary: the next level's peel references this
@@ -217,18 +217,16 @@ object Graph {
       // without the pin the per-level plans would nest multiplicatively
       cur = nextE.localCheckpoint(true)
       levels :+= surv.withColumn("__k", lit(k))
-      convAll =
-        if (convAll == null) conv
-        else convAll.crossJoin(conv.withColumnRenamed("converged", "__c2"))
-          .select((col("converged") && col("__c2")).as("converged"))
+      // fold the 1-row flag to a driver Boolean at the SAME (already eager)
+      // boundary: a crossJoin chain of flag frames would grow plan depth
+      // linearly in maxK while everything else at the boundary stays pinned
+      convAll = convAll && conv.head().getBoolean(0)
     }
-    val convOut =
-      if (convAll == null) lvl1.sparkSession.sql("SELECT true AS converged")
-      else convAll
     levels.reduce(_ unionByName _)
       .groupBy("id")
       .agg(max(col("__k")).cast("long").as("coreness"))
-      .crossJoin(broadcast(convOut))
+      .crossJoin(broadcast(
+        lvl1.sparkSession.sql(s"SELECT ${convAll} AS converged")))
   }
 
   /** Undirected normalization shared by the peel family: drop nulls and
