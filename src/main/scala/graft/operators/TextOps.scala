@@ -1566,12 +1566,22 @@ object TextOps {
       .select(col(idCol), col("n_hits"))
   }
 
-  /** POSITIONAL postings of one batch — (idCol, term, pos), pos the
-    * 0-based token position: the index face of [[phraseHits]], extending
-    * the persisted lexical index ([[bm25Index]]) with the position
-    * column phrase/proximity queries need. Append-only across batches
-    * (doc ids are disjoint — the union IS the corpus index, no merge
-    * step), same maintenance contract as the BM25 postings; store it
+  /** POSITIONAL postings of one batch — (idCol, term, pos, dl), pos the
+    * 0-based token position, dl the doc's token count: the UNIFIED
+    * lexical store. These rows strictly subsume the BM25 postings
+    * (tf = count(pos) per (doc, term), dl carried on every row), so one
+    * store answers phrase ([[phraseHitsIndexed]]), proximity
+    * ([[proximityIndexed]]) AND ranked retrieval
+    * ([[bm25SearchPositional]] via [[bm25FromPositional]]) — a crawler
+    * keeping both capabilities stores ONE postings table instead of two
+    * (~2× less postings storage than positions + a separate
+    * [[bm25Index]]). dl is denormalized onto each row on purpose: a BM25
+    * query term-filters FIRST, and a (doc, term, pos)-only store could
+    * not recover candidate docs' lengths without a full-store rescan or
+    * a separate per-doc side table. Append-only across batches (doc ids
+    * are disjoint — the union IS the corpus index, no merge step), same
+    * maintenance contract as the BM25 postings, streaming face
+    * [[graft.streaming.StreamOps.indexPositional]]; store it
     * term-bucketed so a phrase query's scan prunes to its own terms'
     * buckets. One tokenize kernel (the bound-attribute discipline of
     * [[bm25Index]]). */
@@ -1581,8 +1591,44 @@ object TextOps {
       textCol: String = "text"): DataFrame =
     batch
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "term")))
-      .select(col(idCol), col("term"), col("pos"))
+      .select(
+        col(idCol),
+        size(col("__toks")).cast("double").as("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
+      .select(col(idCol), col("term"), col("pos"), col("dl"))
+
+  /** BM25 postings derived from POSITIONAL rows — tf = count(pos) per
+    * (doc, term), dl carried: EXACTLY equal to [[bm25Index]] on the same
+    * batch (law-tested), which is what makes the unified store lossless.
+    * The aggregate groups on (idCol, term), so a downstream query-term
+    * filter pushes below it to the postings scan (plan-audited) —
+    * composing [[bm25SearchIndexed]] over this view stays
+    * query-term-sized. */
+  def bm25FromPositional(
+      positional: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    positional
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), max("dl").as("dl"))
+
+  /** Ranked retrieval from the UNIFIED positional store —
+    * [[bm25SearchIndexed]] over [[bm25FromPositional]]'s derived view.
+    * The term filter lands at the postings scan (below the tf
+    * aggregate — Catalyst pushes grouping-key predicates through
+    * aggregates; plan-audited), so the work is query-term-sized exactly
+    * like the dedicated-index face. */
+  def bm25SearchPositional(
+      positional: DataFrame,
+      dfTab: DataFrame,
+      corpus: DataFrame,
+      queryTerms: Seq[String],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame =
+    bm25SearchIndexed(
+      bm25FromPositional(positional, idCol),
+      dfTab, corpus, queryTerms, topK, k1, b, idCol)
 
   /** Exact phrase occurrences from a PERSISTED positional index — the
     * production face of [[phraseHits]] (which scans the corpus text):
