@@ -416,6 +416,17 @@ object Multimodal {
     * face run once over the concatenation with an empty index (law-
     * tested and oracle-replayed).
     *
+    * PRECONDITION: the fold==whole law holds ONLY for id-ordered batches
+    * (every batch id strictly greater than every index id) — the probe
+    * has no smaller-id restriction against the index, so an out-of-order
+    * caller gets order-dependent kept flags, not an error. Pass
+    * `assertOrdered = true` to pay one metadata-sized agg per call
+    * (min batch id vs max index id over the 8 B/image fingerprint
+    * frames — never the bytes) and fail loudly instead; the streaming
+    * face [[graft.streaming.StreamOps.indexMedia]] turns it on (its
+    * mtime-pinned micro-batch order makes the check an invariant audit,
+    * not a hot-path cost).
+    *
     * Scale design: candidates come only from the 16-bit pigeonhole block
     * equi-joins (a ≤ 3-bit-distant pair must agree on one of four 16-bit
     * blocks) on BOTH probes — batch×index and batch×peers — never an
@@ -423,8 +434,23 @@ object Multimodal {
     * beyond the block-keyed join. Callers should pin the batch hash
     * frame (the decode kernel feeds three consumers here). */
   def nearDupImagesIncremental(
-      batch: DataFrame, index: DataFrame, maxDist: Int = 3): DataFrame = {
+      batch: DataFrame, index: DataFrame, maxDist: Int = 3,
+      assertOrdered: Boolean = false): DataFrame = {
     require(maxDist <= 3, "4-block pigeonhole is only exact for maxDist <= 3")
+    if (assertOrdered) {
+      // Eager, metadata-sized (two fingerprint-frame aggs, typed comparison
+      // delegated to Spark so long/string ids both work). Kept out of the
+      // result plan on purpose: a plan-side raise_error would ride a
+      // BroadcastNestedLoopJoin, which this operator's plan audit forbids.
+      val v = batch.agg(min(col("media_id")).as("__mn"))
+        .crossJoin(index.agg(max(col("media_id")).as("__mx")))
+        .select((col("__mn") <= col("__mx")).as("v"), col("__mn"), col("__mx"))
+        .head()
+      require(v.isNullAt(0) || !v.getBoolean(0),
+        s"nearDupImagesIncremental: batch min id ${v.get(1)} <= index max id " +
+          s"${v.get(2)} — the fold==whole law requires id-ordered batches " +
+          "(pass assertOrdered=false to accept order-dependent kept flags)")
+    }
     def blockRows(df: DataFrame, idAs: String, hAs: String): DataFrame =
       df.where(col("dhash_hi").isNotNull)
         .select(

@@ -185,6 +185,59 @@ object StreamOps {
       }
     }
 
+  /** Continuous UNIFIED-LEXICAL-INDEX maintenance — the streaming face of
+    * the positional store ([[graft.operators.TextOps.positionalIndex]]):
+    * ONE (doc, term, pos, dl) postings table that keeps phrase
+    * ([[graft.operators.TextOps.phraseHitsIndexed]]), proximity
+    * ([[graft.operators.TextOps.proximityIndexed]]) AND ranked retrieval
+    * ([[graft.operators.TextOps.bm25SearchPositional]]) current under a
+    * continuous crawl — closing the gap where [[indexLexical]] kept BM25
+    * fresh while a separately-built positional index went stale, and at
+    * ~half the postings storage of keeping both. Each micro-batch
+    * tokenizes ONCE (the positional frame is pinned and feeds all three
+    * appends) and appends
+    *  - its positional postings under `dir/postings` — append-only is
+    *    exact because doc ids are disjoint across batches,
+    *  - ONE vocab-sized partial (term, df) state under `dir/df_parts`
+    *    (derived from the pinned postings via
+    *    [[graft.operators.TextOps.bm25FromPositional]] — no re-tokenize),
+    *  - ONE (n_docs, sum_dl) row under `dir/corpus_parts`.
+    * The read faces are [[graft.operators.TextOps.bm25FoldDf]] /
+    * `bm25FoldCorpus` exactly as for [[indexLexical]] — the df/corpus
+    * states are IDENTICAL frames (the derivation law), so a deployment
+    * can switch stores without touching its search code. Keep
+    * [[indexLexical]] only when positions are genuinely never needed
+    * (its postings are (doc,term)-sized, not (doc,term,pos)-sized).
+    * Crash note: three appends, not atomic as a group — the
+    * [[indexLexical]] at-least-once caveat and remedies apply. */
+  def indexPositional(
+      stream: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      // single-file micro-batches arrive as ONE partition; tokenization is
+      // the real work — spread before paying it (the indexLexical rationale)
+      val raw = batch.toDF()
+      val minParts = raw.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val b = spread.persist()
+      val positional = graft.operators.TextOps.positionalIndex(b, idCol, textCol).persist()
+      try {
+        positional.write.mode("append").parquet(s"$dir/postings")
+        val bm25p = graft.operators.TextOps.bm25FromPositional(positional, idCol)
+        graft.operators.TextOps.bm25Df(bm25p)
+          .write.mode("append").parquet(s"$dir/df_parts")
+        graft.operators.TextOps.bm25CorpusFromPostings(b, bm25p, idCol)
+          .write.mode("append").parquet(s"$dir/corpus_parts")
+      } finally {
+        positional.unpersist()
+        b.unpersist()
+        ()
+      }
+    }
+
   /** Continuous CHUNK-OWNERSHIP maintenance — the streaming face of the
     * chunk-level storage-dedup state ([[graft.operators.Dedup.chunkOwners]]
     * family), closing the continuous re-crawl loop the way [[indexLexical]]
@@ -332,7 +385,8 @@ object StreamOps {
                 "dhash_hi", org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField(
                 "dhash_lo", org.apache.spark.sql.types.LongType))))
-        graft.operators.Multimodal.nearDupImagesIncremental(hashes, store, maxDist)
+        graft.operators.Multimodal
+          .nearDupImagesIncremental(hashes, store, maxDist, assertOrdered = true)
           .localCheckpoint()
           .write.mode("append").parquet(storePath)
       } finally {
