@@ -30,6 +30,8 @@ object Cli {
         |  columns <view> | type <view> | schema <view> | count <view>
         |  set-appdata <view> <json> | get-appdata <view>
         |  merge <name> <view>... | remove <view> | rename <old> <new>
+        |  snapshot <table> <name> | snapshots <table>
+        |  read-snapshot <table> <name> [limit] | drop-snapshot <table> <name>
         |  delete | convert <logfile> [query_id]
         |  value-counts <view> <path>
         |  number-observed <view> <path> [value]
@@ -226,6 +228,16 @@ object Cli {
         }
       case "remove"  => s.removeView(rest.head)
       case "rename"  => s.renameView(rest(0), rest(1))
+      // reproducibility pins: snapshot a table's current state by name,
+      // list pins, read a pin (bounded like lookup), drop a pin
+      case "snapshot"      => s.snapshot(rest(0), rest(1))
+      case "snapshots"     => s.snapshots(rest.head).foreach(println)
+      case "drop-snapshot" => s.dropSnapshot(rest(0), rest(1))
+      case "read-snapshot" =>
+        val limit = rest.lift(2).map(_.toInt).getOrElse(DefaultLookupLimit)
+        val df = s.readSnapshot(rest(0), rest(1))
+        (if (limit > 0) df.limit(limit) else df)
+          .toJSON.toLocalIterator().forEachRemaining(println(_))
       case "value-counts" =>
         s.valueCounts(rest(0), rest(1)).foreach { case (v, n) => println(s"$v\t$n") }
       case "number-observed" =>

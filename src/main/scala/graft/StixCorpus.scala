@@ -145,7 +145,7 @@ object StixCorpus {
       "payload_bin" -> java.util.Base64.getEncoder.encodeToString(text.getBytes("UTF-8")))
   }
 
-  private def bundleJson(b: Int): String = {
+  private[graft] def bundleJson(b: Int): String = {
     val obs = (b * 50 until (b + 1) * 50).map(observation)
     StixId.canonicalJson(
       Map(

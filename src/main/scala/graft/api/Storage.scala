@@ -84,6 +84,10 @@ class Storage(val spark: SparkSession, val workDir: String) {
               case "rename"  => renameView(s(0), s(1))
               case "remove"  => removeView(s(0))
               case "appdata" => setAppdata(s(0), s(1))
+              // snapshot pins are durable filesystem state, not plan
+              // recipes: the journal lines are the provenance record and
+              // replay must NOT re-execute them (see the snapshot verbs)
+              case "snapshot" | "drop_snapshot" => ()
               case _         => ()
             }
           }
@@ -823,6 +827,41 @@ class Storage(val spark: SparkSession, val workDir: String) {
     journal("appdata", view, data)
   }
   def getAppdata(view: String): Option[String] = catalog.getAppData(view)
+
+  // ----- snapshots: reproducibility pins over the bucketed store ---------
+  //
+  // The writer-level pins (UpsertWriter.snapshot family: lease-consistent,
+  // crash-safe marker-last publish, zero-copy hard links on POSIX / one
+  // server-side COPY on object stores) promoted to the verb surface every
+  // real consumer drives — a training run pins its input BY NAME through
+  // the same Storage it queries, instead of dropping to writer internals.
+  // Journaled for PROVENANCE: a pin is durable filesystem state, not a
+  // plan recipe, so replay records it without re-executing (re-pinning the
+  // CURRENT table state under an old name on replay would silently change
+  // what the name means; a missing snapshot dir means it was dropped or
+  // never published — both answered by the journal itself).
+
+  /** Pin `table`'s current state under snapshot `name`. Fails if the name
+    * is already published (pins are immutable — drop first to re-pin). */
+  def snapshot(table: String, name: String): Unit = {
+    UpsertWriter.snapshot(workDir, table, name)
+    journal("snapshot", table, name)
+  }
+
+  /** Read a pinned snapshot — same frame shape as the live table, immune
+    * to every write the table has taken since the pin. */
+  def readSnapshot(table: String, name: String): DataFrame =
+    UpsertWriter.readSnapshot(spark, workDir, table, name)
+
+  /** Published snapshot names of `table`, sorted. */
+  def snapshots(table: String): Seq[String] =
+    UpsertWriter.snapshots(workDir, table)
+
+  /** Drop a pinned snapshot (idempotent; live data untouched). */
+  def dropSnapshot(table: String, name: String): Unit = {
+    UpsertWriter.dropSnapshot(workDir, table, name)
+    journal("drop_snapshot", table, name)
+  }
 
   /** Bulk view metadata: one row per view with (name, type, appdata) — the
     * reference's __symtable dump (get_view_data, sqlstorage.py:761-771). */
