@@ -223,6 +223,35 @@ object PipelineQueries {
       Files.getLastModifiedTime(src).toMillis)(build)
   }
 
+  /** Publish a trained OPQ rotation as the q_ann_opq oracle's artifact —
+    * one (i, j, value) row per matrix cell where value = R(j)(i), i.e.
+    * rotated_j = Σ_i v[i]·value — at a FIXED path the oracle SQL reads
+    * (the q_text_bpe_fold published-artifact pattern: the oracle replays
+    * the SEARCH given the model; training itself has no SQL replay). The
+    * publish is a single-file ATOMIC_MOVE, so a concurrent reader sees
+    * the old or the new matrix, never a partial one. Full-precision
+    * doubles: parquet round-trips them exactly, so the oracle applies
+    * bit-identical coefficients. Like the BPE table: run Verify before
+    * the DuckDB compare, and at the compare's own sfDir. */
+  private def publishOpqRotation(
+      spark: org.apache.spark.sql.SparkSession,
+      rot: Array[Array[Double]]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = "/tmp/graft_opq_v1"
+    val tmp = s"$base/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val rows = for {
+      j <- rot.indices
+      i <- rot.indices
+    } yield (i, j, rot(j)(i))
+    import spark.implicits._
+    rows.toDF("i", "j", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = listParquet(tmp).head
+    Files.createDirectories(Paths.get(base))
+    Files.move(part, Paths.get(s"$base/rotation.parquet"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    graft.ingest.FsUtil.deleteTree(Paths.get(tmp))
+  }
+
   private def listParquet(dir: String): Set[java.nio.file.Path] = {
     val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
     try {
@@ -2863,6 +2892,52 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // OPQ -> PQ composition with the LEARNED rotation (Ge et al. CVPR'13):
+    // the engine trains the rotation (alternating per-subspace Lloyd
+    // codebooks and the orthogonal-Procrustes update, warm-started from
+    // the eigenvalue allocation) and PUBLISHES it as a parquet artifact;
+    // the oracle reads the published matrix and replays rotation + the
+    // full PQ chain + exact re-rank (the q_ann_pq_jl composition shape
+    // with a FITTED rotation instead of the md5 sign matrix — training
+    // has no SQL replay, search-given-the-model does, the q_text_bpe_fold
+    // pattern). Projections 6dp-rounded on both sides; recall LAWS live
+    // in PipelineOpsSpec (cold-start training lifts recall AND the
+    // objective; warm-start lifts the objective).
+    q("q_ann_opq",
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |rt AS (SELECT i, j, value FROM read_parquet('/tmp/graft_opq_v1/rotation.parquet')),
+         |pj AS (SELECT ev.vec_id, rt.j,
+         |        round(sum(ev.v[rt.i + 1] * rt.value), 6) + 0.0 AS value
+         |      FROM ev CROSS JOIN rt GROUP BY 1, 2),
+         |base AS (SELECT vec_id, list(value ORDER BY j) AS embedding FROM pj GROUP BY vec_id),
+         |$duckPqCtes,
+         |ax AS (SELECT t.query_id, e.neighbor_id, round(sum(t.tscore), 6) AS iscore
+         |       FROM enc e JOIN tbl t USING (subspace, code)
+         |       WHERE t.query_id <> e.neighbor_id
+         |       GROUP BY t.query_id, e.neighbor_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY iscore DESC, neighbor_id) AS crank FROM ax) z2
+         |         WHERE crank <= 20),
+         |$duckPqRerank""".stripMargin) { c =>
+      val emb = c.resolve("embeddings").localCheckpoint()
+      val trained = Similarity.opqTrain(emb, m = 2, k = 4, iters = 2, rounds = 2,
+        init = Some(Similarity.opqOrder(Similarity.pcaFit(emb, "embedding", 64), 2)))
+      publishOpqRotation(c.spark, trained.rotation)
+      // pinned: the rotated frame feeds codebook training, encoding, the
+      // probe tables and the re-rank (the q_ann_pq_jl discipline); pqTopK
+      // retrains on the 6dp-rounded base exactly as the oracle does
+      val rotated = Similarity.rotate(emb, trained.rotation)
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => round(x, 6) + lit(0.0)).as("embedding"))
+        .localCheckpoint()
+      Similarity
+        .pqTopK(rotated, rotated.where(col("vec_id") < 5),
+          m = 2, k = 4, iters = 2, topK = 5, candidateFactor = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // IVF-PQ (the composed FAISS IndexIVFPQ recipe, non-residual variant):
     // the coarse quantizer (first-8 cells, as q_ann_ivf) restricts each
     // query's ADC scan to its 2 probed cells' members; codes/tables are the
@@ -3888,6 +3963,44 @@ object PipelineQueries {
       } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
     },
 
+    // SNAPSHOT + MANIFEST composition: a pinned training input audited
+    // shard-by-shard AFTER the live table churned — upsert, pin, then
+    // re-crawl mutates text and late rows arrive; the manifest over the
+    // pin must equal the manifest of the ORIGINAL ingest (the oracle
+    // recomputes it from the input tables alone), proving the two verbs
+    // compose: a copy of the pinned state is verifiable row-for-row
+    // however the live table moved since.
+    q("q_layout_snapshot_manifest",
+      """WITH b1 AS (SELECT doc_id AS id, source AS src, text FROM documents)
+        |SELECT src AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(('0x' || substring(md5(md5(CAST(id AS VARCHAR)) || md5(text)), 1, 15))::BIGINT)
+        |       % 1152921504606846976 AS BIGINT) AS checksum,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM b1 GROUP BY src ORDER BY shard""".stripMargin) { c =>
+      val spark = c.spark
+      val docs = c.resolve("documents")
+      val runBase = s"/tmp/graft_snapman_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        val W = graft.ingest.UpsertWriter
+        W.upsert(spark, runBase, "t", docs.select(
+          col("doc_id").as("id"), col("source").as("src"), col("text")))
+        W.snapshot(runBase, "t", "s1")
+        W.upsert(spark, runBase, "t",
+          docs.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("id"), lit("recrawl").as("src"),
+              lit("mutated text").as("text"))
+            .unionByName(docs.where(col("doc_id") % 101 === 0)
+              .select((col("doc_id") + 100000).as("id"), lit("late").as("src"),
+                lit("late text").as("text"))))
+        W.compactAll(spark, runBase, "t")
+        graft.operators.Layout
+          .manifest(W.readSnapshot(spark, runBase, "t", "s1"),
+            "src", Seq("id", "text"), "id")
+          .orderBy("shard")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
+    },
+
     // edit-distance near-dup for short metadata strings (nothing to
     // shingle): distinct part names sharing a 2-char prefix block, kept at
     // levenshtein <= 3 — blocking join, never all-pairs; DuckDB computes
@@ -4114,6 +4227,25 @@ object PipelineQueries {
       TextOps.phraseHitsIndexed(
           TextOps.positionalIndex(c.resolve("documents")), "slow hash batch")
         .orderBy("doc_id")
+    },
+
+    // UNIFIED-STORE ranked retrieval: BM25 answered from the POSITIONAL
+    // postings alone — tf = count(pos) per (doc, term), dl carried on the
+    // rows — proving the (doc, term, pos, dl) store subsumes the BM25
+    // index (a crawler keeps ONE postings table for phrase + proximity +
+    // ranked retrieval). Oracle is the whole-corpus BM25 replay VERBATIM
+    // (shared with q_text_bm25/q_text_bm25_inc/q_stream_bm25) — the
+    // derived view must lose nothing.
+    q("q_text_bm25_positional", duckBm25Sql) { c =>
+      val docs = c.resolve("documents")
+      val pos = TextOps.positionalIndex(docs).localCheckpoint()
+      val bm25p = TextOps.bm25FromPositional(pos)
+      TextOps.bm25SearchPositional(
+          pos,
+          TextOps.bm25Df(bm25p),
+          TextOps.bm25CorpusFromPostings(docs, bm25p),
+          Seq("join", "vector", "stream"), topK = 10)
+        .orderBy("rank")
     },
 
     // PROXIMITY search, scan face: minimal token distance between two
@@ -5652,6 +5784,36 @@ object PipelineQueries {
             TextOps.bm25FoldCorpus(spark.read.parquet(s"$idxDir/corpus_parts")),
             Seq("join", "vector", "stream"), topK = 10)
           .orderBy("rank")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
+    },
+
+    // STREAMING UNIFIED-LEXICAL-INDEX MAINTENANCE: the same two-micro-batch
+    // drain, but through the POSITIONAL store — each batch appends its
+    // (doc, term, pos, dl) postings plus ONE partial df/corpus state, all
+    // derived from ONE tokenize pass, and the phrase query runs over the
+    // accumulated postings. The oracle is the WHOLE-corpus positional
+    // conjunction VERBATIM (shared with q_text_phrase/_indexed) — the row
+    // passes only if per-batch maintenance of the unified store loses
+    // nothing however the stream was cut. Closes the r13 gap where BM25
+    // stayed current under a crawl while phrase/proximity went stale:
+    // one store now feeds all three read faces (q_text_bm25_positional
+    // proves the BM25 face of the same rows).
+    q("q_stream_phrase", duckPhraseSql) { c =>
+      val spark = c.spark
+      val inDir = stagedDocSlices(c)
+      val runBase = s"/tmp/graft_streamphrase_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val (idxDir, ck) = (s"$runBase/idx", s"$runBase/ck")
+      try {
+        val schema = spark.read.parquet(s"$inDir/slices").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/slices")
+        StreamOps.startDrained(spark)(StreamOps.indexPositional(src, idxDir)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        TextOps.phraseHitsIndexed(
+            spark.read.parquet(s"$idxDir/postings"), "slow hash batch")
+          .orderBy("doc_id")
           .localCheckpoint()
       } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
     },

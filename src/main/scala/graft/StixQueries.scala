@@ -768,6 +768,42 @@ object StixQueries {
     //       the parquet ground truth the oracle reads (sqlstorage.py:
     //       824-827's deferred-index hook; co-location audited by
     //       LayoutSpec, correctness pinned here).
+    // ----- snapshot(): the reproducibility verb on the API surface —
+    //       cache -> pin -> cache more, then the pin must read as the
+    //       q1-only state while the live table shows both ingests (the
+    //       q_layout_snapshot shape, driven end-to-end THROUGH Storage:
+    //       verbs, journal, and the lease-consistent writer path). The
+    //       oracle recomputes both sides from the shared corpus tables:
+    //       snap = urls with q1 provenance (url ids are content-derived
+    //       UUIDv5, so the q1-only state IS the q1-provenance subset on
+    //       (id, value)), live = the full url table.
+    Q("q_stix_snapshot", (spark, _) => {
+      StixCorpus.ensure(spark) // the oracle reads the shared corpus tables
+      val runBase =
+        s"/tmp/graft_stixsnap_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        val st = new Storage(spark, runBase)
+        st.cache("q1", (0 until 4).map(StixCorpus.bundleJson))
+        st.snapshot("url", "s1")
+        st.cache("q2", (4 until 6).map(StixCorpus.bundleJson))
+        st.readSnapshot("url", "s1")
+          .select(lit("snap").as("side"), col("id"), col("value"))
+          .unionByName(st.catalog.resolve("url")
+            .select(lit("live").as("side"), col("id"), col("value")))
+          .orderBy("side", "id")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
+    }, Some(
+      // live restricts to q1 ∪ q2 provenance: the SHARED corpus's url
+      // table also carries rows other verbs loaded under different query
+      // ids; the scratch store only ever saw the q1/q2 bundles
+      s"""SELECT 'snap' AS side, id, value FROM ${t("url")}
+         |WHERE id IN ${prov("q1")}
+         |UNION ALL
+         |SELECT 'live', id, value FROM ${t("url")}
+         |WHERE id IN ${prov("q1")} OR id IN ${prov("q2")}
+         |ORDER BY side, id""".stripMargin)),
+
     q("q_stix_finish",
       s"""SELECT u.value, count(*) AS count
          |FROM ${t("url")} u
