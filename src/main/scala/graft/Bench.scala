@@ -43,6 +43,31 @@ object Bench {
             String.valueOf(t.getMessage).take(200))
       }
     }
+    // FIXED-WORK CALIBRATION PROBE: a deterministic synthetic query on
+    // constant data (64M md5-over-string rows, partitioned to the worker
+    // count), timed as min-of-3 after one untimed JIT pass. Its wall time
+    // quantifies THIS RUN'S box speed independent of the suite — this VM's
+    // clock drifts up to ~1.5x across a long session (rounds 10-13), and
+    // before this probe the drift story lived in hand-written prose the
+    // next run deleted. Comparing two runs' totals now divides by the two
+    // probes first (BENCH_HISTORY.jsonl makes both machine-readable).
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L * 1000 * 1000, 1L, cpus.toInt)
+        .select(sum(xxhash64(md5(col("id").cast("string")))).as("h"))
+        .head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = try {
+      calibrate() // untimed JIT/codegen warmup of the probe itself
+      (1 to 3).map(_ => calibrate()).min
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] calibration failed: ${t.getClass.getSimpleName}")
+        -1.0
+    }
+    System.err.println(f"[bench] calibration probe $calib%8.2f s")
     // min of `reps` INTERLEAVED repetitions per query. Interleaved, not
     // consecutive: with back-to-back reps of one query, a sustained
     // co-tenant burst covers all its reps and the min is still inflated
@@ -80,14 +105,36 @@ object Bench {
       chunks.zipWithIndex.map { case (chunk, i) =>
         s"""{"metric":"chunk","part":${i + 1},"parts":${chunks.size},"queries":${qJson(chunk)}}"""
       } :+
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},"parts":${chunks.size},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},"parts":${chunks.size},"calib_sec":${r3(calib)},"sf":"$sfDir"}"""
     // belt-and-braces: the complete record as one file the capture window
     // cannot truncate (driver/judge can cross-check stdout against it)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"),
-      (s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":${qJson(results)},"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"calib_sec":${r3(calib)},"queries":${qJson(results)},"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // APPEND-ONLY run history: one timestamped line per run (git SHA, sf,
+    // total, the calibration probe, per-query timings) that NO later run
+    // overwrites — the machine-readable record BENCH_SELF's auto-overwrite
+    // kept losing. Cross-run comparisons normalize by the calib_sec ratio.
+    try {
+      val sha = try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+        p.waitFor()
+        if (out.nonEmpty) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+      val hist =
+        s"""{"ts":"${java.time.Instant.now()}","git_sha":"$sha","sf":"$sfDir","reps":$reps,""" +
+          s""""cpus":$cpus,"total":${r3(total)},"calib_sec":${r3(calib)},""" +
+          s""""nqueries":${results.size},"queries":${qJson(results)}}""" + "\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        hist.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    } catch { case _: Throwable => () }
     // The chunk lines MUST be this process's final stdout: in round 6 they
     // printed fine but the subsequent spark.stop() tore down streaming
     // StateStore maintenance threads whose RpcEnvStoppedException stacks
