@@ -130,6 +130,22 @@ class GoldenMiscSpec extends SparkSpec {
     assert(lookupLines() == 70) // default cap (1000) doesn't bite small views
   }
 
+  test("cli: snapshot / snapshots / read-snapshot / drop-snapshot") {
+    val wd = tmpDir()
+    Cli.run(spark, Seq(wd, "cache", "test-id", fixture("test_bundle.json")))
+    Cli.run(spark, Seq(wd, "snapshot", "ipv4-addr", "prerun"))
+    def capture(args: String*): Seq[String] = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Cli.run(spark, Seq(wd) ++ args) }
+      out.toString("UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+    }
+    assert(capture("snapshots", "ipv4-addr") == Seq("prerun"))
+    val pinned = capture("read-snapshot", "ipv4-addr", "prerun", "0")
+    assert(pinned.size == 70) // the pin reads the full cached state
+    Cli.run(spark, Seq(wd, "drop-snapshot", "ipv4-addr", "prerun"))
+    assert(capture("snapshots", "ipv4-addr").isEmpty)
+  }
+
   test("cli: convert a zeek log then delete the store") {
     val wd = tmpDir()
     Cli.run(spark, Seq(wd, "convert", fixture("zeek_example.log"), "zq1"))

@@ -345,5 +345,20 @@ class MultimodalSpec extends SparkSpec {
       b2, out1.where(col("kept") === 1).select("media_id", "dhash_hi", "dhash_lo"))
     assert(keptMap(keptOnly)(3L) == 1L,
       "sanity: without the dropped row B in the index, C would wrongly keep")
+    // assertOrdered: the fold==whole precondition fails loudly instead of
+    // returning silently order-dependent kept flags
+    val idx2 = out2.select("media_id", "dhash_hi", "dhash_lo")
+    val inOrder = Multimodal.nearDupImagesIncremental(
+      b2, out1.select("media_id", "dhash_hi", "dhash_lo"), assertOrdered = true)
+    assert(keptMap(inOrder) == keptMap(out2), "in-order batch must pass the guard")
+    val exn = intercept[IllegalArgumentException] {
+      Multimodal.nearDupImagesIncremental(b1, idx2, assertOrdered = true)
+    }
+    assert(exn.getMessage.contains("id-ordered"), exn.getMessage)
+    // empty index and empty batch are both vacuously ordered
+    assert(keptMap(Multimodal.nearDupImagesIncremental(
+      all, empty, assertOrdered = true)) == whole)
+    assert(Multimodal.nearDupImagesIncremental(
+      empty, idx2, assertOrdered = true).count() == 0L)
   }
 }

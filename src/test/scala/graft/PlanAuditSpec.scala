@@ -175,6 +175,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"df/stats must broadcast:\n$plan")
   }
 
+  test("bm25SearchPositional: term filter pushes below the tf aggregate to the postings scan") {
+    val T = graft.operators.TextOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pos_audit").toString
+    T.positionalIndex(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .write.parquet(s"$tmp/postings")
+    val store = spark.read.parquet(s"$tmp/postings")
+    val bp = T.bm25FromPositional(store)
+    val plan = physical(T.bm25SearchPositional(
+      store, T.bm25Df(bp), T.bm25CorpusFromPostings(
+        spark.read.parquet(s"$sfDir/documents.parquet"), bp),
+      Seq("join", "vector")))
+    // the unified-store search must stay query-term-sized: Catalyst pushes
+    // the grouping-key isin through the derived tf aggregate to the scan
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term filter must reach the postings scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be a distributed TakeOrdered:\n$plan")
+  }
+
   test("phraseHitsIndexed never re-tokenizes: term filters on postings, (doc, start) equi-joins") {
     val T = graft.operators.TextOps
     val postings = T.positionalIndex(
@@ -776,6 +795,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"kCore planned a window:\n$plan")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(bnlj <= 2, s"kCore: only the two 1-row stat crosses may nest-loop ($bnlj):\n$plan")
+  }
+
+  test("coreness: plan depth and join count constant in maxK (flags fold at the pinned boundary)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import spark.implicits._
+    // K4 + pendant — enough structure for three levels to do real peeling
+    val edges = Seq(
+      ("k0", "k1"), ("k0", "k2"), ("k0", "k3"),
+      ("k1", "k2"), ("k1", "k3"), ("k2", "k3"), ("k3", "p")).toDF("src", "dst")
+    def depth(p: SparkPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
+    def audit(maxK: Int): (Int, Int) = {
+      val qe = graft.operators.Graph
+        .coreness(edges, maxK = maxK, rounds = 2).queryExecution
+      val joins = "Join".r.findAllIn(qe.executedPlan.toString).size
+      (depth(qe.executedPlan), joins)
+    }
+    val (d2, j2) = audit(2)
+    val (d5, j5) = audit(5)
+    // per-level survivor legs union linearly (the output's nature), but the
+    // converged flag is a driver literal: depth and join count must not
+    // grow with maxK — the r13 shape nested one crossJoin per level
+    assert(d5 == d2, s"plan depth grew with maxK: $d2 -> $d5")
+    assert(j5 == j2 && j2 <= 1,
+      s"flag joins must not accumulate per level: maxK=2 has $j2, maxK=5 has $j5")
   }
 
   test("vocabGrowthFromState: state-only aggregates, corpus text never rescanned") {

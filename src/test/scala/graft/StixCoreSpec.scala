@@ -443,6 +443,40 @@ class StixCoreSpec extends SparkSpec {
     assert(s2.count("urls") == 2) // lazy replay over current base tables
   }
 
+  test("snapshot verbs: pin through Storage, journaled, replay-safe round trip") {
+    val dir = Files.createTempDirectory("graft-snapverb").toString
+    val s1 = new Storage(spark, dir)
+    s1.cache("q1", bundle20)
+    val before = s1.catalog.resolve("url")
+      .select("id", "value").collect().map(_.toSeq).toSet
+    s1.snapshot("url", "s1")
+    s1.cache("q2", bundle20b)
+    // the pin reads the pre-churn state; the live table moved
+    assert(s1.readSnapshot("url", "s1")
+      .select("id", "value").collect().map(_.toSeq).toSet == before)
+    assert(s1.catalog.resolve("url").count() > before.size)
+    assert(s1.snapshots("url") == Seq("s1"))
+    // pins are immutable: re-pinning an existing name fails loudly
+    intercept[IllegalStateException] { s1.snapshot("url", "s1") }
+    // journal carries the provenance lines
+    val journal = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "__symtable.jsonl")), "UTF-8")
+    assert(journal.contains("\"snapshot\"") && journal.contains("\"s1\""))
+    // a brand-new Storage replays the journal WITHOUT re-executing the pin
+    // (re-pinning would throw "already exists") and still sees it
+    val s2 = new Storage(spark, dir)
+    assert(s2.snapshots("url") == Seq("s1"))
+    assert(s2.readSnapshot("url", "s1")
+      .select("id", "value").collect().map(_.toSeq).toSet == before)
+    // drop is journaled + idempotent; replay after drop stays clean
+    s2.dropSnapshot("url", "s1")
+    s2.dropSnapshot("url", "s1")
+    assert(s2.snapshots("url").isEmpty)
+    val s3 = new Storage(spark, dir)
+    assert(s3.snapshots("url").isEmpty)
+    intercept[IllegalArgumentException] { s3.readSnapshot("url", "s1") }
+  }
+
   test("assignQuery views persist via the Stage-ADT JSON codec; Column-bearing plans stay transient") {
     import graft.query._
     val dir = Files.createTempDirectory("graft-aq").toString

@@ -453,6 +453,54 @@ class StreamingSpec extends SparkSpec {
     assert(c.getLong(0) == 6L)
   }
 
+  test("indexPositional: ONE streamed store answers bm25 + phrase + proximity equal to batch faces") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_pos").toString
+    val idx = s"$base/idx"
+    val input = MemoryStream[(Long, String)]
+    val b1 = Seq((1L, "join the stream of vector data"), (2L, "a vector join"),
+      (3L, "slow hash batch of slow hash batch items"))
+    val b2 = Seq((4L, "stream stream stream"), (5L, "join vector stream join"), (6L, ""))
+    val q = StreamOps.indexPositional(input.toDF().toDF("doc_id", "text"), idx)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = (b1 ++ b2).toDF("doc_id", "text")
+    val store = spark.read.parquet(s"$idx/postings")
+    // face 1: ranked retrieval from the SAME rows — equals the corpus scan
+    val terms = Seq("join", "vector", "stream")
+    val streamed = TextOps.bm25SearchPositional(
+        store,
+        TextOps.bm25FoldDf(spark.read.parquet(s"$idx/df_parts")),
+        TextOps.bm25FoldCorpus(spark.read.parquet(s"$idx/corpus_parts")),
+        terms, topK = 10)
+      .collect().map(_.toSeq).toSeq
+    val whole = TextOps.bm25TopK(corpus, terms, topK = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == whole, s"streamed=$streamed whole=$whole")
+    // face 2: phrase — equals the corpus scan face
+    val ph = TextOps.phraseHitsIndexed(store, "slow hash batch")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val phWhole = TextOps.phraseHits(corpus, "slow hash batch")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(ph == phWhole && ph.nonEmpty, s"ph=$ph whole=$phWhole")
+    // face 3: proximity — equals the corpus scan face
+    val px = TextOps.proximityIndexed(store, "join", "stream", maxDist = 5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val pxWhole = TextOps.proximityHits(corpus, "join", "stream", maxDist = 5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(px == pxWhole && px.nonEmpty, s"px=$px whole=$pxWhole")
+    // the df/corpus states are the indexLexical frames exactly: two partial
+    // corpus rows, empty-text doc 6 counted though it posts nothing
+    assert(spark.read.parquet(s"$idx/corpus_parts").count() == 2)
+    val c = TextOps.bm25FoldCorpus(spark.read.parquet(s"$idx/corpus_parts")).collect()(0)
+    assert(c.getLong(0) == 6L)
+  }
+
   test("indexChunks: per-batch novelty appends equal the whole-corpus chunkNovelty") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
