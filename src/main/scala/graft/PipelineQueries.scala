@@ -235,19 +235,25 @@ object PipelineQueries {
     * the DuckDB compare, and at the compare's own sfDir. */
   private def publishOpqRotation(
       spark: org.apache.spark.sql.SparkSession,
-      rot: Array[Array[Double]]): Unit = {
+      rot: Array[Array[Double]],
+      corpusKey: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = "/tmp/graft_opq_v1"
     val tmp = s"$base/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val rows = for {
       j <- rot.indices
       i <- rot.indices
-    } yield (i, j, rot(j)(i))
+    } yield (corpusKey, i, j, rot(j)(i))
     import spark.implicits._
-    rows.toDF("i", "j", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+    rows.toDF("n", "i", "j", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = listParquet(tmp).head
     Files.createDirectories(Paths.get(base))
-    Files.move(part, Paths.get(s"$base/rotation.parquet"),
+    // one FILE per corpus key (n = that dataDir's embeddings row count):
+    // the oracle selects its own key via (SELECT count(*) FROM embeddings),
+    // so a bench at another sfDir can never clobber the compare's artifact
+    // whatever order the driver runs things in. Same-key republish is a
+    // single-file ATOMIC_MOVE replace.
+    Files.move(part, Paths.get(s"$base/rotation_$corpusKey.parquet"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     graft.ingest.FsUtil.deleteTree(Paths.get(tmp))
   }
@@ -2905,7 +2911,9 @@ object PipelineQueries {
     // objective; warm-start lifts the objective).
     q("q_ann_opq",
       s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |rt AS (SELECT i, j, value FROM read_parquet('/tmp/graft_opq_v1/rotation.parquet')),
+         |rt AS (SELECT i, j, value
+         |      FROM read_parquet('/tmp/graft_opq_v1/rotation_*.parquet')
+         |      WHERE n = (SELECT count(*) FROM embeddings)),
          |pj AS (SELECT ev.vec_id, rt.j,
          |        round(sum(ev.v[rt.i + 1] * rt.value), 6) + 0.0 AS value
          |      FROM ev CROSS JOIN rt GROUP BY 1, 2),
@@ -2929,7 +2937,7 @@ object PipelineQueries {
       val sample = emb.where(col("vec_id") % 4 === 0).localCheckpoint()
       val trained = Similarity.opqTrain(sample, m = 2, k = 4, iters = 2, rounds = 2,
         init = Some(Similarity.opqOrder(Similarity.pcaFit(sample, "embedding", 64), 2)))
-      publishOpqRotation(c.spark, trained.rotation)
+      publishOpqRotation(c.spark, trained.rotation, emb.count())
       // pinned: the rotated frame feeds codebook training, encoding, the
       // probe tables and the re-rank (the q_ann_pq_jl discipline); pqTopK
       // retrains on the 6dp-rounded base exactly as the oracle does
