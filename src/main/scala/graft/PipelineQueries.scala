@@ -233,29 +233,43 @@ object PipelineQueries {
     * doubles: parquet round-trips them exactly, so the oracle applies
     * bit-identical coefficients. Like the BPE table: run Verify before
     * the DuckDB compare, and at the compare's own sfDir. */
-  private def publishOpqRotation(
-      spark: org.apache.spark.sql.SparkSession,
-      rot: Array[Array[Double]],
-      corpusKey: Long): Unit = {
+  /** Atomically publish one metadata frame as a single parquet FILE keyed
+    * by corpus size: `<base>/<name>_<key>.parquet`. One file per key (the
+    * oracle selects its own key via `SELECT count(*) FROM embeddings`),
+    * so a bench at another sfDir can never clobber the compare's artifact
+    * whatever order the driver runs things in; same-key republish is a
+    * single-file ATOMIC_MOVE replace. */
+  private def publishKeyedArtifact(
+      df: org.apache.spark.sql.DataFrame, name: String, corpusKey: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = "/tmp/graft_opq_v1"
     val tmp = s"$base/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.withColumn("n", lit(corpusKey)).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = listParquet(tmp).head
+    Files.createDirectories(Paths.get(base))
+    Files.move(part, Paths.get(s"$base/${name}_$corpusKey.parquet"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    graft.ingest.FsUtil.deleteTree(Paths.get(tmp))
+  }
+
+  /** Publish a trained OPQ model (rotation + codebooks) for the q_ann_opq
+    * oracle — the q_text_bpe_fold published-artifact pattern: the oracle
+    * replays SEARCH given the model; training has no SQL replay. Rotation
+    * rows are (i, j, value) with value = R(j)(i), i.e. rotated_j =
+    * Σ_i v[i]·value; codebook rows are the pqTrain frame as-is (fp32-
+    * snapped doubles — parquet round-trips them exactly). */
+  private def publishOpqModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: Similarity.OpqModel,
+      corpusKey: Long): Unit = {
+    import spark.implicits._
+    val rot = model.rotation
     val rows = for {
       j <- rot.indices
       i <- rot.indices
-    } yield (corpusKey, i, j, rot(j)(i))
-    import spark.implicits._
-    rows.toDF("n", "i", "j", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = listParquet(tmp).head
-    Files.createDirectories(Paths.get(base))
-    // one FILE per corpus key (n = that dataDir's embeddings row count):
-    // the oracle selects its own key via (SELECT count(*) FROM embeddings),
-    // so a bench at another sfDir can never clobber the compare's artifact
-    // whatever order the driver runs things in. Same-key republish is a
-    // single-file ATOMIC_MOVE replace.
-    Files.move(part, Paths.get(s"$base/rotation_$corpusKey.parquet"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    graft.ingest.FsUtil.deleteTree(Paths.get(tmp))
+    } yield (i, j, rot(j)(i))
+    publishKeyedArtifact(rows.toDF("i", "j", "value"), "rotation", corpusKey)
+    publishKeyedArtifact(model.codebooks, "codebooks", corpusKey)
   }
 
   private def listParquet(dir: String): Set[java.nio.file.Path] = {
@@ -570,6 +584,24 @@ object PipelineQueries {
   // iterations, fp32-snapped codebooks, rounded-argmax codes, per-query
   // lookup tables) over `base` (vec_id, embedding) — the shared front half
   // of the q_ann_pq and q_ann_ivfpq oracles
+  // encode + ADC-table CTEs given `base` and a codebook CTE `cb` — shared
+  // by the trained-in-SQL oracles (duckPqCtes) and the published-model
+  // oracle (q_ann_opq reads its cb from the engine's artifact)
+  private lazy val duckPqEncodeCtes =
+    """parts AS (SELECT vec_id AS neighbor_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS sv FROM base
+      |          UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base),
+      |enc AS (SELECT neighbor_id, subspace, centroid_id AS code FROM (
+      |          SELECT p.neighbor_id, p.subspace, b.centroid_id,
+      |            row_number() OVER (PARTITION BY p.neighbor_id, p.subspace
+      |              ORDER BY round(list_dot_product(p.sv, b.centd)
+      |                / (sqrt(list_dot_product(p.sv, p.sv)) * sqrt(list_dot_product(b.centd, b.centd))), 6) DESC,
+      |              b.centroid_id) AS rk
+      |          FROM parts p JOIN cb b USING (subspace)) z WHERE rk = 1),
+      |pparts AS (SELECT vec_id AS query_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS qv FROM base WHERE vec_id < 5
+      |           UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base WHERE vec_id < 5),
+      |tbl AS (SELECT query_id, subspace, b.centroid_id AS code, list_dot_product(p.qv, b.centd) AS tscore
+      |        FROM pparts p JOIN cb b USING (subspace))""".stripMargin
+
   private lazy val duckPqCtes =
     s"""e0 AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS v FROM base),
        |e1 AS (SELECT vec_id, embedding[33:64]::DOUBLE[] AS v FROM base),
@@ -583,19 +615,7 @@ object PipelineQueries {
        |${duckLloydSub(1, 2, "c11")},
        |cb AS (SELECT 0 AS subspace, centroid_id, cent::FLOAT[]::DOUBLE[] AS centd FROM c02
        |       UNION ALL SELECT 1, centroid_id, cent::FLOAT[]::DOUBLE[] FROM c12),
-       |parts AS (SELECT vec_id AS neighbor_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS sv FROM base
-       |          UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base),
-       |enc AS (SELECT neighbor_id, subspace, centroid_id AS code FROM (
-       |          SELECT p.neighbor_id, p.subspace, b.centroid_id,
-       |            row_number() OVER (PARTITION BY p.neighbor_id, p.subspace
-       |              ORDER BY round(list_dot_product(p.sv, b.centd)
-       |                / (sqrt(list_dot_product(p.sv, p.sv)) * sqrt(list_dot_product(b.centd, b.centd))), 6) DESC,
-       |              b.centroid_id) AS rk
-       |          FROM parts p JOIN cb b USING (subspace)) z WHERE rk = 1),
-       |pparts AS (SELECT vec_id AS query_id, 0 AS subspace, embedding[1:32]::DOUBLE[] AS qv FROM base WHERE vec_id < 5
-       |           UNION ALL SELECT vec_id, 1, embedding[33:64]::DOUBLE[] FROM base WHERE vec_id < 5),
-       |tbl AS (SELECT query_id, subspace, b.centroid_id AS code, list_dot_product(p.qv, b.centd) AS tscore
-       |        FROM pparts p JOIN cb b USING (subspace))""".stripMargin
+       |$duckPqEncodeCtes""".stripMargin
 
   // exact-cosine re-rank of cand(query_id, neighbor_id) against `base`,
   // emitting the final (query_id, rank, neighbor_id, score) top-5 — the
@@ -2918,7 +2938,10 @@ object PipelineQueries {
          |        round(sum(ev.v[rt.i + 1] * rt.value), 6) + 0.0 AS value
          |      FROM ev CROSS JOIN rt GROUP BY 1, 2),
          |base AS (SELECT vec_id, list(value ORDER BY j) AS embedding FROM pj GROUP BY vec_id),
-         |$duckPqCtes,
+         |cb AS (SELECT subspace, centroid_id, centd
+         |      FROM read_parquet('/tmp/graft_opq_v1/codebooks_*.parquet')
+         |      WHERE n = (SELECT count(*) FROM embeddings)),
+         |$duckPqEncodeCtes,
          |ax AS (SELECT t.query_id, e.neighbor_id, round(sum(t.tscore), 6) AS iscore
          |       FROM enc e JOIN tbl t USING (subspace, code)
          |       WHERE t.query_id <> e.neighbor_id
@@ -2929,26 +2952,25 @@ object PipelineQueries {
          |         WHERE crank <= 20),
          |$duckPqRerank""".stripMargin) { c =>
       val emb = c.resolve("embeddings").localCheckpoint()
-      // rotation trained on a deterministic 1-in-4 SAMPLE — the production
+      // model trained on a deterministic 1-in-4 SAMPLE — the production
       // PQ/OPQ recipe (FAISS trains on ~100k of billions): the model is
-      // metadata, the full corpus only gets rotated + encoded. The oracle
-      // replays search from the PUBLISHED matrix, so how the rotation was
-      // fitted is invisible to the correctness gate by construction.
+      // metadata, the full corpus only gets rotated + encoded; the search
+      // runs over PERSISTED codes against the published model, and the
+      // oracle replays rotation + encode + ADC + rerank from the SAME
+      // published artifacts, so the fit is invisible to the gate by
+      // construction (search-given-the-model, the bpe pattern end-to-end)
       val sample = emb.where(col("vec_id") % 4 === 0).localCheckpoint()
-      val trained = Similarity.opqTrain(sample, m = 2, k = 4, iters = 2, rounds = 2,
-        init = Some(Similarity.opqOrder(Similarity.pcaFit(sample, "embedding", 64), 2)))
-      publishOpqRotation(c.spark, trained.rotation, emb.count())
-      // pinned: the rotated frame feeds codebook training, encoding, the
-      // probe tables and the re-rank (the q_ann_pq_jl discipline); pqTopK
-      // retrains on the 6dp-rounded base exactly as the oracle does
+      val trained = Similarity.opqTrain(sample, m = 2, k = 4, iters = 2, rounds = 2)
+      publishOpqModel(c.spark, trained, emb.count())
       val rotated = Similarity.rotate(emb, trained.rotation)
         .select(
           col("vec_id"),
           transform(col("embedding"), x => round(x, 6) + lit(0.0)).as("embedding"))
         .localCheckpoint()
+      val codes = Similarity.pqEncodeIndexed(rotated, trained.codebooks)
       Similarity
-        .pqTopK(rotated, rotated.where(col("vec_id") < 5),
-          m = 2, k = 4, iters = 2, topK = 5, candidateFactor = 4)
+        .pqSearchIndexed(codes, trained.codebooks, rotated,
+          rotated.where(col("vec_id") < 5), topK = 5, candidateFactor = 4)
         .orderBy("query_id", "rank")
     },
 
