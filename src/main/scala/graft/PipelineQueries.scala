@@ -240,9 +240,9 @@ object PipelineQueries {
     * whatever order the driver runs things in; same-key republish is a
     * single-file ATOMIC_MOVE replace. */
   private def publishKeyedArtifact(
-      df: org.apache.spark.sql.DataFrame, name: String, corpusKey: Long): Unit = {
+      df: org.apache.spark.sql.DataFrame, name: String, corpusKey: Long,
+      base: String = "/tmp/graft_opq_v1"): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val base = "/tmp/graft_opq_v1"
     val tmp = s"$base/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     df.withColumn("n", lit(corpusKey)).coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = listParquet(tmp).head
@@ -271,6 +271,46 @@ object PipelineQueries {
     publishKeyedArtifact(rows.toDF("i", "j", "value"), "rotation", corpusKey)
     publishKeyedArtifact(model.codebooks, "codebooks", corpusKey)
   }
+
+  /** One trained LR quality model per catalog dataDir per process — fit on
+    * the even half to DISTILL the rule-based quality score (label:
+    * round(qualityScore, 6) >= 0.7 — the CCNet/fastText setup, where the
+    * "reference-like" label is itself derived from a rule and the trained
+    * linear model learns to imitate it from token counts; the synthetic
+    * corpus's lang/source columns are uncorrelated with text by
+    * construction, so they are unlearnable and make dishonest demos).
+    * Published as the q_text_lr family's oracle artifact (integer
+    * micro-unit weights, corpus-size keyed — the q_ann_opq pattern: the
+    * oracle replays SCORING given the published model, training has no SQL
+    * replay), memoized so the family's rows share one fit per run. */
+  private val lrModels =
+    new java.util.concurrent.ConcurrentHashMap[String, TextOps.LrModel]()
+  private def lrModelFor(c: graft.catalog.Catalog): TextOps.LrModel =
+    lrModels.computeIfAbsent(c.dataDir, _ => {
+      val docs = c.resolve("documents")
+      val train = docs.where(col("doc_id") % 2 === 0)
+        .withColumn("__hi_q",
+          (round(TextOps.qualityScore(col("text")), 6) >= 0.7).cast("int"))
+      val m = TextOps.lrTrain(train, "__hi_q",
+        dim = 256, epochs = 30, rate = 0.5, l2 = 1e-4)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      publishKeyedArtifact(m.qWeights.toSeq.toDF("feature", "qw"),
+        "weights", docs.count(), base = "/tmp/graft_lr_v1")
+      m
+    })
+
+  /** The distillation label, replayed in DuckDB (q_text_quality's formula
+    * thresholded on the ROUNDED score, so an ulp cannot flip a label):
+    * expects `text` and `toks` in scope. */
+  private lazy val duckLrLabel =
+    s"""CASE WHEN round((least(length(toks) / 50.0, 1.0)
+       |  + greatest(1.0 - (CASE WHEN length(text) > 0
+       |      THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))::DOUBLE / length(text)
+       |      ELSE 0.0 END) * 5.0, 0.0)
+       |  + least((CASE WHEN length(toks) > 0
+       |      THEN ${duckStopHits(sqlList(TextOps.enStop))}::DOUBLE / length(toks)
+       |      ELSE 0.0 END) * 4.0, 1.0)) / 3.0, 6) >= 0.7 THEN 1 ELSE 0 END""".stripMargin
 
   private def listParquet(dir: String): Set[java.nio.file.Path] = {
     val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
@@ -1084,6 +1124,139 @@ object PipelineQueries {
         docs.select(col("doc_id"), (col("lang") === "en").cast("double").as("y")),
         "doc_id")
       TextOps.calibrationReport(scored, "p", "y").orderBy("bin")
+    },
+
+    // TRAINED quality classifier — hashed token-count logistic regression
+    // (the fastText-linear CCNet shape), fit full-batch on the even half
+    // to DISTILL the rule-based quality label (round(qualityScore,6) >=
+    // 0.7) and swept over the odd half. The model is PUBLISHED as integer
+    // micro-unit weights and the oracle replays SCORING from the artifact
+    // (the q_ann_opq search-given-the-model pattern — gradient descent
+    // has no SQL replay); margins are exact BIGINT tf·qw sums (nbTrain's
+    // quantization convention), only the final sigmoid is floating and it
+    // is rounded 6dp on both sides BEFORE the 0.5 threshold, so an exp()
+    // ulp cannot flip a prediction
+    q("q_text_lr",
+      s"""WITH w AS (SELECT feature, qw
+         |      FROM read_parquet('/tmp/graft_lr_v1/weights_*.parquet')
+         |      WHERE n = (SELECT count(*) FROM documents)),
+         |te0 AS (SELECT doc_id, text, $duckToks AS toks
+         |       FROM documents WHERE doc_id % 2 = 1),
+         |te AS (SELECT doc_id, toks, $duckLrLabel AS actual FROM te0),
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM te),
+         |f0 AS (SELECT doc_id,
+         |        (('0x' || substring(md5(token),1,15))::BIGINT) % 256 AS feature,
+         |        count(*) AS x FROM ex GROUP BY 1, 2),
+         |f AS (SELECT doc_id, feature, x FROM f0
+         |      UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS feature, 1 AS x FROM te),
+         |m AS (SELECT f.doc_id, CAST(sum(f.x * w.qw) AS BIGINT) AS qmargin
+         |      FROM f JOIN w USING (feature) GROUP BY 1),
+         |sc AS (SELECT te.doc_id, te.actual,
+         |        CAST(coalesce(m.qmargin, 0) AS BIGINT) AS qmargin,
+         |        round(1.0 / (1.0 + exp(-CAST(coalesce(m.qmargin, 0) AS DOUBLE) / 1000000.0)), 6) AS p
+         |       FROM te LEFT JOIN m USING (doc_id))
+         |SELECT doc_id, actual, CAST(p >= 0.5 AS INT) AS predicted, p + 0.0 AS p, qmargin
+         |FROM sc ORDER BY doc_id""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val model = lrModelFor(c)
+      TextOps.lrScore(docs.where(col("doc_id") % 2 === 1), model, "doc_id", "text")
+        .join(
+          docs.select(col("doc_id"),
+            (round(TextOps.qualityScore(col("text")), 6) >= 0.7).cast("int")
+              .as("actual")),
+          "doc_id")
+        .select(col("doc_id"), col("actual"),
+          (col("p") >= 0.5).cast("int").as("predicted"), col("p"), col("qmargin"))
+        .orderBy("doc_id")
+    },
+
+    // the trained classifier's CALIBRATION audit — the same reliability
+    // diagram as q_text_calibration (Guo et al. 2017) over the LR
+    // posterior instead of the NB one: per decile bin count, mean
+    // confidence, empirical accuracy, weighted |conf-acc| (sum = ECE).
+    // Composition row: published-model scoring ∘ calibrationReport
+    q("q_text_lr_calibration",
+      s"""WITH w AS (SELECT feature, qw
+         |      FROM read_parquet('/tmp/graft_lr_v1/weights_*.parquet')
+         |      WHERE n = (SELECT count(*) FROM documents)),
+         |te0 AS (SELECT doc_id, text, $duckToks AS toks
+         |       FROM documents WHERE doc_id % 2 = 1),
+         |te AS (SELECT doc_id, toks, CAST($duckLrLabel AS DOUBLE) AS y FROM te0),
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM te),
+         |f0 AS (SELECT doc_id,
+         |        (('0x' || substring(md5(token),1,15))::BIGINT) % 256 AS feature,
+         |        count(*) AS x FROM ex GROUP BY 1, 2),
+         |f AS (SELECT doc_id, feature, x FROM f0
+         |      UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS feature, 1 AS x FROM te),
+         |m AS (SELECT f.doc_id, CAST(sum(f.x * w.qw) AS BIGINT) AS qmargin
+         |      FROM f JOIN w USING (feature) GROUP BY 1),
+         |pt AS (SELECT te.doc_id, te.y,
+         |        round(1.0 / (1.0 + exp(-CAST(coalesce(m.qmargin, 0) AS DOUBLE) / 1000000.0)), 6) AS p
+         |       FROM te LEFT JOIN m USING (doc_id)),
+         |b AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, count(*) AS n,
+         |        round(avg(p), 6) AS confidence, round(avg(y), 6) AS accuracy
+         |      FROM pt GROUP BY 1),
+         |t AS (SELECT sum(n) AS tot FROM b)
+         |SELECT bin, CAST(n AS BIGINT) AS n, confidence, accuracy,
+         |  round(abs(confidence - accuracy) * n / tot, 6) AS ece_part
+         |FROM b CROSS JOIN t ORDER BY bin""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val model = lrModelFor(c)
+      val scored = TextOps
+        .lrScore(docs.where(col("doc_id") % 2 === 1), model, "doc_id", "text")
+        .join(
+          docs.select(col("doc_id"),
+            (round(TextOps.qualityScore(col("text")), 6) >= 0.7).cast("double")
+              .as("y")),
+          "doc_id")
+      TextOps.calibrationReport(scored, "p", "y").orderBy("bin")
+    },
+
+    // what the quality filter RETAINS, by language — the bias audit a real
+    // corpus filter ships with (does "quality ≥ τ" silently drop a
+    // language?): per lang, docs/tokens total vs kept at p >= 0.5, and the
+    // kept fraction. Composition row: published-model scoring ∘ token
+    // accounting ∘ grouped retention report
+    q("q_text_lr_retention",
+      s"""WITH w AS (SELECT feature, qw
+         |      FROM read_parquet('/tmp/graft_lr_v1/weights_*.parquet')
+         |      WHERE n = (SELECT count(*) FROM documents)),
+         |te AS (SELECT doc_id, lang, $duckToks AS toks
+         |       FROM documents WHERE doc_id % 2 = 1),
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM te),
+         |f0 AS (SELECT doc_id,
+         |        (('0x' || substring(md5(token),1,15))::BIGINT) % 256 AS feature,
+         |        count(*) AS x FROM ex GROUP BY 1, 2),
+         |f AS (SELECT doc_id, feature, x FROM f0
+         |      UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS feature, 1 AS x FROM te),
+         |m AS (SELECT f.doc_id, CAST(sum(f.x * w.qw) AS BIGINT) AS qmargin
+         |      FROM f JOIN w USING (feature) GROUP BY 1),
+         |sc AS (SELECT te.doc_id, te.lang, length(te.toks) AS n_tok,
+         |        round(1.0 / (1.0 + exp(-CAST(coalesce(m.qmargin, 0) AS DOUBLE) / 1000000.0)), 6) AS p
+         |       FROM te LEFT JOIN m USING (doc_id))
+         |SELECT lang, count(*) AS docs_total,
+         |  CAST(sum(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN p >= 0.5 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  round(CAST(sum(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_frac
+         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin) { c =>
+      val docs = c.resolve("documents")
+      val model = lrModelFor(c)
+      TextOps.lrScore(docs.where(col("doc_id") % 2 === 1), model, "doc_id", "text")
+        .join(
+          docs.select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("n_tok")),
+          "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs_total"),
+          sum((col("p") >= 0.5).cast("long")).as("docs_kept"),
+          sum(col("n_tok")).cast("long").as("tokens_total"),
+          sum(when(col("p") >= 0.5, col("n_tok")).otherwise(lit(0L))).cast("long")
+            .as("tokens_kept"),
+          round(sum((col("p") >= 0.5).cast("long")).cast("double") / count(lit(1)), 6)
+            .as("kept_frac"))
+        .orderBy("lang")
     },
 
     // ASYMMETRIC near-containment: doc B mostly embedded in doc A

@@ -1889,6 +1889,190 @@ object TextOps {
       .drop("__tot")
   }
 
+  // ---- trained quality classifier: hashed-feature logistic regression ----
+  // The TRAINED counterpart of the closed-form [[nbTrain]] — the
+  // fastText-linear quality-classifier shape (CCNet / LLaMA-style "does
+  // this doc look like reference text"), with the hashing trick standing
+  // in for a vocabulary.
+
+  /** Engine-portable hashed bag-of-words bucket: first 15 md5 hex chars of
+    * the token as a 60-bit int, mod `dim` — the same md5→int convention as
+    * the minhash family, so an oracle replays it verbatim as
+    * `(('0x'||substring(md5(t),1,15))::BIGINT) % dim`. */
+  def lrFeatureHash(token: Column, dim: Int): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long") % dim
+
+  /** Sparse per-doc design matrix: (id, feature, x) rows where x is the
+    * bucket's TOKEN COUNT in the doc (term frequency — the fastText bag;
+    * presence bits carry no signal when a corpus's vocabulary is small and
+    * shared, because every doc contains every bucket), plus one bias row
+    * (feature -1, x = 1) per doc — null/empty texts still carry the bias
+    * row, so every doc gets a defined margin downstream. */
+  def lrFeatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dim: Int = 256): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), lrFeatureHash(col("__tok"), dim).as("feature"))
+      .agg(count(lit(1)).as("x"))
+      .unionByName(docs.select(col(idCol), lit(-1L).as("feature"), lit(1L).as("x")))
+
+  /** A trained LR model: per-feature weights in integer MICRO-UNITS
+    * (qw = round(w·1e6) — [[nbTrain]]'s quantization convention, so scoring
+    * sums exact BIGINTs in any engine and only the final sigmoid touches
+    * floats). Features absent from the map carry weight 0. */
+  final case class LrModel(qWeights: Map[Long, Long], dim: Int)
+
+  /** Full-batch training of L2-regularized logistic regression over hashed
+    * token-count features, by damped diagonal-Newton steps (per-feature
+    * curvature preconditioning — raw-count features have wildly uneven
+    * scales, so plain GD either crawls or oscillates).
+    *
+    * Scale shape: the design matrix is built ONCE and pinned; each epoch is
+    * two map-side-combined aggregations — a doc-keyed margin sum (design
+    * matrix vs the BROADCAST model) and a feature-keyed gradient+curvature
+    * sum (design matrix vs the doc-keyed residuals, an id-equi shuffle
+    * join) —
+    * plus one MODEL-sized collect (≤ dim+1 rows, the k-means-centroid
+    * precedent). Nothing corpus-sized reaches the driver; at 100 TB the
+    * model trains on a sample (the FAISS/OPQ recipe — q_text_lr does
+    * exactly that with its even-half split) and the full corpus only gets
+    * SCORED against the broadcast weights.
+    *
+    * Determinism: gradients are double sums, so a trained weight's last ulp
+    * can vary with partition order. The returned model is snapped to
+    * micro-units, and the correctness gate replays SCORING given the
+    * published model (the q_ann_opq search-given-the-model pattern), never
+    * the fit itself. The bias (feature -1) is exempt from L2, per
+    * convention. */
+  def lrTrain(
+      docs: DataFrame,
+      labelCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dim: Int = 256,
+      epochs: Int = 20,
+      rate: Double = 0.5,
+      l2: Double = 0.0): LrModel = {
+    require(dim >= 2, "need at least two hash buckets")
+    require(epochs >= 1 && rate > 0 && l2 >= 0, "bad hyperparameters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = lrFeatures(docs, idCol, textCol, dim).localCheckpoint()
+    val labels = docs
+      .select(col(idCol), col(labelCol).cast("double").as("__y"))
+      .localCheckpoint()
+    val nRaw = labels.count()
+    if (nRaw == 0L) return LrModel(Map.empty, dim) // empty corpus: nothing to fit
+    val n = nRaw.toDouble
+    val zero = Map.empty[Long, Double].withDefaultValue(0.0)
+    var w = zero
+    var bestW = zero
+    var bestGrads = Map.empty[Long, (Double, Double)]
+    var bestLoss = Double.MaxValue
+    var rt = rate
+    var vel = zero // heavy-ball momentum over the preconditioned direction
+    (1 to epochs).foreach { _ =>
+      val wDf = w.toSeq.toDF("feature", "__w")
+      val margins = feats.join(broadcast(wDf), Seq("feature"))
+        .groupBy(col(idCol)).agg(sum(col("x") * col("__w")).as("__m"))
+      // p, residual p - y, and the per-doc curvature p(1-p) in one frame
+      val scoredNow = labels.join(margins, Seq(idCol), "left")
+        .select(col(idCol),
+          (lit(1.0) / (lit(1.0) + exp(-coalesce(col("__m"), lit(0.0))))).as("__p"),
+          col("__y"))
+        .localCheckpoint()
+      val clamped = least(greatest(col("__p"), lit(1e-12)), lit(1.0 - 1e-12))
+      val loss = scoredNow
+        .agg(avg(-(col("__y") * log(clamped)
+          + (lit(1.0) - col("__y")) * log(lit(1.0) - clamped))).as("__l"))
+        .head().getDouble(0)
+      // keep-best + backtracking (the opqTrain best-by-objective
+      // discipline): an improving iterate is accepted and its gradients
+      // drive the next step; a worse one is rolled back and the SAME best
+      // direction is retried at half the step, so one overshoot can never
+      // poison the returned model — Newton steps on strongly correlated
+      // count features DO overshoot
+      if (loss < bestLoss) {
+        bestLoss = loss
+        bestW = w
+        rt = math.min(rt * 2.0, 4.0) // trust-region expand; backtracking below is the guard
+        val resid = scoredNow.select(col(idCol), (col("__p") - col("__y")).as("__r"),
+          (col("__p") * (lit(1.0) - col("__p"))).as("__s"))
+        // damped DIAGONAL-NEWTON direction: one feature-keyed pass
+        // accumulates both the gradient sum(x·r) and the diagonal Hessian
+        // sum(x²·s) — per-feature preconditioning that moves in O(10)
+        // epochs where plain GD on raw-count features (wildly varying
+        // per-feature scale) crawls
+        bestGrads = feats.join(resid, Seq(idCol))
+          .groupBy(col("feature")).agg(
+            sum(col("x") * col("__r")).as("__g"),
+            sum(col("x") * col("x") * col("__s")).as("__h"))
+          .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      } else {
+        rt = rt / 2
+        vel = zero // a rejected step's momentum is wrong momentum
+      }
+      // heavy-ball: v ← 0.9·v − rt·(preconditioned gradient); w ← best + v.
+      // Momentum is what actually moves along the correlated-count valley
+      // (diagonal preconditioning alone crawls there); the keep-best +
+      // backtrack guard above makes the aggressive pairing safe.
+      vel = (bestW.keySet ++ bestGrads.keySet ++ vel.keySet).map { f =>
+        val (gSum, hSum) = bestGrads.getOrElse(f, (0.0, 0.0))
+        val g = gSum / n + (if (f == -1L) 0.0 else l2 * bestW(f))
+        val h = hSum / n + l2 + 1e-6
+        f -> (0.9 * vel(f) - rt * g / h)
+      }.toMap.withDefaultValue(0.0)
+      w = (bestW.keySet ++ vel.keySet).map(f => f -> (bestW(f) + vel(f)))
+        .toMap.withDefaultValue(0.0)
+    }
+    // the returned model is the best EVALUATED iterate, never the last
+    // unevaluated step
+    LrModel(
+      bestW.map { case (f, v) => f -> math.round(v * 1e6) }.filter(_._2 != 0L),
+      dim)
+  }
+
+  /** Score docs against a trained (or loaded) model: `qmargin` is the exact
+    * BIGINT micro-unit margin (bias + Σ tf·weight — integer tf times
+    * integer micro-weight, so the sum is order-proof; features outside the
+    * model contribute 0 via the inner model join, docs with no model hits
+    * at all keep qmargin 0 via the left join — every input doc gets a
+    * row), `p = round(σ(qmargin/1e6), 6)` rounded BEFORE any
+    * consumer thresholds or bins it, so an exp() ulp cannot flip a
+    * decision between engines. One broadcast join + one doc-keyed sum. */
+  def lrScore(
+      docs: DataFrame,
+      weights: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dim: Int = 256): DataFrame = {
+    val hits = lrFeatures(docs, idCol, textCol, dim)
+      .join(broadcast(weights.select(col("feature"), col("qw"))), Seq("feature"))
+      .groupBy(col(idCol)).agg(sum(col("x") * col("qw")).as("__qm"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__qm"), lit(0L)).as("qmargin"),
+        round(
+          lit(1.0) / (lit(1.0) + exp(-coalesce(col("__qm"), lit(0L)).cast("double") / 1e6)),
+          6).as("p"))
+  }
+
+  /** [[lrScore]] from an in-memory model (train-then-score in one hand). */
+  def lrScore(
+      docs: DataFrame,
+      model: LrModel,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    lrScore(docs, model.qWeights.toSeq.toDF("feature", "qw"),
+      idCol, textCol, model.dim)
+  }
+
   /** Collocation mining by pointwise mutual information: for every adjacent
     * word pair seen >= `minCount` times,
     *   PMI = ln( P(ab) / (P(a)·P(b)) )

@@ -2667,6 +2667,86 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tie.getString(1) == "sports")
   }
 
+  private def lrHash(tok: String, dim: Int): Long = {
+    // the engine-portable bucket, recomputed independently (md5 hex ->
+    // 60-bit int -> mod dim), mirroring the DuckDB oracle formula
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % dim
+  }
+
+  test("lrTrain/lrScore: separable toy learned, hand-replayed integer margin, keep-best no worse than 1 epoch") {
+    import graft.operators.TextOps
+    val train = Seq(
+      (0, "alpha beta gamma alpha", 1), (1, "beta alpha gamma gamma", 1),
+      (2, "alpha gamma beta", 1), (3, "zug blor kraz zug", 0),
+      (4, "blor zug kraz", 0), (5, "kraz blor zug blor", 0))
+      .toDF("doc_id", "text", "y")
+    val m = TextOps.lrTrain(train, "y", dim = 64, epochs = 15, rate = 0.5)
+    val sc = TextOps.lrScore(train, m, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // disjoint vocab -> fully separated at the 0.5 threshold
+    (0 to 2).foreach(i => assert(sc(i)._2 > 0.5, s"pos doc $i p=${sc(i)._2}"))
+    (3 to 5).foreach(i => assert(sc(i)._2 < 0.5, s"neg doc $i p=${sc(i)._2}"))
+    // the margin is an EXACT integer sum: replay doc 0 (alpha x2, beta,
+    // gamma, bias) straight from the model map and the portable hash
+    def qw(f: Long) = m.qWeights.getOrElse(f, 0L)
+    val expected0 = qw(-1L) + 2 * qw(lrHash("alpha", 64)) +
+      qw(lrHash("beta", 64)) + qw(lrHash("gamma", 64))
+    assert(sc(0)._1 == expected0)
+    // keep-best: more epochs can never return a worse model in-sample
+    def loss(model: TextOps.LrModel): Double = {
+      val ps = TextOps.lrScore(train, model, "doc_id", "text")
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+        .collect().map(r => (r.getDouble(2), r.getInt(3)))
+      ps.map { case (p0, y) =>
+        val p = math.min(math.max(p0, 1e-12), 1 - 1e-12)
+        -(y * math.log(p) + (1 - y) * math.log(1 - p))
+      }.sum / ps.length
+    }
+    val m1 = TextOps.lrTrain(train, "y", dim = 64, epochs = 1, rate = 0.5)
+    assert(loss(m) <= loss(m1) + 1e-9)
+  }
+
+  test("lrFeatures: tf counts not presence, bias row carried by empty and null texts") {
+    import graft.operators.TextOps
+    val d = Seq((1, "aa aa bb"), (2, ""), (3, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val f = TextOps.lrFeatures(d, dim = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(f((1, lrHash("aa", 64))) == 2L) // term FREQUENCY, not presence
+    assert(f((1, lrHash("bb", 64))) == 1L)
+    assert(f((1, -1L)) == 1L)
+    // empty/null docs still carry exactly their bias row
+    assert(f((2, -1L)) == 1L && f((3, -1L)) == 1L)
+    assert(f.keys.count(_._1 == 2) == 1 && f.keys.count(_._1 == 3) == 1)
+  }
+
+  test("lrTrain: empty corpus -> empty model (p=0.5 everywhere); one-class saturates; l2 shrinks weights") {
+    import graft.operators.TextOps
+    val empty = Seq.empty[(Int, String, Int)].toDF("doc_id", "text", "y")
+    val m0 = TextOps.lrTrain(empty, "y", dim = 16, epochs = 3)
+    assert(m0.qWeights.isEmpty)
+    val probe = Seq((7, "anything at all")).toDF("doc_id", "text")
+    val s0 = TextOps.lrScore(probe, m0, "doc_id", "text").head()
+    assert(s0.getLong(1) == 0L && s0.getDouble(2) == 0.5)
+    // one-class corpus: the fit saturates toward p -> 1 on its own docs
+    val ones = Seq((1, "alpha beta", 1), (2, "beta gamma", 1)).toDF("doc_id", "text", "y")
+    val m1 = TextOps.lrTrain(ones, "y", dim = 16, epochs = 10, rate = 0.5)
+    TextOps.lrScore(ones, m1, "doc_id", "text").collect()
+      .foreach(r => assert(r.getDouble(2) > 0.9))
+    // L2 shrinks the learned weights
+    val d = Seq(
+      (0, "alpha beta gamma alpha", 1), (1, "beta alpha gamma gamma", 1),
+      (2, "zug blor kraz zug", 0), (3, "blor zug kraz", 0))
+      .toDF("doc_id", "text", "y")
+    def l1(m: TextOps.LrModel) = m.qWeights.values.map(v => math.abs(v.toDouble)).sum
+    val free = TextOps.lrTrain(d, "y", dim = 16, epochs = 10, rate = 0.5, l2 = 0.0)
+    val reg = TextOps.lrTrain(d, "y", dim = 16, epochs = 10, rate = 0.5, l2 = 0.5)
+    assert(l1(reg) < l1(free))
+  }
+
   test("containmentPairs: wrapper contains the embedded doc, not vice versa; exact dups both ways") {
     val short = (1 to 30).map(i => s"core$i").mkString(" ")
     val long = (1 to 15).map(i => s"pre$i").mkString(" ") + " " + short + " " +

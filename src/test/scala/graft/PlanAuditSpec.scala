@@ -247,6 +247,21 @@ class PlanAuditSpec extends SparkSpec {
       s"per-prev totals must broadcast:\n${physical(tr)}")
   }
 
+  test("lrScore: model joins by BROADCAST, margins partial-aggregate, no cartesian, no UDF") {
+    val docs = new Catalog(spark, sfDir).resolve("documents")
+    val model = graft.operators.TextOps.LrModel(
+      Map(-1L -> 1000L, 3L -> -2000L, 17L -> 500L), dim = 256)
+    val plan = physical(
+      graft.operators.TextOps.lrScore(docs, model, "doc_id", "text"))
+    // the model is metadata-sized: it must broadcast into the tf join,
+    // never shuffle the corpus against it
+    assert(plan.contains("BroadcastHashJoin"), s"model join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in scoring:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"scoring is declarative, no UDF:\n$plan")
+    // the margin is a hash aggregate (map-side combinable), not a window
+    assert(!plan.contains("Window"), s"margin sum must not be a window:\n$plan")
+  }
+
   test("k-means iteration carries no ScalaUDF (native double-array kernels)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = graft.operators.Similarity.kmeansCentroids(emb, k = 2, iters = 1)
