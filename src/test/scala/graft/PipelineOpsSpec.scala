@@ -2723,6 +2723,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f.keys.count(_._1 == 2) == 1 && f.keys.count(_._1 == 3) == 1)
   }
 
+  test("lrScore property: random corpora x random models, qmargin equals the plain-Scala replay EXACTLY") {
+    import graft.operators.TextOps
+    // pins the whole portable-scoring contract at once — tokenize, md5
+    // bucket (collisions included at dim=16), tf aggregation, bias row,
+    // absent-feature zero, and the BIGINT sum — against an independent
+    // per-doc replay, over seeded random inputs
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "kappa", "mu", "nu", "xi")
+    Seq(16, 64, 256).foreach { dim =>
+      val model = TextOps.LrModel(
+        (-1L +: vocab.map(lrHash(_, dim))).distinct
+          .filter(_ => rnd.nextBoolean())
+          .map(f => f -> (rnd.nextInt(2000001) - 1000000).toLong).toMap, dim)
+      val corpus = (0 until 30).map { i =>
+        val len = rnd.nextInt(12) // includes empty docs
+        (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = TextOps.lrScore(corpus.toDF("doc_id", "text"), model, "doc_id", "text")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      corpus.foreach { case (id, text) =>
+        val tf = text.split(" ").filter(_.nonEmpty)
+          .groupBy(identity).view.mapValues(_.length).toMap
+        val expect = model.qWeights.getOrElse(-1L, 0L) +
+          tf.map { case (t, c) =>
+            c.toLong * model.qWeights.getOrElse(lrHash(t, dim), 0L)
+          }.sum
+        assert(got(id) == expect, s"doc $id dim=$dim")
+      }
+    }
+  }
+
   test("lrTrain: empty corpus -> empty model (p=0.5 everywhere); one-class saturates; l2 shrinks weights") {
     import graft.operators.TextOps
     val empty = Seq.empty[(Int, String, Int)].toDF("doc_id", "text", "y")
