@@ -66,7 +66,8 @@ object Bench {
       (1 to 3).map(_ => calibrate()).min
     } catch {
       case t: Throwable =>
-        System.err.println(s"[bench] calibration failed: ${t.getClass.getSimpleName}")
+        System.err.println(s"[bench] calibration failed: ${t.getClass.getSimpleName}: " +
+          String.valueOf(t.getMessage).take(200))
         -1.0
     }
     System.err.println(f"[bench] calibration probe $calib%8.2f s")
@@ -103,11 +104,16 @@ object Bench {
     // head to the window cut (it did in rounds 4 and 5).
     val chunks = results.grouped(20).toSeq
     val total = results.map(_._2).filter(_ >= 0).sum
+    // every chunk AND the total carry the same per-run id: two runs in one
+    // capture file are separated by the id CHANGING, not by inferring run
+    // boundaries from part numbers — a lost part-1 line used to let the
+    // second run's remaining chunks merge silently into the stale run
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     val lines =
       chunks.zipWithIndex.map { case (chunk, i) =>
-        s"""{"metric":"chunk","part":${i + 1},"parts":${chunks.size},"queries":${qJson(chunk)}}"""
+        s"""{"metric":"chunk","run":"$runId","part":${i + 1},"parts":${chunks.size},"queries":${qJson(chunk)}}"""
       } :+
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},"parts":${chunks.size},"calib_sec":${r3(calib)},"sf":"$sfDir"}"""
+        s"""{"metric":"total","run":"$runId","value":${r3(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},"parts":${chunks.size},"calib_sec":${r3(calib)},"sf":"$sfDir"}"""
     // belt-and-braces: the complete record as one file the capture window
     // cannot truncate (driver/judge can cross-check stdout against it)
     try java.nio.file.Files.write(

@@ -30,7 +30,7 @@ object Cli {
         |  columns <view> | type <view> | schema <view> | count <view>
         |  set-appdata <view> <json> | get-appdata <view>
         |  merge <name> <view>... | remove <view> | rename <old> <new>
-        |  snapshot <table> <name> | snapshots <table>
+        |  snapshot <table[,table...]> <name> | snapshots <table>
         |  read-snapshot <table> <name> [limit] | drop-snapshot <table> <name>
         |  delete | convert <logfile> [query_id]
         |  value-counts <view> <path>
@@ -229,8 +229,13 @@ object Cli {
       case "remove"  => s.removeView(rest.head)
       case "rename"  => s.renameView(rest(0), rest(1))
       // reproducibility pins: snapshot a table's current state by name,
-      // list pins, read a pin (bounded like lookup), drop a pin
-      case "snapshot"      => s.snapshot(rest(0), rest(1))
+      // list pins, read a pin (bounded like lookup), drop a pin. A
+      // comma-separated table list pins a MULTI-TABLE consistent cut
+      // (all leases held at once, one journal entry).
+      case "snapshot" =>
+        if (rest(0).contains(","))
+          s.snapshot(rest(0).split(',').toSeq.map(_.trim).filter(_.nonEmpty), rest(1))
+        else s.snapshot(rest(0), rest(1))
       case "snapshots"     => s.snapshots(rest.head).foreach(println)
       case "drop-snapshot" => s.dropSnapshot(rest(0), rest(1))
       case "read-snapshot" =>

@@ -74,6 +74,27 @@ object StixCorpus {
     storage
   }
 
+  /** The MULTI-TABLE snapshot fixture store: the same six bundles, with
+    * url AND user-account pinned between the two ingests by ONE
+    * snapshot(Seq(...), name) verb call — both pins land under
+    * simultaneously-held leases, so they capture one consistent cut.
+    * Marker-guarded and built once per /tmp lifetime (the ensureSnap
+    * discipline): q_stix_snapshot_multi measures the verb READ path. */
+  private val snapMultiDir = "/tmp/graft_stixsnapmulti_corpus_v1"
+  private val snapMultiMarker = java.nio.file.Paths.get(snapMultiDir, "_READY")
+
+  def ensureSnapMulti(spark: SparkSession): Storage = lock.synchronized {
+    if (java.nio.file.Files.exists(snapMultiMarker)) return new Storage(spark, snapMultiDir)
+    val p = java.nio.file.Paths.get(snapMultiDir)
+    if (java.nio.file.Files.exists(p)) deleteRecursively(p)
+    val storage = new Storage(spark, snapMultiDir)
+    storage.cache("q1", (0 until 4).map(bundleJson))
+    storage.snapshot(Seq("url", "user-account"), "m1")
+    storage.cache("q2", (4 until 6).map(bundleJson))
+    java.nio.file.Files.createFile(snapMultiMarker)
+    storage
+  }
+
   private[graft] def deleteDir(p: java.nio.file.Path): Unit = ingest.FsUtil.deleteTree(p)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = ingest.FsUtil.deleteTree(p)

@@ -799,6 +799,39 @@ object StixQueries {
          |WHERE id IN ${prov("q1")} OR id IN ${prov("q2")}
          |ORDER BY side, id""".stripMargin)),
 
+    // ----- snapshot(Seq(tables), name): the MULTI-TABLE consistent cut —
+    //       one verb call pins url AND user-account under one name (all
+    //       leases held simultaneously, ONE journal entry) between the two
+    //       ingests; both pins must read as the q1-only state while the
+    //       live tables show both ingests. Ids are content-derived UUIDv5,
+    //       so the q1-only state IS the q1-provenance subset (the
+    //       q_stix_snapshot argument, per table).
+    Q("q_stix_snapshot_multi", (spark, _) => {
+      StixCorpus.ensure(spark) // the oracle reads the shared corpus tables
+      val st = StixCorpus.ensureSnapMulti(spark)
+      st.readSnapshot("url", "m1")
+        .select(lit("snap_url").as("side"), col("id"), col("value").as("val"))
+        .unionByName(st.readSnapshot("user-account", "m1")
+          .select(lit("snap_user").as("side"), col("id"), col("user_id").as("val")))
+        .unionByName(st.catalog.resolve("url")
+          .select(lit("live_url").as("side"), col("id"), col("value").as("val")))
+        .unionByName(st.catalog.resolve("user-account")
+          .select(lit("live_user").as("side"), col("id"), col("user_id").as("val")))
+        .orderBy("side", "id")
+    }, Some(
+      s"""SELECT 'snap_url' AS side, id, value AS val FROM ${t("url")}
+         |WHERE id IN ${prov("q1")}
+         |UNION ALL
+         |SELECT 'snap_user', id, user_id FROM ${t("user-account")}
+         |WHERE id IN ${prov("q1")}
+         |UNION ALL
+         |SELECT 'live_url', id, value FROM ${t("url")}
+         |WHERE id IN ${prov("q1")} OR id IN ${prov("q2")}
+         |UNION ALL
+         |SELECT 'live_user', id, user_id FROM ${t("user-account")}
+         |WHERE id IN ${prov("q1")} OR id IN ${prov("q2")}
+         |ORDER BY side, id""".stripMargin)),
+
     q("q_stix_finish",
       s"""SELECT u.value, count(*) AS count
          |FROM ${t("url")} u

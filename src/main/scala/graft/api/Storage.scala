@@ -87,7 +87,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
               // snapshot pins are durable filesystem state, not plan
               // recipes: the journal lines are the provenance record and
               // replay must NOT re-execute them (see the snapshot verbs)
-              case "snapshot" | "drop_snapshot" => ()
+              case "snapshot" | "snapshot_multi" | "drop_snapshot" => ()
               case _         => ()
             }
           }
@@ -846,6 +846,19 @@ class Storage(val spark: SparkSession, val workDir: String) {
   def snapshot(table: String, name: String): Unit = {
     UpsertWriter.snapshot(workDir, table, name)
     journal("snapshot", table, name)
+  }
+
+  /** Pin SEVERAL tables under one snapshot name in ONE verb call — the
+    * consistent cut a training run pins its whole input with (documents +
+    * embeddings + an index): all tables' leases are held simultaneously
+    * while the pins land (sorted acquisition order — deadlock-free; see
+    * [[graft.ingest.UpsertWriter.snapshotAll]]), so no concurrent ingest
+    * can slip between two tables' pins, and the group is all-or-nothing.
+    * Journaled as ONE entry — one name, one provenance record. Read each
+    * table back with [[readSnapshot]] under the shared name. */
+  def snapshot(tables: Seq[String], name: String): Unit = {
+    UpsertWriter.snapshotAll(workDir, tables, name)
+    journal("snapshot_multi", tables.mkString(","), name)
   }
 
   /** Read a pinned snapshot — same frame shape as the live table, immune

@@ -796,6 +796,64 @@ object UpsertWriter {
     }
   }
 
+  /** Pin SEVERAL tables' current states under ONE snapshot name — the
+    * multi-table consistent cut a training run actually needs (its input
+    * is typically documents + embeddings + an index): pinning tables one
+    * by one under separate lease acquisitions lets a concurrent ingest
+    * land between two pins and capture mutually INCONSISTENT states. Here
+    * every table's write lease is acquired first — in SORTED order, so two
+    * concurrent multi-table pins (or a pin racing any other sorted
+    * multi-lease holder) cannot deadlock — and all are held while each
+    * table is rolled forward ([[repairPending]]), validated, and pinned
+    * with the same marker-last crash-safe publish as [[snapshot]]. No
+    * writer can touch ANY of the tables between the first and last pin,
+    * so the captured states form one consistent cut. All-or-nothing at
+    * the name level: name collisions and missing tables are checked for
+    * every table BEFORE the first pin, and a failure mid-pin rolls back
+    * this call's own completed pins — a half-published group never
+    * survives. */
+  def snapshotAll(dir: String, tables: Seq[String], name: String): Unit = {
+    require(SnapName.matcher(name).matches(), s"bad snapshot name: '$name'")
+    require(tables.nonEmpty, "snapshotAll: no tables given")
+    require(tables.distinct.size == tables.size, s"snapshotAll: duplicate tables in $tables")
+    val sorted = tables.sorted
+    def pinned(t: String) = snapshotPath(dir, t, name)
+    def withAllLeases[T](rest: List[String])(body: => T): T = rest match {
+      case Nil => body
+      case t :: more => withTableLease(pathOf(dir, t))(withAllLeases(more)(body))
+    }
+    withAllLeases(sorted.toList) {
+      // validate EVERYTHING before pinning ANYTHING: a name collision on
+      // table 3 must not leave tables 1-2 pinned
+      sorted.foreach { t =>
+        val p = pathOf(dir, t)
+        repairPending(p)
+        require(Files.exists(p), s"no such table: $dir/$t")
+        val target = pinned(t)
+        if (Files.exists(snapOkOf(target)))
+          throw new IllegalStateException(s"snapshot already exists: $t@$name")
+        if (Files.exists(target)) fs.deleteTree(target) // marker-less crash debris
+      }
+      val done = scala.collection.mutable.ListBuffer[String]()
+      try {
+        sorted.foreach { t =>
+          val target = pinned(t)
+          fs.mkdirs(target.getParent)
+          fs.linkOrCopyTree(pathOf(dir, t), target)
+          fs.put(snapOkOf(target), Array.emptyByteArray)
+          done += t
+        }
+      } catch {
+        case e: Throwable =>
+          // roll back THIS call's completed pins (name-validated above, so
+          // they are ours); a crash mid-pin instead leaves marker-less
+          // debris the next pin under this name clears
+          done.foreach(t => try fs.deleteTree(pinned(t)) catch { case _: Throwable => () })
+          throw e
+      }
+    }
+  }
+
   /** Read a published snapshot — same shape as [[readTable]] (bucket
     * partition column dropped), but over the pinned state: immune to
     * every write the live table has taken since. */

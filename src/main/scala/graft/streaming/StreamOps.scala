@@ -153,6 +153,52 @@ object StreamOps {
     * store ([[sinkToStore]]) or key parquet files by (batchId, table) the
     * way foreachBatch idempotence is normally done; the harness drains
     * are single-run. */
+  /** STREAMING TRAINED-QUALITY GATE — the CCNet-shape crawl filter: each
+    * micro-batch is scored against the PUBLISHED logistic-regression
+    * weights ([[graft.operators.TextOps.lrScore]] — integer micro-unit
+    * margins, one broadcast model join + one doc-keyed sum, the cheapest
+    * possible streaming face) and docs with p >= `tau` land under
+    * `dir/kept` WITH their qmargin/p columns; below-threshold docs are
+    * dropped before they ever reach the store loop. The gate is STATELESS
+    * per doc (no streaming state, no cross-batch memory), so the kept set
+    * is batching-invariant by construction: the accumulated kept rows
+    * equal the whole-corpus batch replay (lrScore + filter) however the
+    * stream was cut — the law the q_stream_lr oracle and StreamingSpec
+    * pin. Production routes `dir/kept` into the bucketed store
+    * ([[sinkToStore]]) or swaps the parquet append for an upsert; the
+    * model is metadata (broadcast once per batch), so a 1000-executor
+    * crawl pays one map-side scan per batch and nothing corpus-sized.
+    * Same at-least-once append caveat (and remedies) as
+    * [[indexLexical]]. */
+  def gateQuality(
+      stream: DataFrame,
+      weights: DataFrame,
+      tau: Double,
+      dir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      /** MUST equal the published model's hash-bucket count: buckets are
+        * `hash mod dim`, so a mismatch silently scores every doc at the
+        * bias-only margin (no feature ever matches a weight row). */
+      dim: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      // single-file micro-batches arrive as ONE partition; tokenization is
+      // the real work — spread before paying it (the indexLexical rationale)
+      val raw = batch.toDF()
+      val minParts = raw.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val b = spread.persist()
+      try {
+        val scored = graft.operators.TextOps.lrScore(b, weights, idCol, textCol, dim)
+        b.join(scored.where(col("p") >= tau), Seq(idCol))
+          .write.mode("append").parquet(s"$dir/kept")
+      } finally {
+        b.unpersist()
+        ()
+      }
+    }
+
   def indexLexical(
       stream: DataFrame,
       dir: String,
@@ -219,6 +265,22 @@ object StreamOps {
       // single-file micro-batches arrive as ONE partition; tokenization is
       // the real work — spread before paying it (the indexLexical rationale)
       val raw = batch.toDF()
+      // Fail LOUDLY on a store written by the pre-dl (doc, term, pos)
+      // schema: mode(append) onto it would yield mixed-schema parquet that
+      // silently drops dl depending on which footer Spark infers from, and
+      // bm25FromPositional over such a store is wrong, not erroring.
+      // One footer read per micro-batch against a store we are about to
+      // append to anyway — rebuild the store (or backfill dl) to migrate.
+      val postingsPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      val hfs = postingsPath.getFileSystem(raw.sparkSession.sessionState.newHadoopConf())
+      if (hfs.exists(postingsPath)) {
+        val existing = raw.sparkSession.read.parquet(s"$dir/postings").schema
+        require(
+          existing.fieldNames.contains("dl"),
+          s"positional store at $dir/postings predates the dl column " +
+            "(pre-unified (doc,term,pos) schema) — appending would mix schemas " +
+            "and silently drop dl; rebuild the store with positionalIndex")
+      }
       val minParts = raw.sparkSession.sparkContext.defaultParallelism
       val spread =
         if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw

@@ -2779,6 +2779,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(l1(reg) < l1(free))
   }
 
+  test("lrTrainNewton law: same-or-better held-out accuracy than the epoch trainer in STRICTLY fewer Spark jobs, identical published-weight format") {
+    import graft.operators.TextOps
+    // a learnable-but-noisy distillation corpus (the q_text_lr shape):
+    // label = quality-ish rule over two vocab pools with overlap words, so
+    // neither trainer can memorize and held-out accuracy is a real number
+    val rnd = new scala.util.Random(42)
+    val good = Array("alpha", "beta", "gamma", "delta", "omega")
+    val bad = Array("zug", "blor", "kraz", "vex", "qux")
+    val both = Array("the", "and", "data")
+    val corpus = (0 until 240).map { i =>
+      val pool = if (i % 2 == 0) good else bad
+      val words = (0 until (5 + rnd.nextInt(8))).map { _ =>
+        if (rnd.nextInt(4) == 0) both(rnd.nextInt(both.length))
+        else pool(rnd.nextInt(pool.length))
+      }
+      (i.toLong, words.mkString(" "), if (i % 2 == 0) 1 else 0)
+    }.toDF("doc_id", "text", "y")
+    val train = corpus.where(col("doc_id") % 4 =!= 1).localCheckpoint()
+    val heldOut = corpus.where(col("doc_id") % 4 === 1).localCheckpoint()
+    def acc(m: TextOps.LrModel): Double = {
+      val rows = TextOps.lrScore(heldOut, m, "doc_id", "text")
+        .join(heldOut.select(col("doc_id"), col("y")), "doc_id")
+        .collect()
+      rows.count(r => (r.getDouble(2) >= 0.5) == (r.getInt(3) == 1)).toDouble / rows.length
+    }
+    def countJobs[T](body: => T): (T, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(counter)
+      val out =
+        try { val r = body; Thread.sleep(1000L); r } // listener bus is async
+        finally spark.sparkContext.removeSparkListener(counter)
+      (out, jobs.get())
+    }
+    // the production hyperparameters on both sides (lrModelFor's epoch=30
+    // config vs the Newton default)
+    val (mEpoch, jobsEpoch) = countJobs(
+      TextOps.lrTrain(train, "y", dim = 64, epochs = 30, rate = 0.5, l2 = 1e-4))
+    val (mNewton, jobsNewton) = countJobs(
+      TextOps.lrTrainNewton(train, "y", dim = 64, iters = 10, l2 = 1e-4))
+    val (aE, aN) = (acc(mEpoch), acc(mNewton))
+    info(s"held-out acc: epochs=$aE newton=$aN; jobs: epochs=$jobsEpoch newton=$jobsNewton")
+    assert(aN >= aE - 1e-12,
+      s"Newton held-out accuracy $aN worse than epoch trainer $aE")
+    assert(jobsNewton < jobsEpoch,
+      s"Newton ran $jobsNewton Spark jobs, epoch trainer $jobsEpoch — the law is STRICTLY fewer")
+    // identical published format: integer micro-unit map, zero weights
+    // dropped, same dim — a caller can swap trainers under lrScore and
+    // the publish path untouched
+    assert(mNewton.dim == mEpoch.dim)
+    assert(mNewton.qWeights.values.forall(_ != 0L))
+    val sc = TextOps.lrScore(heldOut, mNewton, "doc_id", "text").head()
+    assert(!sc.isNullAt(1) && !sc.isNullAt(2))
+  }
+
   test("containmentPairs: wrapper contains the embedded doc, not vice versa; exact dups both ways") {
     val short = (1 to 30).map(i => s"core$i").mkString(" ")
     val long = (1 to 15).map(i => s"pre$i").mkString(" ") + " " + short + " " +

@@ -718,6 +718,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("gateQuality: the kept set equals the batch lrScore+filter, batching-invariant") {
+    // the streaming trained-quality gate's law: stateless per-doc scoring
+    // against the broadcast published weights means the accumulated kept
+    // rows equal the whole-corpus batch replay however the stream was cut
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val docsAll = Seq(
+      (0L, "alpha beta gamma alpha"), (1L, "zug blor kraz"),
+      (2L, "alpha gamma gamma"), (3L, "blor zug zug kraz"),
+      (4L, "beta beta alpha"), (5L, "kraz kraz"),
+      (6L, ""), (7L, "alpha zug"))
+    val train = docsAll.map { case (i, t) => (i, t, if (i % 2 == 0) 1 else 0) }
+      .toDF("doc_id", "text", "y")
+    val model = graft.operators.TextOps.lrTrainNewton(train, "y", dim = 32, iters = 6)
+    val weights = model.qWeights.toSeq.toDF("feature", "qw")
+    val base = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps
+      .gateQuality(input.toDF().toDF("doc_id", "text"), weights, 0.5, base, dim = 32)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(docsAll.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docsAll.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$base/kept")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[Long]("qmargin"), r.getAs[Double]("p")))
+      .toSet
+    val replay = docsAll.toDF("doc_id", "text")
+    val expected = graft.operators.TextOps
+      .lrScore(replay, model, "doc_id", "text")
+      .where(col("p") >= 0.5)
+      .join(replay, "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[Long]("qmargin"), r.getAs[Double]("p")))
+      .toSet
+    assert(expected.nonEmpty && expected.size < docsAll.size,
+      s"law needs a discriminating gate: kept ${expected.size}/${docsAll.size}")
+    assert(kept == expected, s"streamed kept set != batch replay\n$kept\n$expected")
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
+  }
+
   test("sinkToStore drains micro-batches through the delta-write upsert") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString

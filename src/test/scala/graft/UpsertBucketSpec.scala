@@ -896,4 +896,44 @@ class UpsertBucketSpec extends SparkSpec {
     intercept[IllegalArgumentException] { UpsertWriter.snapshot(dir, "t", "../evil") }
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("snapshotAll: one consistent multi-table cut, all-or-nothing on name collision") {
+    val dir = Files.createTempDirectory("graft-snapall").toString
+    UpsertWriter.upsert(spark, dir, "a",
+      df((0 until 60).map(i => (s"a-$i", s"av$i", 1L))))
+    UpsertWriter.upsert(spark, dir, "b",
+      df((0 until 40).map(i => (s"b-$i", s"bv$i", 2L))))
+    val pinnedA = UpsertWriter.readTable(spark, dir, "a").collect().map(_.toSeq).toSet
+    val pinnedB = UpsertWriter.readTable(spark, dir, "b").collect().map(_.toSeq).toSet
+    UpsertWriter.snapshotAll(dir, Seq("b", "a"), "cut1") // unsorted input ok
+    assert(UpsertWriter.snapshots(dir, "a") == Seq("cut1"))
+    assert(UpsertWriter.snapshots(dir, "b") == Seq("cut1"))
+    // mutate BOTH live tables; both pins must still read the cut
+    UpsertWriter.upsert(spark, dir, "a",
+      df((0 until 60 by 2).map(i => (s"a-$i", s"CHANGED$i", 9L))))
+    UpsertWriter.upsert(spark, dir, "b",
+      df((100 until 130).map(i => (s"b-$i", s"late$i", 2L))))
+    assert(UpsertWriter.readSnapshot(spark, dir, "a", "cut1")
+      .collect().map(_.toSeq).toSet == pinnedA)
+    assert(UpsertWriter.readSnapshot(spark, dir, "b", "cut1")
+      .collect().map(_.toSeq).toSet == pinnedB)
+    // all-or-nothing: name taken on ONE member fails the group BEFORE any
+    // pin lands — table b must not acquire a "cut2" pin
+    UpsertWriter.snapshot(dir, "a", "cut2")
+    val ex = intercept[IllegalStateException] {
+      UpsertWriter.snapshotAll(dir, Seq("a", "b"), "cut2")
+    }
+    assert(ex.getMessage.contains("already exists"))
+    assert(UpsertWriter.snapshots(dir, "b") == Seq("cut1"),
+      "a failed group pin must leave no partial member pins")
+    // missing table: same all-or-nothing contract
+    intercept[IllegalArgumentException] {
+      UpsertWriter.snapshotAll(dir, Seq("a", "nope"), "cut3")
+    }
+    assert(UpsertWriter.snapshots(dir, "a") == Seq("cut1", "cut2"))
+    intercept[IllegalArgumentException] {
+      UpsertWriter.snapshotAll(dir, Seq("a", "a"), "cut4")
+    }
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }

@@ -9,16 +9,27 @@ import json, sys
 raw, out = sys.argv[1], sys.argv[2]
 queries, total = {}, None
 parts_seen, parts_expected = 0, None
+run_id = None  # per-run id stamped on every chunk/total line (r15+)
 for line in open(raw):
     line = line.strip()
     if not line or '"metric"' not in line:
         continue
     rec = json.loads(line[line.index('{'):])  # strip any sbt [info] prefix
+    # Primary new-run detection: the per-run id CHANGING. Robust against a
+    # lost part-1 line (the old part==1 heuristic silently merged the
+    # second run's remaining chunks into the stale run when part 1 fell to
+    # stdout truncation). Lines without a run id (pre-r15 records) fall
+    # back to the part==1 heuristic below.
+    rid = rec.get('run')
+    if rid is not None and rid != run_id:
+        if run_id is not None:
+            queries, total, parts_seen, parts_expected = {}, None, 0, None
+        run_id = rid
     if rec.get('metric') == 'chunk':
         # A part-1 chunk after prior state, or any chunk after a completed
         # total, marks a NEW run in the same capture file: drop the stale
         # run's state instead of merging two runs' queries.
-        if rec.get('part') == 1 and (parts_seen > 0 or total is not None):
+        if rid is None and rec.get('part') == 1 and (parts_seen > 0 or total is not None):
             queries, total, parts_seen, parts_expected = {}, None, 0, None
         queries.update(rec['queries'])
         parts_seen += 1

