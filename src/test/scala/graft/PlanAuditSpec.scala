@@ -392,6 +392,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(ivfPlan.contains("centroid_id"), s"expected the centroid equi key:\n$ivfPlan")
   }
 
+  test("OPQ ∘ IVF-PQ composition: rotated-space search keeps the indexed shape (no cartesian, no retrain, no UDF)") {
+    val S = graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val sample = emb.where(col("vec_id") % 4 === 0).localCheckpoint(true)
+    val model = S.opqTrain(sample, m = 2, k = 4, iters = 1, rounds = 1)
+    // the production chain q_ann_opq_ivfpq runs: rotate once, coarse-assign
+    // in rotated space, ADC against persisted codes, exact rerank — the
+    // rotation must not change the indexed search's plan class
+    val rotated = S.rotate(emb, model.rotation)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x, 6) + lit(0.0)).as("embedding"))
+      .localCheckpoint(true)
+    val cents = rotated.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint(true)
+    val assignment = S.ivfAssign(rotated, cents).localCheckpoint(true)
+    val codes = S.pqEncodeIndexed(rotated, model.codebooks).localCheckpoint(true)
+    val plan = physical(S.ivfpqSearchIndexed(
+      assignment, codes, model.codebooks, cents, rotated.where(col("vec_id") < 5)))
+    assert(!plan.contains("CartesianProduct"), s"cell/ADC join degenerated:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"rotated search boxes through a UDF:\n$plan")
+    assert(plan.contains("centroid_id"), s"expected the centroid equi key:\n$plan")
+    assert(plan.contains("subspace"), s"expected the (subspace, code) equi keys:\n$plan")
+  }
+
   test("kmeansAssign is a broadcast argmax aggregate, not a window") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // localCheckpoint truncates the training lineage (whose deterministic

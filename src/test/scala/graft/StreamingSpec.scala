@@ -718,6 +718,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("indexPositional refuses a pre-dl (doc,term,pos) store: loud failure, no mixed-schema append") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_predl").toString
+    // a store written by the pre-unified schema: positions without dl
+    Seq((1L, "alpha", 0), (1L, "beta", 1))
+      .toDF("doc_id", "term", "pos")
+      .write.parquet(s"$base/idx/postings")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.indexPositional(input.toDF().toDF("doc_id", "text"), s"$base/idx")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      input.addData((2L, "gamma delta"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => String.valueOf(c.getMessage).contains("predates the dl column")),
+      s"expected the pre-dl guard, got: $ex")
+    // nothing appended: the old store still holds exactly its two rows
+    assert(spark.read.parquet(s"$base/idx/postings").count() == 2)
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
+  }
+
   test("gateQuality: the kept set equals the batch lrScore+filter, batching-invariant") {
     // the streaming trained-quality gate's law: stateless per-doc scoring
     // against the broadcast published weights means the accumulated kept

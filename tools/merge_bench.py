@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Merge Bench's self-delimiting chunk lines into the single-object form
 scaling_report.py consumes: {'queries': {...}, 'sf': ..., 'reps': ...}.
-Usage: python3 tools/merge_bench.py <raw_lines_file> <out.json>
+Usage: python3 tools/merge_bench.py [--partial] <raw_lines_file> <out.json>
 Accepts either the chunked form (N chunk lines + one total line) or the
-single-line form; fails loudly on missing parts."""
+single-line form; fails loudly on missing parts unless --partial is given
+(a truncated capture window is then emitted with partial: true — the
+common-window input scaling_report --compare consumes)."""
 import json, sys
 
-raw, out = sys.argv[1], sys.argv[2]
+args = sys.argv[1:]
+partial_ok = '--partial' in args
+args = [a for a in args if a != '--partial']
+raw, out = args[0], args[1]
 queries, total = {}, None
 parts_seen, parts_expected = 0, None
 run_id = None  # per-run id stamped on every chunk/total line (r15+)
@@ -46,13 +51,18 @@ for line in open(raw):
             parts_seen, parts_expected = 0, None
 if total is None:
     sys.exit('no total line found')
-if parts_expected is not None and parts_seen != parts_expected:
+truncated = parts_expected is not None and parts_seen != parts_expected
+if truncated and not partial_ok:
     sys.exit(f'chunk lines missing: {parts_seen}/{parts_expected}')
 merged = {
     'metric': 'total', 'value': total['value'], 'unit': 'sec',
     'reps': total.get('reps'), 'sf': total.get('sf'),
     'nqueries': len(queries), 'queries': queries,
 }
+if truncated:  # --partial: a capture-window slice, flagged as such
+    merged['partial'] = True
+    merged['parts_seen'] = parts_seen
+    merged['parts_expected'] = parts_expected
 if total.get('calib_sec') is not None:  # fixed-work box-speed probe
     merged['calib_sec'] = total['calib_sec']
 with open(out, 'w') as f:

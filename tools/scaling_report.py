@@ -55,6 +55,11 @@ def compare_rounds(old_p, new_p, out_p):
     rec = {
         'metric': 'round_compare',
         'old_sf': old.get('sf'), 'new_sf': new.get('sf'),
+        # a --partial merge_bench input is a capture-window slice: the
+        # common window is then that slice, labeled so nobody reads the
+        # totals as full-suite numbers
+        'old_partial': old.get('partial', False),
+        'new_partial': new.get('partial', False),
         'n_common': len(common),
         'only_old': sorted(k for k in qo if k not in qn),
         'only_new': sorted(k for k in qn if k not in qo),
