@@ -477,6 +477,35 @@ class StixCoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { s3.readSnapshot("url", "s1") }
   }
 
+  test("multi-table snapshot verb: one journal entry, consistent cut, replay-safe") {
+    val dir = Files.createTempDirectory("graft-snapmulti").toString
+    val s1 = new Storage(spark, dir)
+    s1.cache("q1", bundle20)
+    val urlBefore = s1.catalog.resolve("url")
+      .select("id", "value").collect().map(_.toSeq).toSet
+    val v4Before = s1.catalog.resolve("ipv4-addr")
+      .select("id", "value").collect().map(_.toSeq).toSet
+    s1.snapshot(Seq("ipv4-addr", "url"), "m1")
+    s1.cache("q2", bundle20b)
+    // both pins read the pre-churn cut through the shared name
+    assert(s1.readSnapshot("url", "m1")
+      .select("id", "value").collect().map(_.toSeq).toSet == urlBefore)
+    assert(s1.readSnapshot("ipv4-addr", "m1")
+      .select("id", "value").collect().map(_.toSeq).toSet == v4Before)
+    // ONE journal entry for the group, verb snapshot_multi
+    val journal = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "__symtable.jsonl")), "UTF-8")
+    assert(journal.contains("\"snapshot_multi\"") && journal.contains("\"m1\""))
+    assert(journal.linesIterator.count(_.contains("snapshot_multi")) == 1)
+    // replay records, never re-pins: a fresh Storage sees both members
+    val s2 = new Storage(spark, dir)
+    assert(s2.snapshots("url") == Seq("m1") && s2.snapshots("ipv4-addr") == Seq("m1"))
+    assert(s2.readSnapshot("url", "m1")
+      .select("id", "value").collect().map(_.toSeq).toSet == urlBefore)
+    // group re-pin under the taken name fails the whole group loudly
+    intercept[IllegalStateException] { s2.snapshot(Seq("ipv4-addr", "url"), "m1") }
+  }
+
   test("assignQuery views persist via the Stage-ADT JSON codec; Column-bearing plans stay transient") {
     import graft.query._
     val dir = Files.createTempDirectory("graft-aq").toString
