@@ -273,6 +273,30 @@ object PipelineQueries {
   private lazy val duckDocCk =
     "(SELECT coalesce(sum(((doc_id % 997) + 1) * (length(text) % 1000003)), 0) FROM documents)"
 
+  /** Whole-corpus scoring replay from the PUBLISHED LR weights, kept at
+    * the rounded p >= 0.5 threshold — the streaming gate's oracle, shared
+    * VERBATIM by q_stream_lr (parquet-append face) and q_stream_lr_store
+    * (bucketed-store face): both drains must accumulate exactly this set. */
+  private lazy val duckLrGateSql =
+    s"""WITH w AS (SELECT feature, qw
+       |      FROM read_parquet('/tmp/graft_lr_v2/weights_*.parquet')
+       |      WHERE n = (SELECT count(*) FROM documents) AND ck = $duckDocCk),
+       |te AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |ex AS (SELECT doc_id, unnest(toks) AS token FROM te),
+       |f0 AS (SELECT doc_id,
+       |        (('0x' || substring(md5(token),1,15))::BIGINT) % 256 AS feature,
+       |        count(*) AS x FROM ex GROUP BY 1, 2),
+       |f AS (SELECT doc_id, feature, x FROM f0
+       |      UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS feature, 1 AS x FROM te),
+       |m AS (SELECT f.doc_id, CAST(sum(f.x * w.qw) AS BIGINT) AS qmargin
+       |      FROM f JOIN w USING (feature) GROUP BY 1),
+       |sc AS (SELECT te.doc_id,
+       |        CAST(coalesce(m.qmargin, 0) AS BIGINT) AS qmargin,
+       |        round(1.0 / (1.0 + exp(-CAST(coalesce(m.qmargin, 0) AS DOUBLE) / 1000000.0)), 6) AS p
+       |       FROM te LEFT JOIN m USING (doc_id))
+       |SELECT doc_id, qmargin, p + 0.0 AS p FROM sc WHERE p >= 0.5
+       |ORDER BY doc_id""".stripMargin
+
   /** [[docContentKey]] for the embeddings table: first component floored
     * to integer micro-units (floor, not round — floor's toward-minus-
     * infinity semantics are identical in both engines; round's tie rule
@@ -6215,25 +6239,7 @@ object PipelineQueries {
     // threshold) — the row passes only if per-batch gating loses nothing
     // however the stream was cut. StreamingSpec pins the law against the
     // batch face directly.
-    q("q_stream_lr",
-      s"""WITH w AS (SELECT feature, qw
-         |      FROM read_parquet('/tmp/graft_lr_v2/weights_*.parquet')
-         |      WHERE n = (SELECT count(*) FROM documents) AND ck = $duckDocCk),
-         |te AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |ex AS (SELECT doc_id, unnest(toks) AS token FROM te),
-         |f0 AS (SELECT doc_id,
-         |        (('0x' || substring(md5(token),1,15))::BIGINT) % 256 AS feature,
-         |        count(*) AS x FROM ex GROUP BY 1, 2),
-         |f AS (SELECT doc_id, feature, x FROM f0
-         |      UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS feature, 1 AS x FROM te),
-         |m AS (SELECT f.doc_id, CAST(sum(f.x * w.qw) AS BIGINT) AS qmargin
-         |      FROM f JOIN w USING (feature) GROUP BY 1),
-         |sc AS (SELECT te.doc_id,
-         |        CAST(coalesce(m.qmargin, 0) AS BIGINT) AS qmargin,
-         |        round(1.0 / (1.0 + exp(-CAST(coalesce(m.qmargin, 0) AS DOUBLE) / 1000000.0)), 6) AS p
-         |       FROM te LEFT JOIN m USING (doc_id))
-         |SELECT doc_id, qmargin, p + 0.0 AS p FROM sc WHERE p >= 0.5
-         |ORDER BY doc_id""".stripMargin) { c =>
+    q("q_stream_lr", duckLrGateSql) { c =>
       val spark = c.spark
       val inDir = stagedDocSlices(c)
       val model = lrModelFor(c) // trains+publishes once per dataDir
@@ -6250,6 +6256,39 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
         spark.read.parquet(s"$outDir/kept")
           .select(col("doc_id"), col("qmargin"), col("p"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+      } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))
+    },
+
+    // THE GATE COMPOSED WITH THE BUCKETED STORE — the full production
+    // crawl loop in one row: the same two-batch drain, but kept docs are
+    // UPSERTED into the crash-atomic id-keyed store instead of appended
+    // (gateQualityToStore), so a replayed micro-batch re-merges the same
+    // ids with the same values and the table is unchanged — the
+    // exactly-once remedy the append faces document, built in. The result
+    // reads back THROUGH UpsertWriter.readTable (bucket column dropped)
+    // and must equal the same whole-corpus replay as q_stream_lr — the
+    // oracle SQL is shared VERBATIM, so the two faces are pinned equal to
+    // each other through it.
+    q("q_stream_lr_store", duckLrGateSql) { c =>
+      val spark = c.spark
+      val inDir = stagedDocSlices(c)
+      val model = lrModelFor(c)
+      import spark.implicits._
+      val wDf = model.qWeights.toSeq.toDF("feature", "qw")
+      val runBase = s"/tmp/graft_streamlrstore_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val (storeDir, ckDir) = (s"$runBase/store", s"$runBase/ck")
+      try {
+        val schema = spark.read.parquet(s"$inDir/slices").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/slices")
+        StreamOps.startDrained(spark)(
+          StreamOps.gateQualityToStore(src, wDf, 0.5, storeDir, "kept_docs")
+            .option("checkpointLocation", ckDir)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        graft.ingest.UpsertWriter.readTable(spark, storeDir, "kept_docs")
+          .select(col("id").as("doc_id"), col("qmargin"), col("p"))
           .orderBy("doc_id")
           .localCheckpoint()
       } finally graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(runBase))

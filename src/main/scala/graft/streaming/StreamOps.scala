@@ -199,6 +199,46 @@ object StreamOps {
       }
     }
 
+  /** [[gateQuality]] composed with the BUCKETED STORE — the verdict-shape
+    * production loop in one face: each micro-batch is scored against the
+    * published weights, below-`tau` docs are dropped, and the kept docs
+    * (with their qmargin/p provenance columns) are UPSERTED into the
+    * crash-atomic bucketed table (id-keyed — `idCol` is renamed to the
+    * store's `id` key). Because the sink is the merge-upsert rather than
+    * a parquet append, a replayed micro-batch re-upserts the same ids
+    * with the same values and the table is UNCHANGED — this face is
+    * exactly-once under foreachBatch retries, the remedy the append
+    * faces document ("route the appends through the bucketed store"),
+    * here built in. O(batch) bucket rewrites per micro-batch; readers
+    * mid-stream see a consistent table (the store's publish contract). */
+  def gateQualityToStore(
+      stream: DataFrame,
+      weights: DataFrame,
+      tau: Double,
+      storeDir: String,
+      table: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dim: Int = 256,
+      numBuckets: Int = graft.ingest.UpsertWriter.DefaultBuckets)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val raw = batch.toDF()
+      val minParts = raw.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val b = spread.persist()
+      try {
+        val scored = graft.operators.TextOps.lrScore(b, weights, idCol, textCol, dim)
+        val kept = b.join(scored.where(col("p") >= tau), Seq(idCol))
+          .withColumnRenamed(idCol, "id")
+        graft.ingest.UpsertWriter.upsert(b.sparkSession, storeDir, table, kept, numBuckets)
+      } finally {
+        b.unpersist()
+        ()
+      }
+    }
+
   def indexLexical(
       stream: DataFrame,
       dir: String,

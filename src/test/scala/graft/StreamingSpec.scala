@@ -791,6 +791,57 @@ class StreamingSpec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
   }
 
+  test("gateQualityToStore: kept set lands in the bucketed store; a replayed batch leaves it unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val docsAll = Seq(
+      (0L, "alpha beta gamma alpha"), (1L, "zug blor kraz"),
+      (2L, "alpha gamma gamma"), (3L, "blor zug zug kraz"),
+      (4L, "beta beta alpha"), (5L, "kraz kraz"))
+    val train = docsAll.map { case (i, t) => (i, t, if (i % 2 == 0) 1 else 0) }
+      .toDF("doc_id", "text", "y")
+    val model = graft.operators.TextOps.lrTrainNewton(train, "y", dim = 32, iters = 6)
+    val weights = model.qWeights.toSeq.toDF("feature", "qw")
+    val base = java.nio.file.Files.createTempDirectory("graft_gatestore").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps
+      .gateQualityToStore(input.toDF().toDF("doc_id", "text"), weights, 0.5,
+        base, "kept", dim = 32)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      input.addData(docsAll.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docsAll.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def tableSet() = graft.ingest.UpsertWriter.readTable(spark, base, "kept")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("text"),
+        r.getAs[Long]("qmargin"), r.getAs[Double]("p"))).toSet
+    val replay = docsAll.toDF("doc_id", "text")
+    val expected = graft.operators.TextOps
+      .lrScore(replay, model, "doc_id", "text")
+      .where(col("p") >= 0.5)
+      .join(replay, "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("qmargin"), r.getAs[Double]("p"))).toSet
+    assert(expected.nonEmpty && expected.size < docsAll.size)
+    assert(tableSet() == expected, "store content != batch replay")
+    // exactly-once under foreachBatch replay: re-upserting a batch's kept
+    // rows (same ids, same values — what a retried micro-batch produces)
+    // leaves the table IDENTICAL, unlike a parquet append
+    val batch2 = docsAll.drop(3).toDF("doc_id", "text")
+    val kept2 = graft.operators.TextOps
+      .lrScore(batch2, model, "doc_id", "text")
+      .where(col("p") >= 0.5)
+      .join(batch2, "doc_id")
+      .select(col("doc_id").as("id"), col("qmargin"), col("p"), col("text"))
+    graft.ingest.UpsertWriter.upsert(spark, base, "kept", kept2)
+    assert(tableSet() == expected, "replayed batch changed the store")
+    graft.ingest.FsUtil.deleteTree(java.nio.file.Paths.get(base))
+  }
+
   test("sinkToStore drains micro-batches through the delta-write upsert") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
