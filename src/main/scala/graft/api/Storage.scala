@@ -39,14 +39,96 @@ class Storage(val spark: SparkSession, val workDir: String) {
   private val journalPath = java.nio.file.Paths.get(workDir, "__symtable.jsonl")
   private var replaying = false
 
+  // ----- journal growth bound -----------------------------------------------
+  //
+  // The journal is a REPLAY log, and re-running the same verb with identical
+  // args (a benchmark rep, an idempotent pipeline re-run) used to append one
+  // more line each time — replay cost at Storage construction grew linearly
+  // with total verb CALLS ever made against the workdir, not with distinct
+  // views (measured: a round's accumulated journal doubled the q_stix verb
+  // family's wall time vs a fresh workdir). The reference has no such growth:
+  // its __symtable is keyed by view name (one row per view, upserted).
+  //
+  // Bound: per view name, remember the journal line that last (re)bound it.
+  // Appending a byte-identical line while nothing rebound the name since is
+  // a no-op under replay (the verbs below re-register deterministically from
+  // their args and resolve other names LIVE at access time), so it is
+  // skipped. Excluded from dedup — always appended — are:
+  //  - verbs whose registration CAPTURES current catalog state (merge inlines
+  //    its inputs' recipes; assign_query may embed arbitrary ASTs), and
+  //  - self-referential registrations (extract of a type into its own name,
+  //    filter of a view onto itself, ...): those stack a self-shadowing
+  //    layer per call, so dropping a repeat would change the view chain.
+  //  - rename/remove/snapshot verbs: appended always; they also clear the
+  //    involved names' memo so a later identical re-registration re-appends.
+  private val lastBound = scala.collection.mutable.HashMap[String, String]()
+
+  /** The dedup key (view name) for a re-registration line, or None when the
+    * line must always append. `args` are the raw journal args. */
+  private def dedupName(verb: String, args: Seq[Any]): Option[String] = {
+    def s(i: Int): String = Option(args(i)).map(_.toString).orNull
+    verb match {
+      case "extract" if s(0) != s(1)           => Some(s(0))
+      case "filter" if s(0) != s(2)            => Some(s(0))
+      case "assign" if s(0) != s(1)            => Some(s(0))
+      case "group" if s(0) != s(1)             => Some(s(0))
+      case "join" if s(0) != s(1) && s(0) != s(3) => Some(s(0))
+      case "id_view" if s(0) != s(1)           => Some(s(0))
+      case "timestamped_view" if s(0) != s(1)  => Some(s(0))
+      case "appdata"                           => Some("appdata:" + s(0))
+      case _                                   => None
+    }
+  }
+
+  /** Is this exact line a replay-invisible repeat right now? True only when
+    * the name's last (re)bind was this very line AND no appdata has been
+    * journaled for the name since (re-registration resets a view's appData,
+    * so with an appdata line in between, replaying the repeat is NOT a
+    * no-op — it clears the appdata). */
+  private def isDupLine(verb: String, args: Seq[Any], line: String): Boolean =
+    dedupName(verb, args).exists(n =>
+      lastBound.get(n).contains(line) &&
+        (n.startsWith("appdata:") || !lastBound.contains("appdata:" + n)))
+
+  /** Update the per-name memo for one journal line (replay and append). */
+  private def noteJournal(verb: String, args: Seq[Any], line: String): Unit = {
+    def s(i: Int): String = Option(args(i)).map(_.toString).orNull
+    verb match {
+      case "rename" =>
+        Seq(s(0), s(1)).foreach { n => lastBound.remove(n); lastBound.remove("appdata:" + n) }
+      case "remove" =>
+        lastBound.remove(s(0)); lastBound.remove("appdata:" + s(0)); ()
+      case other =>
+        dedupName(other, args) match {
+          case Some(n) =>
+            lastBound(n) = line
+            // a re-registration resets the view's appData: a previously
+            // journaled appdata line no longer reflects current state
+            if (!n.startsWith("appdata:")) { lastBound.remove("appdata:" + n); () }
+          // a non-dedupable rebind (merge/assign_query/self-shadow) must
+          // clear the memo — including the name's appdata memo: the next
+          // identical dedupable line is NOT a repeat of the current
+          // definition
+          case None =>
+            if (args.nonEmpty && s(0) != null) {
+              lastBound.remove(s(0)); lastBound.remove("appdata:" + s(0)); ()
+            }
+        }
+    }
+  }
+
   private def journal(verb: String, args: Any*): Unit =
     if (!replaying) {
-      val line = StixId.canonicalJson(Map("verb" -> verb, "args" -> args.toSeq)) + "\n"
-      java.nio.file.Files.write(
-        journalPath,
-        line.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      val line = StixId.canonicalJson(Map("verb" -> verb, "args" -> args.toSeq))
+      val skip = isDupLine(verb, args.toSeq, line)
+      if (!skip) {
+        java.nio.file.Files.write(
+          journalPath,
+          (line + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        noteJournal(verb, args.toSeq, line)
+      }
     }
 
   private def replayJournal(): Unit =
@@ -54,12 +136,43 @@ class Storage(val spark: SparkSession, val workDir: String) {
       replaying = true
       try {
         val lines = java.nio.file.Files.readAllLines(journalPath)
+        // kept = the journal under append-time dedup, applied retroactively
+        // to lines written before the dedup existed (or by older builds):
+        // an exact-duplicate re-registration with no intervening rebind of
+        // the same name is replay-invisible, so it is neither executed nor
+        // kept. Everything the oracles read from this file is DISTINCT-
+        // keyed on (verb, args), so dropping exact duplicates of a kept
+        // line cannot change any oracle result.
+        val kept = new java.util.ArrayList[String](lines.size())
         lines.forEach { line =>
           if (line.nonEmpty) {
             val m = Flatten.parseJson(line).asInstanceOf[Map[String, Any]]
             val a = m("args").asInstanceOf[Seq[Any]]
-            def s(i: Int): String = Option(a(i)).map(_.toString).orNull
-            m("verb") match {
+            val verb = m("verb").toString
+            if (isDupLine(verb, a, line)) () // replay-invisible repeat: skip + drop
+            else {
+              kept.add(line)
+              noteJournal(verb, a, line)
+              replayLine(m, a)
+            }
+          }
+        }
+        if (kept.size() < lines.size()) {
+          // compact: atomic same-dir tmp + move, so a concurrent reader of
+          // the journal never sees a partial file
+          val tmp = journalPath.resolveSibling("__symtable.jsonl.tmp")
+          java.nio.file.Files.write(tmp, kept)
+          java.nio.file.Files.move(
+            tmp, journalPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally replaying = false
+    }
+
+  private def replayLine(m: Map[String, Any], a: Seq[Any]): Unit = {
+    def s(i: Int): String = Option(a(i)).map(_.toString).orNull
+    m("verb") match {
               case "extract" => extract(s(0), s(1), s(2), s(3))
               case "filter"  => filter(s(0), s(1), s(2), s(3))
               case "assign" =>
@@ -89,11 +202,8 @@ class Storage(val spark: SparkSession, val workDir: String) {
               // replay must NOT re-execute them (see the snapshot verbs)
               case "snapshot" | "snapshot_multi" | "drop_snapshot" => ()
               case _         => ()
-            }
-          }
-        }
-      } finally replaying = false
     }
+  }
 
   replayJournal()
 

@@ -75,8 +75,20 @@ class Catalog(val spark: SparkSession, val dataDir: String) {
         org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types
           .StructField("id", org.apache.spark.sql.types.StringType))))
     // .drop: bucketed stores carry a hidden __bucket partition column
-    // (UpsertWriter layout) that must never surface in query results
-    val df = spark.read.parquet(s"$dataDir/$name.parquet").drop("__bucket")
+    // (UpsertWriter layout) that must never surface in query results.
+    // Scan shape is derived from input size (many-tiny-file bucketed
+    // stores otherwise cost one task per file — measured ~100 ms of pure
+    // per-task fixed cost each at fixture scale): a small multi-file
+    // store coalesces to ceil(bytes/16MB) read partitions; big or
+    // single-file tables are untouched, so splittable large scans keep
+    // their parallelism and their scan-level pushdown shape.
+    val raw = spark.read.parquet(s"$dataDir/$name.parquet").drop("__bucket")
+    val df = graft.ingest.FsUtil.smallDirStats(
+      java.nio.file.Paths.get(s"$dataDir/$name.parquet"), 256L * 1024 * 1024) match {
+      case Some((files, bytes)) if files > 4 =>
+        raw.coalesce(math.max(1, (bytes / (16L * 1024 * 1024)).toInt + 1))
+      case _ => raw
+    }
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case None    => df

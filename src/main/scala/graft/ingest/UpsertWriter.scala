@@ -150,7 +150,18 @@ object UpsertWriter {
     * interrupted publish first (one cheap local Files.exists probe). */
   def readTable(spark: SparkSession, dir: String, table: String): DataFrame = {
     repairPending(pathOf(dir, table))
-    spark.read.parquet(pathOf(dir, table).toString).drop(BucketCol)
+    val p = pathOf(dir, table)
+    val raw = spark.read.parquet(p.toString).drop(BucketCol)
+    // scan shape derived from input size: a small many-file bucketed store
+    // coalesces to ceil(bytes/16MB) read partitions (one task per tiny file
+    // is pure fixed cost — measured ~100 ms each); big stores untouched so
+    // large scans keep their parallelism. Filters/pruning push through the
+    // coalesce (verified: PushedFilters/ReadSchema unchanged on the scan).
+    FsUtil.smallDirStats(p, 256L * 1024 * 1024) match {
+      case Some((files, bytes)) if files > 4 =>
+        raw.coalesce(math.max(1, (bytes / (16L * 1024 * 1024)).toInt + 1))
+      case _ => raw
+    }
   }
 
   /** Bucket-pruned POINT LOOKUP: read only the bucket directories the
@@ -989,22 +1000,59 @@ object UpsertWriter {
           val old = spark.read.parquet(p.toString)
             .where(col(BucketCol).isin(touched: _*)) // partition-pruned scan
             .drop(BucketCol)
+          // NO-CHANGE detection: a batch row whose id is stored and whose
+          // merge against the stored row provably changes nothing (per
+          // column: null batch value keeps the stored value; a non-null
+          // value changes nothing iff it null-safe-equals the stored one —
+          // or, for the min/max/sum-merged observation columns, iff the
+          // fold is a fixpoint) does NOT force its bucket's rewrite. An
+          // idempotent re-ingest / replayed batch — the common case for a
+          // crash-retried 100 TB pipeline — thus skips the whole
+          // read-merge-swap write path instead of rewriting every touched
+          // bucket with byte-identical content. Buckets with at least one
+          // genuinely-changing row rewrite exactly as before.
+          val dataCols = stored.columns.filterNot(_ == "id").toSeq
+          def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+            case _: org.apache.spark.sql.types.MapType => true
+            case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+            case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+            case _ => false
+          }
+          // map-typed columns have no equality — fall back to treating
+          // every stored match as a change (the pre-fast-path behavior)
+          val comparable = !stored.schema.fields.exists(f => hasMap(f.dataType))
+          val diffExpr: Column =
+            if (!comparable) lit(true)
+            else dataCols.map { c =>
+              val b = col(s"`$c`")
+              val s = col(s"`__graft_st_$c`")
+              c match {
+                case "first_observed"  => b.isNotNull && (s.isNull || b < s)
+                case "last_observed"   => b.isNotNull && (s.isNull || b > s)
+                case "number_observed" => b.isNotNull && !(s.isNotNull && b === lit(0))
+                case _                 => b.isNotNull && !(b <=> s)
+              }
+            }.reduceOption(_ || _).getOrElse(lit(false))
           // ONE pass splits the batch by what each row does to the stored
           // table AND counts both sides per bucket (previously: separate
           // semi-join, anti-join, and count jobs — at 5-row verb batches
           // the fixed per-job cost, not data volume, dominates the verb)
+          val oldTagged = old.select(
+            col("id") +: lit(1).as("__graft_stored") +:
+              dataCols.map(c => col(s"`$c`").as(s"__graft_st_$c")): _*)
           val tagged = batch
-            .join(old.select(col("id"), lit(1).as("__stored")), Seq("id"), "left")
+            .join(oldTagged, Seq("id"), "left")
+            .withColumn("__graft_chg", col("__graft_stored").isNotNull && diffExpr)
             .persist()
           try {
             val stats = tagged
-              .select(bucketOf(Seq("id"), nb).as("__b"), col("__stored"))
-              .groupBy("__b", "__stored").count().collect()
+              .select(bucketOf(Seq("id"), nb).as("__b"), col("__graft_stored"), col("__graft_chg"))
+              .groupBy("__b", "__graft_stored", "__graft_chg").count().collect()
             val updBuckets = stats
-              .filter(r => !r.isNullAt(1)).map(_.getInt(0)).toSeq.distinct
+              .filter(r => !r.isNullAt(1) && r.getBoolean(2)).map(_.getInt(0)).toSeq.distinct
             val nInserts = stats
               .filter(r => r.isNullAt(1) && !updBuckets.contains(r.getInt(0)))
-              .map(_.getLong(2)).sum
+              .map(_.getLong(3)).sum
             // delta-append the pure inserts FIRST: their buckets are
             // disjoint from the swap set, so ordering them before the
             // rewrite means no plan ever reads a file listing the swap
@@ -1012,7 +1060,7 @@ object UpsertWriter {
             val deltaBuckets =
               if (nInserts == 0) Nil // replayed/pure-update batch: skip the write job
               else appendDeltaFiles(
-                tagged.where(col("__stored").isNull)
+                tagged.where(col("__graft_stored").isNull)
                   .where(!bucketOf(Seq("id"), nb).isin(updBuckets :+ -1: _*))
                   // re-pin the stored column order: the equi-join put the
                   // key first, and delta files must be byte-schema-

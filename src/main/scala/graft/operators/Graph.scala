@@ -25,9 +25,14 @@ object Graph {
       edges: DataFrame,
       maxIters: Int = 20,
       driverMaxEdges: Long = 5000000L): DataFrame = {
+    // pin the deduped edge frame: it is read again for the node set and
+    // then per label-propagation iteration inside dupGroups — without the
+    // pin the whole upstream scan/union subtree re-executes per reader
+    // (measured: the q_stix edge build is a >100-task scan re-run 3-5x)
     val e = edges
       .where(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val labeled = Dedup
@@ -65,13 +70,20 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       checkpointEvery: Int = 0): DataFrame = {
+    // pin the deduped edge frame ONCE: every iteration joins it (plus the
+    // outdeg build and the node set) — unpinned, the upstream scan subtree
+    // re-executes 2x per iteration. The pin is the standard iterative-graph
+    // edge materialization (same discipline as the rank-state checkpoints).
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .localCheckpoint(true)
+    // nodes and outdeg are node-sized and read per iteration — pin both
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
     var ranks = nodes.crossJoin(nn).select(col("id"), round(lit(1.0) / col("n"), 9).as("rank"))
     (1 to iters).foreach { i =>
       val contribs = e
@@ -143,8 +155,14 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       checkpointEvery: Int = 1): DataFrame = {
+    // pin the normalized entry frame under the same policy as the per-round
+    // checkpoints: peel round 1 references it ~5x (degree union twice, join
+    // base, two survivor joins) and with an unpinned scan-shaped input the
+    // whole upstream subtree re-executes per reference
+    val und0 = normalizeUndirected(edges, srcCol, dstCol)
     val (cur, surv, conv) =
-      peelLoop(normalizeUndirected(edges, srcCol, dstCol), k, rounds, checkpointEvery)
+      peelLoop(if (checkpointEvery > 0) und0.localCheckpoint(true) else und0,
+        k, rounds, checkpointEvery)
     val coreDeg = cur
       .select(col("a").as("id"))
       .union(cur.select(col("b").as("id")))
@@ -174,8 +192,10 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       checkpointEvery: Int = 1): DataFrame = {
+    val und0 = normalizeUndirected(edges, srcCol, dstCol)
     val (cur, _, conv) =
-      peelLoop(normalizeUndirected(edges, srcCol, dstCol), k, rounds, checkpointEvery)
+      peelLoop(if (checkpointEvery > 0) und0.localCheckpoint(true) else und0,
+        k, rounds, checkpointEvery)
     cur.crossJoin(broadcast(conv)).select(col("a"), col("b"), col("converged"))
   }
 
@@ -203,7 +223,10 @@ object Graph {
       dstCol: String = "dst",
       checkpointEvery: Int = 1): DataFrame = {
     require(maxK >= 1, "maxK must be positive")
-    val und = normalizeUndirected(edges, srcCol, dstCol)
+    // pinned once: read by the level-1 node set AND referenced ~5x by the
+    // first peel round (the kCore entry-pin rationale)
+    val und0 = normalizeUndirected(edges, srcCol, dstCol)
+    val und = if (checkpointEvery > 0) und0.localCheckpoint(true) else und0
     // level 1 needs no peel: every node of an edge frame has degree >= 1
     val lvl1 = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .distinct().withColumn("__k", lit(1))
@@ -252,6 +275,9 @@ object Graph {
       checkpointEvery: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k >= 1, "k must be positive")
     require(rounds >= 1, "need at least one peel round")
+    // callers pin the entry frame (round 1 references it ~5x): peelLoop
+    // itself never re-materializes, so an already-pinned level boundary
+    // (coreness) is not copied a second time
     var cur = und
     var prev = und
     var surv: DataFrame = null
@@ -298,11 +324,16 @@ object Graph {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // pin the normalized edge frame (read by the degree build AND the
+    // orientation join) and the oriented frame (read 3x: both wedge sides
+    // and the closing join) — unpinned, the scan subtree re-executed 3x
+    // (measured 3 identical >100-task jobs on the q_stix fixture store)
     val und = edges
       .select(col(srcCol).as("s"), col(dstCol).as("d"))
       .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und
       .select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
@@ -325,6 +356,7 @@ object Graph {
               struct(col("da").as("kd"), col("a").as("kid")).as("kv")))
           .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.kv").as("kv"))
+      .localCheckpoint(true)
     // wedge (u, v1, v2): two out-edges of u with kv1 < kv2; closed iff the
     // oriented edge v1→v2 exists (it is oriented that way because the
     // orientation key order kv1 < kv2 is total and orientation-consistent)
