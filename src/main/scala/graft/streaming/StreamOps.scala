@@ -47,6 +47,36 @@ object StreamOps {
 
   private val drainLock = new Object
 
+  /** Spread a micro-batch before its heavy per-row kernel (tokenize /
+    * chunk / decode), with the partition count DERIVED FROM BATCH SIZE
+    * instead of pinned to the cluster's parallelism: a file-backfill
+    * batch (maxFilesPerTrigger=1) arrives as ONE partition — the kernel
+    * must not run single-task (measured: it dominated the drain 3x) —
+    * but a few-hundred-row batch spread to every core pays ~100 ms of
+    * per-task fixed cost per stage for sub-ms of work (measured at
+    * harness scale). rows/`rowsPerTask` partitions, capped at
+    * defaultParallelism (big batches keep full parallelism — the prior
+    * behavior), floored at 1. The row probe is footer-only on the
+    * parquet-backed batches file streams produce. A batch already
+    * carrying >= target partitions passes through unshuffled. */
+  private def spreadBatch(batch: DataFrame, rowsPerTask: Long = 64L): DataFrame = {
+    val maxParts = batch.sparkSession.sparkContext.defaultParallelism
+    val target = math.max(1L, math.min(maxParts.toLong,
+      (batch.count() + rowsPerTask - 1) / rowsPerTask)).toInt
+    if (batch.rdd.getNumPartitions < target) batch.repartition(target) else batch
+  }
+
+  /** Narrow a batch-sized frame to ~1/4 of its compute parallelism before
+    * an append, so each micro-batch lands a few well-sized files instead
+    * of one file per compute partition (guide §6: readers of the
+    * accumulated store pay ~one task per file; a 32-way batch used to
+    * append 32 dust files per state per batch). The COMPUTE above the
+    * coalesce keeps its full parallelism — only the final write narrows.
+    * Vocab-/scalar-sized state partials coalesce all the way to 1 file
+    * (the "ONE partial per batch" contract the operators document). */
+  private def packAppend(df: DataFrame): DataFrame =
+    df.coalesce(math.max(1, df.rdd.getNumPartitions / 4))
+
   /** Normalize an event-time column to TimestampType, the only type
     * `withWatermark` accepts. Three layouts exist in the wild:
     *  - TIMESTAMP(NANOS) parquet read under nanosAsLong → LongType nanos;
@@ -185,13 +215,11 @@ object StreamOps {
       // single-file micro-batches arrive as ONE partition; tokenization is
       // the real work — spread before paying it (the indexLexical rationale)
       val raw = batch.toDF()
-      val minParts = raw.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       val b = spread.persist()
       try {
         val scored = graft.operators.TextOps.lrScore(b, weights, idCol, textCol, dim)
-        b.join(scored.where(col("p") >= tau), Seq(idCol))
+        packAppend(b.join(scored.where(col("p") >= tau), Seq(idCol)))
           .write.mode("append").parquet(s"$dir/kept")
       } finally {
         b.unpersist()
@@ -224,9 +252,7 @@ object StreamOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val raw = batch.toDF()
-      val minParts = raw.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       val b = spread.persist()
       try {
         val scored = graft.operators.TextOps.lrScore(b, weights, idCol, textCol, dim)
@@ -251,19 +277,19 @@ object StreamOps {
       // the single-task index build dominated the drain 3x). A batch that
       // already carries parallelism passes through unshuffled.
       val raw = batch.toDF()
-      val minParts = raw.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       // persist (not localCheckpoint): the pins live exactly one batch —
       // a long-running stream must not accumulate session-lifetime blocks
       val b = spread.persist()
       val postings = graft.operators.TextOps.bm25Index(b, idCol, textCol).persist()
       try {
-        postings.write.mode("append").parquet(s"$dir/postings")
+        packAppend(postings).write.mode("append").parquet(s"$dir/postings")
+        // vocab-sized / single-row partials: ONE file per batch, per the
+        // state contract (readers pay ~a task per file)
         graft.operators.TextOps.bm25Df(postings)
-          .write.mode("append").parquet(s"$dir/df_parts")
+          .coalesce(1).write.mode("append").parquet(s"$dir/df_parts")
         graft.operators.TextOps.bm25CorpusFromPostings(b, postings, idCol)
-          .write.mode("append").parquet(s"$dir/corpus_parts")
+          .coalesce(1).write.mode("append").parquet(s"$dir/corpus_parts")
       } finally {
         postings.unpersist()
         b.unpersist()
@@ -321,18 +347,20 @@ object StreamOps {
             "(pre-unified (doc,term,pos) schema) — appending would mix schemas " +
             "and silently drop dl; rebuild the store with positionalIndex")
       }
-      val minParts = raw.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       val b = spread.persist()
       val positional = graft.operators.TextOps.positionalIndex(b, idCol, textCol).persist()
       try {
-        positional.write.mode("append").parquet(s"$dir/postings")
+        // positionalIndex is NARROW (projection + posexplode): materialize
+        // the pin at full compute width first, so the packed append below
+        // reads the cache instead of collapsing the tokenize to few tasks
+        positional.count()
+        packAppend(positional).write.mode("append").parquet(s"$dir/postings")
         val bm25p = graft.operators.TextOps.bm25FromPositional(positional, idCol)
         graft.operators.TextOps.bm25Df(bm25p)
-          .write.mode("append").parquet(s"$dir/df_parts")
+          .coalesce(1).write.mode("append").parquet(s"$dir/df_parts")
         graft.operators.TextOps.bm25CorpusFromPostings(b, bm25p, idCol)
-          .write.mode("append").parquet(s"$dir/corpus_parts")
+          .coalesce(1).write.mode("append").parquet(s"$dir/corpus_parts")
       } finally {
         positional.unpersist()
         b.unpersist()
@@ -378,9 +406,7 @@ object StreamOps {
       // real work — spread before paying it (the indexLexical rationale)
       val raw = batch.toDF()
       val spark = raw.sparkSession
-      val minParts = spark.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       val b = spread.persist()
       val chunks = graft.operators.Dedup.chunkHashes(b, w, divisor, idCol, textCol).persist()
       try {
@@ -392,10 +418,12 @@ object StreamOps {
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField(
                 "__h", org.apache.spark.sql.types.StringType))))
+        // both outputs are post-shuffle (join/aggregate) — the coalesce
+        // narrows only the final write to ONE file per batch per state
         graft.operators.Dedup.chunkNoveltyAgainst(chunks, store, idCol)
-          .write.mode("append").parquet(s"$dir/novelty")
+          .coalesce(1).write.mode("append").parquet(s"$dir/novelty")
         graft.operators.Dedup.chunkOwners(chunks, idCol)
-          .write.mode("append").parquet(ownerPath)
+          .coalesce(1).write.mode("append").parquet(ownerPath)
       } finally {
         chunks.unpersist()
         b.unpersist()
@@ -428,14 +456,14 @@ object StreamOps {
       textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val raw = batch.toDF()
-      val minParts = raw.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       val b = spread.persist()
       try {
         graft.operators.TextOps.vocabState(b, idCol, textCol)
-          .write.mode("append").parquet(s"$dir/vocab_parts")
-        graft.operators.TextOps.vocabDocTokens(b, idCol, textCol)
+          .coalesce(1).write.mode("append").parquet(s"$dir/vocab_parts")
+        // doc_tokens is NARROW over the pinned batch (the vocabState write
+        // above materialized the pin at full width): pack, don't dust
+        packAppend(graft.operators.TextOps.vocabDocTokens(b, idCol, textCol))
           .write.mode("append").parquet(s"$dir/doc_tokens")
       } finally {
         b.unpersist()
@@ -470,9 +498,7 @@ object StreamOps {
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val raw = batch.toDF()
       val spark = raw.sparkSession
-      val minParts = spark.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       val hashes = graft.operators.Multimodal.imageHashes(spread, idCol, binCol).persist()
       try {
         val storePath = s"$dir/hashes"
@@ -490,6 +516,7 @@ object StreamOps {
         graft.operators.Multimodal
           .nearDupImagesIncremental(hashes, store, maxDist, assertOrdered = true)
           .localCheckpoint()
+          .coalesce(1) // 8 B/image hash state — one file per batch
           .write.mode("append").parquet(storePath)
       } finally {
         hashes.unpersist()
@@ -522,9 +549,7 @@ object StreamOps {
       embCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val raw = batch.toDF()
-      val minParts = raw.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       graft.operators.Similarity.driftCellCounts(spread, centroids, idCol, embCol)
         .coalesce(1) // ≤ k rows of state — one file per batch
         .write.mode("append").parquet(s"$dir/cell_counts")
@@ -552,19 +577,17 @@ object StreamOps {
       idCol: String = "doc_id"): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val raw = batch.toDF()
-      val minParts = raw.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       val b = spread.persist()
       try {
         val (scal, fps, langs, srcs) =
           graft.operators.TextOps.cardState(b, textCol, langCol, sourceCol)
         scal.coalesce(1).write.mode("append").parquet(s"$dir/scal_parts")
-        fps.write.mode("append").parquet(s"$dir/fp_parts")
+        fps.coalesce(1).write.mode("append").parquet(s"$dir/fp_parts")
         langs.coalesce(1).write.mode("append").parquet(s"$dir/lang_parts")
         srcs.coalesce(1).write.mode("append").parquet(s"$dir/src_parts")
         graft.operators.TextOps.vocabState(b, idCol, textCol)
-          .write.mode("append").parquet(s"$dir/vocab_parts")
+          .coalesce(1).write.mode("append").parquet(s"$dir/vocab_parts")
       } finally {
         b.unpersist()
         ()
@@ -593,9 +616,7 @@ object StreamOps {
       k: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val raw = batch.toDF()
-      val minParts = raw.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (raw.rdd.getNumPartitions < minParts) raw.repartition(minParts) else raw
+      val spread = spreadBatch(raw)
       graft.operators.Profile.sketchState(spread, valueCol, sourceCol, k)
         .coalesce(1) // sources-sized state — one file per batch
         .write.mode("append").parquet(s"$dir/sketch_parts")
