@@ -4952,10 +4952,16 @@ object PipelineQueries {
          |thr AS (SELECT round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END), 6) AS t FROM o)
          |SELECT doc_id, score FROM sc CROSS JOIN thr
          |WHERE score >= t ORDER BY doc_id""".stripMargin) { c =>
+      // the regex-heavy quality kernel feeds TWO consumers (quantile sample
+      // + the final filter) over a single-row-group scan: spread it across
+      // the cores and pin the doc-sized score frame so it computes once
+      val spark0 = c.spark
       val scores = c.resolve("documents")
+        .repartition(spark0.sparkContext.defaultParallelism)
         .select(
           col("doc_id"),
           round(TextOps.qualityScore(col("text")), 6).as("score"))
+        .localCheckpoint()
       val thr = graft.operators.Profile
         .sampleQuantiles(scores, "score", col("doc_id"), k = 256, ps = Seq(0.5))
         .select(col("q").as("thr"))
