@@ -210,7 +210,8 @@ object StreamOps {
       /** MUST equal the published model's hash-bucket count: buckets are
         * `hash mod dim`, so a mismatch silently scores every doc at the
         * bias-only margin (no feature ever matches a weight row). */
-      dim: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+      dim: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    validateGateDim(weights, dim)
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       // single-file micro-batches arrive as ONE partition; tokenization is
       // the real work — spread before paying it (the indexLexical rationale)
@@ -226,6 +227,22 @@ object StreamOps {
         ()
       }
     }
+  }
+
+  /** The gate's weights/dim wiring check (ADVICE r15): a `dim` that does
+    * not match the published model's hash-bucket count silently scores
+    * every doc at the bias-only margin (p = 0.5, which PASSES the default
+    * tau = 0.5 gate) — a miswired 100 TB gate keeps everything instead of
+    * failing. One tiny aggregate over the broadcastable weights frame at
+    * stream construction, never per batch. */
+  private def validateGateDim(weights: DataFrame, dim: Int): Unit = {
+    val mx = weights.agg(max(col("feature"))).head()
+    require(
+      mx.isNullAt(0) || mx.getLong(0) < dim,
+      s"gate dim=$dim does not cover the published weights' feature space " +
+        s"(max feature ${mx.get(0)}) — the model was trained with a larger " +
+        "hash-bucket count; pass the model's own dim")
+  }
 
   /** [[gateQuality]] composed with the BUCKETED STORE — the verdict-shape
     * production loop in one face: each micro-batch is scored against the
@@ -249,7 +266,8 @@ object StreamOps {
       textCol: String = "text",
       dim: Int = 256,
       numBuckets: Int = graft.ingest.UpsertWriter.DefaultBuckets)
-      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    validateGateDim(weights, dim)
     stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val raw = batch.toDF()
       val spread = spreadBatch(raw)
@@ -264,6 +282,7 @@ object StreamOps {
         ()
       }
     }
+  }
 
   def indexLexical(
       stream: DataFrame,

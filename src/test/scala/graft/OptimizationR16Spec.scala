@@ -102,6 +102,20 @@ class OptimizationR16Spec extends SparkSpec {
     graft.ingest.FsUtil.deleteTree(Paths.get(dir))
   }
 
+  test("gateQuality: a dim smaller than the model's feature space fails loud (ADVICE r15)") {
+    val sp = spark
+    import sp.implicits._
+    val weights = Seq((-1L, 1000L), (7L, 2000L), (300L, 3000L)).toDF("feature", "qw")
+    val src = sp.readStream.format("rate").load()
+      .selectExpr("value AS doc_id", "'x' AS text", "timestamp AS ts")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.gateQuality(src, weights, 0.5, "/tmp/graft_gatedim_spec", dim = 256)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+    // a covering dim constructs fine (validation only, stream never started)
+    graft.streaming.StreamOps.gateQuality(src, weights, 0.5, "/tmp/graft_gatedim_spec", dim = 512)
+  }
+
   private def allFiles(table: Path): Map[String, Long] = {
     val s = Files.walk(table)
     try s.iterator().asScala

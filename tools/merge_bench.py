@@ -27,7 +27,11 @@ for line in open(raw):
     # back to the part==1 heuristic below.
     rid = rec.get('run')
     if rid is not None and rid != run_id:
-        if run_id is not None:
+        # reset also when a rid-bearing run FOLLOWS pre-r15 (rid-less)
+        # lines that already accumulated state: the first rid line sets
+        # run_id from None, and without this guard the stale run's queries
+        # silently merge into the new run's record (ADVICE r15)
+        if run_id is not None or parts_seen > 0 or total is not None:
             queries, total, parts_seen, parts_expected = {}, None, 0, None
         run_id = rid
     if rec.get('metric') == 'chunk':
