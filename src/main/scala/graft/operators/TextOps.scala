@@ -1795,8 +1795,11 @@ object TextOps {
       docs: DataFrame,
       labelCol: String,
       textCol: String = "text"): (DataFrame, DataFrame) = {
-    val docsS = spreadScan(docs)
-    val toks = docsS.select(col(labelCol).as("label"), explode(tokens(col(textCol))).as("token"))
+    // NOT spread (measured, r16): the NB chain has many small post-kernel
+    // stages — a 32-way spread added more per-task fixed cost downstream
+    // than the parallel tokenize saved (q_text_calibration 2.5 -> 4.0 s,
+    // q_text_nb_lang 1.0 -> 1.6 s); reverted on those numbers
+    val toks = docs.select(col(labelCol).as("label"), explode(tokens(col(textCol))).as("token"))
     val counts = toks.groupBy("label", "token").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("label").agg(sum("c").as("tot"))
     val vocabV = counts.select("token").distinct().count().toDouble
@@ -1846,7 +1849,8 @@ object TextOps {
       labelModel: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = spreadScan(docs).select(col(idCol), tokens(col(textCol)).as("__t"))
+    // not spread — the nbTrain measurement (chain overhead > kernel win)
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
       .withColumn("__n_tok", size(col("__t")))
     val part = base.select(col(idCol), explode(col("__t")).as("token"))
       .join(broadcast(tokenModel), "token")
@@ -2312,7 +2316,8 @@ object TextOps {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = spreadScan(docs)
+    // not spread — measured +0.55 s on q_text_tfidf (the nbTrain rationale)
+    val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
