@@ -236,13 +236,26 @@ object StreamOps {
     * failing. One tiny aggregate over the broadcastable weights frame at
     * stream construction, never per batch. */
   private def validateGateDim(weights: DataFrame, dim: Int): Unit = {
-    val mx = weights.agg(max(col("feature"))).head()
-    require(
-      mx.isNullAt(0) || mx.getLong(0) < dim,
-      s"gate dim=$dim does not cover the published weights' feature space " +
-        s"(max feature ${mx.get(0)}) — the model was trained with a larger " +
-        "hash-bucket count; pass the model's own dim")
+    // memoized per (weights plan semantic hash, dim): repeated gate
+    // constructions against the same published model (identical local
+    // relation / same artifact read) pay the probe once per process — the
+    // memo caches a VALIDATION VERDICT on immutable model metadata, never
+    // a query result; a republished artifact yields a new plan hash and
+    // re-validates
+    val key = (weights.queryExecution.analyzed.semanticHash(), dim)
+    if (!validatedGates.containsKey(key)) {
+      val mx = weights.agg(max(col("feature"))).head()
+      require(
+        mx.isNullAt(0) || mx.getLong(0) < dim,
+        s"gate dim=$dim does not cover the published weights' feature space " +
+          s"(max feature ${mx.get(0)}) — the model was trained with a larger " +
+          "hash-bucket count; pass the model's own dim")
+      validatedGates.put(key, java.lang.Boolean.TRUE)
+      ()
+    }
   }
+  private val validatedGates =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]()
 
   /** [[gateQuality]] composed with the BUCKETED STORE — the verdict-shape
     * production loop in one face: each micro-batch is scored against the
