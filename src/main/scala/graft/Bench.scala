@@ -109,17 +109,25 @@ object Bench {
     // boundaries from part numbers — a lost part-1 line used to let the
     // second run's remaining chunks merge silently into the stale run
     val runId = java.util.UUID.randomUUID().toString.take(8)
+    // the complete one-line record (identical to BENCH_SELF.json's content):
+    // the driver parses ONE stdout JSON line with the full `queries` map —
+    // the chunked lines alone left PERF_r14-r16 empty ("parsed": null), so
+    // per-query regressions went officially uncounted for three rounds.
+    // Printed LAST: a tail-capture window keeps it, and the chunked lines
+    // above still survive any window that would truncate this one.
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"calib_sec":${r3(calib)},"queries":${qJson(results)},"sf":"$sfDir"}"""
     val lines =
       chunks.zipWithIndex.map { case (chunk, i) =>
         s"""{"metric":"chunk","run":"$runId","part":${i + 1},"parts":${chunks.size},"queries":${qJson(chunk)}}"""
       } :+
-        s"""{"metric":"total","run":"$runId","value":${r3(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},"parts":${chunks.size},"calib_sec":${r3(calib)},"sf":"$sfDir"}"""
+        s"""{"metric":"total","run":"$runId","value":${r3(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},"parts":${chunks.size},"calib_sec":${r3(calib)},"sf":"$sfDir"}""" :+
+        fullLine
     // belt-and-braces: the complete record as one file the capture window
     // cannot truncate (driver/judge can cross-check stdout against it)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"),
-      (s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"calib_sec":${r3(calib)},"queries":${qJson(results)},"sf":"$sfDir"}""" + "\n")
-        .getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // APPEND-ONLY run history: one timestamped line per run (git SHA, sf,
     // total, the calibration probe, per-query timings) that NO later run

@@ -54,8 +54,14 @@ class Storage(val spark: SparkSession, val workDir: String) {
   // a no-op under replay (the verbs below re-register deterministically from
   // their args and resolve other names LIVE at access time), so it is
   // skipped. Excluded from dedup — always appended — are:
-  //  - verbs whose registration CAPTURES current catalog state (merge inlines
-  //    its inputs' recipes; assign_query may embed arbitrary ASTs), and
+  //  - verbs whose registration CAPTURES current catalog state: merge inlines
+  //    its inputs' recipes; assign_query may embed arbitrary ASTs; and
+  //    assign/group/join/timestamped_view read catalog.viewType(input) at
+  //    registration time — a byte-identical repeat after the input was
+  //    re-extracted with a DIFFERENT type is NOT replay-invisible (replaying
+  //    the original line at its original journal position would resolve the
+  //    stale type; the repeat, at its later position, resolves the new one) —
+  //    so those verbs always append;
   //  - self-referential registrations (extract of a type into its own name,
   //    filter of a view onto itself, ...): those stack a self-shadowing
   //    layer per call, so dropping a repeat would change the view chain.
@@ -70,11 +76,7 @@ class Storage(val spark: SparkSession, val workDir: String) {
     verb match {
       case "extract" if s(0) != s(1)           => Some(s(0))
       case "filter" if s(0) != s(2)            => Some(s(0))
-      case "assign" if s(0) != s(1)            => Some(s(0))
-      case "group" if s(0) != s(1)             => Some(s(0))
-      case "join" if s(0) != s(1) && s(0) != s(3) => Some(s(0))
       case "id_view" if s(0) != s(1)           => Some(s(0))
-      case "timestamped_view" if s(0) != s(1)  => Some(s(0))
       case "appdata"                           => Some("appdata:" + s(0))
       case _                                   => None
     }
@@ -122,11 +124,17 @@ class Storage(val spark: SparkSession, val workDir: String) {
       val line = StixId.canonicalJson(Map("verb" -> verb, "args" -> args.toSeq))
       val skip = isDupLine(verb, args.toSeq, line)
       if (!skip) {
-        java.nio.file.Files.write(
-          journalPath,
-          (line + "\n").getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        // appends hold the same advisory lease compaction takes: the
+        // pre-compaction journal was append-only (concurrent instances could
+        // only interleave lines), and compaction's read→rewrite must not
+        // silently drop a line a peer appends in between (ADVICE r16)
+        UpsertWriter.withTableLease(journalPath, renew = false) {
+          java.nio.file.Files.write(
+            journalPath,
+            (line + "\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
         noteJournal(verb, args.toSeq, line)
       }
     }
@@ -159,13 +167,22 @@ class Storage(val spark: SparkSession, val workDir: String) {
         }
         if (kept.size() < lines.size()) {
           // compact: atomic same-dir tmp + move, so a concurrent reader of
-          // the journal never sees a partial file
-          val tmp = journalPath.resolveSibling("__symtable.jsonl.tmp")
-          java.nio.file.Files.write(tmp, kept)
-          java.nio.file.Files.move(
-            tmp, journalPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // the journal never sees a partial file. Held under the journal's
+          // advisory lease (appends take it too) and re-verified against the
+          // replayed snapshot: a peer's append between our read and this
+          // rewrite must survive, so if the file moved on we skip — the next
+          // construction compacts instead (ADVICE r16 lost-append race)
+          UpsertWriter.withTableLease(journalPath) {
+            val cur = java.nio.file.Files.readAllLines(journalPath)
+            if (cur == lines) {
+              val tmp = journalPath.resolveSibling("__symtable.jsonl.tmp")
+              java.nio.file.Files.write(tmp, kept)
+              java.nio.file.Files.move(
+                tmp, journalPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            }
+          }
         }
       } finally replaying = false
     }

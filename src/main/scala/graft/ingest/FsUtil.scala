@@ -18,6 +18,29 @@ object FsUtil {
     Files.deleteIfExists(p)
   }
 
+  /** Total row count of parquet `files` read from FOOTERS ONLY — a
+    * driver-side metadata probe that costs no Spark job (a `df.count()`
+    * probe launches one full job per call; measured as a per-micro-batch
+    * job in every streaming index operator, VERDICT r16). Returns None
+    * when the list is empty, a file is not parquet, or any footer is
+    * unreadable — callers fall back to their size-agnostic behavior. */
+  def footerRowCount(
+      files: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    if (files.isEmpty) return None
+    try {
+      var rows = 0L
+      files.foreach { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try rows += r.getRecordCount
+        finally r.close()
+      }
+      Some(rows)
+    } catch { case _: Exception => None }
+  }
+
   /** (parquet file count, total bytes) of a table dir, or None once the
     * walk passes `byteCap` — a capped metadata probe so scan-shaping
     * decisions for SMALL stores never pay an unbounded listing on a big

@@ -42,10 +42,22 @@ object TextOps {
     * unshuffled, so a many-file 100 TB scan is untouched. Results are
     * unchanged: every consumer below is either an exact integer/count
     * aggregate or rounds before comparing/ranking (the cross-engine
-    * tolerance the oracles already rely on). */
-  private def spreadScan(df: DataFrame): DataFrame = {
+    * tolerance the oracles already rely on).
+    *
+    * The target is DERIVED FROM ROW COUNT — clamp(rows/rowsPerTask, 1,
+    * defaultParallelism) — not pinned to the core count: a fixed
+    * all-cores spread made the small-input rows PAY parallelism they
+    * cannot use (driver r16: q_text_dsir_select 3.38 s at 32 cores vs
+    * 1.89 s at 8 — per-task fixed cost × 32 outweighed the kernel). The
+    * row probe reads parquet footers only (no Spark job); non-file
+    * inputs fall back to the full-parallelism target. */
+  private def spreadScan(df: DataFrame, rowsPerTask: Long = 64L): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+    val target = graft.ingest.FsUtil.footerRowCount(
+        df.inputFiles.toSeq, df.sparkSession.sparkContext.hadoopConfiguration)
+      .map(rows => math.max(1L, math.min(p.toLong, (rows + rowsPerTask - 1) / rowsPerTask)).toInt)
+      .getOrElse(p)
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
   /** Evaluate `expr` once per row and hand it to `body` as a bound lambda

@@ -56,13 +56,22 @@ object StreamOps {
     * per-task fixed cost per stage for sub-ms of work (measured at
     * harness scale). rows/`rowsPerTask` partitions, capped at
     * defaultParallelism (big batches keep full parallelism — the prior
-    * behavior), floored at 1. The row probe is footer-only on the
-    * parquet-backed batches file streams produce. A batch already
-    * carrying >= target partitions passes through unshuffled. */
+    * behavior), floored at 1. The row probe reads the parquet FOOTERS of
+    * the batch's input files on the driver — r16's `batch.count()` probe
+    * launched one extra full Spark job per micro-batch per operator
+    * (driver evidence: q_stream_lr ×0.72, family +7.3 s; ADVICE r16),
+    * where the footer read costs ~a ms of driver metadata I/O and no job.
+    * Non-file-backed batches (rate/kafka-style sources, where no footer
+    * exists) fall back to the full-parallelism spread — the pre-r16
+    * behavior. A batch already carrying >= target partitions passes
+    * through unshuffled. */
   private def spreadBatch(batch: DataFrame, rowsPerTask: Long = 64L): DataFrame = {
     val maxParts = batch.sparkSession.sparkContext.defaultParallelism
-    val target = math.max(1L, math.min(maxParts.toLong,
-      (batch.count() + rowsPerTask - 1) / rowsPerTask)).toInt
+    val target = graft.ingest.FsUtil.footerRowCount(
+        batch.inputFiles.toSeq, batch.sparkSession.sparkContext.hadoopConfiguration)
+      .map(rows => math.max(1L, math.min(maxParts.toLong,
+        (rows + rowsPerTask - 1) / rowsPerTask)).toInt)
+      .getOrElse(maxParts)
     if (batch.rdd.getNumPartitions < target) batch.repartition(target) else batch
   }
 
@@ -246,7 +255,9 @@ object StreamOps {
     if (!validatedGates.containsKey(key)) {
       val mx = weights.agg(max(col("feature"))).head()
       require(
-        mx.isNullAt(0) || mx.getLong(0) < dim,
+        // getAs[Number]: a caller's weights frame may carry an int-typed
+        // feature column (ADVICE r16 — getLong would ClassCastException)
+        mx.isNullAt(0) || mx.getAs[Number](0).longValue() < dim,
         s"gate dim=$dim does not cover the published weights' feature space " +
           s"(max feature ${mx.get(0)}) — the model was trained with a larger " +
           "hash-bucket count; pass the model's own dim")
