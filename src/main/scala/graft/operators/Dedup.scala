@@ -384,7 +384,13 @@ object Dedup {
       divisor: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    TextOps.cdcChunk(docs, w, divisor, textCol, idCol)
+    // spread the single-row-group corpus before the CDC+md5 kernel (it ran
+    // as ONE task: 8 jobs / 8 tasks measured on q_dedup_chunk_novelty);
+    // row-derived target, results unchanged — every consumer is an exact
+    // integer aggregate / min-struct / equi-join. rowsPerTask sweep
+    // (sf0.1, 32 threads, min-of-3): unspread 2.90 s / 256 2.00 / 1024
+    // 1.68 on chunk_novelty; the inc face prefers 1024 too (3.68 vs 3.06)
+    TextOps.cdcChunk(TextOps.spreadScan(docs, rowsPerTask = 1024L), w, divisor, textCol, idCol)
       .select(
         col(idCol), col("chunk_idx"), col("n_tokens"),
         md5(col("chunk_text")).as("__h"))

@@ -51,7 +51,7 @@ object TextOps {
     * 1.89 s at 8 — per-task fixed cost × 32 outweighed the kernel). The
     * row probe reads parquet footers only (no Spark job); non-file
     * inputs fall back to the full-parallelism target. */
-  private def spreadScan(df: DataFrame, rowsPerTask: Long = 64L): DataFrame = {
+  private[operators] def spreadScan(df: DataFrame, rowsPerTask: Long = 64L): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val target = graft.ingest.FsUtil.footerRowCount(
         df.inputFiles.toSeq, df.sparkSession.sparkContext.hadoopConfiguration)
@@ -1299,9 +1299,13 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     // spread before the n-gram kernel: it runs three times here (target
     // model, raw model, scoring pass) and a single-row-group input would
-    // pin all three to one task
-    val docsS = spreadScan(docs)
-    val targetS = spreadScan(target)
+    // pin all three to one task. rowsPerTask measured (sf0.1, 5000 docs,
+    // 32 threads, interleaved min-of-3): 64 rows/task → dsir_select
+    // 2.14 s, 512 → 1.31, 1024 → 1.14, 2048 → 1.80 — the dsir kernel's
+    // per-task fixed cost wants ~1k rows/task; the defaultParallelism cap
+    // keeps genuinely large corpora at full width
+    val docsS = spreadScan(docs, rowsPerTask = 1024L)
+    val targetS = spreadScan(target, rowsPerTask = 1024L)
     def features(df: DataFrame, cols: Column*): DataFrame =
       df.select(cols :+ explode(ngramStrings(col(textCol), n)).as("g"): _*)
         .withColumn("b", pmod(graft.functions.Funcs.md5Hash60(col("g")), lit(buckets.toLong)))
