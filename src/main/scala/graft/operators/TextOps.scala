@@ -1818,20 +1818,26 @@ object TextOps {
     val toks = docs.select(col(labelCol).as("label"), explode(tokens(col(textCol))).as("token"))
     val counts = toks.groupBy("label", "token").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("label").agg(sum("c").as("tot"))
-    val vocabV = counts.select("token").distinct().count().toDouble
+    // V rides along as a broadcast 1-row cross join instead of an EAGER
+    // driver count(): the old distinct().count() re-ran the tokenize +
+    // (label, token) shuffle as its own Spark job on EVERY nbTrain call
+    // (measured: ~1/3 of q_text_nb_lang's jobs) just to embed a literal;
+    // count_distinct over the same counts frame is value-identical and
+    // stays inside the one lazy plan, where the counts exchange is reused
+    val vocab = counts.agg(count_distinct(col("token")).cast("double").as("__v"))
     def quant(x: Column): Column = round(log(x) * 1e6).cast("long")
-    val tokenModel = counts.join(totals, "label")
+    val tokenModel = counts.join(totals, "label").crossJoin(broadcast(vocab))
       .select(
         col("label"), col("token"),
-        quant((col("c") + 1).cast("double") / (col("tot").cast("double") + lit(vocabV)))
+        quant((col("c") + 1).cast("double") / (col("tot").cast("double") + col("__v")))
           .as("qlog"))
     val priors = docs.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
     val nDocs = priors.agg(sum("nd").cast("double").as("n"))
-    val labelModel = priors.crossJoin(nDocs).join(totals, "label")
+    val labelModel = priors.crossJoin(nDocs).join(totals, "label").crossJoin(broadcast(vocab))
       .select(
         col("label"),
         quant(col("nd").cast("double") / col("n")).as("qprior"),
-        quant(lit(1.0) / (col("tot").cast("double") + lit(vocabV))).as("qdefault"))
+        quant(lit(1.0) / (col("tot").cast("double") + col("__v"))).as("qdefault"))
     (tokenModel, labelModel)
   }
 
